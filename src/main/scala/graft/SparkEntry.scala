@@ -1,13 +1,702 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Aggs, TimeIndex}
+import graft.operators._
+import graft.ts.{TimeRange, TimeSeries}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions shared with the DuckDB oracles (SURVEY.md §3):
+  *  - event timestamps compared as epoch-ns longs (events.parquet is
+  *    nanosecond precision; Spark reads it via nanosAsLong, DuckDB via
+  *    epoch_ns) — never through doubles;
+  *  - sums go through DECIMAL(38,6) (order-independent, exact);
+  *  - avg/stdev/percentile/interpolations round to 6dp on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // ---------------------------------------------------------------- I/O
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS); read it as epoch-ns long
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+  /** events with ts normalized to the canonical epoch-µs long (DuckDB's
+    * parquet reader surfaces TIMESTAMP(NANOS) at µs precision, so µs is
+    * the exact common grain for oracle parity).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+
+  // time constants (epoch µs)
+  private val UsMin = 60L * 1000000L
+  private val UsHour = 60L * UsMin
+  private val UsDay = 24L * UsHour
+  private val Jan08 = 1704672000000000L // 2024-01-08T00:00:00Z
+  private val Jan15 = 1705276800000000L // 2024-01-15T00:00:00Z
+  private val Jan10 = 1704844800000000L // 2024-01-10T00:00:00Z
+  private val Jan20 = 1705708800000000L // 2024-01-20T00:00:00Z
+
+  // shared mask that induces ~10% missing values for the fill/filter ops
+  private def masked(c: Column): Column = when(c < 5.0, lit(null)).otherwise(c)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- §2.7 analytics core ---------------------------------------
+    "q1_agg" -> { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Aggs.sumExact(col("l_quantity")).as("sum_qty"),
+          Aggs.sumExact(col("l_extendedprice")).as("sum_base_price"),
+          Aggs.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          Aggs.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          Aggs.avg6(col("l_quantity")).as("avg_qty"),
+          Aggs.avg6(col("l_extendedprice")).as("avg_price"),
+          Aggs.avg6(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+
+    "q3_join" -> { (s, dir) =>
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          Aggs.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    },
+
+    "q_topn_window" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_orderpriority"), col("rnk"), col("o_orderkey"),
+          col("o_totalprice"))
+    },
+
+    "q_events_sessionize" -> { (s, dir) =>
+      Sessionize(events(s, dir).select("user_id", "ts", "value"),
+        "ts", Seq("user_id"), 30L * UsMin,
+        Seq(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), Aggs.sumExact(col("value")).as("sum_value")))
+    },
+
+    // --- §2.1 aggregation ------------------------------------------
+    "ts_agg_basic" -> { (s, dir) =>
+      events(s, dir).groupBy("event_type").agg(
+        Aggs.sumExact(col("value")).as("sum_value"),
+        Aggs.avg6(col("value")).as("avg_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        count(lit(1)).as("n"))
+    },
+
+    "ts_agg_first_last" -> { (s, dir) =>
+      events(s, dir).groupBy("user_id").agg(
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        Aggs.firstByTime(col("value"), col("ts")).as("first_value"),
+        Aggs.lastByTime(col("value"), col("ts")).as("last_value"))
+    },
+
+    "ts_agg_stats" -> { (s, dir) =>
+      events(s, dir).groupBy("event_type").agg(
+        Aggs.median6(col("value")).as("median_value"),
+        Aggs.stddevPop6(col("value")).as("stdev_value"),
+        Aggs.percentileLin6(col("value"), 0.9).as("p90_value"),
+        Aggs.difference(col("value")).as("diff_value"))
+    },
+
+    "ts_quantile" -> { (s, dir) =>
+      events(s, dir).groupBy("event_type").agg(
+        Aggs.percentileLin6(col("value"), 0.25).as("p25"),
+        Aggs.percentileLin6(col("value"), 0.5).as("p50"),
+        Aggs.percentileLin6(col("value"), 0.75).as("p75"))
+    },
+
+    "ts_agg_filters" -> { (s, dir) =>
+      events(s, dir).withColumn("mv", masked(col("value")))
+        .groupBy("event_type").agg(
+          Aggs.avg6(col("mv")).as("avg_ignore"),
+          round(avg(Aggs.zeroMissing(col("mv"))), 6).as("avg_zero"),
+          round(Aggs.propagateMissing(avg(col("mv")), col("mv")), 6)
+            .as("avg_propagate"))
+    },
+
+    "ts_size_valid" -> { (s, dir) =>
+      events(s, dir).withColumn("mv", masked(col("value")))
+        .groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          Aggs.countValid(col("mv")).as("n_valid"))
+    },
+
+    // --- §2.2 rollups ----------------------------------------------
+    "ts_rollup_5m" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Seq("user_id"))
+        .fixedWindowRollup("5m", Seq(
+          Aggs.avg6(col("value")).as("avg_value"),
+          Aggs.sumExact(col("value")).as("sum_value"),
+          max(col("value")).as("max_value"),
+          count(lit(1)).as("n")))
+    },
+
+    "ts_rollup_1h" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Seq("user_id"))
+        .fixedWindowRollup("1h", Seq(
+          Aggs.sumExact(col("value")).as("sum_value"),
+          count(lit(1)).as("n")))
+    },
+
+    "ts_rollup_daily" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Seq("event_type"))
+        .dailyRollup(Seq(
+          Aggs.sumExact(col("value")).as("sum_value"),
+          Aggs.avg6(col("value")).as("avg_value"),
+          count(lit(1)).as("n")))
+    },
+
+    "ts_rollup_monthly" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Seq("user_id"))
+        .monthlyRollup(Seq(
+          Aggs.sumExact(col("value")).as("sum_value"),
+          count(lit(1)).as("n")))
+    },
+
+    "ts_rollup_yearly" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Nil)
+        .yearlyRollup(Seq(
+          Aggs.sumExact(col("value")).as("sum_value"),
+          count(lit(1)).as("n")))
+    },
+
+    "ts_collect_by_window" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Seq("user_id"))
+        .collectByFixedWindow("1d", Seq(
+          count(lit(1)).as("n"),
+          Aggs.sumExact(col("value")).as("sum_value")))
+    },
+
+    "ts_agg_by_key" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Seq("user_id"))
+        .aggregate(Seq(
+          count(lit(1)).as("n"),
+          Aggs.sumExact(col("value")).as("sum_value"),
+          Aggs.avg6(col("value")).as("avg_value")))
+    },
+
+    // --- §2.3 stateful processors ----------------------------------
+    "ts_align_linear" -> { (s, dir) =>
+      val clicks = events(s, dir).where(col("event_type") === "click")
+      TimeSeries(clicks, "ts", Seq("user_id"))
+        .align(Seq("value"), "1d", "linear")
+        .df.select(col("user_id"), col("ts"), round(col("value"), 6).as("value"))
+    },
+
+    "ts_align_hold" -> { (s, dir) =>
+      val views = events(s, dir).where(col("event_type") === "view")
+      TimeSeries(views, "ts", Seq("user_id"))
+        .align(Seq("value"), "1d", "hold", Some(3))
+        .df.select("user_id", "ts", "value")
+    },
+
+    "ts_rate" -> { (s, dir) =>
+      val p = events(s, dir).where(col("event_type") === "purchase")
+      val rated = Rate(p, "ts", Seq("value"), Seq("user_id"), allowNegative = true)
+      // `+ 0.0` collapses IEEE -0.0 to +0.0 (engines differ on the sign
+      // of a rounded-away negative; the value is identical)
+      rated.select(col("user_id"), col("ts_begin"), col("ts_end"),
+        (round(col("value_rate"), 6) + lit(0.0)).as("rate"),
+        (round(when(col("value_rate") < 0, lit(null)).otherwise(col("value_rate")), 6)
+          + lit(0.0)).as("rate_nonneg"))
+    },
+
+    "ts_fill_zero" -> { (s, dir) =>
+      val masked_ = events(s, dir).withColumn("mv", masked(col("value")))
+      Fill.zero(masked_, Seq("mv"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("mv").as("filled"))
+    },
+
+    "ts_fill_pad" -> { (s, dir) =>
+      val masked_ = events(s, dir).withColumn("mv", masked(col("value")))
+      Fill.pad(masked_, "ts", Seq("mv"), Seq("user_id"), fillLimit = Some(2))
+        .select(col("event_id"), col("user_id"), col("ts"), col("mv").as("filled"))
+    },
+
+    "ts_fill_linear" -> { (s, dir) =>
+      val masked_ = events(s, dir).withColumn("mv", masked(col("value")))
+      Fill.linear(masked_, "ts", "mv", Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("mv"), 6).as("filled"))
+    },
+
+    "ts_offset" -> { (s, dir) =>
+      Shape.offsetBy(events(s, dir), 2.5, Seq("value"))
+        .select(col("event_id"), col("ts"), col("value").as("offset_value"))
+    },
+
+    "ts_take" -> { (s, dir) =>
+      Shape.take(events(s, dir).select("user_id", "ts", "event_id", "value"),
+        "ts", Seq("user_id"), 5, tieBreak = Seq("event_id"))
+    },
+
+    // --- §2.4 shaping ----------------------------------------------
+    "ts_select" -> { (s, dir) =>
+      Shape.rename(
+        Shape.select(events(s, dir), Seq("user_id", "ts", "value")),
+        Map("value" -> "reading"))
+    },
+
+    "ts_map" -> { (s, dir) =>
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .select(col("event_id"), col("ts"), col("k"),
+          (col("value") * col("k")).as("scaled"))
+    },
+
+    "ts_filter" -> { (s, dir) =>
+      Shape.clean(
+        events(s, dir).where(col("event_type") === "error" && col("value") > 10),
+        "value")
+        .select("event_id", "user_id", "ts", "value")
+    },
+
+    "ts_collapse" -> { (s, dir) =>
+      Shape.collapse(tbl(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice"),
+        "combined", Shape.sumReducer)
+        .select("l_orderkey", "l_linenumber", "combined")
+    },
+
+    "ts_dedup" -> { (s, dir) =>
+      Shape.dedup(events(s, dir), Seq("user_id", "event_type"), "event_id")
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    },
+
+    "ts_sort" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      events(s, dir).select(col("user_id"), col("ts"))
+        .withColumn("pos", row_number().over(w))
+    },
+
+    "ts_crop" -> { (s, dir) =>
+      Shape.crop(events(s, dir), "ts", Jan08, Jan15)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sum_value"))
+    },
+
+    // --- §2.5 multi-series combination -----------------------------
+    "ts_merge" -> { (s, dir) =>
+      val ev = events(s, dir)
+      def hourly(typ: String, out: String): DataFrame =
+        TimeSeries(ev.where(col("event_type") === typ), "ts", Seq("user_id"))
+          .fixedWindowRollup("1h", Seq(Aggs.sumExact(col("value")).as(out)))
+      Combine.merge(
+        Seq(hourly("click", "clicks"), hourly("view", "views")),
+        Seq("user_id", "idx"))
+    },
+
+    "ts_combine_sum" -> { (s, dir) =>
+      val ev = events(s, dir)
+      def series(typ: String): DataFrame =
+        ev.where(col("event_type") === typ)
+          .select(col("user_id"), TimeIndex.indexOf(col("ts"), "1h").as("idx"),
+            col("value"))
+      Combine.reduceSeries(Seq(series("click"), series("view")),
+        Seq("user_id", "idx"),
+        Seq(Aggs.sumExact(col("value")).as("total")))
+    },
+
+    "ts_combine_avg" -> { (s, dir) =>
+      val ev = events(s, dir)
+      def series(typ: String): DataFrame =
+        ev.where(col("event_type") === typ)
+          .select(col("user_id"), TimeIndex.indexOf(col("ts"), "1h").as("idx"),
+            col("value"))
+      Combine.reduceSeries(Seq(series("purchase"), series("error")),
+        Seq("user_id", "idx"),
+        Seq(Aggs.avg6(col("value")).as("avg_value")))
+    },
+
+    "ts_asof_lookup" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+      val clicks = ev.where(col("event_type") === "click")
+      Combine.asof(purchases, clicks, Seq("user_id"), "ts",
+        leftCols = Seq("event_id", "value"), rightVals = Seq("value"))
+    },
+
+    // --- §2.6 timerange algebra ------------------------------------
+    "ts_timerange" -> { (s, dir) =>
+      val qb = lit(Jan10)
+      val qe = lit(Jan20)
+      events(s, dir).groupBy("user_id", "event_type")
+        .agg(min(col("ts")).as("b"), max(col("ts")).as("e"))
+        .select(col("user_id"), col("event_type"), col("b"), col("e"),
+          org.apache.spark.sql.graft.Bridge.ldiv(col("e") - col("b"), 1000L)
+            .as("duration_ms"),
+          TimeRange.overlapsCol(col("b"), col("e"), qb, qe).as("overlaps_q"),
+          (col("b") <= qb && col("e") >= qe).as("contains_q"),
+          TimeRange.intersectionDurUs(col("b"), col("e"), qb, qe).as("isect_ns"))
+    },
+
+    "ts_timerange_rel" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val mx = ev.agg(max(col("ts")).as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .where(col("ts") > col("mx") - lit(7L * UsDay))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sum_value"))
+    }
+  )
+
+  // --------------------------------------------------------- oracles
+
+  private val EvUs = "epoch_us(ts)"
+  private val Sum6 = "DECIMAL(38,6)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(CAST(l_quantity AS $Sum6)) AS sum_qty,
+         |  sum(CAST(l_extendedprice AS $Sum6)) AS sum_base_price,
+         |  sum(CAST(l_extendedprice*(1.0-l_discount) AS $Sum6)) AS sum_disc_price,
+         |  sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS $Sum6)) AS sum_charge,
+         |  round(avg(l_quantity),6) AS avg_qty,
+         |  round(avg(l_extendedprice),6) AS avg_price,
+         |  round(avg(l_discount),6) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      s"""SELECT n_name,
+         |  sum(CAST(l_extendedprice*(1.0-l_discount) AS $Sum6)) AS revenue,
+         |  count(DISTINCT o_orderkey) AS n_orders
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name""".stripMargin,
+
+    "q_topn_window" ->
+      """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3""".stripMargin,
+
+    "q_events_sessionize" ->
+      s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events),
+         |m AS (SELECT user_id, tns, value,
+         |  CASE WHEN lag(tns) OVER w IS NULL
+         |         OR tns - lag(tns) OVER w > 1800000000
+         |       THEN 1 ELSE 0 END AS new_sess
+         |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tns)),
+         |g AS (SELECT user_id, tns, value,
+         |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tns
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM m)
+         |SELECT user_id, session_id, min(tns) AS session_start,
+         |  max(tns) AS session_end, count(*) AS n_events,
+         |  sum(CAST(value AS $Sum6)) AS sum_value
+         |FROM g GROUP BY user_id, session_id""".stripMargin,
+
+    "ts_agg_basic" ->
+      s"""SELECT event_type, sum(CAST(value AS $Sum6)) AS sum_value,
+         |  round(avg(value),6) AS avg_value, min(value) AS min_value,
+         |  max(value) AS max_value, count(*) AS n
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    "ts_agg_first_last" ->
+      s"""SELECT user_id, min($EvUs) AS first_ts, max($EvUs) AS last_ts,
+         |  arg_min(value, $EvUs) AS first_value,
+         |  arg_max(value, $EvUs) AS last_value
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "ts_agg_stats" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5),6) AS median_value,
+        |  round(stddev_pop(value),6) AS stdev_value,
+        |  round(quantile_cont(value, 0.9),6) AS p90_value,
+        |  max(value) - min(value) AS diff_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "ts_quantile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25),6) AS p25,
+        |  round(quantile_cont(value, 0.5),6) AS p50,
+        |  round(quantile_cont(value, 0.75),6) AS p75
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "ts_agg_filters" ->
+      """WITH s AS (SELECT event_type,
+        |  CASE WHEN value < 5.0 THEN NULL ELSE value END AS mv FROM events)
+        |SELECT event_type,
+        |  round(avg(mv),6) AS avg_ignore,
+        |  round(avg(coalesce(mv, 0)),6) AS avg_zero,
+        |  CASE WHEN count(*) <> count(mv) THEN NULL
+        |       ELSE round(avg(mv),6) END AS avg_propagate
+        |FROM s GROUP BY event_type""".stripMargin,
+
+    "ts_size_valid" ->
+      """SELECT user_id, count(*) AS n,
+        |  count(CASE WHEN value >= 5.0 THEN 1 END) AS n_valid
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "ts_rollup_5m" ->
+      s"""SELECT user_id,
+         |  '5m-' || CAST($EvUs // 300000000 AS VARCHAR) AS idx,
+         |  round(avg(value),6) AS avg_value,
+         |  sum(CAST(value AS $Sum6)) AS sum_value,
+         |  max(value) AS max_value, count(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ts_rollup_1h" ->
+      s"""SELECT user_id,
+         |  '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
+         |  sum(CAST(value AS $Sum6)) AS sum_value, count(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ts_rollup_daily" ->
+      s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS idx,
+         |  sum(CAST(value AS $Sum6)) AS sum_value,
+         |  round(avg(value),6) AS avg_value, count(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ts_rollup_monthly" ->
+      s"""SELECT user_id, strftime(ts, '%Y-%m') AS idx,
+         |  sum(CAST(value AS $Sum6)) AS sum_value, count(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ts_rollup_yearly" ->
+      s"""SELECT strftime(ts, '%Y') AS idx,
+         |  sum(CAST(value AS $Sum6)) AS sum_value, count(*) AS n
+         |FROM events GROUP BY 1""".stripMargin,
+
+    "ts_collect_by_window" ->
+      s"""SELECT user_id,
+         |  ($EvUs // 86400000000) * 86400000000 AS ts_begin,
+         |  ($EvUs // 86400000000 + 1) * 86400000000 AS ts_end,
+         |  count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value
+         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "ts_agg_by_key" ->
+      s"""SELECT user_id, count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value,
+         |  round(avg(value),6) AS avg_value
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "ts_align_linear" ->
+      s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT user_id, tns, value,
+         |  lag(tns) OVER w AS ptns, lag(value) OVER w AS pval
+         |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tns))
+         |SELECT user_id, u.pos * 86400000000 AS ts,
+         |  round(pval + (value - pval) *
+         |    ((u.pos * 86400000000 - ptns) / CAST(tns - ptns AS DOUBLE)), 6)
+         |    AS value
+         |FROM p, UNNEST(CASE WHEN ptns IS NOT NULL
+         |    AND tns // 86400000000 > ptns // 86400000000
+         |  THEN range(ptns // 86400000000 + 1, tns // 86400000000 + 1)
+         |  ELSE [] END) AS u(pos)""".stripMargin,
+
+    "ts_align_hold" ->
+      s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events
+         |  WHERE event_type = 'view'),
+         |p AS (SELECT user_id, tns, value,
+         |  lag(tns) OVER w AS ptns, lag(value) OVER w AS pval
+         |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tns))
+         |SELECT user_id, u.pos * 86400000000 AS ts,
+         |  CASE WHEN tns // 86400000000 - ptns // 86400000000 > 3
+         |       THEN NULL ELSE pval END AS value
+         |FROM p, UNNEST(CASE WHEN ptns IS NOT NULL
+         |    AND tns // 86400000000 > ptns // 86400000000
+         |  THEN range(ptns // 86400000000 + 1, tns // 86400000000 + 1)
+         |  ELSE [] END) AS u(pos)""".stripMargin,
+
+    "ts_rate" ->
+      s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |p AS (SELECT user_id, tns, value,
+         |  lag(tns) OVER w AS ptns, lag(value) OVER w AS pval
+         |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tns))
+         |SELECT user_id, ptns AS ts_begin, tns AS ts_end,
+         |  round((value - pval) / (CAST(tns - ptns AS DOUBLE) / 1000000.0), 6)
+         |    + 0.0 AS rate,
+         |  round(CASE WHEN (value - pval) / (CAST(tns - ptns AS DOUBLE)
+         |      / 1000000.0) < 0 THEN NULL
+         |    ELSE (value - pval) / (CAST(tns - ptns AS DOUBLE) / 1000000.0)
+         |    END, 6) + 0.0 AS rate_nonneg
+         |FROM p WHERE ptns IS NOT NULL""".stripMargin,
+
+    "ts_fill_zero" ->
+      s"""SELECT event_id, user_id, $EvUs AS ts,
+         |  CASE WHEN value < 5.0 THEN 0.0 ELSE value END AS filled
+         |FROM events""".stripMargin,
+
+    "ts_fill_pad" ->
+      s"""WITH s AS (SELECT event_id, user_id, $EvUs AS tns,
+         |  CASE WHEN value < 5.0 THEN NULL ELSE value END AS mv FROM events),
+         |p1 AS (SELECT event_id, user_id, tns, mv,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY tns) AS rn FROM s),
+         |p2 AS (SELECT event_id, user_id, tns, mv, rn,
+         |  last_value(mv IGNORE NULLS) OVER up_to AS padded,
+         |  max(CASE WHEN mv IS NOT NULL THEN rn END) OVER up_to AS last_good_rn
+         |  FROM p1 WINDOW up_to AS (PARTITION BY user_id ORDER BY tns
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, tns AS ts,
+         |  CASE WHEN mv IS NOT NULL THEN mv
+         |       WHEN rn - coalesce(last_good_rn, 0) <= 2 THEN padded END AS filled
+         |FROM p2""".stripMargin,
+
+    "ts_fill_linear" ->
+      s"""WITH s AS (SELECT event_id, user_id, $EvUs AS tns,
+         |  CASE WHEN value < 5.0 THEN NULL ELSE value END AS mv FROM events),
+         |p AS (SELECT event_id, user_id, tns, mv,
+         |  last_value(mv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tns
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+         |  last_value(CASE WHEN mv IS NOT NULL THEN tns END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY tns
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+         |  first_value(mv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tns
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+         |  first_value(CASE WHEN mv IS NOT NULL THEN tns END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY tns
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+         |  FROM s)
+         |SELECT event_id, user_id, tns AS ts,
+         |  round(CASE WHEN mv IS NOT NULL THEN mv
+         |    WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN
+         |      prev_val + (next_val - prev_val) *
+         |        ((tns - prev_ts) / CAST(next_ts - prev_ts AS DOUBLE))
+         |    END, 6) AS filled
+         |FROM p""".stripMargin,
+
+    "ts_offset" ->
+      s"""SELECT event_id, $EvUs AS ts, value + 2.5 AS offset_value
+         |FROM events""".stripMargin,
+
+    "ts_take" ->
+      s"""SELECT user_id, ts, event_id, value FROM (
+         |  SELECT user_id, $EvUs AS ts, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY $EvUs, event_id) AS rn
+         |  FROM events) WHERE rn <= 5""".stripMargin,
+
+    "ts_select" ->
+      s"SELECT user_id, $EvUs AS ts, value AS reading FROM events",
+
+    "ts_map" ->
+      s"""SELECT event_id, $EvUs AS ts,
+         |  CAST(props->>'k' AS BIGINT) AS k,
+         |  value * CAST(props->>'k' AS BIGINT) AS scaled
+         |FROM events""".stripMargin,
+
+    "ts_filter" ->
+      s"""SELECT event_id, user_id, $EvUs AS ts, value FROM events
+         |WHERE event_type = 'error' AND value > 10
+         |  AND value IS NOT NULL AND NOT isnan(value)""".stripMargin,
+
+    "ts_collapse" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_quantity + l_extendedprice AS combined
+        |FROM lineitem""".stripMargin,
+
+    "ts_dedup" ->
+      s"""SELECT user_id, event_type, event_id, $EvUs AS ts, value FROM (
+         |  SELECT user_id, event_type, event_id, ts, value,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY event_id DESC) AS rn
+         |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "ts_sort" ->
+      s"""SELECT user_id, $EvUs AS ts,
+         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY $EvUs)
+         |    AS INTEGER) AS pos
+         |FROM events""".stripMargin,
+
+    "ts_crop" ->
+      s"""SELECT event_type, count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value
+         |FROM events
+         |WHERE $EvUs >= 1704672000000000 AND $EvUs <= 1705276800000000
+         |GROUP BY event_type""".stripMargin,
+
+    "ts_merge" ->
+      s"""WITH a AS (SELECT user_id,
+         |    '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
+         |    sum(CAST(value AS $Sum6)) AS clicks
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |b AS (SELECT user_id,
+         |    '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
+         |    sum(CAST(value AS $Sum6)) AS views
+         |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         |SELECT user_id, idx, clicks, views
+         |FROM a FULL JOIN b USING (user_id, idx)""".stripMargin,
+
+    "ts_combine_sum" ->
+      s"""SELECT user_id,
+         |  '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
+         |  sum(CAST(value AS $Sum6)) AS total
+         |FROM events WHERE event_type IN ('click', 'view')
+         |GROUP BY 1, 2""".stripMargin,
+
+    "ts_combine_avg" ->
+      s"""SELECT user_id,
+         |  '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
+         |  round(avg(value),6) AS avg_value
+         |FROM events WHERE event_type IN ('purchase', 'error')
+         |GROUP BY 1, 2""".stripMargin,
+
+    "ts_asof_lookup" ->
+      s"""SELECT l.user_id, epoch_us(l.ts) AS ts, l.event_id, l.value,
+         |  r.value AS asof_value
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+         |  WHERE event_type = 'click') r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "ts_timerange" ->
+      s"""WITH r AS (SELECT user_id, event_type,
+         |  min($EvUs) AS b, max($EvUs) AS e
+         |  FROM events GROUP BY user_id, event_type)
+         |SELECT user_id, event_type, b, e, (e - b) // 1000 AS duration_ms,
+         |  ((b <= 1704844800000000 AND e >= 1704844800000000)
+         |      AND NOT (b <= 1705708800000000 AND e >= 1705708800000000))
+         |   OR ((b <= 1705708800000000 AND e >= 1705708800000000)
+         |      AND NOT (b <= 1704844800000000 AND e >= 1704844800000000))
+         |    AS overlaps_q,
+         |  (b <= 1704844800000000 AND e >= 1705708800000000) AS contains_q,
+         |  CASE WHEN e < 1704844800000000 OR b > 1705708800000000 THEN NULL
+         |    ELSE least(e, 1705708800000000) - greatest(b, 1704844800000000)
+         |    END AS isect_ns
+         |FROM r""".stripMargin,
+
+    "ts_timerange_rel" ->
+      s"""SELECT event_type, count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value
+         |FROM events
+         |WHERE $EvUs > (SELECT max($EvUs) FROM events) - 604800000000
+         |GROUP BY event_type""".stripMargin
+  )
 }

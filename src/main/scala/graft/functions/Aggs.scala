@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Aggregation builders mirroring pypond's `Functions` factory
+  * (reference: pypond/functions.py:124-345) plus its missing-value
+  * `Filters` (pypond/functions.py:21-75), re-expressed as Catalyst
+  * column expressions so they stay inside whole-stage codegen.
+  *
+  * Numeric-parity conventions (shared with the DuckDB oracles):
+  *   - sums go through DECIMAL(38,6) so the result is exact and
+  *     independent of partition/accumulation order at any scale;
+  *   - avg / stdev / percentile round to 6dp (fp accumulation order
+  *     differs across engines only below that).
+  */
+object Aggs {
+  val SumDec: DecimalType = DecimalType(38, 6)
+
+  /** Order-independent exact sum (Functions.sum). */
+  def sumExact(c: Column): Column = sum(c.cast(SumDec))
+
+  def avg6(c: Column): Column = round(avg(c), 6)
+
+  /** pypond stdev is population stdev (pypond/functions.py:300-313). */
+  def stddevPop6(c: Column): Column = round(stddev_pop(c), 6)
+
+  /** Exact percentile w/ linear interpolation, numpy-compatible
+    * (pypond/functions.py:251 method='linear'; DuckDB quantile_cont).
+    */
+  def percentileLin6(c: Column, p: Double): Column =
+    round(percentile(c, lit(p)), 6)
+
+  def median6(c: Column): Column = percentileLin6(c, 0.5)
+
+  /** Functions.difference: max - min. */
+  def difference(c: Column): Column = max(c) - min(c)
+
+  /** Value of the row with the smallest / largest timestamp
+    * (Functions.first / last over a chronological collection).
+    */
+  def firstByTime(v: Column, ts: Column): Column = min_by(v, ts)
+  def lastByTime(v: Column, ts: Column): Column = max_by(v, ts)
+
+  // --- missing-value filter modes (pypond Filters) -------------------
+  // SQL aggregates already skip nulls => ignore_missing is the default.
+
+  /** Filters.zero_missing: treat missing as 0 (keeps cardinality). */
+  def zeroMissing(c: Column): Column = coalesce(c, lit(0.0))
+
+  /** Filters.propagate_missing: the whole aggregate is null if any
+    * input value is missing. Wrap an aggregate:
+    *   propagateMissing(avg(c), c)
+    */
+  def propagateMissing(agg: Column, c: Column): Column =
+    when(count(when(c.isNull || isnan(c), lit(1))) > 0, lit(null)).otherwise(agg)
+
+  /** Count of valid (non-null, non-NaN) values —
+    * Collection.size_valid (pypond/collection.py:157).
+    */
+  def countValid(c: Column): Column = count(when(!(c.isNull || isnan(c)), lit(1)))
+}

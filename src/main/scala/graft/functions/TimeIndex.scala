@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge.ldiv
+
+/** Time-bucket index arithmetic.
+  *
+  * Re-expresses pypond's `Index` (reference: pypond/index.py:357-530) as
+  * native column expressions over epoch-MICROsecond longs, so bucketing
+  * is pure integer arithmetic inside whole-stage codegen — no UDFs, no
+  * timestamp conversions in the hot path.
+  *
+  * Canonical tick = 1 µs: it is the finest precision every engine in the
+  * verification chain (Spark timestamps, DuckDB parquet reader) can
+  * round-trip exactly; pypond itself only keeps ms.
+  *
+  * Index string shapes (pypond/index.py:408, 486, 508, 529):
+  *   - fixed windows:  "5m-4754394"  (suffix = epoch_ms div window_ms)
+  *   - daily:          "2015-03-14"
+  *   - monthly:        "2015-03"
+  *   - yearly:         "2015"
+  */
+object TimeIndex {
+  val UsPerMs = 1000L
+  val UsPerSec = 1000000L
+
+  /** Window duration in ms for "30s" / "5m" / "1h" / "1d" style strings
+    * (reference: pypond/index.py:357 window_duration).
+    */
+  def durationMs(win: String): Long = {
+    val m = "([0-9]+)([smhd])".r.findFirstMatchIn(win).getOrElse(
+      throw new IllegalArgumentException(s"bad window: $win"))
+    val n = m.group(1).toLong
+    val unit = m.group(2) match {
+      case "s" => 1000L
+      case "m" => 60L * 1000L
+      case "h" => 3600L * 1000L
+      case "d" => 86400L * 1000L
+    }
+    n * unit
+  }
+
+  def durationUs(win: String): Long = durationMs(win) * UsPerMs
+
+  /** Window position (index suffix) of an epoch-µs timestamp.
+    * reference: pypond/index.py:386 window_position_from_date.
+    */
+  def posOf(tsUs: Column, win: String): Column = ldiv(tsUs, durationUs(win))
+
+  /** "5m-NNN" style fixed-window index string.
+    * reference: pypond/index.py:408 get_index_string.
+    */
+  def indexOf(tsUs: Column, win: String): Column =
+    concat(lit(win + "-"), posOf(tsUs, win).cast("string"))
+
+  /** Begin of the window containing tsUs, in epoch µs. */
+  def windowStartUs(tsUs: Column, win: String): Column =
+    posOf(tsUs, win) * lit(durationUs(win))
+
+  def windowEndUs(tsUs: Column, win: String): Column =
+    (posOf(tsUs, win) + lit(1L)) * lit(durationUs(win))
+
+  /** Epoch µs long -> Spark timestamp (used only for calendar
+    * bucketing / display, never for bucket arithmetic).
+    */
+  def toTimestamp(tsUs: Column): Column = timestamp_micros(tsUs)
+
+  /** Calendar index strings (UTC). reference: pypond/index.py:486-530. */
+  def dailyIndex(tsUs: Column): Column = date_format(toTimestamp(tsUs), "yyyy-MM-dd")
+  def monthlyIndex(tsUs: Column): Column = date_format(toTimestamp(tsUs), "yyyy-MM")
+  def yearlyIndex(tsUs: Column): Column = date_format(toTimestamp(tsUs), "yyyy")
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-series combination — Event.merge / Event.combine / Event.sum /
+  * Event.avg (reference: pypond/event.py:751-1133) and
+  * TimeSeries.timeseries_list_{merge,sum,reduce} (pypond/series.py:
+  * 1527-1628), plus the distributed equivalent of at_time/bisect
+  * (pypond/series.py:335,395) as an as-of join.
+  */
+object Combine {
+
+  /** Event.merge for series with DISJOINT value columns: events sharing
+    * (key, ts) contribute their columns to one output event. Full outer
+    * join on the (key, ts) grain — at scale both sides hash-shuffle on
+    * the same key so this is a single co-partitioned merge join.
+    */
+  def merge(dfs: Seq[DataFrame], on: Seq[String]): DataFrame =
+    dfs.reduce(_.join(_, on, "full_outer"))
+
+  /** Event.combine/sum/avg: union the series and pointwise-reduce each
+    * value column at the same (key, ts). One partial-agg shuffle.
+    */
+  def reduceSeries(dfs: Seq[DataFrame], on: Seq[String],
+                   aggs: Seq[Column]): DataFrame = {
+    val u = dfs.reduce(_.unionByName(_))
+    u.groupBy(on.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** As-of join: for every left row, the latest right row with
+    * right.ts <= left.ts within the same key. This is the distributed
+    * form of TimeSeries.at_time/bisect lookups.
+    *
+    * Implementation: tag + union + `last(..., ignoreNulls)` over a
+    * (key, ts)-ordered window, then keep left rows. ONE shuffle on the
+    * series key, no range cross-join — survives 100 TB where a
+    * broadcast-range join would not.
+    *
+    * @param leftCols  payload columns of `left` carried to the output
+    * @param rightVals value columns of `right`; emitted as `asof_<name>`
+    */
+  def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           tsCol: String, leftCols: Seq[String], rightVals: Seq[String]): DataFrame = {
+    val lTagged = left.select(
+      (keyCols :+ tsCol).map(col) ++
+        leftCols.map(col) ++
+        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")) :+
+        lit(1).as("__is_l"): _*)
+    val rTagged = right.select(
+      (keyCols :+ tsCol).map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightVals.map(v => col(v).as(s"__r_$v")) :+
+        lit(0).as("__is_l"): _*)
+
+    // Right rows sort before left rows at equal ts => "<=" semantics.
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val u = lTagged.unionByName(rTagged)
+    val filled = rightVals.foldLeft(u)((d, v) =>
+      d.withColumn(s"asof_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w)))
+
+    filled.where(col("__is_l") === 1)
+      .select((keyCols :+ tsCol).map(col) ++ leftCols.map(col) ++
+        rightVals.map(v => col(s"asof_$v")): _*)
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TimeIndex
+
+/** Rate — per-second derivative between consecutive events, emitted as
+  * TimeRangeEvents (reference: pypond/processor/rate.py:86-125).
+  *
+  * Output: keyCols, ts_begin, ts_end (epoch ns of the pair) and one
+  * `<field>_rate` column per input field, where
+  *   rate = (cur - prev) / Δt_seconds.
+  * With allowNegative=false a negative rate becomes null
+  * (rate.py:120-124 — for monotonic counters).
+  *
+  * One shuffle on the series key; `lag` over the key-partitioned window
+  * replaces the reference's driver-side previous-event state.
+  */
+object Rate {
+
+  def apply(df: DataFrame, tsCol: String, valCols: Seq[String],
+            keyCols: Seq[String], allowNegative: Boolean = true): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+
+    val withPrev = df
+      .select((keyCols :+ tsCol).map(col) ++ valCols.map(col): _*)
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumns(valCols.map(v => s"__prev_$v" -> lag(col(v), 1).over(w)).toMap)
+      .where(col("__prev_ts").isNotNull)
+
+    val dtSec = (col(tsCol) - col("__prev_ts")).cast("double") /
+      lit(TimeIndex.UsPerSec.toDouble)
+    val rates = valCols.map { v =>
+      val r = (col(v) - col(s"__prev_$v")) / dtSec
+      val guarded = if (allowNegative) r else when(r < 0, lit(null)).otherwise(r)
+      guarded.as(s"${v}_rate")
+    }
+
+    withPrev.select(
+      keyCols.map(col) ++
+        Seq(col("__prev_ts").as("ts_begin"), col(tsCol).as("ts_end")) ++
+        rates: _*)
+  }
+}

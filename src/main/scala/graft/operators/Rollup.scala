@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeIndex
+
+/** Windowed rollups — pypond's fixed_window_rollup / hourly / daily /
+  * monthly / yearly rollups (reference: pypond/series.py:1171-1458) and
+  * the windowed Aggregator processor (pypond/processor/aggregator.py).
+  *
+  * Spark-first shape: ONE hash aggregation on (seriesKey, bucket) where
+  * the bucket is integer arithmetic on the epoch-ns long — map-side
+  * partial aggregation kicks in, so a 100 TB scan reduces before the
+  * shuffle; no per-series state, no driver loops.
+  */
+object Rollup {
+
+  /** Fixed-window rollup: groups by `win`-sized buckets, emits the
+    * pypond "5m-NNN" index string plus the window's [begin,end) ns.
+    */
+  def fixedWindow(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                  win: String, aggs: Seq[Column]): DataFrame = {
+    val ts = col(tsCol)
+    val gb = keyCols.map(col) :+ TimeIndex.indexOf(ts, win).as("idx")
+    df.groupBy(gb: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Like fixedWindow but emits the bucket as a TimeRange
+    * ([begin,end) epoch ns) instead of an index string —
+    * TimeSeries.collect_by_fixed_window (pypond/series.py:1459).
+    */
+  def fixedWindowRange(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                       win: String, aggs: Seq[Column]): DataFrame = {
+    val ts = col(tsCol)
+    val gb = keyCols.map(col) ++ Seq(
+      TimeIndex.windowStartUs(ts, win).as("ts_begin"),
+      TimeIndex.windowEndUs(ts, win).as("ts_end"))
+    df.groupBy(gb: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Calendar rollup: granularity in {"daily","monthly","yearly"};
+    * index strings "YYYY-MM-DD" / "YYYY-MM" / "YYYY" (UTC).
+    */
+  def calendar(df: DataFrame, tsCol: String, keyCols: Seq[String],
+               granularity: String, aggs: Seq[Column]): DataFrame = {
+    val ts = col(tsCol)
+    val idx = granularity match {
+      case "daily"   => TimeIndex.dailyIndex(ts)
+      case "monthly" => TimeIndex.monthlyIndex(ts)
+      case "yearly"  => TimeIndex.yearlyIndex(ts)
+      case g => throw new IllegalArgumentException(s"bad granularity: $g")
+    }
+    val gb = keyCols.map(col) :+ idx.as("idx")
+    df.groupBy(gb: _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

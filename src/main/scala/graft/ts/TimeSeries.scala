@@ -1,0 +1,144 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.TimeIndex
+
+/** Inclusive time range over epoch-µs longs
+  * (reference: pypond/range.py; pypond stores ms, graft keeps µs — the
+  * finest precision the whole verification chain round-trips exactly).
+  *
+  * `overlaps` keeps pypond's quirk (range.py:396-412): true only for
+  * PARTIAL overlap — full containment is `contains`, not `overlaps`.
+  */
+final case class TimeRange(beginUs: Long, endUs: Long) {
+  require(beginUs <= endUs, "begin must be <= end")
+  def durationUs: Long = endUs - beginUs
+  def durationMs: Long = durationUs / 1000L
+  def containsTime(t: Long): Boolean = beginUs <= t && endUs >= t
+  def contains(o: TimeRange): Boolean = beginUs <= o.beginUs && endUs >= o.endUs
+  def overlaps(o: TimeRange): Boolean =
+    (containsTime(o.beginUs) && !containsTime(o.endUs)) ||
+      (containsTime(o.endUs) && !containsTime(o.beginUs))
+  def disjoint(o: TimeRange): Boolean = endUs < o.beginUs || beginUs > o.endUs
+  def intersection(o: TimeRange): Option[TimeRange] =
+    if (disjoint(o)) None
+    else Some(TimeRange(math.max(beginUs, o.beginUs), math.min(endUs, o.endUs)))
+  def extents(o: TimeRange): TimeRange =
+    TimeRange(math.min(beginUs, o.beginUs), math.max(endUs, o.endUs))
+}
+
+object TimeRange {
+  /** Column-level predicates for (begin, end) pairs, mirroring the
+    * instance methods for distributed use.
+    */
+  def overlapsCol(b1: Column, e1: Column, b2: Column, e2: Column): Column = {
+    val c1 = b1 <= b2 && e1 >= b2 // contains other's begin
+    val c2 = b1 <= e2 && e1 >= e2 // contains other's end
+    (c1 && !c2) || (c2 && !c1)
+  }
+  def intersectionDurUs(b1: Column, e1: Column, b2: Column, e2: Column): Column =
+    when(e1 < b2 || b1 > e2, lit(null))
+      .otherwise(least(e1, e2) - greatest(b1, b2))
+}
+
+/** A distributed TimeSeries (reference: pypond/series.py).
+  *
+  * Where pypond holds ONE series in driver memory, graft holds MILLIONS
+  * of series in one DataFrame: `keyCols` identifies the series, `tsCol`
+  * is an epoch-µs long, everything else is value columns. Every method
+  * returns a new lazy plan; stateful processors shuffle once on the
+  * series key.
+  */
+final case class TimeSeries(
+    df: DataFrame,
+    tsCol: String = "ts",
+    keyCols: Seq[String] = Nil,
+    meta: Map[String, String] = Map.empty) {
+
+  private def valueCols: Seq[String] =
+    df.columns.filterNot(c => c == tsCol || keyCols.contains(c)).toSeq
+
+  private def wrap(d: DataFrame): TimeSeries = copy(df = d)
+
+  // --- accessors (series.py:258-330) --------------------------------
+  def begin(): Long = df.agg(min(col(tsCol))).head().getLong(0)
+  def end(): Long = df.agg(max(col(tsCol))).head().getLong(0)
+  def timerange(): TimeRange = {
+    val r = df.agg(min(col(tsCol)), max(col(tsCol))).head()
+    TimeRange(r.getLong(0), r.getLong(1))
+  }
+  def size(): Long = df.count()
+
+  // --- shaping ------------------------------------------------------
+  def select(fields: Seq[String]): TimeSeries =
+    wrap(Shape.select(df, keyCols ++ Seq(tsCol) ++ fields))
+  def rename(renames: Map[String, String]): TimeSeries =
+    wrap(Shape.rename(df, renames))
+  def filter(pred: Column): TimeSeries = wrap(df.where(pred))
+  def map(f: DataFrame => DataFrame): TimeSeries = wrap(f(df))
+  def clean(field: String): TimeSeries = wrap(Shape.clean(df, field))
+  def crop(r: TimeRange): TimeSeries =
+    wrap(Shape.crop(df, tsCol, r.beginUs, r.endUs))
+  def dedup(orderCol: String): TimeSeries =
+    wrap(Shape.dedup(df, keyCols :+ tsCol, orderCol))
+  def take(n: Int, tieBreak: Seq[String] = Nil): TimeSeries =
+    wrap(Shape.take(df, tsCol, keyCols, n, tieBreak))
+  def offsetBy(by: Double, fields: Seq[String]): TimeSeries =
+    wrap(Shape.offsetBy(df, by, fields))
+  def collapse(fields: Seq[String], name: String,
+               reducer: Seq[Column] => Column, append: Boolean = true): TimeSeries =
+    wrap(Shape.collapse(df, fields, name, reducer, append))
+
+  // --- stateful processors ------------------------------------------
+  def align(fields: Seq[String], window: String, method: String = "linear",
+            limit: Option[Int] = None): TimeSeries =
+    wrap(Align(df, tsCol, fields, keyCols, window, method, limit))
+  def rate(fields: Seq[String], allowNegative: Boolean = true): TimeSeries =
+    copy(df = Rate(df, tsCol, fields, keyCols, allowNegative), tsCol = "ts_end")
+  def fillZero(fields: Seq[String]): TimeSeries = wrap(Fill.zero(df, fields))
+  def fillPad(fields: Seq[String], limit: Option[Int] = None): TimeSeries =
+    wrap(Fill.pad(df, tsCol, fields, keyCols, limit))
+  def fillLinear(field: String, limit: Option[Int] = None): TimeSeries =
+    wrap(Fill.linear(df, tsCol, field, keyCols, limit))
+
+  // --- rollups ------------------------------------------------------
+  def fixedWindowRollup(window: String, aggs: Seq[Column]): DataFrame =
+    Rollup.fixedWindow(df, tsCol, keyCols, window, aggs)
+  def hourlyRollup(aggs: Seq[Column]): DataFrame = fixedWindowRollup("1h", aggs)
+  def dailyRollup(aggs: Seq[Column]): DataFrame =
+    Rollup.calendar(df, tsCol, keyCols, "daily", aggs)
+  def monthlyRollup(aggs: Seq[Column]): DataFrame =
+    Rollup.calendar(df, tsCol, keyCols, "monthly", aggs)
+  def yearlyRollup(aggs: Seq[Column]): DataFrame =
+    Rollup.calendar(df, tsCol, keyCols, "yearly", aggs)
+  def collectByFixedWindow(window: String, aggs: Seq[Column]): DataFrame =
+    Rollup.fixedWindowRange(df, tsCol, keyCols, window, aggs)
+
+  // --- whole-series aggregation (series.py:675-940) ------------------
+  def aggregate(aggs: Seq[Column]): DataFrame =
+    if (keyCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+}
+
+object TimeSeries {
+  /** Lift a DataFrame whose time column is a Spark timestamp into the
+    * canonical epoch-µs long representation.
+    */
+  def fromTimestamp(df: DataFrame, tsCol: String, keyCols: Seq[String] = Nil): TimeSeries =
+    TimeSeries(df.withColumn(tsCol, unix_micros(col(tsCol))), tsCol, keyCols)
+
+  /** Read parquet where the time column was written with nanosecond
+    * precision (Spark surfaces it as a long when
+    * spark.sql.legacy.parquet.nanosAsLong is set); normalized to µs.
+    */
+  def readParquetNanos(spark: SparkSession, path: String, tsCol: String,
+                       keyCols: Seq[String] = Nil): TimeSeries = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    TimeSeries(
+      df.withColumn(tsCol, org.apache.spark.sql.graft.Bridge.ldiv(col(tsCol), 1000L)),
+      tsCol, keyCols)
+  }
+}

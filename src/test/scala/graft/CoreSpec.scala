@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TimeIndex
+import graft.ts.TimeRange
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class TimeIndexSpec extends AnyFunSuite {
+  test("window durations match pypond's UNITS table (index.py:357)") {
+    assert(TimeIndex.durationMs("30s") == 30000L)
+    assert(TimeIndex.durationMs("5m") == 300000L)
+    assert(TimeIndex.durationMs("1h") == 3600000L)
+    assert(TimeIndex.durationMs("1d") == 86400000L)
+  }
+
+  test("index string matches pypond example (index.py:408 doc)") {
+    // 2015-03-14T07:32:22Z -> '5m-4754394'
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val tsUs = 1426318342000000L
+    val idx = Seq(tsUs).toDF("ts")
+      .select(TimeIndex.indexOf(org.apache.spark.sql.functions.col("ts"), "5m"))
+      .head().getString(0)
+    assert(idx == "5m-4754394")
+  }
+}
+
+class TimeRangeSpec extends AnyFunSuite {
+  val a = TimeRange(0L, 100L)
+  test("contains / overlaps / disjoint keep pypond semantics (range.py)") {
+    assert(a.contains(TimeRange(10, 20)))
+    assert(!a.overlaps(TimeRange(10, 20))) // full containment != overlap
+    assert(a.overlaps(TimeRange(50, 150)))
+    assert(a.overlaps(TimeRange(-50, 50)))
+    assert(a.disjoint(TimeRange(101, 200)))
+    assert(a.intersection(TimeRange(50, 150)).contains(TimeRange(50, 100)))
+    assert(a.intersection(TimeRange(200, 300)).isEmpty)
+  }
+}
+
+class QuerySmokeSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every declared query runs and returns rows on sf0.001") {
+    val spark = SparkTestSession.spark
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"query $name returned no rows")
+    }
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
+  }
+}
