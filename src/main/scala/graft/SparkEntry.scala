@@ -52,7 +52,12 @@ object SparkEntry {
 
   // ------------------------------------------------------------ queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ dataQueries
+
+  def oracleSql: Map[String, String] = coreOracles ++ dataOracles
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- §2.7 analytics core ---------------------------------------
     "q1_agg" -> { (s, dir) =>
       tbl(s, dir, "lineitem")
@@ -375,7 +380,7 @@ object SparkEntry {
   private val EvUs = "epoch_us(ts)"
   private val Sum6 = "DECIMAL(38,6)"
 
-  def oracleSql: Map[String, String] = Map(
+  private def coreOracles: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  sum(CAST(l_quantity AS $Sum6)) AS sum_qty,
@@ -698,5 +703,277 @@ object SparkEntry {
          |FROM events
          |WHERE $EvUs > (SELECT max($EvUs) FROM events) - 604800000000
          |GROUP BY event_type""".stripMargin
+  )
+
+  // ----------------------------------------------- §2.8 training-data ops
+
+  private val EmbDim = 64
+
+  private def dataQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents"))
+    },
+
+    "doc_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashCandidates(tbl(s, dir, "documents"))
+    },
+
+    "doc_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents"))
+    },
+
+    "doc_dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"))
+    },
+
+    "doc_langid" -> { (s, dir) =>
+      TextOps.langId(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"),
+          col("s_en").cast("long").as("s_en"),
+          col("s_de").cast("long").as("s_de"),
+          col("s_fr").cast("long").as("s_fr"),
+          col("s_es").cast("long").as("s_es"),
+          col("pred_lang"))
+    },
+
+    "doc_quality" -> { (s, dir) =>
+      TextOps.quality(tbl(s, dir, "documents"))
+        .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+          "digit_ratio", "stop_ratio", "quality")
+    },
+
+    "doc_tokens" -> { (s, dir) =>
+      TextOps.tokenStats(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("n_ws_tokens"),
+          col("n_bpe_pieces").cast("long").as("n_bpe_pieces"), col("n_chars_m"))
+    },
+
+    "doc_fingerprint" -> { (s, dir) =>
+      TextOps.fingerprint(tbl(s, dir, "documents"))
+        .select("doc_id", "fp", "fp_min_shingle")
+    },
+
+    "emb_knn_brute" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.bruteTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 5)
+    },
+
+    "emb_knn_lsh" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.lshTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+    },
+
+    "emb_dedup_cosine" -> { (s, dir) =>
+      Knn.cosineDupPairs(tbl(s, dir, "embeddings"), EmbDim, 0.3, "label")
+    },
+
+    "mm_meta" -> { (s, dir) =>
+      Multimodal.decodeAll(s, tbl(s, dir, "documents")).toDF()
+    }
+  )
+
+  // --- §2.8 oracle SQL (DuckDB), generated from the same constants ----
+
+  /** Rolling hash (fold of acc*31+codepoint mod 1e9+7) — SQL twin of
+    * TextOps.polyHash.
+    */
+  private def sqlPoly(e: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> ord(c))), " +
+      "(a,b) -> (a*31+b) % 1000000007)"
+
+  private val sqlToks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+  private def sqlShingles(t: String): String =
+    s"list_transform(range(1, greatest(len($t)-2, 0) + 1), " +
+      s"i -> array_to_string(list_slice($t, i, i+2), ' '))"
+
+  /** doc_id + distinct shingle-hash list, as a CTE body. */
+  private val sqlSidsCte =
+    s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+       |sids AS (SELECT doc_id,
+       |  list_distinct(list_transform(${sqlShingles("tk")},
+       |    s -> ${sqlPoly("s")})) AS sids
+       |  FROM toks)""".stripMargin
+
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbDim + 1}), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x+y)"
+
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  private def sqlPlaneDot(v: String, j: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbDim + 1}), " +
+      s"i -> CAST($v[i] AS DOUBLE) * CAST((${j + 1} * 73856093 + i * 19349663) " +
+      s"% 2000001 - 1000000 AS DOUBLE))), (x,y) -> x+y)"
+
+  private def sqlBucket(v: String, nPlanes: Int): String =
+    (0 until nPlanes).map { j =>
+      s"(CASE WHEN ${sqlPlaneDot(v, j)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def dataOracles: Map[String, String] = Map(
+    "doc_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "doc_dedup_minhash" -> {
+      val minExprs = Dedup.minhashParams(16).zipWithIndex.map {
+        case ((a, b), j) => s"min(($a * sid + $b) % ${Dedup.MinhashP}) AS h$j"
+      }.mkString(",\n  ")
+      val bandSelects = (0 until 4).map { b =>
+        val bk = (1 until 4).foldLeft(s"h${b * 4}") {
+          (acc, i) => s"(($acc) * 31 + h${b * 4 + i}) % ${TextOps.HashMod}"
+        }
+        s"SELECT doc_id, $b AS band, $bk AS bk FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sqlSidsCte,
+         |sh AS (SELECT doc_id, unnest(sids) AS sid FROM sids),
+         |sigs AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+         |  AND a.doc_id < b.doc_id""".stripMargin
+    },
+
+    "doc_dedup_simhash" -> {
+      val bitSums = (0 until Dedup.SimhashBits).map { i =>
+        s"sum(CASE WHEN (th // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS bs$i"
+      }.mkString(",\n  ")
+      val shExpr = (0 until Dedup.SimhashBits).map { i =>
+        s"(CASE WHEN bs$i > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val bandSelects = (0 until 3).map { b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (b * 8)}) % 256 AS bk FROM sh2"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+         |th AS (SELECT doc_id, (${sqlPoly("t")} * 2654435761) % 2147483648 AS th
+         |  FROM toks),
+         |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+         |sh2 AS (SELECT doc_id, $shExpr AS simhash FROM bits),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin
+    },
+
+    "doc_dedup_ngram_jaccard" ->
+      s"""WITH $sqlSidsCte,
+         |sz AS (SELECT doc_id, len(sids) AS n_sh FROM sids),
+         |inv AS (SELECT doc_id, unnest(sids) AS sid FROM sids),
+         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS n_shared
+         |  FROM inv a JOIN inv b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - n_shared), 6)
+         |    AS jaccard
+         |FROM shared
+         |JOIN sz na ON na.doc_id = id_a
+         |JOIN sz nb ON nb.doc_id = id_b
+         |WHERE CAST(n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - n_shared)
+         |  >= 0.5""".stripMargin,
+
+    "doc_langid" -> {
+      def stop(name: String, words: Seq[String]): String = {
+        val lst = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(tk, t -> list_contains([$lst], t))) AS $name"
+      }
+      s"""WITH toks AS (SELECT doc_id, lang, $sqlToks AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  ${stop("s_en", TextOps.StopEn)},
+         |  ${stop("s_de", TextOps.StopDe)},
+         |  ${stop("s_fr", TextOps.StopFr)},
+         |  ${stop("s_es", TextOps.StopEs)}
+         |  FROM toks)
+         |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+         |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang
+         |FROM sc""".stripMargin
+    },
+
+    "doc_quality" -> {
+      val stopEn = TextOps.StopEn.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS tk,
+         |  CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |    AS DOUBLE) AS np,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |    AS DOUBLE) AS nd
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, nc, np, nd, len(tk) AS ntk,
+         |  len(list_filter(tk, x -> list_contains([$stopEn], x))) AS nstop
+         |  FROM t)
+         |SELECT doc_id, CAST(ntk AS BIGINT) AS n_tokens,
+         |  round((nc - (ntk - 1)) / ntk, 6) AS avg_token_len,
+         |  round(np / nc, 6) AS punct_ratio,
+         |  round(nd / nc, 6) AS digit_ratio,
+         |  round(CAST(nstop AS DOUBLE) / ntk, 6) AS stop_ratio,
+         |  round(least(1.0, greatest(0.0,
+         |    0.2 + 0.05 * ((nc - (ntk - 1)) / ntk) - 2.0 * (np / nc)
+         |      - 1.0 * (nd / nc) + 0.5 * (CAST(nstop AS DOUBLE) / ntk))), 6)
+         |    AS quality
+         |FROM t2""".stripMargin
+    },
+
+    "doc_tokens" ->
+      s"""SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         |    AS BIGINT) AS n_bpe_pieces,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m
+         |FROM documents""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""WITH $sqlSidsCte
+         |SELECT s.doc_id, ${sqlPoly("d.text")} AS fp,
+         |  list_min(s.sids) AS fp_min_shingle
+         |FROM sids s JOIN documents d ON d.doc_id = s.doc_id""".stripMargin,
+
+    "emb_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |j AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    "emb_knn_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+         |    ${sqlBucket("embedding", 6)} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+         |  WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM b),
+         |j AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
+         |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "emb_dedup_cosine" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3""".stripMargin,
+
+    "mm_meta" ->
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  64 + ${sqlPoly("text")} % 512 AS width,
+         |  64 + (${sqlPoly("text")} // 512) % 512 AS height,
+         |  1 + ${sqlPoly("text")} % 8 AS n_frames
+         |FROM documents""".stripMargin
   )
 }

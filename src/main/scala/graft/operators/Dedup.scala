@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps._
+
+/** Document deduplication family (SURVEY.md §2.8): exact,
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard via a shingle
+  * inverted index.
+  *
+  * Scale shape: signatures are computed scan-side with higher-order
+  * functions (no UDFs, map-side only); the only shuffles carry
+  * (bucket/band/shingle, doc_id) — never the document text — and
+  * candidate self-joins use `id_a < id_b` to halve the pair space.
+  * All hash arithmetic is 64-bit integer and mirrored exactly by the
+  * DuckDB oracles.
+  */
+object Dedup {
+
+  // --- exact ----------------------------------------------------------
+
+  /** Exact dedup on normalized content hash: one row per distinct text
+    * with the canonical (minimum) doc id and the group size.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  // --- MinHash + LSH --------------------------------------------------
+
+  /** k permutation-hash parameters (a_j, b_j) for
+    * h_j(x) = (a_j * x + b_j) mod P — fixed constants so every engine
+    * derives identical signatures.
+    */
+  val MinhashP = 2147483647L // 2^31 - 1
+  def minhashParams(k: Int): Seq[(Long, Long)] =
+    (0 until k).map { j =>
+      val a = ((j + 1L) * 2654435761L) % (MinhashP - 1) + 1
+      val b = ((j + 1L) * 40503L * 65537L + 17L) % MinhashP
+      (a, b)
+    }
+
+  /** MinHash signatures over word-`shingleN`-gram shingles:
+    * doc_id, h0..h{k-1}.
+    */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3,
+                        idCol: String = "doc_id"): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(shingleIds(col("text"), shingleN)).as("sid"))
+    val mins = minhashParams(k).zipWithIndex.map { case ((a, b), j) =>
+      min((lit(a) * col("sid") + lit(b)) % lit(MinhashP)).as(s"h$j")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band key: fold `r` signature slots with the rolling-hash mix. */
+  private def bandKey(hs: Seq[Column]): Column =
+    hs.reduceLeft((acc, h) => (acc * lit(31L) + h) % lit(HashMod))
+
+  /** LSH banding: candidate near-duplicate pairs (id_a < id_b) that
+    * collide in at least one of `bands` bands of `r = k/bands` rows.
+    */
+  def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                        shingleN: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val r = k / bands
+    val sigs = minhashSignatures(docs, k, shingleN, idCol)
+    val banded = (0 until bands).map { b =>
+      val hs = (0 until r).map(i => col(s"h${b * r + i}"))
+      sigs.select(col(idCol), lit(b).as("band"), bandKey(hs).as("bk"))
+    }.reduce(_.unionByName(_))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bk"))
+    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bk"))
+    a.join(b, Seq("band", "bk")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  // --- SimHash --------------------------------------------------------
+
+  val SimhashBits = 24
+
+  /** Per-token mixed hash: spread polyHash over SimhashBits bits. */
+  private def tokenMix(sid: Column): Column =
+    (sid * lit(2654435761L)) % lit(1L << 31)
+
+  /** 24-bit SimHash over the token multiset (occurrences weighted). */
+  def simhash(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(transform(tokens(col("text")), t => tokenMix(polyHash(t)))).as("th"))
+    val bitSums = (0 until SimhashBits).map { i =>
+      sum(when(shiftright(col("th"), i) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
+        .as(s"bs$i")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until SimhashBits).map { i =>
+      when(col(s"bs$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col(idCol), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the signature into `bands` byte-wide
+    * blocks (a pair within `maxHamming` must collide in >= 1 block when
+    * bands > maxHamming), then verify true hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 4,
+                   idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash(docs, idCol)
+    val bands = 3 // 3 bands of 8 bits over 24
+    val banded = (0 until bands).map { b =>
+      sh.select(col(idCol), col("simhash"), lit(b).as("band"),
+        (shiftright(col("simhash"), b * 8) % 256).as("bk"))
+    }.reduce(_.unionByName(_))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bk"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("bk"))
+    a.join(b, Seq("band", "bk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // --- exact n-gram Jaccard via shingle inverted index ----------------
+
+  /** Pairs with word-`shingleN`-gram Jaccard >= `threshold`, computed
+    * exactly: explode distinct shingles, self-join the inverted index
+    * (the shuffle carries only (sid, doc_id)), count shared shingles,
+    * Jaccard = shared / (|A| + |B| - shared).
+    */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
+                        threshold: Double = 0.5,
+                        idCol: String = "doc_id"): DataFrame = {
+    val withSh = docs.select(col(idCol), shingleIds(col("text"), shingleN).as("sids"))
+    val sizes = withSh.select(col(idCol), size(col("sids")).as("n_sh"))
+    val inv = withSh.select(col(idCol), explode(col("sids")).as("sid"))
+    val a = inv.select(col(idCol).as("id_a"), col("sid"))
+    val b = inv.select(col(idCol).as("id_b"), col("sid"))
+    val shared = a.join(b, Seq("sid")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("n_shared").cast("double")
+          / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (Array[Float]) —
+  * SURVEY.md §2.8: brute-force cosine top-k as the baseline and a
+  * random-hyperplane LSH-bucketed variant as the scale path, plus
+  * cosine near-dup pairs.
+  *
+  * Numeric parity: every dot product is a LEFT FOLD over explicit
+  * element indexes with each float widened to double first — the same
+  * fold the DuckDB oracle runs, so cosines are bit-identical and the
+  * top-k ranking (raw cosine desc, id asc) is deterministic across
+  * engines. sqrt is IEEE-correctly-rounded everywhere, so it is safe;
+  * no other transcendentals are used.
+  *
+  * Scale shape: brute force broadcasts the (small) query set against a
+  * distributed corpus scan with a per-query top-k window — no corpus
+  * shuffle. LSH shuffles only (bucket, id, vector) and joins within
+  * buckets.
+  */
+object Knn {
+
+  /** Left-fold dot product of two float vectors, in double. */
+  def dot(a: Column, b: Column, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(dim)),
+        i => element_at(a, i).cast("double") * element_at(b, i).cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column, dim: Int): Column =
+    dot(a, b, dim) / (sqrt(dot(a, a, dim)) * sqrt(dot(b, b, dim)))
+
+  /** Brute-force top-k: for each row of `queries`, the k nearest
+    * corpus rows by cosine (self excluded).
+    */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec"), dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  // --- random-hyperplane LSH -----------------------------------------
+
+  /** Deterministic pseudo-random hyperplane component for plane j,
+    * dimension i: integer in [-1e6, 1e6] — reproducible in any engine.
+    */
+  def planeComponent(j: Int, i: Int): Long =
+    ((j + 1L) * 73856093L + i * 19349663L) % 2000001L - 1000000L
+
+  /** LSH ANN: bucket every vector, join queries to same-bucket corpus
+    * rows, rank by exact cosine within the bucket.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              nPlanes: Int = 6, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val bucketOf = (v: Column) => bucketCode(v, dim, nPlanes)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      bucketOf(col(vecCol)).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      bucketOf(col(vecCol)).as("bucket"))
+    val joined = c.join(q, Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qvec"), col("nvec"), dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** dot(v, plane_j) with the deterministic integer components. */
+  private def planeDot(vec: Column, dim: Int, j: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(dim)),
+        i => element_at(vec, i).cast("double")
+          * ((lit(j + 1L) * lit(73856093L) + i * lit(19349663L)) % lit(2000001L)
+            - lit(1000000L)).cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sign-bucket code (bit j set when dot(v, plane_j) > 0). */
+  def bucketCode(vec: Column, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { j =>
+      when(planeDot(vec, dim, j) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding near-dup pairs above a cosine threshold, blocked by a
+    * coarse key (label or LSH bucket) so the self-join stays bounded.
+    */
+  def cosineDupPairs(emb: DataFrame, dim: Int, threshold: Double,
+                     blockCol: String, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb"), dim))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

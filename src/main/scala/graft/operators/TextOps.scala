@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for training-data pipelines: tokenization,
+  * a cross-engine rolling hash, language-ID, quality scoring, token
+  * counting, fingerprinting (SURVEY.md §2.8).
+  *
+  * Everything is built from Spark higher-order functions
+  * (`transform`/`aggregate`/`filter` — codegen'd, no UDFs) and the
+  * arithmetic is chosen so a SQL engine (the DuckDB oracle) can compute
+  * bit-identical values: the rolling hash is a left fold of
+  * (acc*31 + codepoint) mod 1e9+7 in 64-bit integers.
+  */
+object TextOps {
+
+  val HashMod = 1000000007L
+
+  /** Polynomial rolling hash over the string's characters; the
+    * cross-engine "document fingerprint" primitive.
+    */
+  def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(HashMod))
+
+  /** The same fold over raw bytes (ASCII payloads) for JVM-side code
+    * (e.g. the multimodal decode stub) — must stay in lock-step with
+    * [[polyHash]].
+    */
+  def polyHashBytes(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 31L + (bytes(i) & 0xffL)) % HashMod
+      i += 1
+    }
+    acc
+  }
+
+  /** Whitespace tokens with empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => length(t) > 0)
+
+  /** Word n-gram shingles (each joined by a single space). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle hash ids — the unit of MinHash/Jaccard. */
+  def shingleIds(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(tokens(text), n), s => polyHash(s)))
+
+  // --- language ID ----------------------------------------------------
+  // n-gram/stopword heuristic: score = number of tokens found in each
+  // language's function-word list; highest score wins with a fixed
+  // precedence (en, de, fr, es), "und" when every score is zero.
+
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "that")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu")
+  val StopFr: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "dans")
+  val StopEs: Seq[String] = Seq("el", "la", "los", "las", "y", "es", "un", "en")
+
+  def stopCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  /** doc-level language-ID scores + prediction. Input must expose a
+    * `text` column; appends s_en/s_de/s_fr/s_es/pred_lang.
+    */
+  def langId(df: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    df.withColumn("s_en", stopCount(t, StopEn))
+      .withColumn("s_de", stopCount(t, StopDe))
+      .withColumn("s_fr", stopCount(t, StopFr))
+      .withColumn("s_es", stopCount(t, StopEs))
+      .withColumn("pred_lang",
+        when(col("s_en") + col("s_de") + col("s_fr") + col("s_es") === 0, lit("und"))
+          .when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr")
+            && col("s_en") >= col("s_es"), lit("en"))
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), lit("de"))
+          .when(col("s_fr") >= col("s_es"), lit("fr"))
+          .otherwise(lit("es")))
+  }
+
+  // --- quality scoring ------------------------------------------------
+  // length / punctuation / digit / stopword ratios combined linearly
+  // (no transcendentals: libm differs across engines, +*-/ do not).
+
+  def quality(df: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nPunct = (length(col("text"))
+      - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("double")
+    val nDigit = (length(col("text"))
+      - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    df.withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("avg_token_len",
+        round((nChars - (size(t) - lit(1))) / size(t), 6))
+      .withColumn("punct_ratio", round(nPunct / nChars, 6))
+      .withColumn("digit_ratio", round(nDigit / nChars, 6))
+      .withColumn("stop_ratio",
+        round(stopCount(t, StopEn).cast("double") / size(t), 6))
+      .withColumn("quality",
+        round(least(lit(1.0), greatest(lit(0.0),
+          lit(0.2) + lit(0.05) * ((nChars - (size(t) - lit(1))) / size(t))
+            - lit(2.0) * (nPunct / nChars)
+            - lit(1.0) * (nDigit / nChars)
+            + lit(0.5) * (stopCount(t, StopEn).cast("double") / size(t)))), 6))
+  }
+
+  // --- token counting -------------------------------------------------
+
+  /** Whitespace tokens, BPE-ish regex pieces, chars. */
+  def tokenStats(df: DataFrame): DataFrame =
+    df.withColumn("n_ws_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("n_bpe_pieces",
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+      .withColumn("n_chars_m", length(col("text")).cast("long"))
+
+  // --- fingerprinting -------------------------------------------------
+
+  /** Rolling-hash fingerprint of the whole document plus the minimum
+    * shingle hash (a 1-element MinHash — stable under small edits).
+    */
+  def fingerprint(df: DataFrame, shingleN: Int = 3): DataFrame =
+    df.withColumn("fp", polyHash(col("text")))
+      .withColumn("fp_min_shingle", array_min(shingleIds(col("text"), shingleN)))
+}
