@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+/** Hand-computed semantics checks for the stateful operators
+  * (complementing the DuckDB oracle gate that runs via graft.Verify).
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val M = 60000000L // 1 minute in µs
+
+  test("Align linear interpolates interior boundaries only (align.py)") {
+    // events at 100s and 400s, window 1m -> boundaries at 120..360s
+    val df = Seq((1L, 100 * 1000000L, 10.0), (1L, 400 * 1000000L, 40.0))
+      .toDF("k", "ts", "v")
+    val out = Align(df, "ts", Seq("v"), Seq("k"), "1m", "linear")
+      .orderBy("ts").collect()
+    assert(out.map(_.getLong(1)).toSeq ==
+      Seq(120L, 180L, 240L, 300L, 360L).map(_ * 1000000L))
+    // linear on time: v(120s) = 10 + 30 * (20/300)
+    assert(math.abs(out.head.getDouble(2) - 12.0) < 1e-9)
+    assert(math.abs(out.last.getDouble(2) - 36.0) < 1e-9)
+  }
+
+  test("Align hold carries previous value; limit nulls long gaps") {
+    val df = Seq((1L, 30 * 1000000L, 5.0), (1L, 330 * 1000000L, 9.0))
+      .toDF("k", "ts", "v")
+    val hold = Align(df, "ts", Seq("v"), Seq("k"), "1m", "hold")
+      .orderBy("ts").collect()
+    assert(hold.length == 5 && hold.forall(_.getDouble(2) == 5.0))
+    val limited = Align(df, "ts", Seq("v"), Seq("k"), "1m", "hold", Some(3))
+      .orderBy("ts").collect()
+    assert(limited.length == 5 && limited.forall(_.isNullAt(2)))
+  }
+
+  test("Rate emits TimeRangeEvents with per-second derivative (rate.py)") {
+    val df = Seq((1L, 0L, 10.0), (1L, 300 * 1000000L, 40.0),
+      (1L, 600 * 1000000L, 10.0)).toDF("k", "ts", "v")
+    val out = Rate(df, "ts", Seq("v"), Seq("k")).orderBy("ts_begin").collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getDouble(3) - 0.1) < 1e-12)
+    assert(math.abs(out(1).getDouble(3) + 0.1) < 1e-12)
+    val nn = Rate(df, "ts", Seq("v"), Seq("k"), allowNegative = false)
+      .orderBy("ts_begin").collect()
+    assert(nn(1).isNullAt(3)) // negative rate suppressed
+  }
+
+  test("Fill pad honors fillLimit; linear interpolates on time (filler.py)") {
+    val df = Seq((1L, 0L, Some(10.0)), (1L, 1 * M, None), (1L, 2 * M, None),
+      (1L, 3 * M, None), (1L, 4 * M, Some(50.0))).toDF("k", "ts", "v")
+    val pad = Fill.pad(df, "ts", Seq("v"), Seq("k"), Some(2))
+      .orderBy("ts").collect()
+    assert(pad.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2))).toSeq ==
+      Seq(Some(10.0), Some(10.0), Some(10.0), None, Some(50.0)))
+    val lin = Fill.linear(df, "ts", "v", Seq("k")).orderBy("ts").collect()
+    assert(lin.map(_.getDouble(2)).toSeq == Seq(10.0, 20.0, 30.0, 40.0, 50.0))
+  }
+
+  test("Fill linear leaves leading/trailing gaps and over-limit runs null") {
+    val df = Seq((1L, 0L, None), (1L, 1 * M, Some(10.0)), (1L, 2 * M, None),
+      (1L, 3 * M, Some(30.0)), (1L, 4 * M, None)).toDF("k", "ts", "v")
+    val lin = Fill.linear(df, "ts", "v", Seq("k")).orderBy("ts").collect()
+    assert(lin(0).isNullAt(2) && lin(4).isNullAt(2))
+    assert(lin(2).getDouble(2) == 20.0)
+    val lim = Fill.linear(df, "ts", "v", Seq("k"), Some(1)).orderBy("ts").collect()
+    assert(lim(2).isNullAt(2)) // run of length 1 >= limit 1 stays unfilled
+  }
+
+  test("Combine.asof picks latest right row <= left ts per key") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 100L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 50L, 5.0), (1L, 200L, 7.0), (2L, 150L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = Combine.asof(left, right, Seq("k"), "ts",
+      leftCols = Seq("tag"), rightVals = Seq("v"))
+      .orderBy("k", "ts").collect()
+    assert(out(0).getDouble(3) == 5.0)  // k=1 t=100 -> right@50
+    assert(out(1).getDouble(3) == 7.0)  // k=1 t=200 -> right@200 (<=)
+    assert(out(2).isNullAt(3))          // k=2 t=100 -> nothing yet
+  }
+
+  test("Sessionize splits on gaps > threshold") {
+    val df = Seq((1L, 0L, 1.0), (1L, 10 * M, 1.0), (1L, 100 * M, 1.0))
+      .toDF("k", "ts", "v")
+    val out = Sessionize(df, "ts", Seq("k"), 30 * M,
+      Seq(count(lit(1)).as("n"))).orderBy("session_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(2) == 2 && out(1).getLong(2) == 1)
+  }
+
+  test("MinHash LSH finds identical docs; misses unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("Knn.bruteTopK ranks by cosine") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Knn.bruteTopK(e, e.where($"vec_id" === 0), 2, 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 1L))
+  }
+
+  test("Multimodal decode stub is deterministic and batch-shaped") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.decodeAll(spark, docs).collect().sortBy(_.doc_id)
+    assert(out(0).n_bytes == 11)
+    assert(out(0).width == out(1).width && out(0).height == out(1).height)
+    assert(out(0).width != out(2).width || out(0).height != out(2).height)
+    assert(out.forall(m => m.width >= 64 && m.width < 576))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Wire
+import graft.streaming.StreamRollup
+import graft.operators.Rollup
+import graft.functions.Aggs
+
+class WireSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("wire format round-trips (series.py to_json shape)") {
+    val df = Seq(
+      ("s1", 1400425947000000L, 52.0, 34.0),
+      ("s1", 1400425948000000L, 18.0, 13.0),
+      ("s2", 1400425949000000L, 26.0, 67.0))
+      .toDF("name", "ts", "in", "out")
+    val docs = Wire.toWireDocs(df, "ts", Seq("in", "out"), Seq("name"),
+      col("name"))
+    val wires = docs.select("wire").as[String].collect().toSeq
+    assert(wires.forall(_.contains("\"columns\":[\"time\",\"in\",\"out\"]")))
+
+    val back = Wire.parse(spark, wires)
+    val rows = back.df.orderBy("ts", "name").collect()
+    assert(rows.length == 3)
+    assert(rows.head.getAs[Long]("ts") == 1400425947000000L)
+    assert(rows.head.getAs[Double]("in") == 52.0)
+    assert(rows.last.getAs[Double]("out") == 67.0)
+  }
+
+  test("wire points are time-ordered per doc") {
+    val df = Seq(("s", 3000000L, 3.0), ("s", 1000000L, 1.0), ("s", 2000000L, 2.0))
+      .toDF("name", "ts", "v")
+    val wire = Wire.toWireDocs(df, "ts", Seq("v"), Seq("name"), col("name"))
+      .select("wire").as[String].head()
+    val idx = Seq("1.0", "2.0", "3.0").map(v => wire.indexOf(s",$v]"))
+    assert(idx == idx.sorted && idx.forall(_ >= 0), s"unordered: $wire")
+  }
+}
+
+class StreamRollupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming fixed-window rollup matches batch rollup") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+      .select("user_id", "ts", "value")
+
+    // stage as a streaming source dir
+    val dir = Files.createTempDirectory("graft_stream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    val rolled = StreamRollup.fixedWindow(stream, "ts", Seq("user_id"), "1h",
+      watermark = "1 hour",
+      aggs = Seq(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sv")))
+
+    val q = rolled.writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("rollup_test")
+      .select("user_id", "idx", "n", "sv")
+    val want = Rollup.fixedWindow(batch, "ts", Seq("user_id"), "1h",
+      Seq(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sv")))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
