@@ -81,8 +81,10 @@ object SparkEntry {
       val o = tbl(s, dir, "orders")
       val c = tbl(s, dir, "customer")
       val n = tbl(s, dir, "nation")
+      // dims broadcast explicitly; the orders side is left to AQE, which
+      // broadcasts it at small SFs and shuffle-joins at scale
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(

@@ -64,10 +64,17 @@ object Dedup {
                         shingleN: Int = 3, idCol: String = "doc_id"): DataFrame = {
     val r = k / bands
     val sigs = minhashSignatures(docs, k, shingleN, idCol)
-    val banded = (0 until bands).map { b =>
+    // ONE banded subplan (explode, not a union of per-band selects):
+    // a union would re-run the signature aggregation per band, and the
+    // self-join's two sides then become identical subplans that
+    // ReuseExchange can share
+    val bandStructs = (0 until bands).map { b =>
       val hs = (0 until r).map(i => col(s"h${b * r + i}"))
-      sigs.select(col(idCol), lit(b).as("band"), bandKey(hs).as("bk"))
-    }.reduce(_.unionByName(_))
+      struct(lit(b).as("band"), bandKey(hs).as("bk"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bk").as("bk"))
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bk"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk")).where(col("id_a") < col("id_b"))
@@ -78,24 +85,14 @@ object Dedup {
 
   val SimhashBits = 24
 
-  /** Per-token mixed hash: spread polyHash over SimhashBits bits. */
-  private def tokenMix(sid: Column): Column =
-    (sid * lit(2654435761L)) % lit(1L << 31)
-
-  /** 24-bit SimHash over the token multiset (occurrences weighted). */
-  def simhash(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(transform(tokens(col("text")), t => tokenMix(polyHash(t)))).as("th"))
-    val bitSums = (0 until SimhashBits).map { i =>
-      sum(when(shiftright(col("th"), i) % 2 === 1, lit(1L)).otherwise(lit(-1L)))
-        .as(s"bs$i")
-    }
-    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until SimhashBits).map { i =>
-      when(col(s"bs$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    sums.select(col(idCol), sh.as("simhash"))
-  }
+  /** 24-bit SimHash over the token multiset (occurrences weighted) —
+    * native single-pass expression: no explode, no shuffle, the
+    * signature is computed inside the scan stage.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      org.apache.spark.sql.graft.GraftExpressions.simhash24(tokens(col("text")))
+        .as("simhash"))
 
   /** SimHash near-dup pairs: band the signature into `bands` byte-wide
     * blocks (a pair within `maxHamming` must collide in >= 1 block when
@@ -105,10 +102,13 @@ object Dedup {
                    idCol: String = "doc_id"): DataFrame = {
     val sh = simhash(docs, idCol)
     val bands = 3 // 3 bands of 8 bits over 24
-    val banded = (0 until bands).map { b =>
-      sh.select(col(idCol), col("simhash"), lit(b).as("band"),
-        (shiftright(col("simhash"), b * 8) % 256).as("bk"))
-    }.reduce(_.unionByName(_))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"), (shiftright(col("simhash"), b * 8) % 256).as("bk"))
+    }
+    val banded = sh
+      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"),
+        col("bb.bk").as("bk"))
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
       col("band"), col("bk"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),

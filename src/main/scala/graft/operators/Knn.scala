@@ -23,8 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Left-fold dot product of two float vectors, in double. */
+  /** Left-fold dot product of two float vectors, in double — native
+    * codegen'd expression (graft.functions.VecDot).
+    */
   def dot(a: Column, b: Column, dim: Int): Column =
+    org.apache.spark.sql.graft.GraftExpressions.vec_dot(a, b)
+
+  /** HOF twin of [[dot]] — definitionally the oracle's index fold;
+    * kept for parity tests.
+    */
+  def dotHof(a: Column, b: Column, dim: Int): Column =
     aggregate(
       transform(sequence(lit(1), lit(dim)),
         i => element_at(a, i).cast("double") * element_at(b, i).cast("double")),
@@ -38,11 +46,17 @@ object Knn {
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+    // norms are computed ONCE per vector (not per pair) — the division
+    // structure dot/(sqrt(na)*sqrt(nb)) is unchanged, so values stay
+    // bit-identical to cosine() / the oracle
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val joined = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
       .crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qvec"), col("nvec"), dim))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -67,12 +81,15 @@ object Knn {
               vecCol: String = "embedding"): DataFrame = {
     val bucketOf = (v: Column) => bucketCode(v, dim, nPlanes)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      bucketOf(col(vecCol)).as("bucket"))
+      bucketOf(col(vecCol)).as("bucket"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      bucketOf(col(vecCol)).as("bucket"))
+      bucketOf(col(vecCol)).as("bucket"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
     val joined = c.join(q, Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qvec"), col("nvec"), dim))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     joined.withColumn("rank", row_number().over(w))
@@ -103,11 +120,12 @@ object Knn {
                      blockCol: String, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
+      col(vecCol).as("va"), sqrt(dot(col(vecCol), col(vecCol), dim)).as("na"))
     val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
+      col(vecCol).as("vb"), sqrt(dot(col(vecCol), col(vecCol), dim)).as("nb"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb"), dim))
+      .withColumn("cos",
+        dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }

@@ -18,9 +18,16 @@ object TextOps {
   val HashMod = 1000000007L
 
   /** Polynomial rolling hash over the string's characters; the
-    * cross-engine "document fingerprint" primitive.
+    * cross-engine "document fingerprint" primitive. Native codegen'd
+    * expression (graft.functions.PolyHash) — one tight loop per row.
     */
-  def polyHash(c: Column): Column =
+  def polyHash(c: Column): Column = org.apache.spark.sql.graft.GraftExpressions.poly_hash(c)
+
+  /** Reference formulation of [[polyHash]] as composed higher-order
+    * functions — slower (per-element lambda dispatch) but definitionally
+    * the shared-oracle fold; kept for parity tests.
+    */
+  def polyHashHof(c: Column): Column =
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(HashMod))
 
@@ -49,9 +56,19 @@ object TextOps {
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct shingle hash ids — the unit of MinHash/Jaccard. */
+  /** Distinct shingle hash ids — the unit of MinHash/Jaccard. Native
+    * expression: hashes each n-gram without materializing the joined
+    * shingle strings.
+    */
   def shingleIds(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(tokens(text), n), s => polyHash(s)))
+    array_distinct(
+      org.apache.spark.sql.graft.GraftExpressions.shingle_hashes(tokens(text), n))
+
+  /** HOF twin of [[shingleIds]] (builds the shingle strings, hashes
+    * with [[polyHashHof]]); kept for parity tests.
+    */
+  def shingleIdsHof(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(tokens(text), n), s => polyHashHof(s)))
 
   // --- language ID ----------------------------------------------------
   // n-gram/stopword heuristic: score = number of tokens found in each

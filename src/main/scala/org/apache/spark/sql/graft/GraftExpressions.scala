@@ -1,0 +1,87 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for graft's hot paths.
+  *
+  * Composing `transform`/`aggregate` higher-order functions is correct
+  * but pays a lambda dispatch per ELEMENT; these expressions make one
+  * static call per ROW into [[HashImpl]]'s tight loops, and participate
+  * in whole-stage codegen via `defineCodeGen`. Results are bit-identical
+  * to the HOF formulations (and the DuckDB oracles) by construction.
+  */
+case class PolyHash(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.HashImpl.polyHash(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.polyHash($c)")
+  override protected def withNewChildInternal(c: Expression): PolyHash = copy(c)
+}
+
+/** Word n-gram shingle hashes of a token array (array<string> ->
+  * array<long>); shingle i hashes tokens[i..i+n-1] joined by ' '.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.HashImpl.shingleHashes(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+}
+
+/** 24-bit SimHash of a token array (see HashImpl.simhash24). */
+case class SimHash24(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.HashImpl.simhash24(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhash24($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash24 = copy(c)
+}
+
+/** Left-fold double dot product of two float vectors. */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.HashImpl.vecDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.vecDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+object GraftExpressions {
+  def poly_hash(c: Column): Column = Bridge.toCol(PolyHash(Bridge.toExpr(c)))
+  def shingle_hashes(tokens: Column, n: Int): Column =
+    Bridge.toCol(ShingleHashes(Bridge.toExpr(tokens), n))
+  def vec_dot(a: Column, b: Column): Column =
+    Bridge.toCol(VecDot(Bridge.toExpr(a), Bridge.toExpr(b)))
+  def simhash24(tokens: Column): Column =
+    Bridge.toCol(SimHash24(Bridge.toExpr(tokens)))
+
+  /** Register SQL names so spark.sql("...") users get them too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", es => PolyHash(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", es => VecDot(es.head, es(1)), "scala_udf")
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Knn, TextOps}
+
+/** The native codegen'd expressions must be bit-identical to their
+  * higher-order-function twins (which are definitionally the DuckDB
+  * oracle formulas).
+  */
+class ExpressionParitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("PolyHash == HOF fold, incl. unicode and empty-ish strings") {
+    val df = Seq("hello world", "a", "x y z w", "Ünïcodé ﬆring 汉字",
+      " leading and  double  spaces").toDF("text")
+    val bad = df.select(TextOps.polyHash($"text").as("n"),
+      TextOps.polyHashHof($"text").as("h")).where($"n" =!= $"h")
+    assert(bad.isEmpty)
+  }
+
+  test("ShingleHashes == HOF shingle ids on real documents") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bad = docs.select(
+      TextOps.shingleIds($"text", 3).as("n"),
+      TextOps.shingleIdsHof($"text", 3).as("h")).where($"n" =!= $"h")
+    assert(bad.isEmpty)
+    // short docs: fewer tokens than the shingle size -> empty array
+    val short = Seq("one two").toDF("text")
+      .select(TextOps.shingleIds($"text", 3).as("s")).head()
+    assert(short.getSeq[Long](0).isEmpty)
+  }
+
+  test("VecDot == HOF index fold on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select($"embedding".as("a"))
+      .crossJoin(emb.limit(3).select($"embedding".as("b")))
+    val bad = pairs.select(Knn.dot($"a", $"b", 64).as("n"),
+      Knn.dotHof($"a", $"b", 64).as("h")).where($"n" =!= $"h")
+    assert(bad.isEmpty)
+  }
+
+  test("poly_hash / vec_dot registered for SQL use") {
+    org.apache.spark.sql.graft.GraftExpressions.register(spark)
+    assert(spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0) ==
+      ((('a' * 31 + 'b') % 1000000007L) * 31 + 'c') % 1000000007L)
+  }
+}
