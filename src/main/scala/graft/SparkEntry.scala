@@ -771,6 +771,19 @@ object SparkEntry {
 
     "mm_meta" -> { (s, dir) =>
       Multimodal.decodeAll(s, tbl(s, dir, "documents")).toDF()
+    },
+
+    // §2 Converter: Event -> IndexedEvent / TimeRangeEvent -> Event
+    "ts_convert" -> { (s, dir) =>
+      val ev = events(s, dir).where(col("event_type") === "signup")
+        .select("event_id", "ts", "value")
+      val indexed = Convert.eventToIndexed(ev, "ts", "1h")
+      val ranged = Convert.eventToTimeRange(ev, "ts", "10m", "center")
+      val back = Convert.timeRangeToEvent(ranged, alignment = "center")
+        .withColumnRenamed("ts", "ts_mid")
+      indexed.join(ranged, Seq("event_id", "value"))
+        .join(back, Seq("event_id", "value"))
+        .select("event_id", "idx", "ts_begin", "ts_end", "ts_mid")
     }
   )
 
@@ -970,6 +983,14 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3""".stripMargin,
+
+    "ts_convert" ->
+      s"""SELECT event_id,
+         |  '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
+         |  $EvUs - 300000000 AS ts_begin,
+         |  $EvUs + 300000000 AS ts_end,
+         |  (($EvUs - 300000000) + ($EvUs + 300000000)) // 2 AS ts_mid
+         |FROM events WHERE event_type = 'signup'""".stripMargin,
 
     "mm_meta" ->
       s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

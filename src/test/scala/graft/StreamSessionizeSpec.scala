@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamSessionize
+import graft.operators.Sessionize
+
+class StreamSessionizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming sessionize emits every CLOSED session = batch minus open") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapUs = 30L * 60L * 1000000L
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_sess").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[StreamSessionize.Ev]
+
+    val q = StreamSessionize(spark, stream, gapUs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sessions_test")
+
+    val want = Sessionize(batch, "ts", Seq("user_id"), gapUs,
+      Seq(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"), sum($"value").as("sum_value")))
+
+    // every session except each user's LAST (still open in state store)
+    val wantClosed = want.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"session_start".desc)))
+      .where($"rn" > 1)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+    val gotKeys = got.select($"user_id", $"session_start", $"session_end", $"n_events")
+    assert(gotKeys.count() == wantClosed.count())
+    assert(gotKeys.exceptAll(wantClosed).isEmpty)
+  }
+}
