@@ -120,6 +120,33 @@ final case class TimeSeries(
   def aggregate(aggs: Seq[Column]): DataFrame =
     if (keyCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
     else df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+
+  // --- point lookups (series.py:320-367, collection.py:189-349) ------
+
+  /** Latest event at or before t — TimeSeries.at_time / bisect
+    * semantics (series.py:335,395) as a pushed-down filter + per-key
+    * top-1, not a driver-side binary search.
+    */
+  def atTime(tUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).desc)
+    df.where(col(tsCol) <= tUs)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  def atFirst(): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** TimeSeries.same (series.py:1505): identical data regardless of
+    * row order / metadata.
+    */
+  def sameAs(other: TimeSeries): Boolean =
+    df.exceptAll(other.df).isEmpty && other.df.exceptAll(df).isEmpty
 }
 
 object TimeSeries {
@@ -141,4 +168,24 @@ object TimeSeries {
       df.withColumn(tsCol, org.apache.spark.sql.graft.Bridge.ldiv(col(tsCol), 1000L)),
       tsCol, keyCols)
   }
+
+  /** Parquet with a regular timestamp column. */
+  def readParquet(spark: SparkSession, path: String, tsCol: String,
+                  keyCols: Seq[String] = Nil): TimeSeries =
+    fromTimestamp(spark.read.parquet(path), tsCol, keyCols)
+
+  /** CSV with header; the time column may be a timestamp or ISO string. */
+  def readCsv(spark: SparkSession, path: String, tsCol: String,
+              keyCols: Seq[String] = Nil): TimeSeries = {
+    val df = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path)
+    fromTimestamp(df.withColumn(tsCol, col(tsCol).cast("timestamp")), tsCol, keyCols)
+  }
+
+  /** Line-delimited JSON with a timestamp (or ISO string) time column. */
+  def readJson(spark: SparkSession, path: String, tsCol: String,
+               keyCols: Seq[String] = Nil): TimeSeries =
+    fromTimestamp(
+      spark.read.json(path).withColumn(tsCol, col(tsCol).cast("timestamp")),
+      tsCol, keyCols)
 }

@@ -83,5 +83,32 @@ object GraftExpressions {
       "poly_hash", es => PolyHash(es.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", es => VecDot(es.head, es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash24", es => SimHash24(es.head), "scala_udf")
+  }
+}
+
+/** Canonical extension-point registration:
+  *
+  *   spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions
+  *
+  * injects graft's native functions into every session of the cluster
+  * (the spark-submit-friendly alternative to calling
+  * GraftExpressions.register on a live session).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (es: Seq[Expression]) => PolyHash(es.head)))
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (es: Seq[Expression]) => VecDot(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("simhash24"),
+      new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
+      (es: Seq[Expression]) => SimHash24(es.head)))
   }
 }
