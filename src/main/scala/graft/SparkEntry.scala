@@ -773,6 +773,21 @@ object SparkEntry {
       Multimodal.decodeAll(s, tbl(s, dir, "documents")).toDF()
     },
 
+    // Flagship composite: the end-to-end training-data pipeline shape —
+    // quality score -> filter -> langid -> exact-dedup canonicalize ->
+    // per-language corpus stats. One fused plan: the scans/filters/
+    // projections collapse into a single stage before the final agg.
+    "doc_pipeline" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val scored = TextOps.quality(TextOps.langId(docs))
+        .where(col("quality") >= 0.3)
+      val canonical = Shape.dedup(scored, Seq("text"), "doc_id")
+      canonical.groupBy("pred_lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+    },
+
     // §2 Converter: Event -> IndexedEvent / TimeRangeEvent -> Event
     "ts_convert" -> { (s, dir) =>
       val ev = events(s, dir).where(col("event_type") === "signup")
@@ -983,6 +998,41 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3""".stripMargin,
+
+    "doc_pipeline" -> {
+      def lst(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS tk,
+         |  CAST(length(text) AS DOUBLE) AS nc,
+         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |    AS DOUBLE) AS np,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+         |    AS DOUBLE) AS nd
+         |  FROM documents),
+         |sc AS (SELECT doc_id, text, nc, np, nd, len(tk) AS ntk,
+         |  len(list_filter(tk, x -> list_contains([${lst(TextOps.StopEn)}], x))) AS s_en,
+         |  len(list_filter(tk, x -> list_contains([${lst(TextOps.StopDe)}], x))) AS s_de,
+         |  len(list_filter(tk, x -> list_contains([${lst(TextOps.StopFr)}], x))) AS s_fr,
+         |  len(list_filter(tk, x -> list_contains([${lst(TextOps.StopEs)}], x))) AS s_es
+         |  FROM t),
+         |q AS (SELECT doc_id, text, ntk,
+         |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS pred_lang,
+         |  round(least(1.0, greatest(0.0,
+         |    0.2 + 0.05 * ((nc - (ntk - 1)) / ntk) - 2.0 * (np / nc)
+         |      - 1.0 * (nd / nc) + 0.5 * (CAST(s_en AS DOUBLE) / ntk))), 6)
+         |    AS quality
+         |  FROM sc),
+         |f AS (SELECT * FROM q WHERE quality >= 0.3),
+         |d AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY text
+         |    ORDER BY doc_id DESC) AS rn FROM f) WHERE rn = 1)
+         |SELECT pred_lang, count(*) AS n_docs,
+         |  CAST(sum(ntk) AS BIGINT) AS total_tokens,
+         |  round(avg(quality), 6) AS avg_quality
+         |FROM d GROUP BY pred_lang""".stripMargin
+    },
 
     "ts_convert" ->
       s"""SELECT event_id,

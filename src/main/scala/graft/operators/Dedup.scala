@@ -129,10 +129,22 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
                         threshold: Double = 0.5,
-                        idCol: String = "doc_id"): DataFrame = {
+                        idCol: String = "doc_id",
+                        maxDocFreq: Option[Int] = None): DataFrame = {
     val withSh = docs.select(col(idCol), shingleIds(col("text"), shingleN).as("sids"))
     val sizes = withSh.select(col(idCol), size(col("sids")).as("n_sh"))
-    val inv = withSh.select(col(idCol), explode(col("sids")).as("sid"))
+    val invAll = withSh.select(col(idCol), explode(col("sids")).as("sid"))
+    // Scale path: a shingle occurring in >maxDocFreq docs generates
+    // O(df^2) candidate pairs but carries ~no Jaccard signal; dropping
+    // it bounds the hottest key (classic posting-list pruning). The
+    // default (None) stays exact for oracle parity.
+    val inv = maxDocFreq match {
+      case None => invAll
+      case Some(f) =>
+        val dfreq = invAll.groupBy("sid").agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= f).select("sid")
+        invAll.join(dfreq, Seq("sid"))
+    }
     val a = inv.select(col(idCol).as("id_a"), col("sid"))
     val b = inv.select(col(idCol).as("id_b"), col("sid"))
     val shared = a.join(b, Seq("sid")).where(col("id_a") < col("id_b"))
