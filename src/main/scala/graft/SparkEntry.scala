@@ -143,6 +143,14 @@ object SparkEntry {
         Aggs.percentileLin6(col("value"), 0.75).as("p75"))
     },
 
+    "ts_percentile_methods" -> { (s, dir) =>
+      events(s, dir).groupBy("event_type").agg(
+        Aggs.percentileMethod(col("value"), 0.9, "lower").as("p90_lower"),
+        Aggs.percentileMethod(col("value"), 0.9, "higher").as("p90_higher"),
+        Aggs.percentileMethod(col("value"), 0.9, "nearest").as("p90_nearest"),
+        Aggs.percentileMidpoint6(col("value"), 0.9).as("p90_midpoint"))
+    },
+
     "ts_agg_filters" -> { (s, dir) =>
       events(s, dir).withColumn("mv", masked(col("value")))
         .groupBy("event_type").agg(
@@ -456,6 +464,18 @@ object SparkEntry {
         |  round(quantile_cont(value, 0.5),6) AS p50,
         |  round(quantile_cont(value, 0.75),6) AS p75
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "ts_percentile_methods" ->
+      """WITH g AS (SELECT event_type, list_sort(list(value)) AS arr,
+        |    (count(*) - 1) * 0.9 AS h
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  arr[CAST(floor(h) AS INTEGER) + 1] AS p90_lower,
+        |  arr[CAST(ceil(h) AS INTEGER) + 1] AS p90_higher,
+        |  arr[CAST(floor(h + 0.5) AS INTEGER) + 1] AS p90_nearest,
+        |  round((arr[CAST(floor(h) AS INTEGER) + 1]
+        |    + arr[CAST(ceil(h) AS INTEGER) + 1]) / 2, 6) AS p90_midpoint
+        |FROM g""".stripMargin,
 
     "ts_agg_filters" ->
       """WITH s AS (SELECT event_type,

@@ -34,6 +34,32 @@ object Aggs {
 
   def median6(c: Column): Column = percentileLin6(c, 0.5)
 
+  /** pypond's non-linear percentile methods (functions.py:251,
+    * numpy interpolation names): index h = (n-1)*p into the sorted
+    * values; lower/higher/nearest/midpoint pick around floor(h)/
+    * ceil(h). Computed from a per-group sorted array so any SQL engine
+    * can mirror the arithmetic exactly.
+    */
+  def percentileMethod(c: Column, p: Double, method: String): Column = {
+    val arr = sort_array(collect_list(c))
+    val h = (size(arr) - lit(1)).cast("double") * lit(p)
+    val idx = method match {
+      case "lower"   => floor(h)
+      case "higher"  => ceil(h)
+      case "nearest" => floor(h + lit(0.5))
+      case m => throw new IllegalArgumentException(s"bad method: $m")
+    }
+    element_at(arr, (idx.cast("int") + 1))
+  }
+
+  def percentileMidpoint6(c: Column, p: Double): Column = {
+    val arr = sort_array(collect_list(c))
+    val h = (size(arr) - lit(1)).cast("double") * lit(p)
+    val lo = element_at(arr, floor(h).cast("int") + 1)
+    val hi = element_at(arr, ceil(h).cast("int") + 1)
+    round((lo + hi) / 2, 6)
+  }
+
   /** Functions.difference: max - min. */
   def difference(c: Column): Column = max(c) - min(c)
 
