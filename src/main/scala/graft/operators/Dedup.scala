@@ -145,13 +145,20 @@ object Dedup {
           .where(col("__df") <= f).select("sid")
         invAll.join(dfreq, Seq("sid"))
     }
+    // shuffle-hash pinned: the posting list is uniformly keyed (df is
+    // bounded), so hash join on sid beats both sort-merge (no order to
+    // exploit) and a broadcast AQE might flip-flop to; doc-size lookups
+    // are tiny per-doc rows -> broadcast
     val a = inv.select(col(idCol).as("id_a"), col("sid"))
     val b = inv.select(col(idCol).as("id_b"), col("sid"))
-    val shared = a.join(b, Seq("sid")).where(col("id_a") < col("id_b"))
+    val shared = a.hint("shuffle_hash").join(b, Seq("sid"))
+      .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
     shared
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .join(broadcast(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a"))),
+        Seq("id_a"))
+      .join(broadcast(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b"))),
+        Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(col("n_shared").cast("double")
           / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
