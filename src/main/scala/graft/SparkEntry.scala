@@ -11,9 +11,9 @@ import graft.ts.{TimeRange, TimeSeries}
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
   * Conventions shared with the DuckDB oracles (SURVEY.md §3):
-  *  - event timestamps compared as epoch-ns longs (events.parquet is
-  *    nanosecond precision; Spark reads it via nanosAsLong, DuckDB via
-  *    epoch_ns) — never through doubles;
+  *  - event timestamps compared as epoch-µs longs (events.parquet is
+  *    TIMESTAMP(NANOS); Spark reads it via nanosAsLong then `div 1000`,
+  *    DuckDB surfaces µs and uses epoch_us) — never through doubles;
   *  - sums go through DECIMAL(38,6) (order-independent, exact);
   *  - avg/stdev/percentile/interpolations round to 6dp on both sides.
   */

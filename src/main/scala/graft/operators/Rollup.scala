@@ -38,6 +38,30 @@ object Rollup {
     df.groupBy(gb: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew-resistant fixed-window rollup for decomposable aggregates
+    * (sum/count/min/max): when one series key is a heavy hitter, a
+    * straight groupBy lands its whole window on one reducer. Salting
+    * splits each (key, bucket) across `saltBuckets` partial groups,
+    * aggregates, then combines — two small shuffles instead of one hot
+    * one. Pass the PARTIAL aggregates (e.g. sum, count) and the FINAL
+    * combiners keyed by the partial names (e.g. sum(sum), sum(cnt)).
+    */
+  def fixedWindowSalted(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                        win: String, saltBuckets: Int,
+                        partialAggs: Seq[Column],
+                        finalAggs: Seq[Column]): DataFrame = {
+    val ts = col(tsCol)
+    val salted = df.withColumn("__salt",
+      pmod(hash(ts), lit(saltBuckets)))
+    val partial = salted
+      .groupBy(keyCols.map(col) ++ Seq(
+        TimeIndex.indexOf(ts, win).as("idx"), col("__salt")): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    partial
+      .groupBy((keyCols :+ "idx").map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
   /** Calendar rollup: granularity in {"daily","monthly","yearly"};
     * index strings "YYYY-MM-DD" / "YYYY-MM" / "YYYY" (UTC).
     */

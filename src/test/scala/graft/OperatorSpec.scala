@@ -113,6 +113,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).toSeq == Seq(3L, 1L))
   }
 
+  test("Salted rollup equals plain rollup for decomposable aggs") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+    val plain = Rollup.fixedWindow(ev, "ts", Seq("user_id"), "1h",
+      Seq(sum($"value").cast("decimal(38,6)").as("sv"), count(lit(1)).as("n")))
+    val salted = Rollup.fixedWindowSalted(ev, "ts", Seq("user_id"), "1h", 8,
+      partialAggs = Seq(sum($"value".cast("decimal(38,6)")).as("psv"),
+        count(lit(1)).as("pn")),
+      finalAggs = Seq(sum($"psv").cast("decimal(38,6)").as("sv"),
+        sum($"pn").as("n")))
+    assert(plain.count() == salted.count())
+    assert(plain.select("user_id", "idx", "n")
+      .exceptAll(salted.select("user_id", "idx", "n")).isEmpty)
+  }
+
+  test("Convert.indexedToTimeRange recovers fixed-window bounds") {
+    val df = Seq("5m-4754394", "1h-100").toDF("idx")
+    val out5m = Convert.indexedToTimeRange(df.limit(1), "idx", "5m").head()
+    assert(out5m.getLong(0) == 4754394L * 300000000L)
+    assert(out5m.getLong(1) == 4754395L * 300000000L)
+  }
+
   test("Multimodal decode stub is deterministic and batch-shaped") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "xyz"))
       .toDF("doc_id", "text")
