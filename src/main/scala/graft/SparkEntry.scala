@@ -785,6 +785,11 @@ object SparkEntry {
       Knn.lshTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
     },
 
+    "emb_knn_ivf" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+    },
+
     "emb_dedup_cosine" -> { (s, dir) =>
       Knn.cosineDupPairs(tbl(s, dir, "embeddings"), EmbDim, 0.3, "label")
     },
@@ -1006,6 +1011,35 @@ object SparkEntry {
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM b),
          |j AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
          |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    "emb_knn_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
+         |  FROM embeddings WHERE vec_id % 37 = 1),
+         |c0 AS (SELECT vec_id AS neighbor_id, embedding AS nv,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nn FROM embeddings),
+         |ca AS (SELECT neighbor_id, nv, nn, cid,
+         |    row_number() OVER (PARTITION BY neighbor_id
+         |      ORDER BY ${sqlDot("nv", "cvec")} / (nn * cn) DESC, cid) AS crk
+         |  FROM c0, cents),
+         |ccell AS (SELECT neighbor_id, nv, nn, cid FROM ca WHERE crk <= 1),
+         |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |qa AS (SELECT query_id, qv, qn, cid,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${sqlDot("qv", "cvec")} / (qn * cn) DESC, cid) AS crk
+         |  FROM q0, cents),
+         |qcell AS (SELECT query_id, qv, qn, cid FROM qa WHERE crk <= 2),
+         |j AS (SELECT query_id, neighbor_id,
+         |    ${sqlDot("qv", "nv")} / (qn * nn) AS cos
+         |  FROM ccell JOIN qcell USING (cid)
+         |  WHERE neighbor_id <> query_id),
          |r AS (SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)

@@ -113,6 +113,58 @@ object Knn {
       when(planeDot(vec, dim, j) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  // --- IVF (inverted-file) ANN ---------------------------------------
+
+  /** IVF flat index with deterministic sampled centroids: every
+    * `centroidEvery`-th vector is a coarse centroid; corpus vectors are
+    * assigned to their nearest centroid's cell (one broadcast pass);
+    * a query probes its `nProbe` nearest cells and searches only those
+    * postings. At 100 TB the corpus scan + cell assignment is one
+    * broadcast-join stage and the search shuffles only the probed
+    * cells' postings — never the whole corpus.
+    *
+    * (A learned k-means codebook plugs in by swapping the centroid
+    * frame; sampled centroids keep the whole operator deterministic
+    * and engine-mirrorable.)
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              centroidEvery: Int = 37, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.where(col(idCol) % centroidEvery === 1)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("cn"))
+
+    def nearestCells(side: DataFrame, id: String, vec: String, n: Int,
+                     norm: String): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__ccos").desc, col("cid"))
+      side.crossJoin(broadcast(cents))
+        .withColumn("__ccos",
+          dot(col(vec), col("cvec"), dim) / (col(norm) * col("cn")))
+        .withColumn("__crk", row_number().over(w))
+        .where(col("__crk") <= n)
+        .drop("cvec", "cn", "__ccos", "__crk")
+    }
+
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+    val cCells = nearestCells(c, "neighbor_id", "nvec", 1, "nn")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val qCells = nearestCells(q, "query_id", "qvec", nProbe, "qn")
+
+    val joined = cCells.join(qCells, Seq("cid"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, blocked by a
     * coarse key (label or LSH bucket) so the self-join stays bounded.
     */
