@@ -6,6 +6,38 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamSessionize
 import graft.operators.Sessionize
 
+class StreamRateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming rate equals batch Rate exactly (state spans batches)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+      .where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_rate").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamRate.Ev]
+
+    val q = graft.streaming.StreamRate(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("rate_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("rate_test")
+      .select($"user_id", $"ts_begin", $"ts_end",
+        round($"value_rate", 6).as("r"))
+    val want = graft.operators.Rate(batch, "ts", Seq("value"), Seq("user_id"))
+      .select($"user_id", $"ts_begin", $"ts_end",
+        round($"value_rate", 6).as("r"))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
+
 class StreamSessionizeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
