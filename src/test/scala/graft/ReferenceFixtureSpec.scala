@@ -46,6 +46,33 @@ class ReferenceFixtureSpec extends AnyFunSuite {
       Some(1.2857142857142856), None, None, None, Some(1.5), Some(2.5)))
   }
 
+  // tests/clean_test.py:335 linear-fill fixture (nested
+  // direction.in/out paths map to flat in/out columns in graft)
+  test("linear fill reproduces clean_test.py:357-371 (within 1 ulp)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1400425947000000L, Some(1.0), Some(2.0)),
+      (1400425948000000L, None, None),
+      (1400425949000000L, None, None),
+      (1400425950000000L, Some(3.0), None),
+      (1400425960000000L, None, None),
+      (1400425970000000L, Some(5.0), Some(12.0)),
+      (1400425980000000L, Some(6.0), Some(13.0)))
+      .toDF("ts", "in", "out")
+    val filled = graft.operators.Fill.linear(
+      graft.operators.Fill.linear(rows, "ts", "in", Nil), "ts", "out", Nil)
+      .orderBy("ts").collect()
+    val wantIn = Seq(1.0, 1.6666666666666665, 2.333333333333333, 3.0, 4.0, 5.0, 6.0)
+    val wantOut = Seq(2.0, 2.4347826086956523, 2.8695652173913047,
+      3.304347826086957, 7.6521739130434785, 12.0, 13.0)
+    // pypond chains interpolation from previously-FILLED points; graft
+    // interpolates from the good endpoints — same line, so equal to 1 ulp
+    filled.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(1) - wantIn(i)) < 1e-12, s"in[$i]")
+      assert(math.abs(r.getDouble(2) - wantOut(i)) < 1e-12, s"out[$i]")
+    }
+  }
+
   // tests/align_test.py:52 RATE fixture
   test("rate magnitude reproduces align_test.py test_rate_mag") {
     val pts = Seq(0 -> 1, 30000 -> 3, 60000 -> 10, 90000 -> 40, 120000 -> 70,
