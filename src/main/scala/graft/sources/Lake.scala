@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TimeIndex
+import graft.ts.TimeSeries
+
+/** Time-partitioned lake layout: the storage shape a 100 TB series
+  * store actually uses. Rows are written under `dt=YYYY-MM-DD/`
+  * (derived from the canonical epoch-µs ts), so a time-range query
+  * prunes whole partitions at planning time (PartitionFilters in the
+  * scan) instead of reading 100 TB to filter it.
+  */
+object Lake {
+
+  /** Write partitioned by UTC day (add more derived columns upstream
+    * for coarser/finer grains).
+    */
+  def writeDaily(df: DataFrame, tsCol: String, path: String,
+                 mode: String = "overwrite"): Unit =
+    df.withColumn("dt", TimeIndex.dailyIndex(col(tsCol)))
+      .write.mode(mode).partitionBy("dt").parquet(path)
+
+  /** Read back; `dt` stays available for explicit partition predicates,
+    * and [[cropDaily]] derives them from a time range automatically.
+    */
+  def read(spark: SparkSession, path: String, tsCol: String,
+           keyCols: Seq[String] = Nil): TimeSeries =
+    TimeSeries(spark.read.parquet(path), tsCol, keyCols)
+
+  /** Range-crop that ALSO constrains the partition column, so the
+    * filter prunes directories, then the row-level ts predicate
+    * (pushed to parquet) trims the edge partitions.
+    */
+  def cropDaily(t: TimeSeries, beginUs: Long, endUs: Long): TimeSeries = {
+    val beginDay = java.time.Instant.ofEpochMilli(beginUs / 1000)
+      .toString.substring(0, 10)
+    val endDay = java.time.Instant.ofEpochMilli(endUs / 1000)
+      .toString.substring(0, 10)
+    t.copy(df = t.df
+      .where(col("dt") >= beginDay && col("dt") <= endDay)
+      .where(col(t.tsCol) >= beginUs && col(t.tsCol) <= endUs))
+  }
+}

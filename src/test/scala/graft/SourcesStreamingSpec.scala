@@ -41,6 +41,31 @@ class WireSpec extends AnyFunSuite {
   }
 }
 
+class LakeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("daily-partitioned layout prunes partitions for time crops") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    graft.sources.Lake.writeDaily(ev, "ts", dir)
+
+    val t = graft.sources.Lake.read(spark, dir, "ts", Seq("user_id"))
+    val b = 1704672000000000L // 2024-01-08
+    val e = 1704844800000000L // 2024-01-10
+    val cropped = graft.sources.Lake.cropDaily(t, b, e)
+
+    // partition pruning visible in the plan
+    val plan = cropped.df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("dt#") || plan.contains("(dt")), plan.take(800))
+    // and the result equals a plain row-level crop
+    val want = ev.where(col("ts") >= b && col("ts") <= e).count()
+    assert(cropped.df.count() == want)
+  }
+}
+
 class StreamRollupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
