@@ -60,6 +60,20 @@ object Aggs {
     round((lo + hi) / 2, 6)
   }
 
+  /** Scale path for quantiles: Spark's Greenwald-Khanna sketch
+    * (bounded memory per group, mergeable across partitions) — use
+    * when exact `percentile` (which buffers each group's values) won't
+    * fit; `accuracy` trades memory for error <= 1/accuracy.
+    */
+  def percentileApprox(c: Column, p: Double, accuracy: Int = 10000): Column =
+    percentile_approx(c, lit(p), lit(accuracy))
+
+  /** Scale path for count-distinct: HyperLogLog++ (fixed-size sketch,
+    * mergeable), rsd = relative standard deviation.
+    */
+  def countDistinctApprox(c: Column, rsd: Double = 0.02): Column =
+    approx_count_distinct(c, rsd)
+
   /** Functions.difference: max - min. */
   def difference(c: Column): Column = max(c) - min(c)
 

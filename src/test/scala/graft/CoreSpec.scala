@@ -51,6 +51,23 @@ class TimeRangeSpec extends AnyFunSuite {
   }
 }
 
+class ApproxAggSpec extends AnyFunSuite {
+  test("sketch aggregates land within their error bounds of exact") {
+    val spark = SparkTestSession.spark
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    val r = ev.agg(
+      expr("percentile(value, 0.9)").as("exact_p90"),
+      graft.functions.Aggs.percentileApprox(col("value"), 0.9).as("approx_p90"),
+      countDistinct(col("user_id")).as("exact_nd"),
+      graft.functions.Aggs.countDistinctApprox(col("user_id")).as("approx_nd"))
+      .head()
+    assert(math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0) < 0.05)
+    assert(math.abs(r.getLong(3) - r.getLong(2)).toDouble / r.getLong(2) < 0.1)
+  }
+}
+
 class QuerySmokeSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
