@@ -770,6 +770,11 @@ object SparkEntry {
           col("n_bpe_pieces").cast("long").as("n_bpe_pieces"), col("n_chars_m"))
     },
 
+    "doc_gopher" -> { (s, dir) =>
+      TextOps.gopherFilter(tbl(s, dir, "documents"))
+        .select("doc_id", "rep_2gram", "keep", "drop_reason")
+    },
+
     "doc_fingerprint" -> { (s, dir) =>
       TextOps.fingerprint(tbl(s, dir, "documents"))
         .select("doc_id", "fp", "fp_min_shingle")
@@ -984,6 +989,37 @@ object SparkEntry {
          |    AS BIGINT) AS n_bpe_pieces,
          |  CAST(length(text) AS BIGINT) AS n_chars_m
          |FROM documents""".stripMargin,
+
+    "doc_gopher" -> {
+      val stopEn = TextOps.StopEn.map(w => s"'$w'").mkString(", ")
+      val big = "list_transform(range(1, greatest(len(tk)-1, 0) + 1), " +
+        s"i -> ${sqlPoly("array_to_string(list_slice(tk, i, i+1), ' ')")})"
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS tk FROM documents),
+         |r AS (SELECT doc_id, len(tk) AS ntk,
+         |  (CAST(length(text) AS DOUBLE) - (len(tk) - 1))
+         |    / CAST(len(tk) AS DOUBLE) AS avg_len,
+         |  CASE WHEN len($big) = 0 THEN 0.0
+         |    ELSE round(1.0 - CAST(len(list_distinct($big)) AS DOUBLE)
+         |      / CAST(len($big) AS DOUBLE), 6) END AS rep_2gram,
+         |  len(list_filter(tk, x -> list_contains([$stopEn], x))) > 0 AS has_stop
+         |  FROM t)
+         |SELECT doc_id, rep_2gram,
+         |  CASE WHEN ntk < 20 THEN 'too_few_tokens'
+         |       WHEN ntk > 100000 THEN 'too_many_tokens'
+         |       WHEN avg_len < 2.0 THEN 'avg_token_too_short'
+         |       WHEN avg_len > 12.0 THEN 'avg_token_too_long'
+         |       WHEN rep_2gram > 0.6 THEN 'too_repetitive'
+         |       WHEN NOT has_stop THEN 'no_stopwords'
+         |       ELSE 'ok' END AS drop_reason,
+         |  (CASE WHEN ntk < 20 THEN 'too_few_tokens'
+         |       WHEN ntk > 100000 THEN 'too_many_tokens'
+         |       WHEN avg_len < 2.0 THEN 'avg_token_too_short'
+         |       WHEN avg_len > 12.0 THEN 'avg_token_too_long'
+         |       WHEN rep_2gram > 0.6 THEN 'too_repetitive'
+         |       WHEN NOT has_stop THEN 'no_stopwords'
+         |       ELSE 'ok' END) = 'ok' AS keep
+         |FROM r""".stripMargin
+    },
 
     "doc_fingerprint" ->
       s"""WITH $sqlSidsCte

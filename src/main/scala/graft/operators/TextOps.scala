@@ -136,6 +136,47 @@ object TextOps {
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
       .withColumn("n_chars_m", length(col("text")).cast("long"))
 
+  // --- repetition / corpus-filter rules -------------------------------
+
+  /** Duplicate word-n-gram fraction: 1 - distinct/total — the classic
+    * repetition signal from published LLM corpus-quality heuristics
+    * (high values = boilerplate/looping text).
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val all = org.apache.spark.sql.graft.GraftExpressions
+      .shingle_hashes(tokens(text), n)
+    when(size(all) === 0, lit(0.0)).otherwise(
+      round(lit(1.0) - size(array_distinct(all)).cast("double")
+        / size(all).cast("double"), 6))
+  }
+
+  /** Gopher-style keep/drop rules: token-count range, mean token
+    * length range, bigram repetition cap, must contain a stopword.
+    * Appends rep_2gram, keep, drop_reason (first failing rule, fixed
+    * order, 'ok' when kept).
+    */
+  def gopherFilter(df: DataFrame,
+                   minTokens: Int = 20, maxTokens: Int = 100000,
+                   minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+                   maxRep2: Double = 0.6): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t)
+    val avgLen =
+      (length(col("text")).cast("double") - (nTok - lit(1))) / nTok.cast("double")
+    val rep = repetitionRatio(col("text"), 2)
+    val hasStop = stopCount(t, StopEn) > 0
+    val reason = when(nTok < minTokens, lit("too_few_tokens"))
+      .when(nTok > maxTokens, lit("too_many_tokens"))
+      .when(avgLen < minAvgTokLen, lit("avg_token_too_short"))
+      .when(avgLen > maxAvgTokLen, lit("avg_token_too_long"))
+      .when(rep > maxRep2, lit("too_repetitive"))
+      .when(!hasStop, lit("no_stopwords"))
+      .otherwise(lit("ok"))
+    df.withColumn("rep_2gram", rep)
+      .withColumn("drop_reason", reason)
+      .withColumn("keep", col("drop_reason") === "ok")
+  }
+
   // --- fingerprinting -------------------------------------------------
 
   /** Rolling-hash fingerprint of the whole document plus the minimum
