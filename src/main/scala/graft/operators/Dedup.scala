@@ -94,9 +94,11 @@ object Dedup {
       org.apache.spark.sql.graft.GraftExpressions.simhash24(tokens(col("text")))
         .as("simhash"))
 
-  /** SimHash near-dup pairs: band the signature into `bands` byte-wide
-    * blocks (a pair within `maxHamming` must collide in >= 1 block when
-    * bands > maxHamming), then verify true hamming distance.
+  /** SimHash near-dup pairs: band the signature into 3 byte-wide
+    * blocks; candidates collide in >= 1 block, then the true hamming
+    * distance is verified. Banding guarantees full recall only for
+    * hamming <= bands-1 (pigeonhole); beyond that it is approximate —
+    * the standard recall/cost dial for SimHash at corpus scale.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 4,
                    idCol: String = "doc_id"): DataFrame = {

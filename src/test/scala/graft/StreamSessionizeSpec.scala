@@ -38,6 +38,35 @@ class StreamRateSpec extends AnyFunSuite {
   }
 }
 
+class StreamAlignSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming align equals batch Align bit-for-bit") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+      .where($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_salign").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamAlign.Ev]
+
+    val q = graft.streaming.StreamAlign(spark, stream, "1d", "linear")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("salign_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("salign_test").select($"user_id", $"ts", $"value")
+    val want = graft.operators.Align(batch, "ts", Seq("value"),
+      Seq("user_id"), "1d", "linear").select($"user_id", $"ts", $"value")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
+
 class StreamSessionizeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
