@@ -32,7 +32,7 @@ object SparkEntry {
     */
   private def events(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
 
   // time constants (epoch µs)
   private val UsMin = 60L * 1000000L
@@ -372,7 +372,7 @@ object SparkEntry {
             .as("duration_ms"),
           TimeRange.overlapsCol(col("b"), col("e"), qb, qe).as("overlaps_q"),
           (col("b") <= qb && col("e") >= qe).as("contains_q"),
-          TimeRange.intersectionDurUs(col("b"), col("e"), qb, qe).as("isect_ns"))
+          TimeRange.intersectionDurUs(col("b"), col("e"), qb, qe).as("isect_us"))
     },
 
     "ts_timerange_rel" -> { (s, dir) =>
@@ -472,7 +472,10 @@ object SparkEntry {
         |SELECT event_type,
         |  arr[CAST(floor(h) AS INTEGER) + 1] AS p90_lower,
         |  arr[CAST(ceil(h) AS INTEGER) + 1] AS p90_higher,
-        |  arr[CAST(floor(h + 0.5) AS INTEGER) + 1] AS p90_nearest,
+        |  arr[CAST(CASE WHEN h - floor(h) = 0.5
+        |      THEN CASE WHEN CAST(floor(h) AS BIGINT) % 2 = 0
+        |        THEN floor(h) ELSE floor(h) + 1 END
+        |      ELSE floor(h + 0.5) END AS INTEGER) + 1] AS p90_nearest,
         |  round((arr[CAST(floor(h) AS INTEGER) + 1]
         |    + arr[CAST(ceil(h) AS INTEGER) + 1]) / 2, 6) AS p90_midpoint
         |FROM g""".stripMargin,
@@ -547,7 +550,10 @@ object SparkEntry {
          |FROM p, UNNEST(CASE WHEN ptns IS NOT NULL
          |    AND tns // 86400000000 > ptns // 86400000000
          |  THEN range(ptns // 86400000000 + 1, tns // 86400000000 + 1)
-         |  ELSE [] END) AS u(pos)""".stripMargin,
+         |  ELSE [] END) AS u(pos)
+         |UNION ALL
+         |SELECT user_id, tns AS ts, round(value, 6) AS value
+         |FROM p WHERE ptns IS NULL AND tns % 86400000000 = 0""".stripMargin,
 
     "ts_align_hold" ->
       s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events
@@ -561,7 +567,10 @@ object SparkEntry {
          |FROM p, UNNEST(CASE WHEN ptns IS NOT NULL
          |    AND tns // 86400000000 > ptns // 86400000000
          |  THEN range(ptns // 86400000000 + 1, tns // 86400000000 + 1)
-         |  ELSE [] END) AS u(pos)""".stripMargin,
+         |  ELSE [] END) AS u(pos)
+         |UNION ALL
+         |SELECT user_id, tns AS ts, value
+         |FROM p WHERE ptns IS NULL AND tns % 86400000000 = 0""".stripMargin,
 
     "ts_rate" ->
       s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events
@@ -717,7 +726,7 @@ object SparkEntry {
          |  (b <= 1704844800000000 AND e >= 1705708800000000) AS contains_q,
          |  CASE WHEN e < 1704844800000000 OR b > 1705708800000000 THEN NULL
          |    ELSE least(e, 1705708800000000) - greatest(b, 1704844800000000)
-         |    END AS isect_ns
+         |    END AS isect_us
          |FROM r""".stripMargin,
 
     "ts_timerange_rel" ->

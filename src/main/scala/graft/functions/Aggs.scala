@@ -36,20 +36,27 @@ object Aggs {
 
   /** pypond's non-linear percentile methods (functions.py:251,
     * numpy interpolation names): index h = (n-1)*p into the sorted
-    * values; lower/higher/nearest/midpoint pick around floor(h)/
-    * ceil(h). Computed from a per-group sorted array so any SQL engine
-    * can mirror the arithmetic exactly.
+    * values; lower/higher pick floor(h)/ceil(h); 'nearest' rounds
+    * HALF TO EVEN like numpy. Computed from a per-group sorted array
+    * so any SQL engine can mirror the arithmetic exactly. Null on
+    * empty groups (collect_list skips nulls).
     */
   def percentileMethod(c: Column, p: Double, method: String): Column = {
     val arr = sort_array(collect_list(c))
     val h = (size(arr) - lit(1)).cast("double") * lit(p)
+    val lo = floor(h)
     val idx = method match {
-      case "lower"   => floor(h)
-      case "higher"  => ceil(h)
-      case "nearest" => floor(h + lit(0.5))
+      case "lower"  => lo
+      case "higher" => ceil(h)
+      case "nearest" =>
+        // numpy half-to-even: on an exact .5 pick the even index
+        when(h - lo === 0.5,
+          when(pmod(lo.cast("long"), lit(2L)) === 0, lo).otherwise(lo + 1))
+          .otherwise(floor(h + lit(0.5)))
       case m => throw new IllegalArgumentException(s"bad method: $m")
     }
-    element_at(arr, (idx.cast("int") + 1))
+    when(size(arr) === 0, lit(null))
+      .otherwise(element_at(arr, idx.cast("int") + 1))
   }
 
   def percentileMidpoint6(c: Column, p: Double): Column = {
@@ -57,7 +64,7 @@ object Aggs {
     val h = (size(arr) - lit(1)).cast("double") * lit(p)
     val lo = element_at(arr, floor(h).cast("int") + 1)
     val hi = element_at(arr, ceil(h).cast("int") + 1)
-    round((lo + hi) / 2, 6)
+    when(size(arr) === 0, lit(null)).otherwise(round((lo + hi) / 2, 6))
   }
 
   /** Scale path for quantiles: Spark's Greenwald-Khanna sketch

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.Bridge.ldiv
+import org.apache.spark.sql.graft.Bridge.fldiv
 
 /** Time-bucket index arithmetic.
   *
@@ -43,10 +43,11 @@ object TimeIndex {
 
   def durationUs(win: String): Long = durationMs(win) * UsPerMs
 
-  /** Window position (index suffix) of an epoch-µs timestamp.
-    * reference: pypond/index.py:386 window_position_from_date.
+  /** Window position (index suffix) of an epoch-µs timestamp. Floor
+    * division (pypond's Python `//`, index.py:386) so pre-1970
+    * timestamps land in the right bucket.
     */
-  def posOf(tsUs: Column, win: String): Column = ldiv(tsUs, durationUs(win))
+  def posOf(tsUs: Column, win: String): Column = fldiv(tsUs, durationUs(win))
 
   /** "5m-NNN" style fixed-window index string.
     * reference: pypond/index.py:408 get_index_string.
@@ -65,6 +66,11 @@ object TimeIndex {
     * bucketing / display, never for bucket arithmetic).
     */
   def toTimestamp(tsUs: Column): Column = timestamp_micros(tsUs)
+
+  /** Epoch ns long (nanosAsLong parquet read) -> canonical µs.
+    * Floor division to match DuckDB's epoch_us on pre-1970 instants.
+    */
+  def nsToUs(tsNs: Column): Column = fldiv(tsNs, 1000L)
 
   /** Calendar index strings (UTC). reference: pypond/index.py:486-530. */
   def dailyIndex(tsUs: Column): Column = date_format(toTimestamp(tsUs), "yyyy-MM-dd")

@@ -43,15 +43,22 @@ object Combine {
     */
   def asof(left: DataFrame, right: DataFrame, keyCols: Seq[String],
            tsCol: String, leftCols: Seq[String], rightVals: Seq[String]): DataFrame = {
+    // Right values travel as ONE struct: the struct is null exactly on
+    // left rows, so last(ignoreNulls) matches the latest right ROW —
+    // including one whose value fields are genuinely null (a bare
+    // last(value, ignoreNulls) would skip past it to an older row).
+    val rStruct = struct(rightVals.map(col): _*)
+    val rNullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(rightVals.map(v => right.schema(v))))
     val lTagged = left.select(
       (keyCols :+ tsCol).map(col) ++
-        leftCols.map(col) ++
-        rightVals.map(v => lit(null).cast(right.schema(v).dataType).as(s"__r_$v")) :+
+        leftCols.map(col) :+
+        rNullStruct.as("__r") :+
         lit(1).as("__is_l"): _*)
     val rTagged = right.select(
       (keyCols :+ tsCol).map(col) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightVals.map(v => col(v).as(s"__r_$v")) :+
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("__r") :+
         lit(0).as("__is_l"): _*)
 
     // Right rows sort before left rows at equal ts => "<=" semantics.
@@ -59,12 +66,11 @@ object Combine {
       .orderBy(col(tsCol), col("__is_l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val u = lTagged.unionByName(rTagged)
-    val filled = rightVals.foldLeft(u)((d, v) =>
-      d.withColumn(s"asof_$v", last(col(s"__r_$v"), ignoreNulls = true).over(w)))
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
 
     filled.where(col("__is_l") === 1)
       .select((keyCols :+ tsCol).map(col) ++ leftCols.map(col) ++
-        rightVals.map(v => col(s"asof_$v")): _*)
+        rightVals.map(v => col(s"__asof.$v").as(s"asof_$v")): _*)
   }
 }

@@ -58,7 +58,11 @@ object Convert {
   def indexedToTimeRange(df: DataFrame, idxCol: String = "idx",
                          win: String): DataFrame = {
     val dur = TimeIndex.durationUs(win)
-    val pos = substring_index(col(idxCol), "-", -1).cast("long")
+    // anchor on the window prefix so the position keeps its sign: a
+    // pre-1970 bucket renders as "5m--3" (separator dash + minus), and
+    // naive tail-parsing either strips the minus or steals the separator
+    val pos = regexp_extract(col(idxCol), "^[0-9]+[smhd]-(-?[0-9]+)$", 1)
+      .cast("long")
     df.withColumn("ts_begin", pos * lit(dur))
       .withColumn("ts_end", (pos + 1) * lit(dur))
       .drop(idxCol)

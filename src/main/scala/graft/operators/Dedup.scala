@@ -90,9 +90,13 @@ object Dedup {
     * signature is computed inside the scan stage.
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol),
-      org.apache.spark.sql.graft.GraftExpressions.simhash24(tokens(col("text")))
-        .as("simhash"))
+    docs
+      // token-less documents have no signature (they'd all hash to 0
+      // and spuriously pair with each other)
+      .where(size(tokens(col("text"))) > 0)
+      .select(col(idCol),
+        org.apache.spark.sql.graft.GraftExpressions.simhash24(tokens(col("text")))
+          .as("simhash"))
 
   /** SimHash near-dup pairs: band the signature into 3 byte-wide
     * blocks; candidates collide in >= 1 block, then the true hamming

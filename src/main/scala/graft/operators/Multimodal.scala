@@ -30,7 +30,11 @@ object Multimodal {
     */
   object MediaDecoder {
     def decode(r: MediaRow): MediaMeta = {
-      val h = TextOps.polyHashBytes(r.payload)
+      // fold Unicode CODE POINTS of the decoded payload, matching
+      // TextOps.polyHash / the SQL ord() fold on non-ASCII content
+      // (a raw byte fold would diverge on multi-byte characters)
+      val h = graft.functions.HashImpl.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromBytes(r.payload))
       MediaMeta(
         doc_id = r.doc_id,
         n_bytes = r.payload.length.toLong,

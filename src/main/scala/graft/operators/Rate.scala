@@ -8,7 +8,7 @@ import graft.functions.TimeIndex
 /** Rate — per-second derivative between consecutive events, emitted as
   * TimeRangeEvents (reference: pypond/processor/rate.py:86-125).
   *
-  * Output: keyCols, ts_begin, ts_end (epoch ns of the pair) and one
+  * Output: keyCols, ts_begin, ts_end (epoch µs of the pair) and one
   * `<field>_rate` column per input field, where
   *   rate = (cur - prev) / Δt_seconds.
   * With allowNegative=false a negative rate becomes null

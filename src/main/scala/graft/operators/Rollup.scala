@@ -26,7 +26,7 @@ object Rollup {
   }
 
   /** Like fixedWindow but emits the bucket as a TimeRange
-    * ([begin,end) epoch ns) instead of an index string —
+    * ([begin,end) epoch µs) instead of an index string —
     * TimeSeries.collect_by_fixed_window (pypond/series.py:1459).
     */
   def fixedWindowRange(df: DataFrame, tsCol: String, keyCols: Seq[String],

@@ -17,13 +17,13 @@ import org.apache.spark.sql.functions._
 object Sessionize {
 
   def apply(df: DataFrame, tsCol: String, keyCols: Seq[String],
-            gapNs: Long, aggs: Seq[Column]): DataFrame = {
+            gapUs: Long, aggs: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
     val upTo = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val isNew: Column = {
       val prev = lag(col(tsCol), 1).over(w)
-      when(prev.isNull || col(tsCol) - prev > gapNs, lit(1L)).otherwise(lit(0L))
+      when(prev.isNull || col(tsCol) - prev > gapUs, lit(1L)).otherwise(lit(0L))
     }
 
     df.withColumn("__new_sess", isNew)

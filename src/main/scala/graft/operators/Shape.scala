@@ -67,12 +67,12 @@ object Shape {
   def clean(df: DataFrame, fieldPath: String): DataFrame =
     df.where(col(fieldPath).isNotNull && !isnan(col(fieldPath)))
 
-  /** TimeSeries.crop / slice to a [beginNs, endNs] range
+  /** TimeSeries.crop / slice to a [beginUs, endUs] range
     * (pypond/series.py:419-457; TimeRange containment is inclusive,
     * pypond/range.py:358).
     */
-  def crop(df: DataFrame, tsCol: String, beginNs: Long, endNs: Long): DataFrame =
-    df.where(col(tsCol) >= beginNs && col(tsCol) <= endNs)
+  def crop(df: DataFrame, tsCol: String, beginUs: Long, endUs: Long): DataFrame =
+    df.where(col(tsCol) >= beginUs && col(tsCol) <= endUs)
 
   /** TimeSeries.rename_columns (pypond/series.py:1027). */
   def rename(df: DataFrame, renames: Map[String, String]): DataFrame =

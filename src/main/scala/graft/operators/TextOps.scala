@@ -31,9 +31,9 @@ object TextOps {
     aggregate(split(c, ""), lit(0L),
       (acc, ch) => (acc * lit(31L) + ascii(ch)) % lit(HashMod))
 
-  /** The same fold over raw bytes (ASCII payloads) for JVM-side code
-    * (e.g. the multimodal decode stub) — must stay in lock-step with
-    * [[polyHash]].
+  /** The same fold over raw bytes — equals [[polyHash]] ONLY for pure
+    * ASCII input (multi-byte characters need the code-point fold in
+    * HashImpl.polyHash); kept for byte-level callers and parity tests.
     */
   def polyHashBytes(bytes: Array[Byte]): Long = {
     var acc = 0L

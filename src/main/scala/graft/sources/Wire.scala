@@ -59,7 +59,7 @@ object Wire {
   def toWireDocs(df: DataFrame, tsCol: String, valueCols: Seq[String],
                  keyCols: Seq[String], name: Column): DataFrame = {
     val point = array(
-      (org.apache.spark.sql.graft.Bridge.ldiv(col(tsCol), 1000L).cast("double") +:
+      (org.apache.spark.sql.graft.Bridge.fldiv(col(tsCol), 1000L).cast("double") +:
         valueCols.map(c => col(c).cast("double"))): _*)
     val grouped = df
       .withColumn("__point", point)

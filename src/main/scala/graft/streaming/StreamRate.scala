@@ -33,11 +33,11 @@ object StreamRate {
       sorted.foreach { e =>
         prev.foreach { p =>
           val dtSec = (e.ts - p.ts).toDouble / TimeIndex.UsPerSec.toDouble
-          val r = (e.value - p.value) / dtSec
-          // reference keeps the row and nulls a disallowed negative rate
-          // (rate.py:120-124)
-          out :+= RateOut(user, p.ts, e.ts,
-            if (allowNegative || r >= 0) Some(r) else None)
+          // dt == 0 -> null like the batch operator's SQL division
+          // (Scala '/' would produce Infinity/NaN); reference keeps the
+          // row and nulls a disallowed negative rate (rate.py:120-124)
+          val r = if (dtSec == 0.0) None else Some((e.value - p.value) / dtSec)
+          out :+= RateOut(user, p.ts, e.ts, r.filter(v => allowNegative || v >= 0))
         }
         prev = Some(Prev(e.ts, e.value))
       }

@@ -25,4 +25,15 @@ object Bridge {
 
   def ldiv(c: Column, d: Column): Column =
     toCol(IntegralDivide(toExpr(c), toExpr(d)))
+
+  /** FLOOR division (toward -infinity), matching Python's `//`, DuckDB's
+    * `//` and java.lang.Math.floorDiv — `ldiv`/SQL `div` truncate toward
+    * zero, which buckets pre-1970 (negative-epoch) timestamps wrongly.
+    * Implemented as (c - pmod(c, d)) div d: the numerator is an exact
+    * multiple of d, so the truncating divide is exact.
+    */
+  def fldiv(c: Column, d: Long): Column = {
+    val f = org.apache.spark.sql.functions
+    ldiv(c - f.pmod(c, f.lit(d)), d)
+  }
 }

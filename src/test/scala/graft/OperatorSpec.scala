@@ -84,6 +84,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2).isNullAt(3))          // k=2 t=100 -> nothing yet
   }
 
+  test("Combine.asof returns the matched row's null, not an older value") {
+    val left = Seq((1L, 300L, "a")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, Some(5.0)), (1L, 200L, None)).toDF("k", "ts", "v")
+    val out = Combine.asof(left, right, Seq("k"), "ts",
+      leftCols = Seq("tag"), rightVals = Seq("v")).collect()
+    // latest right row (ts=200) has v=null; ASOF semantics return that
+    // null rather than skipping back to ts=100's 5.0
+    assert(out.length == 1 && out(0).isNullAt(3))
+  }
+
+  test("percentileMethod survives all-null groups (returns null)") {
+    val df = Seq((1L, None: Option[Double]), (1L, None), (2L, Some(3.0)))
+      .toDF("k", "v")
+    val out = df.groupBy("k").agg(
+      graft.functions.Aggs.percentileMethod($"v", 0.9, "nearest").as("p"),
+      graft.functions.Aggs.percentileMidpoint6($"v", 0.9).as("m"))
+      .orderBy("k").collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2))
+    assert(out(1).getDouble(1) == 3.0)
+  }
+
+  test("bucketing floors pre-1970 timestamps (pypond // semantics)") {
+    val df = Seq(-1L, 0L, 999999L, -1000000L).toDF("ts")
+    val pos = df.select(graft.functions.TimeIndex.posOf($"ts", "1s").as("p"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(pos == Seq(-1L, 0L, 0L, -1L))
+  }
+
   test("Sessionize splits on gaps > threshold") {
     val df = Seq((1L, 0L, 1.0), (1L, 10 * M, 1.0), (1L, 100 * M, 1.0))
       .toDF("k", "ts", "v")
@@ -116,7 +144,7 @@ class OperatorSpec extends AnyFunSuite {
   test("Salted rollup equals plain rollup for decomposable aggs") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
     val plain = Rollup.fixedWindow(ev, "ts", Seq("user_id"), "1h",
       Seq(sum($"value").cast("decimal(38,6)").as("sv"), count(lit(1)).as("n")))
     val salted = Rollup.fixedWindowSalted(ev, "ts", Seq("user_id"), "1h", 8,
@@ -129,11 +157,14 @@ class OperatorSpec extends AnyFunSuite {
       .exceptAll(salted.select("user_id", "idx", "n")).isEmpty)
   }
 
-  test("Convert.indexedToTimeRange recovers fixed-window bounds") {
-    val df = Seq("5m-4754394", "1h-100").toDF("idx")
-    val out5m = Convert.indexedToTimeRange(df.limit(1), "idx", "5m").head()
+  test("Convert.indexedToTimeRange recovers fixed-window bounds incl. negative") {
+    val df = Seq("5m-4754394").toDF("idx")
+    val out5m = Convert.indexedToTimeRange(df, "idx", "5m").head()
     assert(out5m.getLong(0) == 4754394L * 300000000L)
     assert(out5m.getLong(1) == 4754395L * 300000000L)
+    val neg = Convert.indexedToTimeRange(Seq("5m--3").toDF("idx"), "idx", "5m").head()
+    assert(neg.getLong(0) == -3L * 300000000L)
+    assert(neg.getLong(1) == -2L * 300000000L)
   }
 
   test("Multimodal decode stub is deterministic and batch-shaped") {

@@ -47,7 +47,7 @@ class LakeSpec extends AnyFunSuite {
   test("daily-partitioned layout prunes partitions for time crops") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
     val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString
     graft.sources.Lake.writeDaily(ev, "ts", dir)
 
@@ -72,7 +72,7 @@ class StreamRollupSpec extends AnyFunSuite {
   test("streaming fixed-window rollup matches batch rollup") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.ldiv(col("ts"), 1000L))
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
       .select("user_id", "ts", "value")
 
     // stage as a streaming source dir
