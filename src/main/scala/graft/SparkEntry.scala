@@ -32,7 +32,7 @@ object SparkEntry {
     */
   private def events(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .withColumn("ts", TimeIndex.nsToUs(col("ts")))
 
   // time constants (epoch µs)
   private val UsMin = 60L * 1000000L
@@ -466,8 +466,9 @@ object SparkEntry {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "ts_percentile_methods" ->
-      """WITH g AS (SELECT event_type, list_sort(list(value)) AS arr,
-        |    (count(*) - 1) * 0.9 AS h
+      """WITH g AS (SELECT event_type,
+        |    list_sort(list(value) FILTER (value IS NOT NULL)) AS arr,
+        |    (count(value) - 1) * 0.9 AS h
         |  FROM events GROUP BY event_type)
         |SELECT event_type,
         |  arr[CAST(floor(h) AS INTEGER) + 1] AS p90_lower,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TimeIndex
-import org.apache.spark.sql.graft.Bridge.ldiv
+import org.apache.spark.sql.graft.Bridge.fldiv
 
 /** Align — snap an irregular series onto window boundaries by
   * interpolation (reference: pypond/processor/align.py).
@@ -39,8 +39,9 @@ object Align {
       .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
       .withColumns(valCols.map(v => s"__prev_$v" -> lag(col(v), 1).over(w)).toMap)
 
-    val curPos = ldiv(col(tsCol), durUs)
-    val prevPos = ldiv(col("__prev_ts"), durUs)
+    // floor division: pre-1970 events must land in the window BELOW zero
+    val curPos = fldiv(col(tsCol), durUs)
+    val prevPos = fldiv(col("__prev_ts"), durUs)
 
     // Interior boundaries between consecutive events.
     val exploded = withPrev

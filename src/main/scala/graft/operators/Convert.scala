@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TimeIndex
-import org.apache.spark.sql.graft.Bridge.ldiv
+import org.apache.spark.sql.graft.Bridge.fldiv
 
 /** Converter processor — switch between the three event shapes
   * (reference: pypond/processor/converter.py):
@@ -45,7 +45,7 @@ object Convert {
                        alignment: String = "center"): DataFrame = {
     val ts = alignment match {
       case "lag"    => col(beginCol)
-      case "center" => ldiv(col(beginCol) + col(endCol), 2L)
+      case "center" => fldiv(col(beginCol) + col(endCol), 2L)
       case "lead"   => col(endCol)
       case a => throw new IllegalArgumentException(s"bad alignment: $a")
     }
@@ -58,10 +58,10 @@ object Convert {
   def indexedToTimeRange(df: DataFrame, idxCol: String = "idx",
                          win: String): DataFrame = {
     val dur = TimeIndex.durationUs(win)
-    // anchor on the window prefix so the position keeps its sign: a
-    // pre-1970 bucket renders as "5m--3" (separator dash + minus), and
-    // naive tail-parsing either strips the minus or steals the separator
-    val pos = regexp_extract(col(idxCol), "^[0-9]+[smhd]-(-?[0-9]+)$", 1)
+    // lazy prefix keeps the sign of a negative position ("5m--3" =
+    // separator dash + minus) and tolerates any window spelling that
+    // durationMs accepts (pypond's window regex is prefix-matched too)
+    val pos = regexp_extract(col(idxCol), "^.*?-(-?[0-9]+)$", 1)
       .cast("long")
     df.withColumn("ts_begin", pos * lit(dur))
       .withColumn("ts_end", (pos + 1) * lit(dur))

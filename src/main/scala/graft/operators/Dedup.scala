@@ -91,11 +91,13 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
     docs
+      .select(col(idCol), tokens(col("text")).as("__toks"))
       // token-less documents have no signature (they'd all hash to 0
-      // and spuriously pair with each other)
-      .where(size(tokens(col("text"))) > 0)
+      // and spuriously pair with each other); tokenize ONCE — Catalyst
+      // does not share the split between a filter and a projection
+      .where(size(col("__toks")) > 0)
       .select(col(idCol),
-        org.apache.spark.sql.graft.GraftExpressions.simhash24(tokens(col("text")))
+        org.apache.spark.sql.graft.GraftExpressions.simhash24(col("__toks"))
           .as("simhash"))
 
   /** SimHash near-dup pairs: band the signature into 3 byte-wide

@@ -30,9 +30,11 @@ object Multimodal {
     */
   object MediaDecoder {
     def decode(r: MediaRow): MediaMeta = {
-      // fold Unicode CODE POINTS of the decoded payload, matching
-      // TextOps.polyHash / the SQL ord() fold on non-ASCII content
-      // (a raw byte fold would diverge on multi-byte characters)
+      // the STUB treats the payload as UTF-8 text (true for this
+      // pipeline's text-derived payloads) and folds its code points to
+      // match the SQL oracle; a REAL decoder keys on raw bytes and
+      // replaces this whole body, so the lossy UTF-8 decode of
+      // arbitrary binary (U+FFFD) is a stub-only property
       val h = graft.functions.HashImpl.polyHash(
         org.apache.spark.unsafe.types.UTF8String.fromBytes(r.payload))
       MediaMeta(

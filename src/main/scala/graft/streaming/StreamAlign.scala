@@ -35,10 +35,10 @@ object StreamAlign {
       sorted.foreach { e =>
         prev match {
           case None =>
-            if (e.ts % durUs == 0) out :+= Aligned(user, e.ts, Some(e.value))
+            if (Math.floorMod(e.ts, durUs) == 0) out :+= Aligned(user, e.ts, Some(e.value))
           case Some(p) =>
-            val prevPos = p.ts / durUs
-            val curPos = e.ts / durUs
+            val prevPos = Math.floorDiv(p.ts, durUs)
+            val curPos = Math.floorDiv(e.ts, durUs)
             val nBounds = curPos - prevPos
             val overLimit = limit.exists(l => nBounds > l)
             var pos = prevPos + 1

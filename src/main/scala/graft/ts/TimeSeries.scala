@@ -165,7 +165,7 @@ object TimeSeries {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
     TimeSeries(
-      df.withColumn(tsCol, org.apache.spark.sql.graft.Bridge.fldiv(col(tsCol), 1000L)),
+      df.withColumn(tsCol, graft.functions.TimeIndex.nsToUs(col(tsCol))),
       tsCol, keyCols)
   }
 

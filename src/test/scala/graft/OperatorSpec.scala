@@ -27,6 +27,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(out.last.getDouble(2) - 36.0) < 1e-9)
   }
 
+  test("Align emits correct boundaries for pre-1970 (negative-epoch) series") {
+    // events at -90s and -10s, 1m windows: floor positions -2 and -1,
+    // one interior boundary at -60s (truncating division would emit a
+    // bogus boundary at 0, outside the pair)
+    val df = Seq((1L, -90 * 1000000L, 0.0), (1L, -10 * 1000000L, 80.0))
+      .toDF("k", "ts", "v")
+    val out = Align(df, "ts", Seq("v"), Seq("k"), "1m", "linear").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == -60 * 1000000L)
+    assert(math.abs(out(0).getDouble(2) - 30.0) < 1e-9) // 0 + 80*(30/80)
+  }
+
   test("Align hold carries previous value; limit nulls long gaps") {
     val df = Seq((1L, 30 * 1000000L, 5.0), (1L, 330 * 1000000L, 9.0))
       .toDF("k", "ts", "v")
