@@ -95,4 +95,38 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("update mode emits refreshed windows per batch (emit_on='events')") {
+    // pypond's aggregator emit_on='events' re-emits a window's current
+    // aggregate as events arrive (aggregator.py); Spark's update output
+    // mode is the distributed analog: each micro-batch emits the
+    // windows it touched, with their latest values.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .select("event_id", "user_id", "ts", "value")
+    val dir = Files.createTempDirectory("graft_upd").toString
+    // two micro-batches: first half of events, then the rest
+    batch.where(col("event_id") < 500).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val rolled = StreamRollup.fixedWindow(stream, "ts", Seq("user_id"), "1h",
+      watermark = "1 hour", aggs = Seq(count(lit(1)).as("n")))
+    val q = rolled.writeStream.outputMode("update")
+      .format("memory").queryName("upd_test").start()
+    try {
+      q.processAllAvailable()
+      batch.where(col("event_id") >= 500).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state of every window equals the batch rollup (take the
+    // last emission per window)
+    val emitted = spark.table("upd_test")
+    assert(emitted.count() > 0)
+    val want = Rollup.fixedWindow(batch, "ts", Seq("user_id"), "1h",
+      Seq(count(lit(1)).as("n")))
+    // every batch window appears among emissions with its final count
+    val lastPerWindow = emitted.groupBy("user_id", "idx")
+      .agg(max(col("n")).as("n"))
+    assert(want.exceptAll(lastPerWindow.select("user_id", "idx", "n")).isEmpty)
+  }
 }
