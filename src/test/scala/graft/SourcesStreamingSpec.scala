@@ -31,6 +31,20 @@ class WireSpec extends AnyFunSuite {
     assert(rows.last.getAs[Double]("out") == 67.0)
   }
 
+  test("wire format reads from files (io/input.py path)") {
+    val dir = Files.createTempDirectory("graft_wire").toString
+    val doc =
+      """{"name": "traffic", "utc": true, "columns": ["time", "value"],
+        | "points": [[1471824030000, 0.75], [1471824105000, 2]]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/series.json"), doc)
+    val t = Wire.read(spark, dir)
+    val rows = t.df.orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[Long]("ts") == 1471824030000000L)
+    assert(rows.head.getAs[Double]("value") == 0.75)
+  }
+
   test("wire points are time-ordered per doc") {
     val df = Seq(("s", 3000000L, 3.0), ("s", 1000000L, 1.0), ("s", 2000000L, 2.0))
       .toDF("name", "ts", "v")
