@@ -805,6 +805,10 @@ object SparkEntry {
       Knn.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
     },
 
+    "emb_label_centroid" -> { (s, dir) =>
+      Knn.centroids(tbl(s, dir, "embeddings"), "label")
+    },
+
     "emb_dedup_cosine" -> { (s, dir) =>
       Knn.cosineDupPairs(tbl(s, dir, "embeddings"), EmbDim, 0.3, "label")
     },
@@ -1091,6 +1095,14 @@ object SparkEntry {
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    "emb_label_centroid" ->
+      s"""WITH e AS (SELECT label,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    unnest(embedding) AS v
+         |  FROM embeddings)
+         |SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS c
+         |FROM e GROUP BY label, dim""".stripMargin,
 
     "emb_dedup_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -113,6 +113,18 @@ object Knn {
       when(planeDot(vec, dim, j) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Per-group embedding centroids (e.g. class prototypes for
+    * retrieval or distillation targets): posexplode the vector and
+    * average per (group, dimension) — one partial-aggregated shuffle
+    * keyed by (group, dim), so 100 TB of embeddings reduces map-side
+    * to #groups x dim rows.
+    */
+  def centroids(emb: DataFrame, groupCol: String,
+                vecCol: String = "embedding"): DataFrame =
+    emb.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("c"))
+
   // --- IVF (inverted-file) ANN ---------------------------------------
 
   /** IVF flat index with deterministic sampled centroids: every
