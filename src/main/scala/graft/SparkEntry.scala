@@ -206,6 +206,13 @@ object SparkEntry {
           count(lit(1)).as("n")))
     },
 
+    "ts_rollup_sliding" -> { (s, dir) =>
+      Rollup.slidingWindow(events(s, dir), "ts", Seq("event_type"),
+        size = "2h", slide = "1h", aggs = Seq(
+          count(lit(1)).as("n"),
+          Aggs.sumExact(col("value")).as("sum_value")))
+    },
+
     "ts_collect_by_window" -> { (s, dir) =>
       TimeSeries(events(s, dir), "ts", Seq("user_id"))
         .collectByFixedWindow("1d", Seq(
@@ -525,6 +532,17 @@ object SparkEntry {
       s"""SELECT strftime(ts, '%Y') AS idx,
          |  sum(CAST(value AS $Sum6)) AS sum_value, count(*) AS n
          |FROM events GROUP BY 1""".stripMargin,
+
+    "ts_rollup_sliding" ->
+      s"""WITH e AS (SELECT event_type, $EvUs AS tus, value FROM events),
+         |x AS (SELECT event_type, value,
+         |    unnest(range((tus - 7200000000) // 3600000000 + 1,
+         |                 tus // 3600000000 + 1)) AS pos
+         |  FROM e)
+         |SELECT event_type, pos * 3600000000 AS ts_begin,
+         |  pos * 3600000000 + 7200000000 AS ts_end,
+         |  count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value
+         |FROM x GROUP BY 1, 2, 3""".stripMargin,
 
     "ts_collect_by_window" ->
       s"""SELECT user_id,

@@ -38,6 +38,30 @@ object Rollup {
     df.groupBy(gb: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Sliding (overlapping) windows — beyond pypond's tumbling rollups:
+    * window p covers [p*slide, p*slide + size); an event contributes to
+    * size/slide consecutive windows. Generated arithmetically
+    * (sequence + explode before the aggregation), so the fan-out
+    * happens map-side and partial aggregation still applies.
+    */
+  def slidingWindow(df: DataFrame, tsCol: String, keyCols: Seq[String],
+                    size: String, slide: String, aggs: Seq[Column]): DataFrame = {
+    val sizeUs = TimeIndex.durationUs(size)
+    val slideUs = TimeIndex.durationUs(slide)
+    require(sizeUs % slideUs == 0, "size must be a multiple of slide")
+    import org.apache.spark.sql.graft.Bridge.fldiv
+    val ts = col(tsCol)
+    val firstPos = fldiv(ts - lit(sizeUs), slideUs) + lit(1L)
+    val lastPos = fldiv(ts, slideUs)
+    val exploded = df
+      .withColumn("__pos", explode(sequence(firstPos, lastPos)))
+      .withColumn("ts_begin", col("__pos") * lit(slideUs))
+      .withColumn("ts_end", col("__pos") * lit(slideUs) + lit(sizeUs))
+    exploded
+      .groupBy((keyCols.map(col) ++ Seq(col("ts_begin"), col("ts_end"))): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Skew-resistant fixed-window rollup for decomposable aggregates
     * (sum/count/min/max): when one series key is a heavy hitter, a
     * straight groupBy lands its whole window on one reducer. Salting
