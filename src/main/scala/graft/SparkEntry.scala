@@ -229,6 +229,18 @@ object SparkEntry {
     },
 
     // --- §2.3 stateful processors ----------------------------------
+    // rolling statistics over the series (row-frame moving average +
+    // exact decimal running total) — one shuffle on the series key
+    "ts_rolling" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val last10 = w.rowsBetween(-9, 0)
+      val upTo = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir).select(
+        col("user_id"), col("ts"),
+        round(avg(col("value")).over(last10), 6).as("ma10"),
+        sum(col("value").cast(Aggs.SumDec)).over(upTo).as("running_total"))
+    },
+
     "ts_align_linear" -> { (s, dir) =>
       val clicks = events(s, dir).where(col("event_type") === "click")
       TimeSeries(clicks, "ts", Seq("user_id"))
@@ -555,6 +567,16 @@ object SparkEntry {
       s"""SELECT user_id, count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value,
          |  round(avg(value),6) AS avg_value
          |FROM events GROUP BY user_id""".stripMargin,
+
+    "ts_rolling" ->
+      s"""SELECT user_id, $EvUs AS ts,
+         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY $EvUs
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS ma10,
+         |  sum(CAST(value AS $Sum6)) OVER (PARTITION BY user_id
+         |    ORDER BY $EvUs
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS running_total
+         |FROM events""".stripMargin,
 
     "ts_align_linear" ->
       s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events
