@@ -229,6 +229,31 @@ object SparkEntry {
     },
 
     // --- §2.3 stateful processors ----------------------------------
+    // threshold-crossing detection (alerting): emit events where the
+    // series crosses 100.0 in either direction
+    "ts_crossings" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      events(s, dir)
+        .withColumn("prev_v", lag(col("value"), 1).over(w))
+        .where(col("prev_v").isNotNull &&
+          ((col("prev_v") < 100.0 && col("value") >= 100.0) ||
+            (col("prev_v") >= 100.0 && col("value") < 100.0)))
+        .select(col("user_id"), col("ts"), col("prev_v"), col("value"),
+          when(col("value") >= 100.0, lit("up")).otherwise(lit("down"))
+            .as("direction"))
+    },
+
+    // per-series z-score outliers (classic anomaly screen)
+    "ts_outliers" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+      events(s, dir)
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sigma", stddev_pop(col("value")).over(w))
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+        .where(col("z") > 2.5)
+        .select("user_id", "ts", "value", "z")
+    },
+
     // rolling statistics over the series (row-frame moving average +
     // exact decimal running total) — one shuffle on the series key
     "ts_rolling" -> { (s, dir) =>
@@ -567,6 +592,24 @@ object SparkEntry {
       s"""SELECT user_id, count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value,
          |  round(avg(value),6) AS avg_value
          |FROM events GROUP BY user_id""".stripMargin,
+
+    "ts_crossings" ->
+      s"""WITH p AS (SELECT user_id, $EvUs AS tus, value,
+         |  lag(value) OVER (PARTITION BY user_id ORDER BY $EvUs) AS prev_v
+         |  FROM events)
+         |SELECT user_id, tus AS ts, prev_v, value,
+         |  CASE WHEN value >= 100.0 THEN 'up' ELSE 'down' END AS direction
+         |FROM p
+         |WHERE prev_v IS NOT NULL
+         |  AND ((prev_v < 100.0 AND value >= 100.0)
+         |    OR (prev_v >= 100.0 AND value < 100.0))""".stripMargin,
+
+    "ts_outliers" ->
+      s"""WITH z AS (SELECT user_id, $EvUs AS tus, value,
+         |  round((value - avg(value) OVER (PARTITION BY user_id))
+         |    / stddev_pop(value) OVER (PARTITION BY user_id), 6) AS z
+         |  FROM events)
+         |SELECT user_id, tus AS ts, value, z FROM z WHERE z > 2.5""".stripMargin,
 
     "ts_rolling" ->
       s"""SELECT user_id, $EvUs AS ts,
