@@ -14,7 +14,11 @@ import graft.ts.{TimeRange, TimeSeries}
   *  - event timestamps compared as epoch-µs longs (events.parquet is
   *    TIMESTAMP(NANOS); Spark reads it via nanosAsLong then `div 1000`,
   *    DuckDB surfaces µs and uses epoch_us) — never through doubles;
-  *  - sums go through DECIMAL(38,6) (order-independent, exact);
+  *  - sums go through DECIMAL(38,6) (order-independent, exact) but are
+  *    SURFACED as double (`Aggs.sumExactD` / `CAST(... AS DOUBLE)`):
+  *    a raw decimal output column renders differently per engine
+  *    (parquet Decimal keeps trailing zeros, DuckDB's pandas bridge is
+  *    float64) and fails the driver's stringified hash compare;
   *  - avg/stdev/percentile/interpolations round to 6dp on both sides.
   */
 object SparkEntry {
@@ -64,11 +68,11 @@ object SparkEntry {
         .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          Aggs.sumExact(col("l_quantity")).as("sum_qty"),
-          Aggs.sumExact(col("l_extendedprice")).as("sum_base_price"),
-          Aggs.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          Aggs.sumExactD(col("l_quantity")).as("sum_qty"),
+          Aggs.sumExactD(col("l_extendedprice")).as("sum_base_price"),
+          Aggs.sumExactD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("sum_disc_price"),
-          Aggs.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          Aggs.sumExactD(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * (lit(1.0) + col("l_tax"))).as("sum_charge"),
           Aggs.avg6(col("l_quantity")).as("avg_qty"),
           Aggs.avg6(col("l_extendedprice")).as("avg_price"),
@@ -88,7 +92,7 @@ object SparkEntry {
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-          Aggs.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          Aggs.sumExactD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
     },
@@ -107,13 +111,13 @@ object SparkEntry {
       Sessionize(events(s, dir).select("user_id", "ts", "value"),
         "ts", Seq("user_id"), 30L * UsMin,
         Seq(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
-          count(lit(1)).as("n_events"), Aggs.sumExact(col("value")).as("sum_value")))
+          count(lit(1)).as("n_events"), Aggs.sumExactD(col("value")).as("sum_value")))
     },
 
     // --- §2.1 aggregation ------------------------------------------
     "ts_agg_basic" -> { (s, dir) =>
       events(s, dir).groupBy("event_type").agg(
-        Aggs.sumExact(col("value")).as("sum_value"),
+        Aggs.sumExactD(col("value")).as("sum_value"),
         Aggs.avg6(col("value")).as("avg_value"),
         min(col("value")).as("min_value"),
         max(col("value")).as("max_value"),
@@ -172,7 +176,7 @@ object SparkEntry {
       TimeSeries(events(s, dir), "ts", Seq("user_id"))
         .fixedWindowRollup("5m", Seq(
           Aggs.avg6(col("value")).as("avg_value"),
-          Aggs.sumExact(col("value")).as("sum_value"),
+          Aggs.sumExactD(col("value")).as("sum_value"),
           max(col("value")).as("max_value"),
           count(lit(1)).as("n")))
     },
@@ -180,14 +184,14 @@ object SparkEntry {
     "ts_rollup_1h" -> { (s, dir) =>
       TimeSeries(events(s, dir), "ts", Seq("user_id"))
         .fixedWindowRollup("1h", Seq(
-          Aggs.sumExact(col("value")).as("sum_value"),
+          Aggs.sumExactD(col("value")).as("sum_value"),
           count(lit(1)).as("n")))
     },
 
     "ts_rollup_daily" -> { (s, dir) =>
       TimeSeries(events(s, dir), "ts", Seq("event_type"))
         .dailyRollup(Seq(
-          Aggs.sumExact(col("value")).as("sum_value"),
+          Aggs.sumExactD(col("value")).as("sum_value"),
           Aggs.avg6(col("value")).as("avg_value"),
           count(lit(1)).as("n")))
     },
@@ -195,14 +199,14 @@ object SparkEntry {
     "ts_rollup_monthly" -> { (s, dir) =>
       TimeSeries(events(s, dir), "ts", Seq("user_id"))
         .monthlyRollup(Seq(
-          Aggs.sumExact(col("value")).as("sum_value"),
+          Aggs.sumExactD(col("value")).as("sum_value"),
           count(lit(1)).as("n")))
     },
 
     "ts_rollup_yearly" -> { (s, dir) =>
       TimeSeries(events(s, dir), "ts", Nil)
         .yearlyRollup(Seq(
-          Aggs.sumExact(col("value")).as("sum_value"),
+          Aggs.sumExactD(col("value")).as("sum_value"),
           count(lit(1)).as("n")))
     },
 
@@ -210,21 +214,21 @@ object SparkEntry {
       Rollup.slidingWindow(events(s, dir), "ts", Seq("event_type"),
         size = "2h", slide = "1h", aggs = Seq(
           count(lit(1)).as("n"),
-          Aggs.sumExact(col("value")).as("sum_value")))
+          Aggs.sumExactD(col("value")).as("sum_value")))
     },
 
     "ts_collect_by_window" -> { (s, dir) =>
       TimeSeries(events(s, dir), "ts", Seq("user_id"))
         .collectByFixedWindow("1d", Seq(
           count(lit(1)).as("n"),
-          Aggs.sumExact(col("value")).as("sum_value")))
+          Aggs.sumExactD(col("value")).as("sum_value")))
     },
 
     "ts_agg_by_key" -> { (s, dir) =>
       TimeSeries(events(s, dir), "ts", Seq("user_id"))
         .aggregate(Seq(
           count(lit(1)).as("n"),
-          Aggs.sumExact(col("value")).as("sum_value"),
+          Aggs.sumExactD(col("value")).as("sum_value"),
           Aggs.avg6(col("value")).as("avg_value")))
     },
 
@@ -263,7 +267,8 @@ object SparkEntry {
       events(s, dir).select(
         col("user_id"), col("ts"),
         round(avg(col("value")).over(last10), 6).as("ma10"),
-        sum(col("value").cast(Aggs.SumDec)).over(upTo).as("running_total"))
+        sum(col("value").cast(Aggs.SumDec)).over(upTo).cast("double")
+          .as("running_total"))
     },
 
     "ts_align_linear" -> { (s, dir) =>
@@ -358,10 +363,16 @@ object SparkEntry {
         .withColumn("pos", row_number().over(w))
     },
 
+    "ts_rename" -> { (s, dir) =>
+      Shape.rename(
+        events(s, dir).select("event_id", "ts", "event_type", "value"),
+        Map("event_type" -> "kind", "value" -> "reading"))
+    },
+
     "ts_crop" -> { (s, dir) =>
       Shape.crop(events(s, dir), "ts", Jan08, Jan15)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Aggs.sumExactD(col("value")).as("sum_value"))
     },
 
     // --- §2.5 multi-series combination -----------------------------
@@ -369,7 +380,7 @@ object SparkEntry {
       val ev = events(s, dir)
       def hourly(typ: String, out: String): DataFrame =
         TimeSeries(ev.where(col("event_type") === typ), "ts", Seq("user_id"))
-          .fixedWindowRollup("1h", Seq(Aggs.sumExact(col("value")).as(out)))
+          .fixedWindowRollup("1h", Seq(Aggs.sumExactD(col("value")).as(out)))
       Combine.merge(
         Seq(hourly("click", "clicks"), hourly("view", "views")),
         Seq("user_id", "idx"))
@@ -383,7 +394,7 @@ object SparkEntry {
             col("value"))
       Combine.reduceSeries(Seq(series("click"), series("view")),
         Seq("user_id", "idx"),
-        Seq(Aggs.sumExact(col("value")).as("total")))
+        Seq(Aggs.sumExactD(col("value")).as("total")))
     },
 
     "ts_combine_avg" -> { (s, dir) =>
@@ -425,7 +436,7 @@ object SparkEntry {
       ev.crossJoin(broadcast(mx))
         .where(col("ts") > col("mx") - lit(7L * UsDay))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), Aggs.sumExactD(col("value")).as("sum_value"))
     }
   )
 
@@ -437,10 +448,12 @@ object SparkEntry {
   private def coreOracles: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  sum(CAST(l_quantity AS $Sum6)) AS sum_qty,
-         |  sum(CAST(l_extendedprice AS $Sum6)) AS sum_base_price,
-         |  sum(CAST(l_extendedprice*(1.0-l_discount) AS $Sum6)) AS sum_disc_price,
-         |  sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS $Sum6)) AS sum_charge,
+         |  CAST(sum(CAST(l_quantity AS $Sum6)) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS $Sum6)) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS $Sum6))
+         |    AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS $Sum6))
+         |    AS DOUBLE) AS sum_charge,
          |  round(avg(l_quantity),6) AS avg_qty,
          |  round(avg(l_extendedprice),6) AS avg_price,
          |  round(avg(l_discount),6) AS avg_disc,
@@ -451,7 +464,8 @@ object SparkEntry {
 
     "q3_join" ->
       s"""SELECT n_name,
-         |  sum(CAST(l_extendedprice*(1.0-l_discount) AS $Sum6)) AS revenue,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS $Sum6))
+         |    AS DOUBLE) AS revenue,
          |  count(DISTINCT o_orderkey) AS n_orders
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
@@ -479,11 +493,11 @@ object SparkEntry {
          |  FROM m)
          |SELECT user_id, session_id, min(tns) AS session_start,
          |  max(tns) AS session_end, count(*) AS n_events,
-         |  sum(CAST(value AS $Sum6)) AS sum_value
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value
          |FROM g GROUP BY user_id, session_id""".stripMargin,
 
     "ts_agg_basic" ->
-      s"""SELECT event_type, sum(CAST(value AS $Sum6)) AS sum_value,
+      s"""SELECT event_type, CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value,
          |  round(avg(value),6) AS avg_value, min(value) AS min_value,
          |  max(value) AS max_value, count(*) AS n
          |FROM events GROUP BY event_type""".stripMargin,
@@ -544,30 +558,30 @@ object SparkEntry {
       s"""SELECT user_id,
          |  '5m-' || CAST($EvUs // 300000000 AS VARCHAR) AS idx,
          |  round(avg(value),6) AS avg_value,
-         |  sum(CAST(value AS $Sum6)) AS sum_value,
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value,
          |  max(value) AS max_value, count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ts_rollup_1h" ->
       s"""SELECT user_id,
          |  '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
-         |  sum(CAST(value AS $Sum6)) AS sum_value, count(*) AS n
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value, count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ts_rollup_daily" ->
       s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS idx,
-         |  sum(CAST(value AS $Sum6)) AS sum_value,
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value,
          |  round(avg(value),6) AS avg_value, count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ts_rollup_monthly" ->
       s"""SELECT user_id, strftime(ts, '%Y-%m') AS idx,
-         |  sum(CAST(value AS $Sum6)) AS sum_value, count(*) AS n
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value, count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ts_rollup_yearly" ->
       s"""SELECT strftime(ts, '%Y') AS idx,
-         |  sum(CAST(value AS $Sum6)) AS sum_value, count(*) AS n
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value, count(*) AS n
          |FROM events GROUP BY 1""".stripMargin,
 
     "ts_rollup_sliding" ->
@@ -578,18 +592,18 @@ object SparkEntry {
          |  FROM e)
          |SELECT event_type, pos * 3600000000 AS ts_begin,
          |  pos * 3600000000 + 7200000000 AS ts_end,
-         |  count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value
+         |  count(*) AS n, CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value
          |FROM x GROUP BY 1, 2, 3""".stripMargin,
 
     "ts_collect_by_window" ->
       s"""SELECT user_id,
          |  ($EvUs // 86400000000) * 86400000000 AS ts_begin,
          |  ($EvUs // 86400000000 + 1) * 86400000000 AS ts_end,
-         |  count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value
+         |  count(*) AS n, CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "ts_agg_by_key" ->
-      s"""SELECT user_id, count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value,
+      s"""SELECT user_id, count(*) AS n, CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value,
          |  round(avg(value),6) AS avg_value
          |FROM events GROUP BY user_id""".stripMargin,
 
@@ -615,10 +629,10 @@ object SparkEntry {
       s"""SELECT user_id, $EvUs AS ts,
          |  round(avg(value) OVER (PARTITION BY user_id ORDER BY $EvUs
          |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS ma10,
-         |  sum(CAST(value AS $Sum6)) OVER (PARTITION BY user_id
+         |  CAST(sum(CAST(value AS $Sum6)) OVER (PARTITION BY user_id
          |    ORDER BY $EvUs
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         |    AS running_total
+         |    AS DOUBLE) AS running_total
          |FROM events""".stripMargin,
 
     "ts_align_linear" ->
@@ -757,8 +771,12 @@ object SparkEntry {
          |    AS INTEGER) AS pos
          |FROM events""".stripMargin,
 
+    "ts_rename" ->
+      s"""SELECT event_id, $EvUs AS ts, event_type AS kind, value AS reading
+         |FROM events""".stripMargin,
+
     "ts_crop" ->
-      s"""SELECT event_type, count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value
+      s"""SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value
          |FROM events
          |WHERE $EvUs >= 1704672000000000 AND $EvUs <= 1705276800000000
          |GROUP BY event_type""".stripMargin,
@@ -766,11 +784,11 @@ object SparkEntry {
     "ts_merge" ->
       s"""WITH a AS (SELECT user_id,
          |    '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
-         |    sum(CAST(value AS $Sum6)) AS clicks
+         |    CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS clicks
          |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
          |b AS (SELECT user_id,
          |    '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
-         |    sum(CAST(value AS $Sum6)) AS views
+         |    CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS views
          |  FROM events WHERE event_type = 'view' GROUP BY 1, 2)
          |SELECT user_id, idx, clicks, views
          |FROM a FULL JOIN b USING (user_id, idx)""".stripMargin,
@@ -778,7 +796,7 @@ object SparkEntry {
     "ts_combine_sum" ->
       s"""SELECT user_id,
          |  '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
-         |  sum(CAST(value AS $Sum6)) AS total
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS total
          |FROM events WHERE event_type IN ('click', 'view')
          |GROUP BY 1, 2""".stripMargin,
 
@@ -814,7 +832,7 @@ object SparkEntry {
          |FROM r""".stripMargin,
 
     "ts_timerange_rel" ->
-      s"""SELECT event_type, count(*) AS n, sum(CAST(value AS $Sum6)) AS sum_value
+      s"""SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value
          |FROM events
          |WHERE $EvUs > (SELECT max($EvUs) FROM events) - 604800000000
          |GROUP BY event_type""".stripMargin
@@ -871,6 +889,46 @@ object SparkEntry {
     "doc_fingerprint" -> { (s, dir) =>
       TextOps.fingerprint(tbl(s, dir, "documents"))
         .select("doc_id", "fp", "fp_min_shingle")
+    },
+
+    "doc_normalize" -> { (s, dir) =>
+      TextOps.normalize(tbl(s, dir, "documents"))
+        .select("doc_id", "norm_text", "n_chars_norm")
+    },
+
+    "doc_pii_scrub" -> { (s, dir) =>
+      TextOps.piiScrub(tbl(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("scrubbed"), col("n_chars_scrubbed"))
+    },
+
+    "doc_split" -> { (s, dir) =>
+      Sampling.hashSplit(tbl(s, dir, "documents"), col("doc_id"))
+        .select("doc_id", "bucket", "split")
+    },
+
+    "doc_sample_stratified" -> { (s, dir) =>
+      Sampling.stratified(tbl(s, dir, "documents"), col("lang"), col("text"),
+        Map("en" -> 20), defaultPct = 60)
+        .select("doc_id", "lang")
+    },
+
+    "doc_vocab" -> { (s, dir) =>
+      TextOps.vocab(tbl(s, dir, "documents"), topK = 50)
+    },
+
+    "doc_length_quantiles" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
+      docs.groupBy("lang").agg(
+        Aggs.percentileLin6(col("n_chars"), 0.1).as("p10_chars"),
+        Aggs.percentileLin6(col("n_chars"), 0.5).as("p50_chars"),
+        Aggs.percentileLin6(col("n_chars"), 0.9).as("p90_chars"),
+        Aggs.percentileLin6(col("n_tokens"), 0.5).as("p50_tokens"),
+        Aggs.avg6(col("n_tokens")).as("avg_tokens"),
+        count(lit(1)).as("n_docs"))
     },
 
     "emb_knn_brute" -> { (s, dir) =>
@@ -1123,6 +1181,60 @@ object SparkEntry {
          |SELECT s.doc_id, ${sqlPoly("d.text")} AS fp,
          |  list_min(s.sids) AS fp_min_shingle
          |FROM sids s JOIN documents d ON d.doc_id = s.doc_id""".stripMargin,
+
+    "doc_normalize" ->
+      """SELECT doc_id, norm_text,
+        |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)""".stripMargin,
+
+    "doc_pii_scrub" -> {
+      val email = TextOps.EmailRe
+      val phone = TextOps.PhoneRe
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  regexp_replace(regexp_replace(text, '$email', '<email>', 'g'),
+         |    '$phone', '<phone>', 'g') AS scrubbed,
+         |  CAST(length(regexp_replace(regexp_replace(text, '$email', '<email>',
+         |    'g'), '$phone', '<phone>', 'g')) AS BIGINT) AS n_chars_scrubbed
+         |FROM documents""".stripMargin
+    },
+
+    "doc_split" ->
+      s"""SELECT doc_id,
+         |  ${sqlPoly("CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+         |  CASE WHEN ${sqlPoly("CAST(doc_id AS VARCHAR)")} % 100 < 80 THEN 'train'
+         |       WHEN ${sqlPoly("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "doc_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${sqlPoly("text")} % 100 <
+         |  CASE WHEN lang = 'en' THEN 20 ELSE 60 END""".stripMargin,
+
+    "doc_vocab" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents),
+         |v AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
+         |  FROM toks GROUP BY token),
+         |r AS (SELECT CAST(row_number() OVER (ORDER BY tf DESC, token)
+         |    AS INTEGER) AS rank, token, tf, df_docs FROM v)
+         |SELECT rank, token, tf, df_docs FROM r WHERE rank <= 50""".stripMargin,
+
+    "doc_length_quantiles" ->
+      s"""WITH d AS (SELECT lang, n_chars, CAST(len($sqlToks) AS BIGINT)
+         |    AS n_tokens FROM documents)
+         |SELECT lang,
+         |  round(quantile_cont(n_chars, 0.1), 6) AS p10_chars,
+         |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+         |  round(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+         |  round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+         |  round(avg(n_tokens), 6) AS avg_tokens,
+         |  count(*) AS n_docs
+         |FROM d GROUP BY lang""".stripMargin,
 
     "emb_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv

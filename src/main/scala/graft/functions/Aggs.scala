@@ -21,6 +21,17 @@ object Aggs {
   /** Order-independent exact sum (Functions.sum). */
   def sumExact(c: Column): Column = sum(c.cast(SumDec))
 
+  /** sumExact with a DOUBLE wire type: the sum itself is the exact
+    * decimal (order-independent), only the final value is surfaced as
+    * a double. Query outputs use this rather than raw DECIMAL because
+    * engines disagree on how a decimal column is rendered downstream
+    * (DuckDB's pandas bridge gives float64, parquet Decimal keeps
+    * trailing zeros), while an exact-decimal-to-double conversion is
+    * bit-identical everywhere as long as the unscaled value fits in
+    * 2^53 (true through sf1 at scale 6).
+    */
+  def sumExactD(c: Column): Column = sumExact(c).cast("double")
+
   def avg6(c: Column): Column = round(avg(c), 6)
 
   /** pypond stdev is population stdev (pypond/functions.py:300-313). */

@@ -177,6 +177,59 @@ object TextOps {
       .withColumn("keep", col("drop_reason") === "ok")
   }
 
+  // --- normalization ---------------------------------------------------
+
+  /** Canonical text normalization (the step before exact dedup in a
+    * training pipeline): lowercase, strip sentence punctuation,
+    * collapse whitespace runs, trim. Pure regex/char ops — scan-side,
+    * codegen'd, zero shuffle. Appends norm_text + n_chars_norm.
+    */
+  def normalize(df: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[.,!?;:]", ""), " +", " "))
+    df.withColumn("norm_text", norm)
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+  }
+
+  // --- PII scrubbing ---------------------------------------------------
+  // patterns are kept to character classes + bounded quantifiers so the
+  // Java regex engine (Spark) and RE2 (DuckDB, no backtracking) agree.
+
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** Redact emails/phone-number shapes; appends match counts and the
+    * scrubbed text (n_emails / n_phones / scrubbed / n_chars_scrubbed).
+    * Scan-side projection — no shuffle, safe to fuse into any pipeline.
+    */
+  def piiScrub(df: DataFrame): DataFrame =
+    df.withColumn("n_emails", regexp_count(col("text"), lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(col("text"), lit(PhoneRe)))
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<email>"),
+          PhoneRe, "<phone>"))
+      .withColumn("n_chars_scrubbed", length(col("scrubbed")).cast("long"))
+
+  // --- corpus vocabulary -----------------------------------------------
+
+  /** Corpus vocabulary statistics: term frequency + document frequency
+    * per token, ranked by tf. One explode + one partial-agg'd groupBy:
+    * the shuffle carries (token, partial tf, doc_id-distinct partials),
+    * never document text. topK bounds the result (rank window over the
+    * aggregated vocab, which is already small).
+    */
+  def vocab(df: DataFrame, topK: Int = 50): DataFrame = {
+    val exploded = df.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val stats = exploded.groupBy("token").agg(
+      count(lit(1)).as("tf"),
+      countDistinct(col("doc_id")).as("df_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    stats.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select("rank", "token", "tf", "df_docs")
+  }
+
   // --- fingerprinting -------------------------------------------------
 
   /** Rolling-hash fingerprint of the whole document plus the minimum

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Sampling, TextOps}
+
+/** Hand-computed checks for the round-2 training-data operators
+  * (normalize / PII scrub / split / stratified sample / vocab).
+  */
+class TextPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    val df = Seq((1L, "Hello,  World!  it IS: fine.")).toDF("doc_id", "text")
+    val r = TextOps.normalize(df).select("norm_text", "n_chars_norm").head()
+    assert(r.getString(0) == "hello world it is fine")
+    assert(r.getLong(1) == 22L)
+  }
+
+  test("piiScrub redacts emails and phone shapes, counts matches") {
+    val df = Seq(
+      (1L, "mail bob@example.com or call +1 (555) 123-4567 now"),
+      (2L, "no pii here")).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(df).orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_emails") == 1)
+    assert(out(0).getAs[Int]("n_phones") == 1)
+    assert(out(0).getAs[String]("scrubbed") == "mail <email> or call <phone> now")
+    assert(out(1).getAs[Int]("n_emails") == 0)
+    assert(out(1).getAs[String]("scrubbed") == "no pii here")
+  }
+
+  test("hashSplit is deterministic, partition-stable, and ~80/10/10") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+    val splits = Sampling.hashSplit(df, col("doc_id"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.values.sum == 1000L)
+    assert(splits("train") > 700 && splits("train") < 900)
+    // repartitioning must not change any assignment (rand() would)
+    val a = Sampling.hashSplit(df, col("doc_id"))
+      .select("doc_id", "split").collect().toSet
+    val b = Sampling.hashSplit(df.repartition(7), col("doc_id"))
+      .select("doc_id", "split").collect().toSet
+    assert(a == b)
+  }
+
+  test("stratified keeps per-stratum rates") {
+    val df = (0 until 400).map(i =>
+      (i.toLong, if (i % 2 == 0) "en" else "de", s"doc text $i"))
+      .toDF("doc_id", "lang", "text")
+    val kept = Sampling.stratified(df, col("lang"), col("text"),
+      Map("en" -> 0), defaultPct = 100)
+    val langs = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!langs.contains("en") && langs("de") == 200L)
+  }
+
+  test("vocab ranks by tf with token tiebreak and carries doc frequency") {
+    val df = Seq((1L, "a b b"), (2L, "b c c")).toDF("doc_id", "text")
+    val v = TextOps.vocab(df, topK = 10).orderBy("rank").collect()
+    // b: tf 3 df 2; c: tf 2 df 1; a: tf 1 df 1
+    assert(v.map(_.getAs[String]("token")).toSeq == Seq("b", "c", "a"))
+    assert(v(0).getAs[Long]("tf") == 3L && v(0).getAs[Long]("df_docs") == 2L)
+    assert(v(1).getAs[Long]("tf") == 2L && v(1).getAs[Long]("df_docs") == 1L)
+  }
+}

@@ -5,7 +5,8 @@ rows, stringified values) with the parquet dumped by graft.Verify.
 
 Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query_filter]
 """
-import sys, json, duckdb
+import glob, sys, json, duckdb
+import pandas as pd
 
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
@@ -24,8 +25,13 @@ def main():
         except Exception as e:
             fails.append((name, f'oracle ERR: {e}')); continue
         try:
-            got = con.sql(
-                f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
+            # pandas/pyarrow, NOT duckdb: the driver reads the Spark
+            # parquet directly, so e.g. a DECIMAL column stays Decimal
+            # here but becomes float64 through duckdb — reading both
+            # sides through duckdb would mask that class of mismatch
+            got = pd.concat([pd.read_parquet(p) for p in
+                             glob.glob(f'{outdir}/{name}/*.parquet')],
+                            ignore_index=True)
         except Exception as e:
             fails.append((name, f'spark output ERR: {e}')); continue
         exp = exp.reindex(sorted(exp.columns), axis=1)
