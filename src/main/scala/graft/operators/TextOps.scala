@@ -215,17 +215,30 @@ object TextOps {
   /** Corpus vocabulary statistics: term frequency + document frequency
     * per token, ranked by tf. One explode + one partial-agg'd groupBy:
     * the shuffle carries (token, partial tf, doc_id-distinct partials),
-    * never document text. topK bounds the result (rank window over the
-    * aggregated vocab, which is already small).
+    * never document text.
+    *
+    * The global top-k is two-phase so no single task ever holds the
+    * whole vocabulary: each partition of the aggregated stats keeps its
+    * local top-k (any partition's winner set is a superset of its
+    * contribution to the global winners), then the final unpartitioned
+    * rank window sees at most numPartitions*k rows — constant-size at
+    * any corpus scale.
     */
   def vocab(df: DataFrame, topK: Int = 50): DataFrame = {
     val exploded = df.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val stats = exploded.groupBy("token").agg(
       count(lit(1)).as("tf"),
       countDistinct(col("doc_id")).as("df_docs"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy(spark_partition_id())
+      .orderBy(col("tf").desc, col("token"))
+    val pruned = stats
+      .withColumn("__lrk", row_number().over(localW))
+      .where(col("__lrk") <= topK)
+      .drop("__lrk")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("tf").desc, col("token"))
-    stats.withColumn("rank", row_number().over(w))
+    pruned.withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select("rank", "token", "tf", "df_docs")
   }
