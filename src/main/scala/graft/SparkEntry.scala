@@ -97,6 +97,41 @@ object SparkEntry {
           countDistinct(col("o_orderkey")).as("n_orders"))
     },
 
+    // TPC-H Q4 shape: EXISTS -> left-semi join. The semi join carries
+    // no lineitem payload columns and AQE can shuffle- or broadcast-
+    // join it; the agg is a tiny group count on top.
+    "q4_semijoin" -> { (s, dir) =>
+      val o = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R" && col("l_discount") > 0.05)
+        .select("l_orderkey")
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // TPC-H Q5 shape: fact ⨝ fact with every dimension broadcast and
+    // the supplier/customer nation-match predicate applied post-join.
+    "q5_multijoin" -> { (s, dir) =>
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val su = tbl(s, dir, "supplier")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          Aggs.sumExactD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
     "q_topn_window" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -472,6 +507,28 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name""".stripMargin,
+
+    "q4_semijoin" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_returnflag = 'R' AND l_discount > 0.05)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q5_multijoin" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS $Sum6))
+         |    AS DOUBLE) AS revenue,
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name""".stripMargin,
 
     "q_topn_window" ->
       """SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
@@ -859,6 +916,18 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"))
     },
 
+    "doc_dedup_cluster" -> { (s, dir) =>
+      Dedup.minhashClusters(tbl(s, dir, "documents"))
+    },
+
+    "doc_contamination" -> { (s, dir) =>
+      Dedup.contamination(tbl(s, dir, "documents"), col("doc_id") % 97 === 0)
+    },
+
+    "doc_dup_ngram_frac" -> { (s, dir) =>
+      Dedup.dupNgramFraction(tbl(s, dir, "documents"))
+    },
+
     "doc_langid" -> { (s, dir) =>
       TextOps.langId(tbl(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
@@ -1011,6 +1080,29 @@ object SparkEntry {
        |    s -> ${sqlPoly("s")})) AS sids
        |  FROM toks)""".stripMargin
 
+  /** MinHash-LSH candidate pairs as a CTE chain ending in
+    * `pairs(id_a, id_b)` — the SQL twin of Dedup.minhashCandidates,
+    * shared by the minhash and cluster oracles.
+    */
+  private def sqlMinhashCtes: String = {
+    val minExprs = Dedup.minhashParams(16).zipWithIndex.map {
+      case ((a, b), j) => s"min(($a * sid + $b) % ${Dedup.MinhashP}) AS h$j"
+    }.mkString(",\n  ")
+    val bandSelects = (0 until 4).map { b =>
+      val bk = (1 until 4).foldLeft(s"h${b * 4}") {
+        (acc, i) => s"(($acc) * 31 + h${b * 4 + i}) % ${TextOps.HashMod}"
+      }
+      s"SELECT doc_id, $b AS band, $bk AS bk FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""$sqlSidsCte,
+       |sh AS (SELECT doc_id, unnest(sids) AS sid FROM sids),
+       |sigs AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |    AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
   private def sqlDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbDim + 1}), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), (x,y) -> x+y)"
@@ -1034,24 +1126,26 @@ object SparkEntry {
         |  count(*) AS n_docs
         |FROM documents GROUP BY md5(text)""".stripMargin,
 
-    "doc_dedup_minhash" -> {
-      val minExprs = Dedup.minhashParams(16).zipWithIndex.map {
-        case ((a, b), j) => s"min(($a * sid + $b) % ${Dedup.MinhashP}) AS h$j"
-      }.mkString(",\n  ")
-      val bandSelects = (0 until 4).map { b =>
-        val bk = (1 until 4).foldLeft(s"h${b * 4}") {
-          (acc, i) => s"(($acc) * 31 + h${b * 4 + i}) % ${TextOps.HashMod}"
-        }
-        s"SELECT doc_id, $b AS band, $bk AS bk FROM sigs"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $sqlSidsCte,
-         |sh AS (SELECT doc_id, unnest(sids) AS sid FROM sids),
-         |sigs AS (SELECT doc_id, $minExprs FROM sh GROUP BY doc_id),
-         |bands AS ($bandSelects)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
-         |  AND a.doc_id < b.doc_id""".stripMargin
-    },
+    "doc_dedup_minhash" ->
+      s"""WITH $sqlMinhashCtes
+         |SELECT id_a, id_b FROM pairs""".stripMargin,
+
+    // connected components over the candidate pairs: walk(u) is the set
+    // of nodes reachable from u (UNION dedups, so the recursion reaches
+    // its fixpoint on the component), cluster id = min reachable id —
+    // the same labeling Dedup.components converges to
+    "doc_dedup_cluster" ->
+      s"""WITH RECURSIVE $sqlMinhashCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk AS (SELECT u, v AS lbl FROM edges
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+         |comp AS (SELECT u, min(lbl) AS cluster_id FROM walk GROUP BY u)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id""".stripMargin,
 
     "doc_dedup_simhash" -> {
       val bitSums = (0 until Dedup.SimhashBits).map { i =>
@@ -1075,6 +1169,32 @@ object SparkEntry {
          |  AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin
     },
+
+    "doc_contamination" ->
+      s"""WITH $sqlSidsCte,
+         |bench AS (SELECT DISTINCT unnest(sids) AS sid FROM sids
+         |  WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, unnest(sids) AS sid FROM sids
+         |  WHERE doc_id % 97 <> 0),
+         |hits AS (SELECT doc_id, count(*) AS n_shared FROM corpus
+         |  WHERE sid IN (SELECT sid FROM bench) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+         |  coalesce(h.n_shared, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+    "doc_dup_ngram_frac" ->
+      s"""WITH $sqlSidsCte,
+         |inv AS (SELECT doc_id, unnest(sids) AS sid FROM sids),
+         |dup AS (SELECT sid FROM inv GROUP BY sid HAVING count(*) >= 2),
+         |nd AS (SELECT doc_id, count(*) AS n_dup FROM inv
+         |  WHERE sid IN (SELECT sid FROM dup) GROUP BY doc_id)
+         |SELECT s.doc_id, len(s.sids) AS n_shingles,
+         |  coalesce(nd.n_dup, 0) AS n_dup,
+         |  CASE WHEN len(s.sids) > 0 THEN
+         |    round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / len(s.sids), 6)
+         |  END AS dup_frac
+         |FROM sids s LEFT JOIN nd ON nd.doc_id = s.doc_id""".stripMargin,
 
     "doc_dedup_ngram_jaccard" ->
       s"""WITH $sqlSidsCte,

@@ -128,6 +128,123 @@ object Dedup {
       .distinct()
   }
 
+  // --- candidate pairs -> dedup clusters -------------------------------
+
+  /** Connected components over an undirected candidate-pair edge list:
+    * iterated min-label propagation. Returns (id, cluster_id) for every
+    * node that appears in a pair; cluster_id is the component's minimum
+    * id, so the labeling is deterministic and independent of iteration
+    * order or partitioning.
+    *
+    * Scale shape: the graph is the CANDIDATE PAIR list — orders of
+    * magnitude smaller than the corpus (only near-duplicates appear).
+    * Each round is one join + one partial-agg'd groupBy on the node id;
+    * rounds needed = component diameter, and near-dup components are
+    * shallow (a few hops) in practice. `localCheckpoint` truncates the
+    * lineage each round so the plan doesn't grow with iterations. For
+    * adversarially long chains swap in the two-phase large-star /
+    * small-star variant (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond") — same edge-list contract, O(log n) rounds.
+    */
+  def components(pairs: DataFrame, aCol: String = "id_a",
+                 bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("lbl", col("u")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among neighbors, then keep min(own, neighbors')
+      val nbrMin = edges
+        .join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
+        .groupBy("u").agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbrMin, Seq("u"), "left")
+        .select(col("u"), least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
+          .as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("u"))
+        .where(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("u").as("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** End-to-end dedup clustering: MinHash-LSH candidate pairs ->
+    * connected components -> one row per document with its cluster id
+    * and whether it is the cluster's canonical (minimum-id) member.
+    * Docs outside every pair are their own singleton cluster.
+    */
+  def minhashClusters(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                      shingleN: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    // join strategy left to AQE: the label frame is usually a sliver of
+    // the corpus (only docs in >=1 candidate pair) and gets broadcast,
+    // but a heavily-duplicated crawl can make it arbitrarily large —
+    // a pinned broadcast would OOM there, a shuffle join still works
+    val comp = components(minhashCandidates(docs, k, bands, shingleN, idCol))
+    docs.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col(idCol)).as("cluster_id"),
+        (col(idCol) === coalesce(col("cluster_id"), col(idCol)))
+          .as("is_canonical"))
+  }
+
+  // --- benchmark contamination -----------------------------------------
+
+  /** Benchmark decontamination: flag corpus documents that share at
+    * least one word-`shingleN`-gram with the benchmark set (`benchPred`
+    * selects benchmark rows). Output is one row per NON-benchmark doc:
+    * (doc_id, n_shared = #distinct shingles also in the benchmark,
+    * contaminated).
+    *
+    * Scale shape: the benchmark's distinct shingle set is tiny relative
+    * to the corpus (eval suites, not crawls) and is broadcast, so the
+    * corpus side never shuffles its shingles — one broadcast semi-join
+    * inside the scan stage plus a map-side-combined count per doc.
+    */
+  def contamination(docs: DataFrame, benchPred: Column, shingleN: Int = 3,
+                    idCol: String = "doc_id"): DataFrame = {
+    val sh = docs.select(col(idCol), benchPred.as("__bench"),
+      explode(shingleIds(col("text"), shingleN)).as("sid"))
+    val bench = sh.where(col("__bench")).select("sid").distinct()
+    val hits = sh.where(!col("__bench"))
+      .join(broadcast(bench), Seq("sid"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    docs.where(!benchPred).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__n"), lit(0L)).as("n_shared"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Duplicated n-gram fraction per document (the RefinedWeb-style
+    * repetition-across-corpus signal): of this doc's DISTINCT shingles,
+    * the fraction that also occur in at least one other document. Null
+    * for docs too short to shingle.
+    *
+    * Scale shape: the inverted index shuffles (sid, doc_id) pairs only;
+    * the duplicated-sid set comes from one partial-agg'd groupBy and
+    * joins back as a shuffle-hash semi-join on sid.
+    */
+  def dupNgramFraction(docs: DataFrame, shingleN: Int = 3,
+                       idCol: String = "doc_id"): DataFrame = {
+    val withSh = docs.select(col(idCol), shingleIds(col("text"), shingleN).as("sids"))
+    val inv = withSh.select(col(idCol), explode(col("sids")).as("sid"))
+    val dup = inv.groupBy("sid").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2).select("sid")
+    val nDup = inv.hint("shuffle_hash").join(dup, Seq("sid"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    withSh.select(col(idCol), size(col("sids")).cast("long").as("n_shingles"))
+      .join(nDup, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_shingles") > 0,
+          round(coalesce(col("n_dup"), lit(0L)).cast("double")
+            / col("n_shingles"), 6)).as("dup_frac"))
+  }
+
   // --- exact n-gram Jaccard via shingle inverted index ----------------
 
   /** Pairs with word-`shingleN`-gram Jaccard >= `threshold`, computed
