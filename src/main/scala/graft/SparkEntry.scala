@@ -1019,6 +1019,10 @@ object SparkEntry {
       Knn.centroids(tbl(s, dir, "embeddings"), "label")
     },
 
+    "emb_kmeans" -> { (s, dir) =>
+      Knn.kmeans(tbl(s, dir, "embeddings"), EmbDim)
+    },
+
     "emb_dedup_cosine" -> { (s, dir) =>
       Knn.cosineDupPairs(tbl(s, dir, "embeddings"), EmbDim, 0.3, "label")
     },
@@ -1418,6 +1422,33 @@ object SparkEntry {
          |  FROM embeddings)
          |SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS c
          |FROM e GROUP BY label, dim""".stripMargin,
+
+    // two unrolled Lloyd rounds, centroids rounded to 6dp between
+    // rounds exactly like Knn.kmeans (so both engines carry identical
+    // centroids); assignment ties break on min centroid id
+    "emb_kmeans" -> {
+      def assign(centsCte: String) =
+        s"""SELECT vid, cid, cos FROM (SELECT v.vid, c.cid,
+           |    ${sqlCos("v.v", "c.cvec")} AS cos,
+           |    row_number() OVER (PARTITION BY v.vid
+           |      ORDER BY ${sqlCos("v.v", "c.cvec")} DESC, c.cid) AS rn
+           |  FROM v, $centsCte c) WHERE rn = 1""".stripMargin
+      s"""WITH v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM embeddings WHERE vec_id % 67 = 1),
+         |a1 AS (${assign("c0")}),
+         |e1 AS (SELECT a1.cid, unnest(range(1, ${EmbDim + 1})) AS dim,
+         |    unnest(list_transform(v.v, x -> CAST(x AS DOUBLE))) AS x
+         |  FROM a1 JOIN v ON v.vid = a1.vid),
+         |m1 AS (SELECT cid, dim, round(avg(x), 6) AS c FROM e1
+         |  GROUP BY cid, dim),
+         |c1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m1
+         |  GROUP BY cid),
+         |a2 AS (${assign("c1")})
+         |SELECT vid AS vec_id, cid AS cluster_id, round(cos, 6) AS cos
+         |FROM a2""".stripMargin
+    },
 
     "emb_dedup_cosine" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,

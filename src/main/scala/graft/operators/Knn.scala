@@ -177,6 +177,66 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Generalized HOF dot that accepts float OR double arrays (the
+    * native VecDot expression is float-array-only); elements widen to
+    * double before multiply, identical to the oracle fold.
+    */
+  private def dotAny(a: Column, b: Column, dim: Int): Column =
+    aggregate(
+      transform(sequence(lit(1), lit(dim)),
+        i => element_at(a, i).cast("double") * element_at(b, i).cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Deterministic distributed k-means (Lloyd's algorithm, spherical
+    * assignment): centroids initialize from every `centroidEvery`-th
+    * vector (same deterministic seeding as the IVF index), then `iters`
+    * rounds of [assign each vector to the max-cosine centroid
+    * (tie-break min centroid id)] -> [recompute each centroid as the
+    * per-dimension mean of its members, rounded to 6dp so both engines
+    * carry identical centroids into the next round]. Returns the final
+    * assignment (vec_id, cluster_id, cos).
+    *
+    * Scale shape: the centroid table is k rows and BROADCAST each
+    * round; assignment is a corpus scan + per-vector top-1 window keyed
+    * by vec_id (AQE-even); the update is one partial-agg'd shuffle
+    * keyed by (cid, dim) — k*dim reduce rows regardless of corpus
+    * size. Rounds are a driver-side loop over lazy plans, the classic
+    * Spark iterative-ML shape.
+    */
+  def kmeans(emb: DataFrame, dim: Int, iters: Int = 2, centroidEvery: Int = 67,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("vn"))
+    var cents = emb.where(col(idCol) % centroidEvery === 1)
+      .select(col(idCol).as("cid"),
+        transform(col(vecCol), x => x.cast("double")).as("cvec"))
+    var assigned: DataFrame = null
+    for (i <- 1 to iters) {
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("cos").desc, col("cid"))
+      assigned = v
+        .crossJoin(broadcast(
+          cents.withColumn("cn", sqrt(dotAny(col("cvec"), col("cvec"), dim)))))
+        .withColumn("cos", dotAny(col("v"), col("cvec"), dim) / (col("vn") * col("cn")))
+        .withColumn("__rk", row_number().over(w))
+        .where(col("__rk") === 1)
+        .select(col("vid"), col("cid"), col("cos"))
+      if (i < iters) {
+        cents = assigned
+          .join(v.select(col("vid"), col("v")), Seq("vid"))
+          .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cid", "pos")
+          .agg(round(avg(col("x").cast("double")), 6).as("c"))
+          .groupBy("cid")
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            s => s.getField("c")).as("cvec"))
+      }
+    }
+    assigned.select(col("vid").as(idCol), col("cid").as("cluster_id"),
+      round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, blocked by a
     * coarse key (label or LSH bucket) so the self-join stays bounded.
     */

@@ -164,6 +164,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
   }
 
+  test("Knn.kmeans assigns vectors to the nearest seeded centroid") {
+    // seeds = ids 1,3 (every 2nd): cluster {0,1} near x-axis, {2,3} near y
+    val e = Seq(
+      (0L, Array(1.0f, 0.1f)), (1L, Array(0.9f, 0.0f)),
+      (2L, Array(0.1f, 1.0f)), (3L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Knn.kmeans(e, 2, iters = 2, centroidEvery = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 3L, 3L -> 3L))
+  }
+
   test("Knn.bruteTopK ranks by cosine") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
