@@ -67,6 +67,34 @@ class StreamAlignSpec extends AnyFunSuite {
   }
 }
 
+class StreamDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming dedup keeps exactly the batch-distinct key set") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .select($"user_id", $"event_type", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_sdedup").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    val q = graft.streaming.StreamDedup(stream, "ts",
+      Seq("user_id", "event_type"), delay = "365 days")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sdedup_test")
+
+    // one surviving row per distinct key; which row wins is
+    // arrival-order-dependent, so compare the key sets
+    assert(got.count() == batch.select("user_id", "event_type").distinct().count())
+    assert(got.select("user_id", "event_type").distinct().count() == got.count())
+  }
+}
+
 class StreamSessionizeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
