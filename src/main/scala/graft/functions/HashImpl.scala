@@ -134,4 +134,18 @@ object HashImpl {
     }
     acc
   }
+
+  /** [[vecDot]] over double vectors (e.g. centroid arrays) — same
+    * left-fold order.
+    */
+  def vecDotD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
 }

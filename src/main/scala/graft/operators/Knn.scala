@@ -177,15 +177,14 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
-  /** Generalized HOF dot that accepts float OR double arrays (the
-    * native VecDot expression is float-array-only); elements widen to
-    * double before multiply, identical to the oracle fold.
+  /** Native double-array dot (graft.functions.VecDotD): inputs are
+    * pre-widened to array<double> ONCE per row, then every dot is one
+    * codegen'd tight loop. Widening each float to double before the
+    * multiply is exactly the oracle's CAST(v[i] AS DOUBLE) fold, so
+    * values stay bit-identical.
     */
-  private def dotAny(a: Column, b: Column, dim: Int): Column =
-    aggregate(
-      transform(sequence(lit(1), lit(dim)),
-        i => element_at(a, i).cast("double") * element_at(b, i).cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  private def dotD(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.vec_dot_d(a, b)
 
   /** Deterministic distributed k-means (Lloyd's algorithm, spherical
     * assignment): centroids initialize from every `centroidEvery`-th
@@ -205,7 +204,8 @@ object Knn {
     */
   def kmeans(emb: DataFrame, dim: Int, iters: Int = 2, centroidEvery: Int = 67,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = emb.select(col(idCol).as("vid"), col(vecCol).as("v"),
+    val v = emb.select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("v"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("vn"))
     var cents = emb.where(col(idCol) % centroidEvery === 1)
       .select(col(idCol).as("cid"),
@@ -216,8 +216,8 @@ object Knn {
         .orderBy(col("cos").desc, col("cid"))
       assigned = v
         .crossJoin(broadcast(
-          cents.withColumn("cn", sqrt(dotAny(col("cvec"), col("cvec"), dim)))))
-        .withColumn("cos", dotAny(col("v"), col("cvec"), dim) / (col("vn") * col("cn")))
+          cents.withColumn("cn", sqrt(dotD(col("cvec"), col("cvec"))))))
+        .withColumn("cos", dotD(col("v"), col("cvec")) / (col("vn") * col("cn")))
         .withColumn("__rk", row_number().over(w))
         .where(col("__rk") === 1)
         .select(col("vid"), col("cid"), col("cos"))

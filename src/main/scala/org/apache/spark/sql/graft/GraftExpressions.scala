@@ -68,12 +68,28 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** [[VecDot]] over double vectors (centroids, pre-widened corpora). */
+case class VecDotD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.HashImpl.vecDotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.vecDotD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDotD =
+    copy(left = l, right = r)
+}
+
 object GraftExpressions {
   def poly_hash(c: Column): Column = Bridge.toCol(PolyHash(Bridge.toExpr(c)))
   def shingle_hashes(tokens: Column, n: Int): Column =
     Bridge.toCol(ShingleHashes(Bridge.toExpr(tokens), n))
   def vec_dot(a: Column, b: Column): Column =
     Bridge.toCol(VecDot(Bridge.toExpr(a), Bridge.toExpr(b)))
+  def vec_dot_d(a: Column, b: Column): Column =
+    Bridge.toCol(VecDotD(Bridge.toExpr(a), Bridge.toExpr(b)))
   def simhash24(tokens: Column): Column =
     Bridge.toCol(SimHash24(Bridge.toExpr(tokens)))
 

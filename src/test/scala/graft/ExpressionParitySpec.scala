@@ -42,6 +42,19 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("VecDotD on widened arrays == float VecDot (same fold)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select($"embedding".as("a"))
+      .crossJoin(emb.limit(3).select($"embedding".as("b")))
+      .select($"a", $"b",
+        transform($"a", x => x.cast("double")).as("ad"),
+        transform($"b", x => x.cast("double")).as("bd"))
+    val bad = pairs.select(Knn.dot($"a", $"b", 64).as("f"),
+      org.apache.spark.sql.graft.GraftExpressions.vec_dot_d($"ad", $"bd").as("d"))
+      .where($"f" =!= $"d")
+    assert(bad.isEmpty)
+  }
+
   test("poly_hash / vec_dot registered for SQL use") {
     org.apache.spark.sql.graft.GraftExpressions.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0) ==
