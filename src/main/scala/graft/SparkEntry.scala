@@ -1031,6 +1031,14 @@ object SparkEntry {
       Multimodal.decodeAll(s, tbl(s, dir, "documents")).toDF()
     },
 
+    "mm_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(s, tbl(s, dir, "documents"), everyKth = 2).toDF()
+    },
+
+    "doc_tfidf" -> { (s, dir) =>
+      TextOps.tfidf(tbl(s, dir, "documents"), perDoc = 3)
+    },
+
     // Flagship composite: the end-to-end training-data pipeline shape —
     // quality score -> filter -> langid -> exact-dedup canonicalize ->
     // per-language corpus stats. One fused plan: the scans/filters/
@@ -1505,6 +1513,28 @@ object SparkEntry {
          |  64 + ${sqlPoly("text")} % 512 AS width,
          |  64 + (${sqlPoly("text")} // 512) % 512 AS height,
          |  1 + ${sqlPoly("text")} % 8 AS n_frames
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH m AS (SELECT doc_id, ${sqlPoly("text")} AS fp FROM documents),
+         |f AS (SELECT doc_id, fp, 1 + fp % 8 AS n_frames FROM m),
+         |x AS (SELECT doc_id, fp, n_frames,
+         |  unnest(range(0, n_frames, 2)) AS frame_idx FROM f)
+         |SELECT doc_id, n_frames, frame_idx,
+         |  (fp * 31 + frame_idx) % 1000000007 AS frame_ref
+         |FROM x""".stripMargin,
+
+    "doc_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT token, count(*) AS df_docs FROM tf GROUP BY token),
+         |s AS (SELECT doc_id, token, tf, df_docs,
+         |    round(CAST(tf AS DOUBLE) *
+         |      (SELECT count(*) FROM documents) / df_docs, 6) AS score
+         |  FROM tf JOIN dfreq USING (token)),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token) AS INTEGER) AS rank FROM s)
+         |SELECT doc_id, rank, token, tf, df_docs, score
+         |FROM r WHERE rank <= 3""".stripMargin
   )
 }

@@ -63,4 +63,40 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows => rows.map(MediaDecoder.decode) }
   }
+
+  /** One sampled frame of a media row: the decode stub's per-frame
+    * output. `frame_ref` is a deterministic handle (payload fingerprint
+    * mixed with the frame index) standing in for decoded frame bytes.
+    */
+  final case class MediaFrame(doc_id: Long, n_frames: Long,
+                              frame_idx: Long, frame_ref: Long)
+
+  /** Frame sampling for video-style payloads: every `everyKth` frame of
+    * each media row, emitted by the same batched per-partition decode
+    * pass as [[decodeAll]] (a real codec decodes once and yields the
+    * sampled frames from that single decode).
+    *
+    * Scale shape: a scan-side flatMap — no shuffle at all; the frame
+    * fan-out (≤ 8 rows per doc here, bounded by the decode metadata)
+    * inherits the corpus partitioning, so downstream per-frame feature
+    * extraction stays co-located with its document.
+    */
+  def sampleFrames(spark: SparkSession, docs: DataFrame,
+                   everyKth: Int = 2): Dataset[MediaFrame] = {
+    import spark.implicits._
+    val step = everyKth.toLong
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val h = graft.functions.HashImpl.polyHash(
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(r.payload))
+          val nFrames = 1L + h % 8L
+          (0L until nFrames by step).iterator.map { i =>
+            MediaFrame(r.doc_id, nFrames, i, (h * 31L + i) % TextOps.HashMod)
+          }
+        }
+      }
+  }
 }

@@ -243,6 +243,38 @@ object TextOps {
       .select("rank", "token", "tf", "df_docs")
   }
 
+  // --- TF-IDF -----------------------------------------------------------
+
+  /** Top-`perDoc` TF-IDF terms per document.
+    *
+    * `idf` is the RATIONAL variant N/df (not log(N/df)), an explicit
+    * engine convention: integer inputs through one double multiply and
+    * one divide are bit-deterministic across engines, where log()
+    * parity is library-dependent. Rankings agree with log-idf whenever
+    * tf ties break the same way; ties break deterministically by
+    * token.
+    *
+    * Scale shape: tf is one (doc,token)-keyed partial agg; df is one
+    * token-keyed partial agg whose output (the vocabulary) joins back
+    * by token — the shuffles carry token ids and counts, never text.
+    * The per-doc top-k is a window keyed by doc_id.
+    */
+  def tfidf(df: DataFrame, perDoc: Int = 3): DataFrame = {
+    val n = df.count() // corpus size: one cheap metadata-ish job
+    val tf = df.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("score",
+        round(col("tf").cast("double") * lit(n.toDouble) / col("df_docs"), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= perDoc)
+      .select("doc_id", "rank", "token", "tf", "df_docs", "score")
+  }
+
   // --- fingerprinting -------------------------------------------------
 
   /** Rolling-hash fingerprint of the whole document plus the minimum

@@ -64,4 +64,31 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(v(0).getAs[Long]("tf") == 3L && v(0).getAs[Long]("df_docs") == 2L)
     assert(v(1).getAs[Long]("tf") == 2L && v(1).getAs[Long]("df_docs") == 1L)
   }
+
+  test("tfidf scores rare terms above common ones, per doc") {
+    // corpus of 2 docs: "b" appears in both (df 2), "a"/"c" in one (df 1)
+    val df = Seq((1L, "a b b"), (2L, "b c c")).toDF("doc_id", "text")
+    val r = TextOps.tfidf(df, perDoc = 2).orderBy("doc_id", "rank").collect()
+    // doc 1: a -> 1*2/1 = 2.0 ; b -> 2*2/2 = 2.0 ; tie broken by token asc
+    assert(r(0).getAs[String]("token") == "a")
+    assert(r(0).getAs[Double]("score") == 2.0)
+    assert(r(1).getAs[String]("token") == "b")
+    // doc 2: c -> 2*2/1 = 4.0 beats b -> 1*2/2 = 1.0
+    assert(r(2).getAs[String]("token") == "c")
+    assert(r(2).getAs[Double]("score") == 4.0)
+    assert(r(3).getAs[String]("token") == "b")
+    assert(r(3).getAs[Double]("score") == 1.0)
+  }
+
+  test("sampleFrames fans out every-kth frame with deterministic refs") {
+    val df = Seq((7L, "some payload text")).toDF("doc_id", "text")
+    val h = graft.functions.HashImpl.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("some payload text"))
+    val nFrames = 1L + h % 8L
+    val out = graft.operators.Multimodal.sampleFrames(spark, df, everyKth = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == (0L until nFrames by 2L).toSeq)
+    assert(out.forall(_.n_frames == nFrames))
+    assert(out.forall(f => f.frame_ref == (h * 31L + f.frame_idx) % TextOps.HashMod))
+  }
 }
