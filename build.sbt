@@ -15,6 +15,10 @@ run / fork := true
 // prefixes every line with [info], which breaks machine parsing of the
 // one-line JSON that graft.Bench prints (the driver json-parses it).
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop the trailing "[success] Total time: ..." summary line, so
+// the JSON line graft.Bench emits (printed after spark.stop, i.e. last)
+// is the final line of stdout — parsers that read the last line work.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -49,7 +49,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop BEFORE printing: Spark's shutdown chatter goes to stderr, and
+    // emitting the JSON as the very last stdout write (with sbt's
+    // [success] summary suppressed in build.sbt) makes it the final line
+    // of stdout — robust to drivers that parse only the last line.
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

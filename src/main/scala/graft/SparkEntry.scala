@@ -898,6 +898,10 @@ object SparkEntry {
   // ----------------------------------------------- §2.8 training-data ops
 
   private val EmbDim = 64
+  /** mm_frames frame-sampling step, shared by the Spark query and its
+    * oracle SQL so the two sides cannot drift.
+    */
+  private val MmFramesEveryKth = 2
 
   private def dataQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup_exact" -> { (s, dir) =>
@@ -1032,7 +1036,8 @@ object SparkEntry {
     },
 
     "mm_frames" -> { (s, dir) =>
-      Multimodal.sampleFrames(s, tbl(s, dir, "documents"), everyKth = 2).toDF()
+      Multimodal.sampleFrames(s, tbl(s, dir, "documents"),
+        everyKth = MmFramesEveryKth).toDF()
     },
 
     "doc_tfidf" -> { (s, dir) =>
@@ -1515,13 +1520,17 @@ object SparkEntry {
          |  1 + ${sqlPoly("text")} % 8 AS n_frames
          |FROM documents""".stripMargin,
 
+    // step / multiplier / modulus interpolated from the SAME constants
+    // the Spark side uses (MmFramesEveryKth, TextOps.HashMul/HashMod) —
+    // changing either side cannot silently break parity
     "mm_frames" ->
       s"""WITH m AS (SELECT doc_id, ${sqlPoly("text")} AS fp FROM documents),
          |f AS (SELECT doc_id, fp, 1 + fp % 8 AS n_frames FROM m),
          |x AS (SELECT doc_id, fp, n_frames,
-         |  unnest(range(0, n_frames, 2)) AS frame_idx FROM f)
+         |  unnest(range(0, n_frames, $MmFramesEveryKth)) AS frame_idx FROM f)
          |SELECT doc_id, n_frames, frame_idx,
-         |  (fp * 31 + frame_idx) % 1000000007 AS frame_ref
+         |  (fp * ${TextOps.HashMul} + frame_idx) % ${TextOps.HashMod}
+         |    AS frame_ref
          |FROM x""".stripMargin,
 
     "doc_tfidf" ->

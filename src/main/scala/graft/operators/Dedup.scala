@@ -138,13 +138,17 @@ object Dedup {
     *
     * Scale shape: the graph is the CANDIDATE PAIR list — orders of
     * magnitude smaller than the corpus (only near-duplicates appear).
-    * Each round is one join + one partial-agg'd groupBy on the node id;
-    * rounds needed = component diameter, and near-dup components are
-    * shallow (a few hops) in practice. `localCheckpoint` truncates the
-    * lineage each round so the plan doesn't grow with iterations. For
-    * adversarially long chains swap in the two-phase large-star /
-    * small-star variant (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond") — same edge-list contract, O(log n) rounds.
+    * Each round is one join + one partial-agg'd groupBy on the node id,
+    * followed by a pointer-jumping shortcut (lbl := lbl(lbl)) that
+    * halves label-chain lengths — so rounds needed = O(log diameter),
+    * and even an adversarial chain component (heavily templated crawls
+    * where LSH pairs drift) converges well inside maxIter instead of
+    * needing diameter rounds. `localCheckpoint` truncates the lineage
+    * each round so the plan doesn't grow with iterations.
+    *
+    * If the loop still exits without reaching the fixpoint the result
+    * would be silently wrong (labels not yet the component minimum), so
+    * it THROWS rather than returning unconverged labels.
     */
   def components(pairs: DataFrame, aCol: String = "id_a",
                  bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
@@ -160,15 +164,31 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
         .groupBy("u").agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(nbrMin, Seq("u"), "left")
+      val prop = labels.join(nbrMin, Seq("u"), "left")
         .select(col("u"), least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
           .as("lbl"))
-        .localCheckpoint()
+      // pointer jumping: follow the label one hop (lbl is itself a node
+      // id in the same component, so min(lbl, lbl(lbl)) stays in-component
+      // and path lengths halve each round — O(log d) total rounds).
+      // Skipped for the first two rounds: shallow near-dup components
+      // (the overwhelmingly common case) converge there already, and the
+      // extra self-join would be pure overhead.
+      val next = (if (iter < 2) prop
+        else prop
+          .join(prop.select(col("u").as("lbl"), col("lbl").as("lbl2")),
+            Seq("lbl"), "left")
+          .select(col("u"), least(col("lbl"), coalesce(col("lbl2"), col("lbl")))
+            .as("lbl"))
+        ).localCheckpoint()
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("u"))
         .where(col("lbl") =!= col("prev")).isEmpty
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"Dedup.components did not converge in $maxIter rounds — " +
+          "component diameter exceeds the iteration budget; raise maxIter")
     labels.select(col("u").as("id"), col("lbl").as("cluster_id"))
   }
 

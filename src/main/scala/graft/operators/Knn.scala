@@ -231,6 +231,10 @@ object Knn {
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("c")))),
             s => s.getField("c")).as("cvec"))
+        // long Lloyd runs: truncate lineage so round r's plan doesn't
+        // nest all r-1 previous rounds (same pattern as
+        // Dedup.components); short runs stay one fused lazy plan
+        if (iters > 2) cents = cents.localCheckpoint()
       }
     }
     assigned.select(col("vid").as(idCol), col("cid").as("cluster_id"),

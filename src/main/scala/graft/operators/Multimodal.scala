@@ -94,7 +94,8 @@ object Multimodal {
             org.apache.spark.unsafe.types.UTF8String.fromBytes(r.payload))
           val nFrames = 1L + h % 8L
           (0L until nFrames by step).iterator.map { i =>
-            MediaFrame(r.doc_id, nFrames, i, (h * 31L + i) % TextOps.HashMod)
+            MediaFrame(r.doc_id, nFrames, i,
+              (h * TextOps.HashMul + i) % TextOps.HashMod)
           }
         }
       }

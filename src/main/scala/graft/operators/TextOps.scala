@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   val HashMod = 1000000007L
+  /** Rolling-hash step multiplier — the `31` in acc*31 + x. Shared by
+    * every fold (polyHash, band keys, frame refs) and interpolated into
+    * the oracle SQL so the two sides cannot drift.
+    */
+  val HashMul = 31L
 
   /** Polynomial rolling hash over the string's characters; the
     * cross-engine "document fingerprint" primitive. Native codegen'd
@@ -260,7 +265,9 @@ object TextOps {
     * The per-doc top-k is a window keyed by doc_id.
     */
   def tfidf(df: DataFrame, perDoc: Int = 3): DataFrame = {
-    val n = df.count() // corpus size: one cheap metadata-ish job
+    // corpus size N stays INSIDE the plan (broadcast one-row aggregate,
+    // the oracle's scalar subquery) — building the DataFrame runs no job
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
     val tf = df.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df_docs"))
@@ -268,8 +275,9 @@ object TextOps {
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("token"))
     tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
       .withColumn("score",
-        round(col("tf").cast("double") * lit(n.toDouble) / col("df_docs"), 6))
+        round(col("tf").cast("double") * col("__n") / col("df_docs"), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= perDoc)
       .select("doc_id", "rank", "token", "tf", "df_docs", "score")
