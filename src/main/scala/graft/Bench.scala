@@ -46,7 +46,11 @@ object Bench {
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The harness parses only the LAST ~2000 chars of stdout, so the JSON
+    // line must fit entirely inside that window: millisecond precision
+    // (3dp) keeps the 74-query map ~1.7k chars.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // stop BEFORE printing: Spark's shutdown chatter goes to stderr, and
@@ -54,7 +58,12 @@ object Bench {
     // [success] summary suppressed in build.sbt) makes it the final line
     // of stdout — robust to drivers that parse only the last line.
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    if (line.length > 1990)
+      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars exceeds 1990-char parse window")
+    println(line)
     System.out.flush()
   }
 }
