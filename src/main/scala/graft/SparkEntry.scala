@@ -149,6 +149,51 @@ object SparkEntry {
           count(lit(1)).as("n_events"), Aggs.sumExactD(col("value")).as("sum_value")))
     },
 
+    // grouping-sets agg: cube over (returnflag, linestatus) subtotals —
+    // Expand + ONE shuffle with map-side partials, the OLAP subtotal
+    // shape (4x map rows, reduce rows = #groups across all subtotal
+    // levels — still tiny at any corpus scale)
+    "q_cube" -> { (s, dir) =>
+      tbl(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          Aggs.sumExactD(col("l_quantity")).as("sum_qty"),
+          Aggs.avg6(col("l_extendedprice")).as("avg_price"))
+    },
+
+    // per-group argmin: cheapest lineitem per part. row_number over the
+    // partkey window (deterministic composite tie-break) = one shuffle
+    // + per-partition sort; partkeys are high-cardinality/even so no
+    // skew, and the part dim joins broadcast
+    "q_argmin" -> { (s, dir) =>
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      tbl(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .join(broadcast(tbl(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice").as("min_price"))
+    },
+
+    // monthly cohort retention: cohort = month of first activity. Two
+    // user_id-keyed partial-agg shuffles (first-ts, distinct
+    // active-months); the cohort join is co-partitioned on user_id so
+    // AQE either broadcasts the cohort side or reuses the exchange;
+    // final agg is #cohorts × #months rows
+    "q_retention" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val cohorts = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+        .select(col("user_id"),
+          TimeIndex.monthlyIndex(col("first_ts")).as("cohort"))
+      val active = ev.select(col("user_id"),
+        TimeIndex.monthlyIndex(col("ts")).as("act_month")).distinct()
+      active.join(cohorts, Seq("user_id"))
+        .groupBy("cohort", "act_month")
+        .agg(count(lit(1)).as("n_users"))
+    },
+
     // --- §2.1 aggregation ------------------------------------------
     "ts_agg_basic" -> { (s, dir) =>
       events(s, dir).groupBy("event_type").agg(
@@ -358,6 +403,23 @@ object SparkEntry {
     "ts_take" -> { (s, dir) =>
       Shape.take(events(s, dir).select("user_id", "ts", "event_id", "value"),
         "ts", Seq("user_id"), 5, tieBreak = Seq("event_id"))
+    },
+
+    // gap detection: consecutive-event deltas above 1h (outage screen)
+    "ts_gaps" -> { (s, dir) =>
+      Trend.gaps(events(s, dir), "ts", Seq("user_id"), UsHour)
+    },
+
+    // bounded-window EWMA — recursive +/* fold, no pow(): the float
+    // sequence is engine-bit-identical by construction
+    "ts_ewma" -> { (s, dir) =>
+      Trend.ewma(events(s, dir).select("user_id", "ts", "value"),
+        "ts", "value", Seq("user_id"))
+    },
+
+    // trapezoidal integral per (series, hour) — the inverse of rate
+    "ts_integral" -> { (s, dir) =>
+      Trend.integral(events(s, dir), "ts", "value", Seq("user_id"), "1h")
     },
 
     // --- §2.4 shaping ----------------------------------------------
@@ -892,7 +954,64 @@ object SparkEntry {
       s"""SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value
          |FROM events
          |WHERE $EvUs > (SELECT max($EvUs) FROM events) - 604800000000
-         |GROUP BY event_type""".stripMargin
+         |GROUP BY event_type""".stripMargin,
+
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid,
+         |  count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS $Sum6)) AS DOUBLE) AS sum_qty,
+         |  round(avg(l_extendedprice), 6) AS avg_price
+         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_argmin" ->
+      """WITH r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |    ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT p.p_partkey, p.p_name, r.l_orderkey, r.l_linenumber,
+        |  r.l_extendedprice AS min_price
+        |FROM r JOIN part p ON r.l_partkey = p.p_partkey WHERE r.rn = 1""".stripMargin,
+
+    "q_retention" ->
+      """WITH f AS (SELECT user_id, strftime(min(ts), '%Y-%m') AS cohort
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS act_month
+        |  FROM events)
+        |SELECT cohort, act_month, count(*) AS n_users
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "ts_gaps" ->
+      s"""WITH l AS (SELECT user_id, $EvUs AS tu,
+         |    lag($EvUs) OVER (PARTITION BY user_id ORDER BY $EvUs) AS pt
+         |  FROM events)
+         |SELECT user_id, pt AS gap_begin, tu AS gap_end, tu - pt AS gap_us
+         |FROM l WHERE pt IS NOT NULL AND tu - pt > 3600000000""".stripMargin,
+
+    // list() window frame + list_reduce: seeds with the first (oldest)
+    // element then folds left — exactly Trend.ewma's aggregate() seed
+    // and order, so the float sequences are identical
+    "ts_ewma" ->
+      s"""WITH l AS (SELECT user_id, $EvUs AS ts, value,
+         |    list(value) OVER (PARTITION BY user_id ORDER BY $EvUs, value
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+         |  FROM events)
+         |SELECT user_id, ts, value,
+         |  round(list_reduce(lst, (acc, x) ->
+         |    acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE)), 6) AS ewma
+         |FROM l""".stripMargin,
+
+    // segment areas floored to integer micro-units, summed as BIGINT —
+    // mirrors Trend.integral's tie-free determinism contract
+    "ts_integral" ->
+      s"""WITH l AS (SELECT user_id, $EvUs AS tu, value,
+         |    lag($EvUs) OVER w AS pt, lag(value) OVER w AS pv
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $EvUs, value))
+         |SELECT user_id, '1h-' || CAST(pt // 3600000000 AS VARCHAR) AS idx,
+         |  CAST(sum(CAST(floor((pv + value) / 2.0 * (tu - pt) / 1000000.0
+         |    * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS area,
+         |  count(*) AS n_segments
+         |FROM l WHERE pt IS NOT NULL GROUP BY 1, 2""".stripMargin
   )
 
   // ----------------------------------------------- §2.8 training-data ops
@@ -910,6 +1029,10 @@ object SparkEntry {
 
     "doc_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashCandidates(tbl(s, dir, "documents"))
+    },
+
+    "doc_minhash_est" -> { (s, dir) =>
+      Dedup.minhashEstimates(tbl(s, dir, "documents"))
     },
 
     "doc_dedup_simhash" -> { (s, dir) =>
@@ -1146,6 +1269,17 @@ object SparkEntry {
     "doc_dedup_minhash" ->
       s"""WITH $sqlMinhashCtes
          |SELECT id_a, id_b FROM pairs""".stripMargin,
+
+    "doc_minhash_est" -> {
+      val matches = (0 until 16)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sqlMinhashCtes
+         |SELECT p.id_a, p.id_b, ($matches) AS n_match,
+         |  CAST(($matches) AS DOUBLE) / CAST(16.0 AS DOUBLE) AS est_jaccard
+         |FROM pairs p JOIN sigs a ON a.doc_id = p.id_a
+         |  JOIN sigs b ON b.doc_id = p.id_b""".stripMargin
+    },
 
     // connected components over the candidate pairs: walk(u) is the set
     // of nodes reachable from u (UNION dedups, so the recursion reaches

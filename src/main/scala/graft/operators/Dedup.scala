@@ -81,6 +81,30 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Signature-agreement Jaccard estimate for the LSH candidate pairs:
+    * est = |{j : h_j(a) = h_j(b)}| / k — the standard unbiased MinHash
+    * estimator. Ranks/filters candidates WITHOUT re-reading any text:
+    * the signature subplan is the same one banding uses (ReuseExchange
+    * shares it), and the verify join carries only (id, k smallints)
+    * per side, so the cost is independent of document size.
+    */
+  def minhashEstimates(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                       shingleN: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val sigs = minhashSignatures(docs, k, shingleN, idCol)
+    val pairs = minhashCandidates(docs, k, bands, shingleN, idCol)
+    val sa = sigs.select(col(idCol).as("id_a") +:
+      (0 until k).map(j => col(s"h$j").as(s"__a$j")): _*)
+    val sb = sigs.select(col(idCol).as("id_b") +:
+      (0 until k).map(j => col(s"h$j").as(s"__b$j")): _*)
+    val nMatch = (0 until k)
+      .map(j => when(col(s"__a$j") === col(s"__b$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("n_match", nMatch)
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        (col("n_match") / lit(k.toDouble)).as("est_jaccard"))
+  }
+
   // --- SimHash --------------------------------------------------------
 
   val SimhashBits = 24

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TimeIndex
+
+/** Trend / continuity analysis over a keyed series — monitoring ops a
+  * pypond user writes by hand on top of Pipeline.map (reference has no
+  * built-ins for these; they complete the alerting family around
+  * threshold crossings and z-score outliers).
+  *
+  * Every op here is the standard stateful-series shape: ONE hash
+  * shuffle on the series key, then a per-partition ordered scan with
+  * O(1) or O(span) state per row — no driver state, so millions of
+  * series spread evenly over a 1000-executor cluster.
+  */
+object Trend {
+
+  /** Exponentially weighted moving average, recursive form
+    * `s := (1-alpha)*s + alpha*x` folded oldest→newest over a trailing
+    * window of `span` rows, seeded with the window's first value.
+    *
+    * The fold uses only IEEE add/multiply in a fixed left-to-right
+    * order — no pow() — so results are bit-deterministic across
+    * engines. Bounding
+    * history at `span` rows differs from the infinite-history EWMA by
+    * at most (1-alpha)^span (≈0.08% of the oldest value at defaults)
+    * and keeps per-row state O(span) instead of O(history).
+    *
+    * Nulls: collect_list skips them, so a null value simply drops out
+    * of the window (pypond's ignore_missing convention).
+    */
+  def ewma(df: DataFrame, tsCol: String, valCol: String, keyCols: Seq[String],
+           alpha: Double = 0.3, span: Int = 20, out: String = "ewma"): DataFrame = {
+    // value is the ORDER tie-break: equal-ts events then fold in a
+    // deterministic order, keeping the result partition-independent
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valCol))
+      .rowsBetween(-(span - 1), 0)
+    df.withColumn("__l", collect_list(col(valCol)).over(w))
+      .withColumn(out,
+        round(aggregate(
+          slice(col("__l"), lit(2), greatest(size(col("__l")) - 1, lit(0))),
+          element_at(col("__l"), 1),
+          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)), 6))
+      .drop("__l")
+  }
+
+  /** Gap detection: emit one row per consecutive-event pair whose time
+    * delta exceeds `minGapUs` (data-loss / outage detection). Output:
+    * keyCols, gap_begin, gap_end, gap_us.
+    */
+  def gaps(df: DataFrame, tsCol: String, keyCols: Seq[String],
+           minGapUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    df.select((keyCols :+ tsCol).map(col): _*)
+      .withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .where(col("__prev").isNotNull && col(tsCol) - col("__prev") > minGapUs)
+      .select(keyCols.map(col) ++ Seq(
+        col("__prev").as("gap_begin"), col(tsCol).as("gap_end"),
+        (col(tsCol) - col("__prev")).as("gap_us")): _*)
+  }
+
+  /** Trapezoidal integral of a series per calendar window — the inverse
+    * of Rate: area = Σ (v_prev + v_cur)/2 · Δt_seconds over consecutive
+    * pairs, each pair attributed to the window of its LEFT endpoint.
+    * Output: keyCols, idx, area (µ-unit precision), n_segments.
+    *
+    * Segments are floored to integer micro-units and summed as BIGINT:
+    * a double→DECIMAL cast rounds scaled-half ties differently per
+    * engine (Spark BigDecimal half-up vs DuckDB scaled float rint), and
+    * trapezoid areas (half-sums × whole seconds) land on those ties
+    * constantly — floor(x·1e6) has no tie to round, so the sum is
+    * bit-reproducible everywhere while still order-independent & exact.
+    *
+    * Scale shape: one shuffle on the series key for the lag, then a
+    * map-side-combinable (key, idx) aggregation — reduce rows = #groups.
+    */
+  def integral(df: DataFrame, tsCol: String, valCol: String,
+               keyCols: Seq[String], win: String): DataFrame = {
+    // equal-ts pairs contribute zero area, but the value tie-break still
+    // pins WHICH neighbor pairs with which — deterministic output
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valCol))
+    val area = (col("__pv") + col(valCol)) / 2.0 *
+      (col(tsCol) - col("__pt")).cast("double") /
+      lit(TimeIndex.UsPerSec.toDouble)
+    val areaMicro = floor(area * lit(1e6)).cast("long")
+    df.select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .withColumn("__pt", lag(col(tsCol), 1).over(w))
+      .withColumn("__pv", lag(col(valCol), 1).over(w))
+      .where(col("__pt").isNotNull)
+      .groupBy(keyCols.map(col) :+ TimeIndex.indexOf(col("__pt"), win).as("idx"): _*)
+      .agg((sum(areaMicro).cast("double") / lit(1e6)).as("area"),
+        count(lit(1)).as("n_segments"))
+  }
+}
