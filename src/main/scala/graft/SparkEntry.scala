@@ -177,19 +177,18 @@ object SparkEntry {
           col("l_linenumber"), col("l_extendedprice").as("min_price"))
     },
 
-    // monthly cohort retention: cohort = month of first activity. Two
-    // user_id-keyed partial-agg shuffles (first-ts, distinct
-    // active-months); the cohort join is co-partitioned on user_id so
-    // AQE either broadcasts the cohort side or reuses the exchange;
-    // final agg is #cohorts × #months rows
+    // monthly cohort retention: cohort = month of first activity. ONE
+    // user_id-keyed partial-agg shuffle computes first-ts AND the
+    // distinct active-month set together (collect_set is bounded by
+    // #calendar months, not #events, and the partial agg dedups
+    // map-side) — no self-join; the final (cohort, month) agg is
+    // #cohorts × #months rows
     "q_retention" -> { (s, dir) =>
-      val ev = events(s, dir)
-      val cohorts = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
-        .select(col("user_id"),
-          TimeIndex.monthlyIndex(col("first_ts")).as("cohort"))
-      val active = ev.select(col("user_id"),
-        TimeIndex.monthlyIndex(col("ts")).as("act_month")).distinct()
-      active.join(cohorts, Seq("user_id"))
+      events(s, dir).groupBy("user_id")
+        .agg(min(col("ts")).as("first_ts"),
+          collect_set(TimeIndex.monthlyIndex(col("ts"))).as("months"))
+        .select(TimeIndex.monthlyIndex(col("first_ts")).as("cohort"),
+          explode(col("months")).as("act_month"))
         .groupBy("cohort", "act_month")
         .agg(count(lit(1)).as("n_users"))
     },

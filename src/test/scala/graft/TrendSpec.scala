@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Trend
+
+class TrendSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def us(sec: Long): Long = sec * 1000000L
+
+  test("ewma of a constant series is the constant; single point is itself") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, us(0), 5.0), (1L, us(10), 5.0), (1L, us(20), 5.0),
+      (2L, us(0), 9.25)).toDF("k", "ts", "v")
+    val got = Trend.ewma(df, "ts", "v", Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got == Set((1L, us(0), 5.0), (1L, us(10), 5.0), (1L, us(20), 5.0),
+      (2L, us(0), 9.25)))
+  }
+
+  test("ewma recursion: s := 0.7*s + 0.3*x seeded with the first value") {
+    import spark.implicits._
+    val df = Seq((1L, us(0), 10.0), (1L, us(10), 20.0), (1L, us(20), 30.0))
+      .toDF("k", "ts", "v")
+    val got = Trend.ewma(df, "ts", "v", Seq("k")).orderBy("ts")
+      .select("ewma").as[Double].collect()
+    val s1 = 10.0
+    val s2 = s1 * 0.7 + 20.0 * 0.3
+    val s3 = s2 * 0.7 + 30.0 * 0.3
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.toSeq == Seq(r6(s1), r6(s2), r6(s3)))
+  }
+
+  test("ewma window bound: only the trailing `span` rows contribute") {
+    import spark.implicits._
+    // 25 points: first 5 are a huge outlier, span=3 forgets them entirely
+    val rows = (0 until 5).map(i => (1L, us(i * 10L), 1e9)) ++
+      (5 until 25).map(i => (1L, us(i * 10L), 2.0))
+    val got = Trend.ewma(rows.toDF("k", "ts", "v"), "ts", "v", Seq("k"),
+      span = 3).orderBy($"ts".desc).select("ewma").as[Double].first()
+    assert(got == 2.0)
+  }
+
+  test("gaps finds exactly the deltas above threshold") {
+    import spark.implicits._
+    val df = Seq((1L, us(0)), (1L, us(50)), (1L, us(400)), (1L, us(420)),
+      (2L, us(0)), (2L, us(1000))).toDF("k", "ts")
+    val got = Trend.gaps(df, "ts", Seq("k"), us(100)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((1L, us(50), us(400), us(350)),
+      (2L, us(0), us(1000), us(1000))))
+  }
+
+  test("integral of a constant series over one window = value * duration") {
+    import spark.implicits._
+    // 7.0 held for 600s inside one 1h bucket -> area 4200, 2 segments
+    val df = Seq((1L, 0L, 7.0), (1L, us(300), 7.0), (1L, us(600), 7.0))
+      .toDF("k", "ts", "v")
+    val r = Trend.integral(df, "ts", "v", Seq("k"), "1h").collect()
+    assert(r.length == 1)
+    assert(r.head.getString(1) == "1h-0")
+    assert(r.head.getDouble(2) == 4200.0)
+    assert(r.head.getLong(3) == 2L)
+  }
+
+  test("integral attributes each segment to its LEFT endpoint's window") {
+    import spark.implicits._
+    val hour = us(3600)
+    // segment straddling the hour boundary lands in the first bucket
+    val df = Seq((1L, hour - us(10), 1.0), (1L, hour + us(10), 1.0))
+      .toDF("k", "ts", "v")
+    val r = Trend.integral(df, "ts", "v", Seq("k"), "1h").collect()
+    assert(r.length == 1 && r.head.getString(1) == "1h-0")
+    assert(r.head.getDouble(2) == 20.0)
+  }
+}
+
+class StreamCrossingsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming crossings equal the batch lag formulation exactly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_scross").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamCrossings.Ev]
+
+    val q = graft.streaming.StreamCrossings(spark, stream, 100.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scross_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("scross_test")
+      .select($"user_id", $"ts", $"prev_v", $"value", $"direction")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts")
+    val want = batch.withColumn("prev_v", lag($"value", 1).over(w))
+      .where($"prev_v".isNotNull &&
+        (($"prev_v" < 100.0 && $"value" >= 100.0) ||
+          ($"prev_v" >= 100.0 && $"value" < 100.0)))
+      .select($"user_id", $"ts", $"prev_v", $"value",
+        when($"value" >= 100.0, lit("up")).otherwise(lit("down"))
+          .as("direction"))
+
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
