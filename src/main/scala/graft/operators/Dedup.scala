@@ -61,9 +61,17 @@ object Dedup {
     * collide in at least one of `bands` bands of `r = k/bands` rows.
     */
   def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                        shingleN: Int = 3, idCol: String = "doc_id"): DataFrame = {
+                        shingleN: Int = 3, idCol: String = "doc_id"): DataFrame =
+    candidatesFromSigs(minhashSignatures(docs, k, shingleN, idCol),
+      k, bands, idCol)
+
+  /** LSH banding over a prebuilt signature table — lets callers that
+    * need signatures AND pairs (minhashEstimates) share one computed
+    * `sigs` instead of re-scanning the corpus per consumer.
+    */
+  def candidatesFromSigs(sigs: DataFrame, k: Int, bands: Int,
+                         idCol: String): DataFrame = {
     val r = k / bands
-    val sigs = minhashSignatures(docs, k, shingleN, idCol)
     // ONE banded subplan (explode, not a union of per-band selects):
     // a union would re-run the signature aggregation per band, and the
     // self-join's two sides then become identical subplans that
@@ -90,8 +98,14 @@ object Dedup {
     */
   def minhashEstimates(docs: DataFrame, k: Int = 16, bands: Int = 4,
                        shingleN: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    // three consumers (banding + both verify-join sides) shuffle on
+    // DIFFERENT keys, so ReuseExchange cannot share the signature
+    // subplan — a lazy localCheckpoint materializes signatures ONCE
+    // (k smallints + id per doc — a sliver of the corpus) instead of
+    // re-scanning and re-hashing the text per consumer
     val sigs = minhashSignatures(docs, k, shingleN, idCol)
-    val pairs = minhashCandidates(docs, k, bands, shingleN, idCol)
+      .localCheckpoint(false)
+    val pairs = candidatesFromSigs(sigs, k, bands, idCol)
     val sa = sigs.select(col(idCol).as("id_a") +:
       (0 until k).map(j => col(s"h$j").as(s"__a$j")): _*)
     val sb = sigs.select(col(idCol).as("id_b") +:
