@@ -193,6 +193,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // scale-path approximations (NO DuckDB oracle — sketch internals
+    // are engine-specific, driver records the rows-only check): GK
+    // percentile sketch + HLL++ distinct count, both fixed-size
+    // mergeable state where the exact forms need a full sort /
+    // distinct shuffle — at 100 TB these are the aggregations you
+    // actually run interactively
+    "ts_agg_approx" -> { (s, dir) =>
+      events(s, dir).groupBy("event_type")
+        .agg(Aggs.percentileApprox(col("value"), 0.5).as("p50_approx"),
+          Aggs.percentileApprox(col("value"), 0.99).as("p99_approx"),
+          Aggs.countDistinctApprox(col("user_id")).as("n_users_approx"),
+          count(lit(1)).as("n"))
+    },
+
     // --- §2.1 aggregation ------------------------------------------
     "ts_agg_basic" -> { (s, dir) =>
       events(s, dir).groupBy("event_type").agg(

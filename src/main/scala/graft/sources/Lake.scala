@@ -28,6 +28,21 @@ object Lake {
            keyCols: Seq[String] = Nil): TimeSeries =
     TimeSeries(spark.read.parquet(path), tsCol, keyCols)
 
+  /** Bucketed layout for co-located joins: two tables bucketed by the
+    * same key into the same bucket count join (or groupBy that key)
+    * with ZERO runtime exchange — the shuffle is paid once at write
+    * time. This is the 100 TB answer to a fact-fact join that would
+    * otherwise re-shuffle both full tables on every run. Bucket
+    * metadata lives in the session catalog, so the destination is a
+    * table name, not a path; `sortBy` additionally pre-sorts each
+    * bucket so sort-merge joins skip their sort.
+    */
+  def writeBucketed(df: DataFrame, keyCol: String, nBuckets: Int,
+                    table: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .bucketBy(nBuckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
+
   /** Range-crop that ALSO constrains the partition column, so the
     * filter prunes directories, then the row-level ts predicate
     * (pushed to parquet) trims the edge partitions.

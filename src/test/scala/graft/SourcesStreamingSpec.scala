@@ -78,6 +78,31 @@ class LakeSpec extends AnyFunSuite {
     val want = ev.where(col("ts") >= b && col("ts") <= e).count()
     assert(cropped.df.count() == want)
   }
+
+  test("bucketed tables join and aggregate with zero runtime exchange") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .select("user_id", "ts", "value")
+    graft.sources.Lake.writeBucketed(ev, "user_id", 4, "ev_a")
+    graft.sources.Lake.writeBucketed(
+      ev.groupBy("user_id").agg(count(lit(1)).as("n")), "user_id", 4, "ev_b")
+
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("ev_a").join(spark.table("ev_b"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString()
+      // the write-time shuffle replaces both runtime exchanges
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(joined.count() == ev.count())
+
+      val agg = spark.table("ev_a").groupBy("user_id")
+        .agg(sum(col("value")).as("sv"))
+      assert(!agg.queryExecution.executedPlan.toString().contains("Exchange"))
+      assert(agg.count() == ev.select("user_id").distinct().count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
 }
 
 class StreamRollupSpec extends AnyFunSuite {

@@ -78,6 +78,35 @@ class TrendSpec extends AnyFunSuite {
   }
 }
 
+class StreamEwmaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming ewma equals batch Trend.ewma exactly (bounded-span contract)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_sewma").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamEwma.Ev]
+
+    val q = graft.streaming.StreamEwma(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sewma_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sewma_test")
+      .select($"user_id", $"ts", $"value", $"ewma")
+
+    val want = Trend.ewma(batch, "ts", "value", Seq("user_id"))
+      .select($"user_id", $"ts", $"value", $"ewma")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
+
 class StreamCrossingsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
