@@ -1048,6 +1048,12 @@ object SparkEntry {
       Dedup.minhashEstimates(tbl(s, dir, "documents"))
     },
 
+    // deterministic training-shard packing: (bucket, shard, pos) per
+    // doc — per-bucket windows, no global sort
+    "doc_shard" -> { (s, dir) =>
+      Sampling.shardPack(tbl(s, dir, "documents"), "doc_id", col("text"), 8, 32)
+    },
+
     "doc_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"))
     },
@@ -1167,6 +1173,10 @@ object SparkEntry {
       Knn.cosineDupPairs(tbl(s, dir, "embeddings"), EmbDim, 0.3, "label")
     },
 
+    "emb_quantize" -> { (s, dir) =>
+      Knn.quantizeInt8(tbl(s, dir, "embeddings"))
+    },
+
     "mm_meta" -> { (s, dir) =>
       Multimodal.decodeAll(s, tbl(s, dir, "documents")).toDF()
     },
@@ -1282,6 +1292,15 @@ object SparkEntry {
     "doc_dedup_minhash" ->
       s"""WITH $sqlMinhashCtes
          |SELECT id_a, id_b FROM pairs""".stripMargin,
+
+    "doc_shard" ->
+      s"""WITH m AS (SELECT doc_id, ${sqlPoly("text")} AS h FROM documents),
+         |b AS (SELECT doc_id, h, CAST(h % 8 AS INTEGER) AS bucket FROM m),
+         |r AS (SELECT doc_id, bucket,
+         |  row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) - 1 AS p
+         |  FROM b)
+         |SELECT doc_id, bucket, CAST(p // 32 AS INTEGER) AS shard,
+         |  CAST(p % 32 AS INTEGER) AS pos FROM r""".stripMargin,
 
     "doc_minhash_est" -> {
       val matches = (0 until 16)
@@ -1616,6 +1635,20 @@ object SparkEntry {
          |FROM embeddings a JOIN embeddings b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3""".stripMargin,
+
+    "emb_quantize" ->
+      s"""WITH d AS (SELECT i FROM range(1, ${EmbDim + 1}) t(i)),
+         |s AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+         |  FROM embeddings, d GROUP BY i),
+         |a AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM s)
+         |SELECT vec_id, array_to_string(list_transform(embedding, (x, i) ->
+         |  CAST(CASE WHEN mxs[i] = mns[i] THEN 0
+         |    ELSE CAST(floor((CAST(x AS DOUBLE) - mns[i]) / (mxs[i] - mns[i])
+         |      * CAST(255.0 AS DOUBLE)) AS INTEGER) END AS VARCHAR)), ',')
+         |  AS codes
+         |FROM embeddings, a""".stripMargin,
 
     "doc_pipeline" -> {
       def lst(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")

@@ -125,6 +125,39 @@ object Knn {
       .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
       .agg(round(avg(col("v").cast("double")), 6).as("c"))
 
+  /** Int8 scalar quantization: per-dimension corpus min/max → code
+    * floor((x-mn)/(mx-mn)·255) per element (4× storage cut before ANN
+    * serving). Two stages: the stats pass posexplodes and partial-aggs
+    * to `dim` rows (map-side combine, so 100 TB reduces to a
+    * broadcastable one-row array pair), then quantization is a
+    * scan-side projection against the broadcast stats. floor (not
+    * round) keeps codes tie-free across engines; a constant dimension
+    * (mx=mn) codes to 0. Codes surface as a CSV string: a stable
+    * scalar for cross-engine comparison and a reminder that the 100 TB
+    * sink would write binary, not arrays-of-int.
+    */
+  def quantizeInt8(emb: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val stats = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val arrs = stats.groupBy().agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        s => s.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("mxs"))
+    emb.crossJoin(broadcast(arrs))
+      .select(col(idCol), concat_ws(",",
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx === mn, lit(0)).otherwise(
+            floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)).cast("int"))
+            .cast("string")
+        })).as("codes"))
+  }
+
   // --- IVF (inverted-file) ANN ---------------------------------------
 
   /** IVF flat index with deterministic sampled centroids: every

@@ -32,6 +32,26 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, lit("val"))
           .otherwise(lit("test")))
 
+  /** Deterministic training-shard packing: hash-bucket for even
+    * spread, then pack each bucket's docs (rolling-hash order, id
+    * tie-break) into shards of `shardSize`. The two-level (bucket,
+    * shard) id keeps packing fully distributed — per-bucket windows,
+    * never a global sort — and reproducible across runs, engines and
+    * repartitioning. Output: idCol, bucket, shard, pos.
+    */
+  def shardPack(df: DataFrame, idCol: String, content: Column,
+                nBuckets: Int, shardSize: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), poly_hash(content).as("__h"))
+      .withColumn("bucket", (col("__h") % nBuckets).cast("int"))
+      .withColumn("__p", row_number().over(w) - 1)
+      .select(col(idCol), col("bucket"),
+        org.apache.spark.sql.graft.Bridge.ldiv(col("__p"), shardSize.toLong)
+          .cast("int").as("shard"),
+        (col("__p") % shardSize).cast("int").as("pos"))
+  }
+
   /** Stratified downsampling: per-stratum keep-percentage, applied as
     * a hash predicate on the content column. `rates` maps stratum
     * value → keep percent; strata not listed keep `defaultPct`.

@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exchange-count budgets: every shuffle at 100 TB is the bottleneck,
+  * so each query's physical plan carries a pinned budget — a code
+  * change that silently adds an exchange (lost pushdown, a join that
+  * stopped broadcasting, a window that re-partitions) fails here
+  * before it ships.
+  *
+  * Budgets are UPPER bounds (improvements pass; regressions fail) on
+  * the AQE-initial plan, counted like graft.Explain.
+  */
+class PlanBudgetSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def exchanges(name: String): Int =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+
+  private val budgets = Map(
+    // scan-side ops: NO exchange — they must fuse into the scan stage
+    "doc_normalize" -> 0, "doc_split" -> 0, "doc_quality" -> 0,
+    "doc_tokens" -> 0, "mm_meta" -> 0, "ts_filter" -> 0,
+    "ts_select" -> 0, "ts_map" -> 0,
+    // single-shuffle stateful / agg family
+    "q1_agg" -> 1, "q_cube" -> 1, "ts_agg_basic" -> 1,
+    "ts_rate" -> 1, "ts_fill_pad" -> 1, "ts_rollup_5m" -> 1,
+    "ts_ewma" -> 1, "ts_gaps" -> 1, "ts_integral" -> 1,
+    "ts_asof_lookup" -> 1, "q_events_sessionize" -> 1,
+    "q_topn_window" -> 1, "ts_crossings" -> 1,
+    // multi-stage but bounded
+    "q_retention" -> 2, "q_argmin" -> 2, "q4_semijoin" -> 2,
+    "ts_align_linear" -> 2, "ts_merge" -> 2,
+    "doc_dedup_minhash" -> 3, "doc_vocab" -> 3,
+    "q3_join" -> 5, "q5_multijoin" -> 6,
+    "doc_dedup_ngram_jaccard" -> 5, "doc_tfidf" -> 7)
+
+  test("no query exceeds its exchange budget") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val over = budgets.toSeq.sortBy(_._1).flatMap { case (name, budget) =>
+      val got = exchanges(name)
+      if (got > budget) Some(s"$name: $got > budget $budget") else None
+    }
+    assert(over.isEmpty, over.mkString("; "))
+  }
+}
