@@ -47,9 +47,13 @@ object Bench {
     }
 
     // The harness parses only the LAST ~2000 chars of stdout, so the JSON
-    // line must fit entirely inside that window: millisecond precision
-    // (3dp) keeps the 74-query map ~1.7k chars.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    // line must fit entirely inside that window: 10ms precision with
+    // trailing zeros stripped keeps the ~90-query map well under it.
+    def f3(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (t.isEmpty) "0" else t
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -418,6 +418,30 @@ object SparkEntry {
         "ts", Seq("user_id"), 5, tieBreak = Seq("event_id"))
     },
 
+    // distribution-rank window family: percent_rank / cume_dist /
+    // ntile per group — one shuffle on the group key, per-partition
+    // sort, no second pass
+    "q_rank_stats" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      tbl(s, dir, "orders").select(
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).as("quartile"))
+    },
+
+    // seasonal profile: per (event_type, UTC hour-of-day, ISO weekday)
+    // aggregate — calendar buckets derived arithmetically from the
+    // canonical µs epoch, one partial-agg'd shuffle to 7×24×#types rows
+    "ts_seasonal" -> { (s, dir) =>
+      val t = TimeIndex.toTimestamp(col("ts"))
+      events(s, dir).groupBy(col("event_type"),
+          hour(t).as("hod"),
+          ((dayofweek(t) + lit(5)) % 7 + lit(1)).as("dow_iso"))
+        .agg(count(lit(1)).as("n"), Aggs.avg6(col("value")).as("avg_value"))
+    },
+
     // gap detection: consecutive-event deltas above 1h (outage screen)
     "ts_gaps" -> { (s, dir) =>
       Trend.gaps(events(s, dir), "ts", Seq("user_id"), UsHour)
@@ -992,6 +1016,20 @@ object SparkEntry {
         |  FROM events)
         |SELECT cohort, act_month, count(*) AS n_users
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    "q_rank_stats" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+
+    "ts_seasonal" ->
+      """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+        |  CAST(isodow(ts) AS INTEGER) AS dow_iso,
+        |  count(*) AS n, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
 
     "ts_gaps" ->
       s"""WITH l AS (SELECT user_id, $EvUs AS tu,
