@@ -442,6 +442,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), Aggs.avg6(col("value")).as("avg_value"))
     },
 
+    // robust outliers via median absolute deviation: two tiny
+    // per-group percentile aggs (each one partial-agg'd shuffle to
+    // #groups rows) broadcast back over the scan — the robust sibling
+    // of ts_outliers' mean/stddev z-score
+    "ts_mad" -> { (s, dir) =>
+      val ev = events(s, dir).select("user_id", "ts", "event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.5)).as("med"))
+      val withMed = ev.join(broadcast(med), Seq("event_type"))
+      val mad = withMed.groupBy("event_type")
+        .agg(percentile(abs(col("value") - col("med")), lit(0.5)).as("mad"))
+      withMed.join(broadcast(mad), Seq("event_type"))
+        // filter on the RAW ratio (the oracle does too) — filtering the
+        // rounded value would disagree on ratios that round down to 3.0
+        .withColumn("__r", abs(col("value") - col("med")) / col("mad"))
+        .where(col("__r") > 3.0)
+        .select(col("event_type"), col("user_id"), col("ts"), col("value"),
+          round(col("__r"), 6).as("dev_ratio"))
+    },
+
     // gap detection: consecutive-event deltas above 1h (outage screen)
     "ts_gaps" -> { (s, dir) =>
       Trend.gaps(events(s, dir), "ts", Seq("user_id"), UsHour)
@@ -1030,6 +1050,18 @@ object SparkEntry {
         |  CAST(isodow(ts) AS INTEGER) AS dow_iso,
         |  count(*) AS n, round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "ts_mad" ->
+      s"""WITH m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+         |  FROM events GROUP BY event_type),
+         |d AS (SELECT e.event_type, e.user_id, $EvUs AS ts, e.value, m.med
+         |  FROM events e JOIN m USING (event_type)),
+         |md AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+         |  FROM d GROUP BY event_type)
+         |SELECT d.event_type, d.user_id, d.ts, d.value,
+         |  round(abs(d.value - d.med) / md.mad, 6) AS dev_ratio
+         |FROM d JOIN md USING (event_type)
+         |WHERE abs(d.value - d.med) / md.mad > 3.0""".stripMargin,
 
     "ts_gaps" ->
       s"""WITH l AS (SELECT user_id, $EvUs AS tu,
