@@ -1072,15 +1072,17 @@ object SparkEntry {
 
     // list() window frame + list_reduce: seeds with the first (oldest)
     // element then folds left — exactly Trend.ewma's aggregate() seed
-    // and order, so the float sequences are identical
+    // and order, so the float sequences are identical; µ-unit floor
+    // (round() half-ties differ across engines)
     "ts_ewma" ->
       s"""WITH l AS (SELECT user_id, $EvUs AS ts, value,
          |    list(value) OVER (PARTITION BY user_id ORDER BY $EvUs, value
          |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
          |  FROM events)
          |SELECT user_id, ts, value,
-         |  round(list_reduce(lst, (acc, x) ->
-         |    acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE)), 6) AS ewma
+         |  floor(list_reduce(lst, (acc, x) ->
+         |    acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE))
+         |    * 1000000.0) / 1000000.0 AS ewma
          |FROM l""".stripMargin,
 
     // segment areas floored to integer micro-units, summed as BIGINT —

@@ -30,6 +30,10 @@ object Trend {
     *
     * Nulls: collect_list skips them, so a null value simply drops out
     * of the window (pypond's ignore_missing convention).
+    *
+    * Output is floored to µ-units (not rounded): round() half-ties at
+    * the 6th decimal resolve differently across engines (surfaced at
+    * sf0.1 — 6 rows in 100k), floor has no tie.
     */
   def ewma(df: DataFrame, tsCol: String, valCol: String, keyCols: Seq[String],
            alpha: Double = 0.3, span: Int = 20, out: String = "ewma"): DataFrame = {
@@ -38,12 +42,12 @@ object Trend {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(valCol))
       .rowsBetween(-(span - 1), 0)
+    val fold = aggregate(
+      slice(col("__l"), lit(2), greatest(size(col("__l")) - 1, lit(0))),
+      element_at(col("__l"), 1),
+      (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha))
     df.withColumn("__l", collect_list(col(valCol)).over(w))
-      .withColumn(out,
-        round(aggregate(
-          slice(col("__l"), lit(2), greatest(size(col("__l")) - 1, lit(0))),
-          element_at(col("__l"), 1),
-          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)), 6))
+      .withColumn(out, floor(fold * lit(1e6)) / lit(1e6))
       .drop("__l")
   }
 

@@ -21,12 +21,10 @@ object StreamEwma {
   final case class Hist(vals: Seq[Double])
   final case class EwmaOut(user_id: Long, ts: Long, value: Double, ewma: Double)
 
-  /** Matches Spark's round(col, 6) on doubles: BigDecimal via the
-    * canonical string repr, HALF_UP.
+  /** µ-unit floor — Trend.ewma's output contract (tie-free across
+    * engines, unlike round()).
     */
-  private def round6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+  private def floor6(x: Double): Double = math.floor(x * 1e6) / 1e6
 
   def apply(spark: SparkSession, events: Dataset[Ev],
             alpha: Double = 0.3, span: Int = 20): Dataset[EwmaOut] = {
@@ -41,7 +39,7 @@ object StreamEwma {
       val out = sorted.map { e =>
         hist = (hist :+ e.value).takeRight(span)
         val ew = hist.tail.foldLeft(hist.head)((acc, x) => acc * keep + x * alpha)
-        EwmaOut(user, e.ts, e.value, round6(ew))
+        EwmaOut(user, e.ts, e.value, floor6(ew))
       }
       state.update(Hist(hist))
       out.iterator

@@ -31,7 +31,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_ewma" -> 1, "ts_gaps" -> 1, "ts_integral" -> 1,
     "ts_asof_lookup" -> 1, "q_events_sessionize" -> 1,
     "q_topn_window" -> 1, "ts_crossings" -> 1,
+    "q_rank_stats" -> 1, "ts_seasonal" -> 1, "doc_shard" -> 1,
+    "ts_agg_approx" -> 1,
     // multi-stage but bounded
+    "emb_quantize" -> 3, "ts_mad" -> 6,
     "q_retention" -> 2, "q_argmin" -> 2, "q4_semijoin" -> 2,
     "ts_align_linear" -> 2, "ts_merge" -> 2,
     "doc_dedup_minhash" -> 3, "doc_vocab" -> 3,

@@ -30,8 +30,9 @@ class TrendSpec extends AnyFunSuite {
     val s1 = 10.0
     val s2 = s1 * 0.7 + 20.0 * 0.3
     val s3 = s2 * 0.7 + 30.0 * 0.3
-    def r6(x: Double) = math.rint(x * 1e6) / 1e6
-    assert(got.toSeq == Seq(r6(s1), r6(s2), r6(s3)))
+    // µ-unit floor: the operator's tie-free output contract
+    def f6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got.toSeq == Seq(f6(s1), f6(s2), f6(s3)))
   }
 
   test("ewma window bound: only the trailing `span` rows contribute") {
