@@ -222,29 +222,32 @@ object TextOps {
     * the shuffle carries (token, partial tf, doc_id-distinct partials),
     * never document text.
     *
-    * The global top-k is two-phase so no single task ever holds the
-    * whole vocabulary: each partition of the aggregated stats keeps its
-    * local top-k (any partition's winner set is a superset of its
-    * contribution to the global winners), then the final unpartitioned
-    * rank window sees at most numPartitions*k rows — constant-size at
-    * any corpus scale.
+    * The global top-k is `orderBy(...).limit(k)` — Spark plans it as
+    * TakeOrderedAndProject (per-partition top-k, driver merges k rows
+    * per partition), so no task ever sorts the whole vocabulary and no
+    * single-partition window stage exists. Ranks are then assigned to
+    * the k survivors by counting strictly-better rows via a broadcast
+    * self-join — k² comparisons on k=50 rows, no WindowExec at all.
+    * (tf, token) is a total order (tokens are distinct after the agg),
+    * so both the limit and the ranks are deterministic.
     */
   def vocab(df: DataFrame, topK: Int = 50): DataFrame = {
     val exploded = df.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val stats = exploded.groupBy("token").agg(
       count(lit(1)).as("tf"),
       countDistinct(col("doc_id")).as("df_docs"))
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy(spark_partition_id())
-      .orderBy(col("tf").desc, col("token"))
-    val pruned = stats
-      .withColumn("__lrk", row_number().over(localW))
-      .where(col("__lrk") <= topK)
-      .drop("__lrk")
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("tf").desc, col("token"))
-    pruned.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
+    // lazy checkpoint: the k-row winner set materializes once when the
+    // query runs (no construction-time job) and both sides of the rank
+    // self-join read it — the corpus is scanned and aggregated ONCE
+    val top = stats.orderBy(col("tf").desc, col("token")).limit(topK)
+      .localCheckpoint(false)
+    val better = top.select(col("tf").as("__btf"), col("token").as("__btok"))
+    top.join(broadcast(better),
+        col("__btf") > col("tf")
+          || (col("__btf") === col("tf") && col("__btok") < col("token")),
+        "left")
+      .groupBy("token", "tf", "df_docs")
+      .agg((count(col("__btok")) + 1).cast("int").as("rank"))
       .select("rank", "token", "tf", "df_docs")
   }
 
