@@ -193,6 +193,31 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // salted two-stage aggregation — the skew-mitigation pattern for
+    // heavy-hitter group keys: a handful of event_types over billions
+    // of rows would reduce on #distinct-keys partitions under a plain
+    // groupBy; salting (event_id mod 16) spreads every key across 16
+    // reducers for the expensive pass, then the final combine
+    // re-aggregates 16 sub-rows per key. sum/min/max/count re-combine
+    // losslessly (decimal sums are order-independent), avg derives
+    // from sum/n — the result is bit-identical to the plain GROUP BY
+    // the oracle runs
+    "q_skew_salted" -> { (s, dir) =>
+      val salted = events(s, dir)
+        .withColumn("__salt", pmod(col("event_id"), lit(16L)))
+        .groupBy(col("event_type"), col("__salt"))
+        .agg(count(lit(1)).as("pn"),
+          Aggs.sumExact(col("value")).as("psum"),
+          min(col("value")).as("pmin"),
+          max(col("value")).as("pmax"))
+      salted.groupBy("event_type")
+        .agg(sum(col("pn")).as("n"),
+          sum(col("psum")).cast("double").as("sum_value"),
+          min(col("pmin")).as("min_value"),
+          max(col("pmax")).as("max_value"))
+        .withColumn("avg_value", round(col("sum_value") / col("n"), 6))
+    },
+
     // scale-path approximations (NO DuckDB oracle — sketch internals
     // are engine-specific, driver records the rows-only check): GK
     // percentile sketch + HLL++ distinct count, both fixed-size
@@ -246,6 +271,21 @@ object SparkEntry {
         Aggs.percentileMethod(col("value"), 0.9, "higher").as("p90_higher"),
         Aggs.percentileMethod(col("value"), 0.9, "nearest").as("p90_nearest"),
         Aggs.percentileMidpoint6(col("value"), 0.9).as("p90_midpoint"))
+    },
+
+    // fixed-width value histogram per event_type: pure floor/clamp
+    // arithmetic scan-side, ONE partial-agg'd shuffle whose reduce
+    // side is #types × #buckets rows at any corpus scale
+    "ts_hist" -> { (s, dir) =>
+      val b = least(greatest(floor(col("value") / 25), lit(0)), lit(19))
+        .cast("int")
+      events(s, dir)
+        .groupBy(col("event_type"), b.as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("bucket"),
+          (col("bucket") * 25).cast("double").as("lo"),
+          ((col("bucket") + 1) * 25).cast("double").as("hi"),
+          col("n"))
     },
 
     "ts_agg_filters" -> { (s, dir) =>
@@ -477,6 +517,12 @@ object SparkEntry {
     // trapezoidal integral per (series, hour) — the inverse of rate
     "ts_integral" -> { (s, dir) =>
       Trend.integral(events(s, dir), "ts", "value", Seq("user_id"), "1h")
+    },
+
+    // LTTB downsampling (parallel bucket-mean-anchor variant): one
+    // visually-representative point per (series, day)
+    "ts_lttb" -> { (s, dir) =>
+      Trend.lttb(events(s, dir), "ts", "value", Seq("user_id"), "1d")
     },
 
     // --- §2.4 shaping ----------------------------------------------
@@ -1096,7 +1142,59 @@ object SparkEntry {
          |  CAST(sum(CAST(floor((pv + value) / 2.0 * (tu - pt) / 1000000.0
          |    * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS area,
          |  count(*) AS n_segments
-         |FROM l WHERE pt IS NOT NULL GROUP BY 1, 2""".stripMargin
+         |FROM l WHERE pt IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    // the salted two-stage agg must equal the PLAIN group-by — the
+    // oracle is deliberately the unsalted form; avg derives from the
+    // exact decimal sum on both sides (not avg()) so the re-combined
+    // double is bit-identical
+    "q_skew_salted" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*), 6) AS avg_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "ts_hist" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(least(greatest(floor(value / 25), 0), 19) AS INTEGER)
+        |      AS bucket
+        |  FROM events)
+        |SELECT event_type, bucket,
+        |  CAST(bucket * 25 AS DOUBLE) AS lo,
+        |  CAST((bucket + 1) * 25 AS DOUBLE) AS hi,
+        |  count(*) AS n
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // parallel LTTB: anchors are exact (bucket-midpoint x, decimal-mean
+    // y) so the triangle-area argmax is the same IEEE arithmetic on
+    // both engines; first/last buckets keep earliest/latest point
+    "ts_lttb" ->
+      s"""WITH b AS (SELECT user_id, $EvUs AS tus, value,
+         |    $EvUs // 86400000000 AS bkt FROM events),
+         |m AS (SELECT user_id, bkt,
+         |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+         |      AS ay
+         |  FROM b GROUP BY 1, 2),
+         |a AS (SELECT user_id, bkt,
+         |    lag(bkt) OVER w AS pb, lag(ay) OVER w AS pay,
+         |    lead(bkt) OVER w AS nb, lead(ay) OVER w AS nay
+         |  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY bkt)),
+         |j AS (SELECT b.user_id, b.bkt, b.tus, b.value,
+         |    CAST(a.pb * 86400000000 + 43200000000 AS DOUBLE) AS ax, a.pay,
+         |    CAST(a.nb * 86400000000 + 43200000000 AS DOUBLE) AS cx, a.nay
+         |  FROM b JOIN a ON b.user_id = a.user_id AND b.bkt = a.bkt),
+         |r AS (SELECT user_id, bkt, tus, value,
+         |    row_number() OVER (PARTITION BY user_id, bkt ORDER BY
+         |      CASE WHEN pay IS NULL THEN CAST(tus AS DOUBLE)
+         |           WHEN nay IS NULL THEN -CAST(tus AS DOUBLE)
+         |           ELSE -abs((ax - cx) * (value - pay)
+         |             - (ax - CAST(tus AS DOUBLE)) * (nay - pay))
+         |      END, tus, value) AS rn
+         |  FROM j)
+         |SELECT user_id, bkt AS bucket, tus AS ts, value
+         |FROM r WHERE rn = 1""".stripMargin
   )
 
   // ----------------------------------------------- §2.8 training-data ops

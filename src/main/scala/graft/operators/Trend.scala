@@ -66,6 +66,58 @@ object Trend {
         (col(tsCol) - col("__prev")).as("gap_us")): _*)
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling, parallel variant:
+    * one representative point per (series, time bucket), chosen to
+    * maximize the triangle area against the NEIGHBOR BUCKET MEAN
+    * anchors. Classic sequential LTTB anchors on the previously
+    * *selected* point — an inherently serial recurrence; anchoring on
+    * the previous bucket's mean (the standard parallelization, and
+    * LTTB's own right-anchor choice) makes every bucket independent,
+    * so the whole downsample is two shuffles at any scale: one
+    * (key, bucket) agg for the means + one window over the means
+    * frame (#buckets rows), and the join back to pick argmax.
+    *
+    * Determinism across engines: anchors use exact arithmetic — x is
+    * the bucket MIDPOINT (integer µs, not a float mean), y is the
+    * exact decimal mean surfaced as double — and the area compare
+    * breaks ties by (ts, value), so the argmax is bit-reproducible.
+    * First/last buckets (no prev/next anchor) keep their earliest/
+    * latest point, mirroring LTTB's fixed endpoints.
+    *
+    * Output: keyCols, bucket, tsCol, valCol.
+    */
+  def lttb(df: DataFrame, tsCol: String, valCol: String,
+           keyCols: Seq[String], win: String): DataFrame = {
+    val winUs = TimeIndex.durationUs(win)
+    val half = winUs / 2L
+    val keyC = keyCols.map(col)
+    val pts = df.select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .withColumn("__b", TimeIndex.posOf(col(tsCol), win))
+    val means = pts.groupBy(keyC :+ col("__b"): _*)
+      .agg((sum(col(valCol).cast(graft.functions.Aggs.SumDec)).cast("double")
+        / count(lit(1))).as("__ay"))
+    val mw = Window.partitionBy(keyC: _*).orderBy(col("__b"))
+    val anchored = means.select(keyC ++ Seq(col("__b"),
+      lag(col("__b"), 1).over(mw).as("__pb"),
+      lag(col("__ay"), 1).over(mw).as("__pay"),
+      lead(col("__b"), 1).over(mw).as("__nb"),
+      lead(col("__ay"), 1).over(mw).as("__nay")): _*)
+    val px = col(tsCol).cast("double")
+    val ax = (col("__pb") * lit(winUs) + lit(half)).cast("double")
+    val cx = (col("__nb") * lit(winUs) + lit(half)).cast("double")
+    val area = abs((ax - cx) * (col(valCol) - col("__pay"))
+      - (ax - px) * (col("__nay") - col("__pay")))
+    val sortKey = when(col("__pay").isNull, px)
+      .when(col("__nay").isNull, -px)
+      .otherwise(-area)
+    val aw = Window.partitionBy(keyC :+ col("__b"): _*)
+      .orderBy(sortKey, col(tsCol), col(valCol))
+    pts.join(anchored, keyCols :+ "__b")
+      .withColumn("__rn", row_number().over(aw))
+      .where(col("__rn") === 1)
+      .select(keyC ++ Seq(col("__b").as("bucket"), col(tsCol), col(valCol)): _*)
+  }
+
   /** Trapezoidal integral of a series per calendar window — the inverse
     * of Rate: area = Σ (v_prev + v_cur)/2 · Δt_seconds over consecutive
     * pairs, each pair attributed to the window of its LEFT endpoint.

@@ -32,7 +32,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_asof_lookup" -> 1, "q_events_sessionize" -> 1,
     "q_topn_window" -> 1, "ts_crossings" -> 1,
     "q_rank_stats" -> 1, "ts_seasonal" -> 1, "doc_shard" -> 1,
-    "ts_agg_approx" -> 1,
+    "ts_agg_approx" -> 1, "ts_hist" -> 1,
+    // salted skew agg: 1 (key, salt) shuffle + 1 tiny re-combine
+    "q_skew_salted" -> 2,
+    // lttb: (key,bucket) agg + means window + join-back argmax window
+    "ts_lttb" -> 3,
     // multi-stage but bounded
     "emb_quantize" -> 3, "ts_mad" -> 6,
     "q_retention" -> 2, "q_argmin" -> 2, "q4_semijoin" -> 2,

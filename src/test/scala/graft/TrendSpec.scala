@@ -77,6 +77,37 @@ class TrendSpec extends AnyFunSuite {
     assert(r.length == 1 && r.head.getString(1) == "1h-0")
     assert(r.head.getDouble(2) == 20.0)
   }
+
+  test("lttb keeps first/last endpoints and the max-area interior point") {
+    import spark.implicits._
+    // three 1m buckets: [0,60)s has (5,10.0),(50,99.0); [60,120)s has
+    // three candidates; [120,180)s has (130,7.0),(140,8.0)
+    val df = Seq(
+      (1L, us(5), 10.0), (1L, us(50), 99.0),
+      (1L, us(70), 1.0), (1L, us(80), -5.0), (1L, us(90), 2.0),
+      (1L, us(130), 7.0), (1L, us(140), 8.0)).toDF("k", "ts", "v")
+    val got = Trend.lttb(df, "ts", "v", Seq("k"), "1m").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // first bucket -> earliest point; last bucket -> latest point.
+    // middle bucket: anchors are the neighbor bucket means, both ~y=54.5
+    // and 7.5 — the point maximizing the triangle area is the -5.0
+    // outlier (largest vertical distance from the anchor chord)
+    assert(got == Set((0L, us(5), 10.0), (1L, us(80), -5.0),
+      (2L, us(140), 8.0)))
+  }
+
+  test("lttb emits exactly one point per non-empty (key, bucket)") {
+    import spark.implicits._
+    val rows = for (k <- 1L to 3L; i <- 0 until 50)
+      yield (k, us(i * 7L), math.sin(i * 0.3) * k)
+    val got = Trend.lttb(rows.toDF("k", "ts", "v"), "ts", "v", Seq("k"), "1m")
+    val buckets = rows.map(r => (r._1, r._2 / us(60))).distinct.size
+    assert(got.count() == buckets)
+    // idempotent re-plan: deterministic under re-execution
+    assert(got.collect().toSet ==
+      Trend.lttb(rows.toDF("k", "ts", "v"), "ts", "v", Seq("k"), "1m")
+        .collect().toSet)
+  }
 }
 
 class StreamEwmaSpec extends AnyFunSuite {
