@@ -1331,6 +1331,31 @@ object SparkEntry {
       Knn.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
     },
 
+    // ANN index quality evaluation: recall@3 of the LSH and IVF scale
+    // paths against brute-force ground truth on the same query set —
+    // the number that decides whether an approximate index is usable
+    // before pointing it at the full corpus. Each leg is the existing
+    // operator unchanged; the eval is a left join on (query, neighbor)
+    // + one global agg
+    "emb_ann_recall" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
+        .select("query_id", "neighbor_id")
+      def evalOf(approx: DataFrame, method: String): DataFrame =
+        truth.join(
+            approx.select(col("query_id"), col("neighbor_id"))
+              .withColumn("__h", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+            round(count(col("__h")).cast("double") / count(lit(1)), 6)
+              .as("recall"))
+          .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
+            col("recall"))
+      evalOf(Knn.lshTopK(emb, q, EmbDim, 3), "lsh")
+        .unionByName(evalOf(Knn.ivfTopK(emb, q, EmbDim, 3), "ivf"))
+    },
+
     "emb_label_centroid" -> { (s, dir) =>
       Knn.centroids(tbl(s, dir, "embeddings"), "label")
     },
@@ -1448,10 +1473,32 @@ object SparkEntry {
       s"i -> CAST($v[i] AS DOUBLE) * CAST((${j + 1} * 73856093 + i * 19349663) " +
       s"% 2000001 - 1000000 AS DOUBLE))), (x,y) -> x+y)"
 
-  private def sqlBucket(v: String, nPlanes: Int): String =
+  private def sqlBucket(v: String, nPlanes: Int, offset: Int = 0): String =
     (0 until nPlanes).map { j =>
-      s"(CASE WHEN ${sqlPlaneDot(v, j)} > 0 THEN ${1L << j} ELSE 0 END)"
+      s"(CASE WHEN ${sqlPlaneDot(v, offset + j)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Multi-table LSH candidate CTEs (lb/lq/lc/lj) — shared VERBATIM by
+    * the emb_knn_lsh oracle and emb_ann_recall's lsh leg so the index
+    * and its eval cannot drift; mirrors Knn.lshTopK (4 tables x 4
+    * planes, plane set t at offset 4t, max() pair dedup).
+    */
+  private val LshPlanes = 4
+  private val LshTables = 4
+  private def sqlLshCtes: String = {
+    val lb = (0 until LshTables).map(t =>
+      s"SELECT vec_id, embedding, $t AS tb,\n    " +
+        s"${sqlBucket("embedding", LshPlanes, t * LshPlanes)} AS bk " +
+        "FROM embeddings").mkString("\n  UNION ALL ")
+    s"""lb AS ($lb),
+       |lq AS (SELECT vec_id AS query_id, embedding AS qv, tb, bk FROM lb
+       |  WHERE vec_id % 100 = 0),
+       |lc AS (SELECT vec_id AS neighbor_id, embedding AS nv, tb, bk FROM lb),
+       |lj0 AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
+       |  FROM lc JOIN lq USING (tb, bk) WHERE neighbor_id <> query_id),
+       |lj AS (SELECT query_id, neighbor_id, max(cos) AS cos FROM lj0
+       |  GROUP BY 1, 2)""".stripMargin
+  }
 
   private def dataOracles: Map[String, String] = Map(
     "doc_dedup_exact" ->
@@ -1722,18 +1769,12 @@ object SparkEntry {
          |FROM r WHERE rank <= 5""".stripMargin,
 
     "emb_knn_lsh" ->
-      s"""WITH b AS (SELECT vec_id, embedding,
-         |    ${sqlBucket("embedding", 6)} AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
-         |  WHERE vec_id % 100 = 0),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, bucket FROM b),
-         |j AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
-         |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
-         |r AS (SELECT query_id, neighbor_id, cos,
+      s"""WITH $sqlLshCtes,
+         |lr AS (SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM lj)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
-         |FROM r WHERE rank <= 3""".stripMargin,
+         |FROM lr WHERE rank <= 3""".stripMargin,
 
     "emb_knn_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec,
@@ -1763,6 +1804,64 @@ object SparkEntry {
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // the three index legs are verbatim re-statements of the
+    // emb_knn_{brute,lsh,ivf} oracle chains at k=3 (same helpers, same
+    // tie-breaks), so the recall eval cannot drift from the indexes it
+    // measures
+    "emb_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |bj AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |br AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM bj),
+         |brute AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 3),
+         |$sqlLshCtes,
+         |lr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM lj),
+         |lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rk <= 3),
+         |cents AS (SELECT vec_id AS cid, embedding AS cvec,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
+         |  FROM embeddings WHERE vec_id % 37 = 1),
+         |c0 AS (SELECT vec_id AS neighbor_id, embedding AS nv,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS nn FROM embeddings),
+         |ca AS (SELECT neighbor_id, nv, nn, cid,
+         |    row_number() OVER (PARTITION BY neighbor_id
+         |      ORDER BY ${sqlDot("nv", "cvec")} / (nn * cn) DESC, cid) AS crk
+         |  FROM c0, cents),
+         |ccell AS (SELECT neighbor_id, nv, nn, cid FROM ca WHERE crk <= 1),
+         |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |qa AS (SELECT query_id, qv, qn, cid,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY ${sqlDot("qv", "cvec")} / (qn * cn) DESC, cid) AS crk
+         |  FROM q0, cents),
+         |qcell AS (SELECT query_id, qv, qn, cid FROM qa WHERE crk <= 2),
+         |ij AS (SELECT query_id, neighbor_id,
+         |    ${sqlDot("qv", "nv")} / (qn * nn) AS cos
+         |  FROM ccell JOIN qcell USING (cid) WHERE neighbor_id <> query_id),
+         |ir AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM ij),
+         |ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rk <= 3)
+         |SELECT 'lsh' AS method, count(*) AS n_truth,
+         |  count(l.query_id) AS n_hits,
+         |  round(CAST(count(l.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM brute b LEFT JOIN lsh l
+         |  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT 'ivf' AS method, count(*) AS n_truth,
+         |  count(i.query_id) AS n_hits,
+         |  round(CAST(count(i.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM brute b LEFT JOIN ivf i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY 1""".stripMargin,
 
     "emb_label_centroid" ->
       s"""WITH e AS (SELECT label,

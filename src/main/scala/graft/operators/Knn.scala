@@ -73,26 +73,41 @@ object Knn {
   def planeComponent(j: Int, i: Int): Long =
     ((j + 1L) * 73856093L + i * 19349663L) % 2000001L - 1000000L
 
-  /** LSH ANN: bucket every vector, join queries to same-bucket corpus
-    * rows, rank by exact cosine within the bucket.
+  /** Multi-table random-hyperplane LSH ANN: `nTables` independent
+    * plane sets (tables); a candidate is any corpus row sharing a
+    * (table, bucket) cell with the query in AT LEAST one table, ranked
+    * by exact cosine after dedup. Tables are THE recall dial: a pair
+    * with per-plane agreement p collides with probability
+    * 1-(1-p^nPlanes)^nTables, so adding tables buys recall linearly in
+    * shuffle volume (each row materializes nTables (table, bucket)
+    * entries — vectors are hashed scan-side, and the shuffle carries
+    * (table, bucket, id, vec), never the corpus cross product).
+    * Single-table LSH at realistic plane counts has near-zero top-k
+    * recall on spread-out embeddings — measured by `emb_ann_recall`.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              nPlanes: Int = 6, idCol: String = "vec_id",
+              nPlanes: Int = 4, nTables: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
-    val bucketOf = (v: Column) => bucketCode(v, dim, nPlanes)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      bucketOf(col(vecCol)).as("bucket"),
-      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      bucketOf(col(vecCol)).as("bucket"),
-      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
-    val joined = c.join(q, Seq("bucket"))
+    def buckets(v: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("tb"), bucketCode(v, dim, nPlanes, t * nPlanes).as("bk"))
+    }: _*)
+    def side(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          sqrt(dot(col(vecCol), col(vecCol), dim)).as(norm),
+          explode(buckets(col(vecCol))).as("tbk"))
+        .select(col(id), col(vec), col(norm),
+          col("tbk.tb").as("tb"), col("tbk.bk").as("bk"))
+    val cand = side(corpus, "neighbor_id", "nvec", "nn")
+      .join(side(queries, "query_id", "qvec", "qn"), Seq("tb", "bk"))
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+      // the same pair collides in several tables; cos is identical on
+      // every copy, so max() is pure dedup (map-side combinable)
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    joined.withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
@@ -107,10 +122,13 @@ object Knn {
             - lit(1000000L)).cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Sign-bucket code (bit j set when dot(v, plane_j) > 0). */
-  def bucketCode(vec: Column, dim: Int, nPlanes: Int): Column =
+  /** Sign-bucket code (bit j set when dot(v, plane_{offset+j}) > 0);
+    * `offset` selects the plane set, giving each LSH table independent
+    * hyperplanes from the same deterministic family.
+    */
+  def bucketCode(vec: Column, dim: Int, nPlanes: Int, offset: Int = 0): Column =
     (0 until nPlanes).map { j =>
-      when(planeDot(vec, dim, j) > 0, lit(1L << j)).otherwise(lit(0L))
+      when(planeDot(vec, dim, offset + j) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Per-group embedding centroids (e.g. class prototypes for
