@@ -1340,8 +1340,10 @@ object SparkEntry {
     "emb_ann_recall" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 100 === 0)
+      // lazy checkpoint: the tiny ground-truth set materializes once
+      // and both method legs read it (no second brute-force pass)
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id").localCheckpoint(false)
       def evalOf(approx: DataFrame, method: String): DataFrame =
         truth.join(
             approx.select(col("query_id"), col("neighbor_id"))
@@ -1370,6 +1372,10 @@ object SparkEntry {
 
     "emb_quantize" -> { (s, dir) =>
       Knn.quantizeInt8(tbl(s, dir, "embeddings"))
+    },
+
+    "emb_pq" -> { (s, dir) =>
+      Knn.pqCodes(tbl(s, dir, "embeddings"), EmbDim)
     },
 
     "mm_meta" -> { (s, dir) =>
@@ -1918,6 +1924,30 @@ object SparkEntry {
          |      * CAST(255.0 AS DOUBLE)) AS INTEGER) END AS VARCHAR)), ',')
          |  AS codes
          |FROM embeddings, a""".stripMargin,
+
+    // PQ: subspace s covers 1-based dims [16s+1, 16s+16]; DuckDB
+    // range(a,b) is b-exclusive so the bounds match Spark's inclusive
+    // sequence; the err2 fold runs in subspace order on both sides
+    "emb_pq" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+         |    FROM embeddings WHERE vec_id % 67 = 1),
+         |p AS (SELECT e.vec_id, s.s, c.cid,
+         |    list_reduce(list_prepend(0.0,
+         |      list_transform(range(s.s * 16 + 1, s.s * 16 + 17),
+         |        i -> (CAST(e.embedding[i] AS DOUBLE)
+         |                - CAST(c.cvec[i] AS DOUBLE))
+         |             * (CAST(e.embedding[i] AS DOUBLE)
+         |                - CAST(c.cvec[i] AS DOUBLE)))),
+         |      (x, y) -> x + y) AS dist
+         |  FROM embeddings e, cents c,
+         |    (SELECT unnest(range(4)) AS s) s),
+         |r AS (SELECT vec_id, s, cid, dist, row_number() OVER (
+         |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM p)
+         |SELECT vec_id,
+         |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
+         |    (x, y) -> x + y), 6) AS err2
+         |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin,
 
     "doc_pipeline" -> {
       def lst(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")

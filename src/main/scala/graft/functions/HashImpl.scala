@@ -148,4 +148,22 @@ object HashImpl {
     }
     acc
   }
+
+  /** Squared L2 distance over the 0-based element range
+    * [from, from+len) of two float vectors, each element widened to
+    * double before the subtract — the PQ subspace distance. Same
+    * left-fold order as the (a[i]-b[i])*(a[i]-b[i]) HOF/oracle fold,
+    * so bit-identical.
+    */
+  def vecSubL2(a: ArrayData, b: ArrayData, from: Int, len: Int): Double = {
+    val end = math.min(math.min(a.numElements(), b.numElements()), from + len)
+    var acc = 0.0
+    var i = from
+    while (i < end) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }

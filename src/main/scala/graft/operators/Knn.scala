@@ -176,6 +176,49 @@ object Knn {
         })).as("codes"))
   }
 
+  /** Product quantization: split the vector into `m` contiguous
+    * subspaces, code each subvector as its nearest (L2) centroid from a
+    * deterministic every-Nth codebook — the memory layout behind
+    * IVF-PQ serving (m bytes per vector instead of 4*dim). Returns
+    * (id, codes CSV ordered by subspace, err2 = summed squared
+    * quantization error).
+    *
+    * Scale shape: the codebook is broadcast; distances are computed
+    * scan-side against the exploded (vector, subspace, centroid)
+    * triple, and the per-subspace argmin is min(struct(dist, cid)) —
+    * an ordinary partial-aggregable min, so the shuffle carries m rows
+    * per vector (not m*k candidates) and no window sort exists. err2
+    * folds the m subspace errors in subspace order, so the double is
+    * bit-reproducible.
+    */
+  def pqCodes(emb: DataFrame, dim: Int, m: Int = 4, centroidEvery: Int = 67,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val cents = emb.where(col(idCol) % centroidEvery === 1)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+    // native subspace distance (graft VecSubL2): one tight loop per
+    // (vector, centroid, subspace) instead of a lambda per element;
+    // bit-identical to the HOF fold (parity-spec-enforced)
+    val dist = org.apache.spark.sql.graft.GraftExpressions
+      .vec_sub_l2(col("v"), col("cvec"), col("s"), subDim)
+    emb.select(col(idCol), col(vecCol).as("v"))
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", dist)
+      .groupBy(col(idCol), col("s"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"),
+        col("best.cid").as("cid"), col("best.dist").as("dist")))).as("arr"))
+      .select(col(idCol),
+        concat_ws(",",
+          transform(col("arr"), x => x.getField("cid").cast("string")))
+          .as("codes"),
+        round(aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("dist")), 6).as("err2"))
+  }
+
   // --- IVF (inverted-file) ANN ---------------------------------------
 
   /** IVF flat index with deterministic sampled centroids: every

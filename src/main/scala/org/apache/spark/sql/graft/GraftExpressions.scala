@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -82,6 +82,27 @@ case class VecDotD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Squared L2 over subspace `s` (third child) of two float vectors:
+  * elements [s*len, (s+1)*len), each widened to double — the product
+  * quantization distance, one tight loop per (vector, centroid, s).
+  */
+case class VecSubL2(first: Expression, second: Expression,
+                    third: Expression, len: Int)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType), IntegerType)
+  override def nullSafeEval(a: Any, b: Any, s: Any): Any =
+    graft.functions.HashImpl.vecSubL2(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], s.asInstanceOf[Int] * len, len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, s) =>
+      s"graft.functions.HashImpl.vecSubL2($a, $b, $s * $len, $len)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): VecSubL2 =
+    copy(first = f, second = s, third = t)
+}
+
 object GraftExpressions {
   def poly_hash(c: Column): Column = Bridge.toCol(PolyHash(Bridge.toExpr(c)))
   def shingle_hashes(tokens: Column, n: Int): Column =
@@ -90,6 +111,9 @@ object GraftExpressions {
     Bridge.toCol(VecDot(Bridge.toExpr(a), Bridge.toExpr(b)))
   def vec_dot_d(a: Column, b: Column): Column =
     Bridge.toCol(VecDotD(Bridge.toExpr(a), Bridge.toExpr(b)))
+  def vec_sub_l2(a: Column, b: Column, s: Column, len: Int): Column =
+    Bridge.toCol(VecSubL2(Bridge.toExpr(a), Bridge.toExpr(b),
+      Bridge.toExpr(s), len))
   def simhash24(tokens: Column): Column =
     Bridge.toCol(SimHash24(Bridge.toExpr(tokens)))
 

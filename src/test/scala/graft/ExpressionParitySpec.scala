@@ -55,6 +55,27 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("VecSubL2 == HOF subspace fold on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select($"embedding".as("a"))
+      .crossJoin(emb.limit(3).select($"embedding".as("b")))
+      .withColumn("s", explode(sequence(lit(0), lit(3))))
+    val subDim = 16
+    val hof = aggregate(
+      transform(sequence($"s" * subDim + 1, ($"s" + 1) * subDim),
+        i => {
+          val d = element_at($"a", i).cast("double") -
+            element_at($"b", i).cast("double")
+          d * d
+        }),
+      lit(0.0), (acc, x) => acc + x)
+    val bad = pairs.select(
+      org.apache.spark.sql.graft.GraftExpressions
+        .vec_sub_l2($"a", $"b", $"s", subDim).as("n"),
+      hof.as("h")).where($"n" =!= $"h")
+    assert(bad.isEmpty)
+  }
+
   test("poly_hash / vec_dot registered for SQL use") {
     org.apache.spark.sql.graft.GraftExpressions.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0) ==

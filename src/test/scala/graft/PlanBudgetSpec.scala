@@ -39,6 +39,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_lttb" -> 3,
     // multi-stage but bounded
     "emb_quantize" -> 3, "ts_mad" -> 6,
+    // pq: broadcast codebook + two partial-agged shuffles (no window)
+    "emb_pq" -> 3,
     "q_retention" -> 2, "q_argmin" -> 2, "q4_semijoin" -> 2,
     "ts_align_linear" -> 2, "ts_merge" -> 2,
     // doc_vocab: the corpus-scale agg + TakeOrderedAndProject live in a

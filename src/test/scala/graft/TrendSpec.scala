@@ -110,6 +110,43 @@ class TrendSpec extends AnyFunSuite {
   }
 }
 
+class StreamFillSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming pad fill equals batch Fill.pad exactly (fillLimit honored)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // dedup equal (user, ts) rows first: pad's output on a tie depends
+    // on which duplicate the window scan sees last, which is exactly
+    // the nondeterminism ts_dedup exists to remove
+    val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .groupBy($"user_id", $"ts").agg(min($"value").as("value"))
+      .withColumn("value", when($"value" < 5.0, lit(null)).otherwise($"value"))
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_sfill").toString
+    base.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(base.schema).parquet(dir)
+      .as[graft.streaming.StreamFill.Ev]
+    val q = graft.streaming.StreamFill(spark, stream, fillLimit = Some(2))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sfill_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sfill_test").select($"user_id", $"ts", $"value")
+
+    val want = graft.operators.Fill.pad(base, "ts", Seq("value"),
+      Seq("user_id"), Some(2)).select($"user_id", $"ts", $"value")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the limit must actually bite somewhere for this to test anything
+    val unlimited = graft.operators.Fill.pad(base, "ts", Seq("value"),
+      Seq("user_id"), None).select($"user_id", $"ts", $"value")
+    assert(want.where($"value".isNull).count() >
+      unlimited.where($"value".isNull).count())
+  }
+}
+
 class StreamEwmaSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
