@@ -193,6 +193,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // ordered conversion funnel (view -> click within 1d -> purchase
+    // within another 1d) per user: three stacked full-partition window
+    // mins over ONE user-keyed shuffle (each stage's earliest
+    // qualifying timestamp conditions on the previous stage's), then a
+    // per-user collapse and a single global row — no self-joins, no
+    // event_type × event_type blowup
+    "q_funnel" -> { (s, dir) =>
+      val wU = Window.partitionBy(col("user_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(wU))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1")
+            && col("ts") <= col("t1") + UsDay, col("ts"))).over(wU))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2")
+            && col("ts") <= col("t2") + UsDay, col("ts"))).over(wU))
+        .groupBy("user_id")
+        .agg(min("t1").as("t1"), min("t2").as("t2"), min("t3").as("t3"))
+        .agg(count(col("t1")).as("n_view"), count(col("t2")).as("n_click"),
+          count(col("t3")).as("n_buy"),
+          round(count(col("t3")).cast("double") / count(col("t1")), 6)
+            .as("conv"))
+    },
+
     // salted two-stage aggregation — the skew-mitigation pattern for
     // heavy-hitter group keys: a handful of event_types over billions
     // of rows would reduce on #distinct-keys partitions under a plain
@@ -427,6 +453,14 @@ object SparkEntry {
         (round(col("value_rate"), 6) + lit(0.0)).as("rate"),
         (round(when(col("value_rate") < 0, lit(null)).otherwise(col("value_rate")), 6)
           + lit(0.0)).as("rate_nonneg"))
+    },
+
+    // reset-aware counter rate (SNMP-style monotonic counters): a
+    // decrease means the counter restarted, so the new value IS the
+    // delta — the op pypond users approximate with allow_negative=false
+    "ts_counter_rate" -> { (s, dir) =>
+      Rate.counter(events(s, dir).where(col("event_type") === "click"),
+        "ts", "value", Seq("user_id"))
     },
 
     "ts_fill_zero" -> { (s, dir) =>
@@ -1143,6 +1177,36 @@ object SparkEntry {
          |    * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS area,
          |  count(*) AS n_segments
          |FROM l WHERE pt IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "ts_counter_rate" ->
+      s"""WITH s AS (SELECT user_id, $EvUs AS tus, value FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT user_id, tus, value,
+         |  lag(tus) OVER w AS ptus, lag(value) OVER w AS pval
+         |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tus))
+         |SELECT user_id, ptus AS ts_begin, tus AS ts_end,
+         |  round((CASE WHEN value < pval THEN value ELSE value - pval END)
+         |    / (CAST(tus - ptus AS DOUBLE) / 1000000.0), 6) AS rate,
+         |  value < pval AS reset
+         |FROM p WHERE ptus IS NOT NULL""".stripMargin,
+
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, $EvUs AS tus FROM events),
+         |s1 AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN tus END) AS t1
+         |  FROM e GROUP BY user_id),
+         |s2 AS (SELECT e.user_id,
+         |    min(CASE WHEN event_type = 'click' AND tus > t1
+         |      AND tus <= t1 + 86400000000 THEN tus END) AS t2
+         |  FROM e JOIN s1 USING (user_id) GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id,
+         |    min(CASE WHEN event_type = 'purchase' AND tus > t2
+         |      AND tus <= t2 + 86400000000 THEN tus END) AS t3
+         |  FROM e JOIN s2 USING (user_id) GROUP BY e.user_id)
+         |SELECT count(t1) AS n_view, count(t2) AS n_click,
+         |  count(t3) AS n_buy,
+         |  round(CAST(count(t3) AS DOUBLE) / count(t1), 6) AS conv
+         |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin,
 
     // the salted two-stage agg must equal the PLAIN group-by — the
     // oracle is deliberately the unsalted form; avg derives from the

@@ -42,4 +42,32 @@ object Rate {
         Seq(col("__prev_ts").as("ts_begin"), col(tsCol).as("ts_end")) ++
         rates: _*)
   }
+
+  /** Counter-semantics rate for monotonic telemetry counters (SNMP
+    * octets, packet counts — the data pypond was built for). pypond's
+    * allow_negative=false (rate.py:120-124) just NULLS a negative
+    * rate; a real counter that went down has RESET, and the post-reset
+    * value is itself the new delta (the counter restarted at 0). So:
+    * delta = cur - prev, or cur when cur < prev; rate = delta / Δt_s,
+    * plus a `reset` flag per emitted pair. Same single-shuffle lag
+    * shape as [[apply]].
+    */
+  def counter(df: DataFrame, tsCol: String, valCol: String,
+              keyCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val withPrev = df
+      .select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("__prev_v", lag(col(valCol), 1).over(w))
+      .where(col("__prev_ts").isNotNull)
+    val dtSec = (col(tsCol) - col("__prev_ts")).cast("double") /
+      lit(TimeIndex.UsPerSec.toDouble)
+    val delta = when(col(valCol) < col("__prev_v"), col(valCol))
+      .otherwise(col(valCol) - col("__prev_v"))
+    withPrev.select(
+      keyCols.map(col) ++ Seq(
+        col("__prev_ts").as("ts_begin"), col(tsCol).as("ts_end"),
+        round(delta / dtSec, 6).as("rate"),
+        (col(valCol) < col("__prev_v")).as("reset")): _*)
+  }
 }

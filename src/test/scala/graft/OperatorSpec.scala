@@ -62,6 +62,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(nn(1).isNullAt(3)) // negative rate suppressed
   }
 
+  test("Rate.counter treats a decrease as a reset (new value = delta)") {
+    // counter climbs 10->40, resets (40->10: delta = 10), climbs again
+    val df = Seq((1L, 0L, 10.0), (1L, 300 * 1000000L, 40.0),
+      (1L, 600 * 1000000L, 10.0), (1L, 900 * 1000000L, 25.0))
+      .toDF("k", "ts", "v")
+    val out = Rate.counter(df, "ts", "v", Seq("k")).orderBy("ts_begin").collect()
+    assert(out.length == 3)
+    // rate is rounded to 6dp by the operator: 10/300 -> 0.033333
+    assert(out.map(_.getDouble(3)).toSeq == Seq(0.1, 0.033333, 0.05))
+    assert(out.map(_.getBoolean(4)).toSeq == Seq(false, true, false))
+  }
+
   test("Fill pad honors fillLimit; linear interpolates on time (filler.py)") {
     val df = Seq((1L, 0L, Some(10.0)), (1L, 1 * M, None), (1L, 2 * M, None),
       (1L, 3 * M, None), (1L, 4 * M, Some(50.0))).toDF("k", "ts", "v")

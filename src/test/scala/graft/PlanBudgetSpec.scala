@@ -32,7 +32,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_asof_lookup" -> 1, "q_events_sessionize" -> 1,
     "q_topn_window" -> 1, "ts_crossings" -> 1,
     "q_rank_stats" -> 1, "ts_seasonal" -> 1, "doc_shard" -> 1,
-    "ts_agg_approx" -> 1, "ts_hist" -> 1,
+    "ts_agg_approx" -> 1, "ts_hist" -> 1, "ts_counter_rate" -> 1,
+    // funnel: one user-keyed window shuffle + the single-row global agg
+    "q_funnel" -> 2,
     // salted skew agg: 1 (key, salt) shuffle + 1 tiny re-combine
     "q_skew_salted" -> 2,
     // lttb: (key,bucket) agg + means window + join-back argmax window
