@@ -47,27 +47,42 @@ object Bench {
     }
 
     // The harness parses only the LAST ~2000 chars of stdout, so the JSON
-    // line must fit entirely inside that window: 10ms precision with
-    // trailing zeros stripped keeps the ~90-query map well under it.
-    def f3(v: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    // line must fit entirely inside that window. Degrade gracefully as
+    // the query count grows: 2dp -> 1dp per-query values -> fold the
+    // fastest queries into one "_other" bucket until the line fits. The
+    // total always keeps 2dp.
+    def fmt(v: Double, dp: Int): String = {
+      val s = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
       val t = s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (t.isEmpty) "0" else t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    def line(rs: Seq[(String, Double)], dp: Int): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    }
+    def shrink(rs: Seq[(String, Double)], dp: Int): String = {
+      val l = line(rs, dp)
+      if (l.length <= 1990) l
+      else if (dp > 1) shrink(rs, dp - 1)
+      else {
+        // drop the fastest remaining query into _other and retry
+        val (fast, rest) = rs.filter(_._1 != "_other")
+          .sortBy(_._2).splitAt(1)
+        val other = rs.find(_._1 == "_other").map(_._2).getOrElse(0.0) +
+          fast.map(_._2).sum
+        shrink(rest ++ Seq("_other" -> other), dp)
+      }
+    }
+    val out = shrink(results, 2)
     // stop BEFORE printing: Spark's shutdown chatter goes to stderr, and
     // emitting the JSON as the very last stdout write (with sbt's
     // [success] summary suppressed in build.sbt) makes it the final line
     // of stdout — robust to drivers that parse only the last line.
     spark.stop()
-    val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
-    if (line.length > 1990)
-      System.err.println(s"[bench] WARNING: JSON line ${line.length} chars exceeds 1990-char parse window")
-    println(line)
+    println(out)
     System.out.flush()
   }
 }
