@@ -1442,6 +1442,11 @@ object SparkEntry {
       Knn.pqCodes(tbl(s, dir, "embeddings"), EmbDim)
     },
 
+    "emb_ivf_pq" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.ivfPqTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+    },
+
     "mm_meta" -> { (s, dir) =>
       Multimodal.decodeAll(s, tbl(s, dir, "documents")).toDF()
     },
@@ -1547,6 +1552,44 @@ object SparkEntry {
     (0 until nPlanes).map { j =>
       s"(CASE WHEN ${sqlPlaneDot(v, offset + j)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** PQ subspace squared-L2 fold over 1-based dims [16s+1, 16s+16]
+    * (EmbDim/4 = 16-wide subspaces); `s` is the caller's subspace
+    * column reference. DuckDB range(a,b) is b-exclusive, matching
+    * Spark's inclusive sequence bounds.
+    */
+  private def sqlSubL2(a: String, b: String, s: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(" +
+      s"range($s * 16 + 1, $s * 16 + 17), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+      s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+      "(x, y) -> x + y)"
+
+  /** IVF coarse-quantizer CTEs (cents/c0/ca/ccell/q0/qa/qcell) —
+    * shared VERBATIM by the emb_knn_ivf oracle, emb_ann_recall's ivf
+    * leg and emb_ivf_pq, so the index and every consumer of its cell
+    * assignment cannot drift. Mirrors Knn.ivfTopK / coarseCents
+    * (every-37th centroids, top-1 corpus cell, 2-probe queries).
+    */
+  private def sqlIvfCtes: String =
+    s"""cents AS (SELECT vec_id AS cid, embedding AS cvec,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
+       |  FROM embeddings WHERE vec_id % 37 = 1),
+       |c0 AS (SELECT vec_id AS neighbor_id, embedding AS nv,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nn FROM embeddings),
+       |ca AS (SELECT neighbor_id, nv, nn, cid,
+       |    row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY ${sqlDot("nv", "cvec")} / (nn * cn) DESC, cid) AS crk
+       |  FROM c0, cents),
+       |ccell AS (SELECT neighbor_id, nv, nn, cid FROM ca WHERE crk <= 1),
+       |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |qa AS (SELECT query_id, qv, qn, cid,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${sqlDot("qv", "cvec")} / (qn * cn) DESC, cid) AS crk
+       |  FROM q0, cents),
+       |qcell AS (SELECT query_id, qv, qn, cid FROM qa WHERE crk <= 2)""".stripMargin
 
   /** Multi-table LSH candidate CTEs (lb/lq/lc/lj) — shared VERBATIM by
     * the emb_knn_lsh oracle and emb_ann_recall's lsh leg so the index
@@ -1847,24 +1890,7 @@ object SparkEntry {
          |FROM lr WHERE rank <= 3""".stripMargin,
 
     "emb_knn_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec,
-         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
-         |  FROM embeddings WHERE vec_id % 37 = 1),
-         |c0 AS (SELECT vec_id AS neighbor_id, embedding AS nv,
-         |    sqrt(${sqlDot("embedding", "embedding")}) AS nn FROM embeddings),
-         |ca AS (SELECT neighbor_id, nv, nn, cid,
-         |    row_number() OVER (PARTITION BY neighbor_id
-         |      ORDER BY ${sqlDot("nv", "cvec")} / (nn * cn) DESC, cid) AS crk
-         |  FROM c0, cents),
-         |ccell AS (SELECT neighbor_id, nv, nn, cid FROM ca WHERE crk <= 1),
-         |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
-         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
-         |  FROM embeddings WHERE vec_id % 100 = 0),
-         |qa AS (SELECT query_id, qv, qn, cid,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY ${sqlDot("qv", "cvec")} / (qn * cn) DESC, cid) AS crk
-         |  FROM q0, cents),
-         |qcell AS (SELECT query_id, qv, qn, cid FROM qa WHERE crk <= 2),
+      s"""WITH $sqlIvfCtes,
          |j AS (SELECT query_id, neighbor_id,
          |    ${sqlDot("qv", "nv")} / (qn * nn) AS cos
          |  FROM ccell JOIN qcell USING (cid)
@@ -1894,24 +1920,7 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM lj),
          |lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rk <= 3),
-         |cents AS (SELECT vec_id AS cid, embedding AS cvec,
-         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
-         |  FROM embeddings WHERE vec_id % 37 = 1),
-         |c0 AS (SELECT vec_id AS neighbor_id, embedding AS nv,
-         |    sqrt(${sqlDot("embedding", "embedding")}) AS nn FROM embeddings),
-         |ca AS (SELECT neighbor_id, nv, nn, cid,
-         |    row_number() OVER (PARTITION BY neighbor_id
-         |      ORDER BY ${sqlDot("nv", "cvec")} / (nn * cn) DESC, cid) AS crk
-         |  FROM c0, cents),
-         |ccell AS (SELECT neighbor_id, nv, nn, cid FROM ca WHERE crk <= 1),
-         |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
-         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
-         |  FROM embeddings WHERE vec_id % 100 = 0),
-         |qa AS (SELECT query_id, qv, qn, cid,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY ${sqlDot("qv", "cvec")} / (qn * cn) DESC, cid) AS crk
-         |  FROM q0, cents),
-         |qcell AS (SELECT query_id, qv, qn, cid FROM qa WHERE crk <= 2),
+         |$sqlIvfCtes,
          |ij AS (SELECT query_id, neighbor_id,
          |    ${sqlDot("qv", "nv")} / (qn * nn) AS cos
          |  FROM ccell JOIN qcell USING (cid) WHERE neighbor_id <> query_id),
@@ -1989,20 +1998,13 @@ object SparkEntry {
          |  AS codes
          |FROM embeddings, a""".stripMargin,
 
-    // PQ: subspace s covers 1-based dims [16s+1, 16s+16]; DuckDB
-    // range(a,b) is b-exclusive so the bounds match Spark's inclusive
-    // sequence; the err2 fold runs in subspace order on both sides
+    // PQ: the subspace distance is the shared sqlSubL2 fold; the err2
+    // fold runs in subspace order on both sides
     "emb_pq" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
          |    FROM embeddings WHERE vec_id % 67 = 1),
          |p AS (SELECT e.vec_id, s.s, c.cid,
-         |    list_reduce(list_prepend(0.0,
-         |      list_transform(range(s.s * 16 + 1, s.s * 16 + 17),
-         |        i -> (CAST(e.embedding[i] AS DOUBLE)
-         |                - CAST(c.cvec[i] AS DOUBLE))
-         |             * (CAST(e.embedding[i] AS DOUBLE)
-         |                - CAST(c.cvec[i] AS DOUBLE)))),
-         |      (x, y) -> x + y) AS dist
+         |    ${sqlSubL2("e.embedding", "c.cvec", "s.s")} AS dist
          |  FROM embeddings e, cents c,
          |    (SELECT unnest(range(4)) AS s) s),
          |r AS (SELECT vec_id, s, cid, dist, row_number() OVER (
@@ -2012,6 +2014,42 @@ object SparkEntry {
          |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
          |    (x, y) -> x + y), 6) AS err2
          |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
+    // IVF-PQ: coarse cells from the shared IVF CTEs; candidates ranked
+    // by the ADC table (per-query distance to every (subspace, code)
+    // pair) summed in subspace order — rank on the raw fold, adist
+    // surfaced at 6dp, exactly like the Spark side
+    "emb_ivf_pq" ->
+      s"""WITH $sqlIvfCtes,
+         |pc AS (SELECT vec_id AS pcid, embedding AS pcvec
+         |  FROM embeddings WHERE vec_id % 67 = 1),
+         |sub AS (SELECT unnest(range(4)) AS s),
+         |codes0 AS (SELECT e.vec_id AS neighbor_id, sub.s, pc.pcid,
+         |    ${sqlSubL2("e.embedding", "pc.pcvec", "sub.s")} AS dist
+         |  FROM embeddings e, pc, sub),
+         |codes AS (SELECT neighbor_id, s, pcid FROM (
+         |    SELECT neighbor_id, s, pcid, row_number() OVER (
+         |      PARTITION BY neighbor_id, s ORDER BY dist, pcid) AS rn
+         |    FROM codes0) WHERE rn = 1),
+         |dtab AS (SELECT q0.query_id, sub.s, pc.pcid,
+         |    ${sqlSubL2("q0.qv", "pc.pcvec", "sub.s")} AS d
+         |  FROM q0, pc, sub),
+         |cand AS (SELECT query_id, neighbor_id
+         |  FROM ccell JOIN qcell USING (cid)
+         |  WHERE neighbor_id <> query_id),
+         |sc AS (SELECT c.query_id, c.neighbor_id,
+         |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
+         |      (x, y) -> x + y) AS adist
+         |  FROM cand c
+         |  JOIN codes k ON k.neighbor_id = c.neighbor_id
+         |  JOIN dtab t ON t.query_id = c.query_id AND t.s = k.s
+         |    AND t.pcid = k.pcid
+         |  GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, adist,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS INTEGER) AS rank FROM sc)
+         |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
+         |FROM r WHERE rank <= 3""".stripMargin,
 
     "doc_pipeline" -> {
       def lst(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")

@@ -191,8 +191,12 @@ object Knn {
     * folds the m subspace errors in subspace order, so the double is
     * bit-reproducible.
     */
-  def pqCodes(emb: DataFrame, dim: Int, m: Int = 4, centroidEvery: Int = 67,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** Per-subspace PQ assignment: one row per (vector, subspace) with
+    * the nearest codebook centroid and its squared distance — the
+    * shared core of [[pqCodes]] and [[ivfPqTopK]].
+    */
+  def pqAssign(emb: DataFrame, dim: Int, m: Int = 4, centroidEvery: Int = 67,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val cents = emb.where(col(idCol) % centroidEvery === 1)
@@ -208,6 +212,11 @@ object Knn {
       .withColumn("dist", dist)
       .groupBy(col(idCol), col("s"))
       .agg(min(struct(col("dist"), col("cid"))).as("best"))
+  }
+
+  def pqCodes(emb: DataFrame, dim: Int, m: Int = 4, centroidEvery: Int = 67,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    pqAssign(emb, dim, m, centroidEvery, idCol, vecCol)
       .groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("s"),
         col("best.cid").as("cid"), col("best.dist").as("dist")))).as("arr"))
@@ -233,31 +242,41 @@ object Knn {
     * frame; sampled centroids keep the whole operator deterministic
     * and engine-mirrorable.)
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              centroidEvery: Int = 37, nProbe: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.where(col(idCol) % centroidEvery === 1)
+  /** Deterministic every-Nth coarse centroids with norms. */
+  private def coarseCents(corpus: DataFrame, dim: Int, centroidEvery: Int,
+                          idCol: String, vecCol: String): DataFrame =
+    corpus.where(col(idCol) % centroidEvery === 1)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         sqrt(dot(col(vecCol), col(vecCol), dim)).as("cn"))
 
-    def nearestCells(side: DataFrame, id: String, vec: String, n: Int,
-                     norm: String): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__ccos").desc, col("cid"))
-      side.crossJoin(broadcast(cents))
-        .withColumn("__ccos",
-          dot(col(vec), col("cvec"), dim) / (col(norm) * col("cn")))
-        .withColumn("__crk", row_number().over(w))
-        .where(col("__crk") <= n)
-        .drop("cvec", "cn", "__ccos", "__crk")
-    }
+  /** Assign each row of `side` to its `n` nearest (max-cosine) cells
+    * of the broadcast centroid frame; ties break on min cid.
+    */
+  private def nearestCells(cents: DataFrame, dim: Int)(
+      side: DataFrame, id: String, vec: String, n: Int,
+      norm: String): DataFrame = {
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("__ccos").desc, col("cid"))
+    side.crossJoin(broadcast(cents))
+      .withColumn("__ccos",
+        dot(col(vec), col("cvec"), dim) / (col(norm) * col("cn")))
+      .withColumn("__crk", row_number().over(w))
+      .where(col("__crk") <= n)
+      .drop("cvec", "cn", "__ccos", "__crk")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              centroidEvery: Int = 37, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = coarseCents(corpus, dim, centroidEvery, idCol, vecCol)
+    val cells = nearestCells(cents, dim) _
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
-    val cCells = nearestCells(c, "neighbor_id", "nvec", 1, "nn")
+    val cCells = cells(c, "neighbor_id", "nvec", 1, "nn")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
-    val qCells = nearestCells(q, "query_id", "qvec", nProbe, "qn")
+    val qCells = cells(q, "query_id", "qvec", nProbe, "qn")
 
     val joined = cCells.join(qCells, Seq("cid"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -269,6 +288,71 @@ object Knn {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
+  }
+
+  /** IVF-PQ asymmetric-distance search — the classic large-corpus ANN
+    * serving layout (an IVF cell index over PQ-coded vectors): a query
+    * probes its `nProbe` nearest coarse cells and ranks the candidates
+    * there by APPROXIMATE distance — the sum over subspaces of
+    * ||q_s - codebook[code_s(x)]||² — touching only each candidate's m
+    * small integer codes, never its vector.
+    *
+    * The scan-side trick is the ADC lookup table: per query, the
+    * distance to every (subspace, codebook centroid) pair is computed
+    * ONCE (|Q| × m × #codebook rows), and candidate scoring joins that
+    * table on (s, code) — so the per-candidate work and shuffle volume
+    * are independent of `dim`. At 100 TB the corpus contributes only
+    * its cell assignment + m codes per vector; both broadcast-scale
+    * codebooks are deterministic every-Nth samples.
+    *
+    * Output: (query_id, rank, neighbor_id, adist) — ranked on the raw
+    * fold (bit-identical across engines), adist surfaced at 6dp.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                m: Int = 4, coarseEvery: Int = 37, pqEvery: Int = 67,
+                nProbe: Int = 2, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val cents = coarseCents(corpus, dim, coarseEvery, idCol, vecCol)
+    val cells = nearestCells(cents, dim) _
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+    val cCells = cells(c, "neighbor_id", "nvec", 1, "nn")
+      .select("neighbor_id", "cid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val qCells = cells(q, "query_id", "qvec", nProbe, "qn")
+      .select("query_id", "cid")
+
+    val codes = pqAssign(corpus, dim, m, pqEvery, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("s"),
+        col("best.cid").as("pcid"))
+    val pcents = corpus.where(col(idCol) % pqEvery === 1)
+      .select(col(idCol).as("pcid"), col(vecCol).as("pcvec"))
+    val dtab = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .crossJoin(broadcast(pcents))
+      .select(col("query_id"), col("s"), col("pcid"),
+        org.apache.spark.sql.graft.GraftExpressions
+          .vec_sub_l2(col("qvec"), col("pcvec"), col("s"), subDim).as("d"))
+
+    val scored = cCells.join(qCells, Seq("cid"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .join(codes, Seq("neighbor_id"))
+      .join(dtab, Seq("query_id", "s", "pcid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(col("ds"), lit(0.0), (a, x) => a + x.getField("d"))
+          .as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 6).as("adist"))
   }
 
   /** Native double-array dot (graft.functions.VecDotD): inputs are
