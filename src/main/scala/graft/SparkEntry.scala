@@ -1288,6 +1288,22 @@ object SparkEntry {
       Sampling.shardPack(tbl(s, dir, "documents"), "doc_id", col("text"), 8, 32)
     },
 
+    "doc_pack" -> { (s, dir) =>
+      Sampling.tokenPack(tbl(s, dir, "documents"), "doc_id", col("text"),
+        nBuckets = 16, budget = 2048)
+    },
+
+    // keep only docs at or above the corpus p75 quality score: one
+    // tiny global percentile agg broadcast back over the scan (the
+    // ts_mad two-pass pattern — group stats move, events never do)
+    "doc_quality_filter" -> { (s, dir) =>
+      val q = TextOps.quality(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("quality"))
+      val thr = q.agg(Aggs.percentileLin6(col("quality"), 0.75).as("q75"))
+      q.crossJoin(broadcast(thr)).where(col("quality") >= col("q75"))
+        .select("doc_id", "quality", "q75")
+    },
+
     "doc_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"))
     },
@@ -1553,6 +1569,36 @@ object SparkEntry {
       s"(CASE WHEN ${sqlPlaneDot(v, offset + j)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Quality-score CTEs ending in `qual` (doc_id, n_tokens,
+    * avg_token_len, punct_ratio, digit_ratio, stop_ratio, quality) —
+    * shared by doc_quality and doc_quality_filter so the filter's
+    * threshold applies to exactly the score the scorer emits. Mirrors
+    * TextOps.quality.
+    */
+  private def sqlQualityCtes: String = {
+    val stopEn = TextOps.StopEn.map(w => s"'$w'").mkString(", ")
+    s"""t AS (SELECT doc_id, text, $sqlToks AS tk,
+       |  CAST(length(text) AS DOUBLE) AS nc,
+       |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+       |    AS DOUBLE) AS np,
+       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |    AS DOUBLE) AS nd
+       |  FROM documents),
+       |t2 AS (SELECT doc_id, nc, np, nd, len(tk) AS ntk,
+       |  len(list_filter(tk, x -> list_contains([$stopEn], x))) AS nstop
+       |  FROM t),
+       |qual AS (SELECT doc_id, CAST(ntk AS BIGINT) AS n_tokens,
+       |  round((nc - (ntk - 1)) / ntk, 6) AS avg_token_len,
+       |  round(np / nc, 6) AS punct_ratio,
+       |  round(nd / nc, 6) AS digit_ratio,
+       |  round(CAST(nstop AS DOUBLE) / ntk, 6) AS stop_ratio,
+       |  round(least(1.0, greatest(0.0,
+       |    0.2 + 0.05 * ((nc - (ntk - 1)) / ntk) - 2.0 * (np / nc)
+       |      - 1.0 * (nd / nc) + 0.5 * (CAST(nstop AS DOUBLE) / ntk))), 6)
+       |    AS quality
+       |FROM t2)""".stripMargin
+  }
+
   /** PQ subspace squared-L2 fold over 1-based dims [16s+1, 16s+16]
     * (EmbDim/4 = 16-wide subspaces); `s` is the caller's subspace
     * column reference. DuckDB range(a,b) is b-exclusive, matching
@@ -1631,6 +1677,23 @@ object SparkEntry {
          |  FROM b)
          |SELECT doc_id, bucket, CAST(p // 32 AS INTEGER) AS shard,
          |  CAST(p % 32 AS INTEGER) AS pos FROM r""".stripMargin,
+
+    // concat-and-chunk packing: exclusive prefix sum of token counts
+    // in (hash, id) order per bucket, chunk boundary every 2048 tokens
+    "doc_pack" ->
+      s"""WITH d AS (SELECT doc_id, ${sqlPoly("text")} AS h,
+         |    CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT doc_id, h, CAST(h % 16 AS INTEGER) AS bucket,
+         |    n_tokens FROM d),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |    coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM b)
+         |SELECT doc_id, bucket, n_tokens,
+         |  CAST(cum // 2048 AS INTEGER) AS seq,
+         |  CAST(cum % 2048 AS INTEGER) AS seq_off
+         |FROM c""".stripMargin,
 
     "doc_minhash_est" -> {
       val matches = (0 until 16)
@@ -1747,29 +1810,22 @@ object SparkEntry {
          |FROM sc""".stripMargin
     },
 
-    "doc_quality" -> {
-      val stopEn = TextOps.StopEn.map(w => s"'$w'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS tk,
-         |  CAST(length(text) AS DOUBLE) AS nc,
-         |  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-         |    AS DOUBLE) AS np,
-         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-         |    AS DOUBLE) AS nd
-         |  FROM documents),
-         |t2 AS (SELECT doc_id, nc, np, nd, len(tk) AS ntk,
-         |  len(list_filter(tk, x -> list_contains([$stopEn], x))) AS nstop
-         |  FROM t)
-         |SELECT doc_id, CAST(ntk AS BIGINT) AS n_tokens,
-         |  round((nc - (ntk - 1)) / ntk, 6) AS avg_token_len,
-         |  round(np / nc, 6) AS punct_ratio,
-         |  round(nd / nc, 6) AS digit_ratio,
-         |  round(CAST(nstop AS DOUBLE) / ntk, 6) AS stop_ratio,
-         |  round(least(1.0, greatest(0.0,
-         |    0.2 + 0.05 * ((nc - (ntk - 1)) / ntk) - 2.0 * (np / nc)
-         |      - 1.0 * (nd / nc) + 0.5 * (CAST(nstop AS DOUBLE) / ntk))), 6)
-         |    AS quality
-         |FROM t2""".stripMargin
-    },
+    "doc_quality" ->
+      s"""WITH $sqlQualityCtes
+         |SELECT doc_id, n_tokens, avg_token_len, punct_ratio,
+         |  digit_ratio, stop_ratio, quality
+         |FROM qual""".stripMargin,
+
+    // two-pass corpus filter: the p75 threshold is one tiny global
+    // percentile agg broadcast back over the scores — same pattern as
+    // ts_mad; quantile_cont over rounded-6 doubles matches Spark's
+    // exact percentile
+    "doc_quality_filter" ->
+      s"""WITH $sqlQualityCtes,
+         |thr AS (SELECT round(quantile_cont(quality, 0.75), 6) AS q75
+         |  FROM qual)
+         |SELECT doc_id, quality, q75 FROM qual, thr
+         |WHERE quality >= q75""".stripMargin,
 
     "doc_tokens" ->
       s"""SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_ws_tokens,

@@ -52,6 +52,32 @@ object Sampling {
         (col("__p") % shardSize).cast("int").as("pos"))
   }
 
+  /** Token-budget sequence packing (concat-and-chunk): documents are
+    * concatenated in deterministic (rolling-hash, id) order within
+    * their hash bucket and chunked every `budget` tokens — the step
+    * that turns a sharded corpus into fixed-length pretraining
+    * sequences (a document may straddle a chunk boundary, as in
+    * GPT-style packing). Emits each doc's chunk id (`seq`) and token
+    * offset within it (`seq_off`), from one exclusive prefix-sum
+    * window per bucket — fully distributed, no global sort, and the
+    * layout is reproducible across runs/engines/repartitioning.
+    * Output: idCol, bucket, n_tokens, seq, seq_off.
+    */
+  def tokenPack(df: DataFrame, idCol: String, text: Column,
+                nBuckets: Int, budget: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(idCol), poly_hash(text).as("__h"),
+        size(TextOps.tokens(text)).cast("long").as("n_tokens"))
+      .withColumn("bucket", (col("__h") % nBuckets).cast("int"))
+      .withColumn("__c", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col(idCol), col("bucket"), col("n_tokens"),
+        org.apache.spark.sql.graft.Bridge.ldiv(col("__c"), budget.toLong)
+          .cast("int").as("seq"),
+        (col("__c") % budget).cast("int").as("seq_off"))
+  }
+
   /** Stratified downsampling: per-stratum keep-percentage, applied as
     * a hash predicate on the content column. `rates` maps stratum
     * value → keep percent; strata not listed keep `defaultPct`.
