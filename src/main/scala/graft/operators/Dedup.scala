@@ -195,6 +195,15 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("u")).distinct()
       .withColumn("lbl", col("u")).localCheckpoint()
+    // labels only ever DECREASE (least of own/neighbor/jump targets),
+    // so an unchanged exact label sum IS the fixpoint — one cheap agg
+    // on the already-checkpointed frame per round instead of a
+    // join + isEmpty change scan. DECIMAL(38,0): a long sum overflows
+    // at ~1e9 nodes with ~1e10 ids.
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = lblSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -218,8 +227,9 @@ object Dedup {
           .select(col("u"), least(col("lbl"), coalesce(col("lbl2"), col("lbl")))
             .as("lbl"))
         ).localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("u"))
-        .where(col("lbl") =!= col("prev")).isEmpty
+      val s = lblSum(next)
+      converged = java.util.Objects.equals(s, prevSum)
+      prevSum = s
       labels = next
       iter += 1
     }
