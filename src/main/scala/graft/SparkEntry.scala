@@ -42,6 +42,7 @@ object SparkEntry {
   private val UsMin = 60L * 1000000L
   private val UsHour = 60L * UsMin
   private val UsDay = 24L * UsHour
+  private val Jan01 = 1704067200000000L // 2024-01-01T00:00:00Z
   private val Jan08 = 1704672000000000L // 2024-01-08T00:00:00Z
   private val Jan15 = 1705276800000000L // 2024-01-15T00:00:00Z
   private val Jan10 = 1704844800000000L // 2024-01-10T00:00:00Z
@@ -297,6 +298,35 @@ object SparkEntry {
         Aggs.percentileMethod(col("value"), 0.9, "higher").as("p90_higher"),
         Aggs.percentileMethod(col("value"), 0.9, "nearest").as("p90_nearest"),
         Aggs.percentileMidpoint6(col("value"), 0.9).as("p90_midpoint"))
+    },
+
+    // per-type linear trend: closed-form OLS over (hours-since-epoch,
+    // µ-unit value) — every sum is an exact INTEGER (map-side
+    // combinable partial aggs, one shuffle to #groups rows), and the
+    // slope/intercept formula then runs the same IEEE double ops on
+    // the same exact inputs in both engines, so the regression is
+    // bit-stable with no per-partition float accumulation anywhere.
+    // (At petabyte group sizes the long sums would cast to DECIMAL;
+    // the shape is unchanged.)
+    "ts_trend_slope" -> { (s, dir) =>
+      val x = org.apache.spark.sql.graft.Bridge
+        .ldiv(col("ts") - lit(Jan01), 3600000000L)
+      val y6 = floor(col("value") * lit(1e6)).cast("long")
+      val agg = events(s, dir)
+        .select(col("event_type"), x.as("x"), y6.as("y6"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y6")).as("sy6"), sum(col("x") * col("y6")).as("sxy6"),
+          sum(col("x") * col("x")).as("sxx"))
+      val nD = col("n").cast("double")
+      val slope6 = (nD * col("sxy6").cast("double")
+        - col("sx").cast("double") * col("sy6").cast("double")) /
+        (nD * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      agg.select(col("event_type"), col("n"),
+        round(slope6 / lit(1e6), 6).as("slope_per_hour"),
+        round((col("sy6").cast("double") - slope6 * col("sx").cast("double"))
+          / nD / lit(1e6), 6).as("intercept"))
     },
 
     // fixed-width value histogram per event_type: pure floor/clamp
@@ -1219,6 +1249,27 @@ object SparkEntry {
         |  round(CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
         |    / count(*), 6) AS avg_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // the slope/intercept doubles are computed from exact integer sums
+    // with the same parenthesization as the Spark side — bit-stable
+    "ts_trend_slope" ->
+      s"""WITH p AS (SELECT event_type,
+         |    ($EvUs - 1704067200000000) // 3600000000 AS x,
+         |    CAST(floor(value * 1000000.0) AS BIGINT) AS y6 FROM events),
+         |a AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+         |    sum(y6) AS sy6, sum(x * y6) AS sxy6, sum(x * x) AS sxx
+         |  FROM p GROUP BY event_type),
+         |f AS (SELECT event_type, n,
+         |    (CAST(n AS DOUBLE) * CAST(sxy6 AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy6 AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope6,
+         |    sx, sy6 FROM a)
+         |SELECT event_type, n,
+         |  round(slope6 / 1000000.0, 6) AS slope_per_hour,
+         |  round((CAST(sy6 AS DOUBLE) - slope6 * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept
+         |FROM f""".stripMargin,
 
     "ts_hist" ->
       """WITH h AS (SELECT event_type,

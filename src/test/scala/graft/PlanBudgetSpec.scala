@@ -33,7 +33,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q_topn_window" -> 1, "ts_crossings" -> 1,
     "q_rank_stats" -> 1, "ts_seasonal" -> 1, "doc_shard" -> 1,
     "ts_agg_approx" -> 1, "ts_hist" -> 1, "ts_counter_rate" -> 1,
-    "doc_pack" -> 1,
+    "doc_pack" -> 1, "ts_trend_slope" -> 1,
     // quality filter: tiny percentile agg + broadcast back over the scan
     "doc_quality_filter" -> 2,
     // funnel: one user-keyed window shuffle + the single-row global agg
