@@ -24,7 +24,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // scan-side ops: NO exchange — they must fuse into the scan stage
     "doc_normalize" -> 0, "doc_split" -> 0, "doc_quality" -> 0,
     "doc_tokens" -> 0, "mm_meta" -> 0, "ts_filter" -> 0,
-    "ts_select" -> 0, "ts_map" -> 0,
+    "ts_select" -> 0, "ts_map" -> 0, "doc_langid" -> 0,
+    "doc_gopher" -> 0, "doc_fingerprint" -> 0, "doc_pii_scrub" -> 0,
+    "mm_frames" -> 0, "doc_sample_stratified" -> 0,
     // single-shuffle stateful / agg family
     "q1_agg" -> 1, "q_cube" -> 1, "ts_agg_basic" -> 1,
     "ts_rate" -> 1, "ts_fill_pad" -> 1, "ts_rollup_5m" -> 1,
@@ -33,7 +35,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q_topn_window" -> 1, "ts_crossings" -> 1,
     "q_rank_stats" -> 1, "ts_seasonal" -> 1, "doc_shard" -> 1,
     "ts_agg_approx" -> 1, "ts_hist" -> 1, "ts_counter_rate" -> 1,
-    "doc_pack" -> 1, "ts_trend_slope" -> 1,
+    "doc_pack" -> 1, "ts_trend_slope" -> 1, "emb_label_centroid" -> 1,
+    "ts_outliers" -> 1,
     // quality filter: tiny percentile agg + broadcast back over the scan
     "doc_quality_filter" -> 2,
     // funnel: one user-keyed window shuffle + the single-row global agg
