@@ -460,6 +460,16 @@ object SparkEntry {
           .as("running_total"))
     },
 
+    // rolling exact median over the trailing 10 rows — the robust twin
+    // of ts_rolling's moving average (same one-shuffle window family;
+    // value in the ORDER BY pins frame membership under equal-ts ties)
+    "ts_rolling_median" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("value")).rowsBetween(-9, 0)
+      events(s, dir).select(col("user_id"), col("ts"), col("value"),
+        round(percentile(col("value"), lit(0.5)).over(w), 6).as("med10"))
+    },
+
     "ts_align_linear" -> { (s, dir) =>
       val clicks = events(s, dir).where(col("event_type") === "click")
       TimeSeries(clicks, "ts", Seq("user_id"))
@@ -919,6 +929,13 @@ object SparkEntry {
          |    ORDER BY $EvUs
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS DOUBLE) AS running_total
+         |FROM events""".stripMargin,
+
+    "ts_rolling_median" ->
+      s"""SELECT user_id, $EvUs AS ts, value,
+         |  round(quantile_cont(value, 0.5) OVER (PARTITION BY user_id
+         |    ORDER BY $EvUs, value
+         |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
          |FROM events""".stripMargin,
 
     "ts_align_linear" ->

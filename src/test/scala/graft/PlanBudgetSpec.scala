@@ -36,7 +36,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q_rank_stats" -> 1, "ts_seasonal" -> 1, "doc_shard" -> 1,
     "ts_agg_approx" -> 1, "ts_hist" -> 1, "ts_counter_rate" -> 1,
     "doc_pack" -> 1, "ts_trend_slope" -> 1, "emb_label_centroid" -> 1,
-    "ts_outliers" -> 1,
+    "ts_outliers" -> 1, "ts_rolling_median" -> 1,
     // quality filter: tiny percentile agg + broadcast back over the scan
     "doc_quality_filter" -> 2,
     // funnel: one user-keyed window shuffle + the single-row global agg
