@@ -87,4 +87,31 @@ class ReferenceFixtureSpec extends AnyFunSuite {
     assert(rateAt(2) == 1.0 && rateAt(3) == 1.0 && rateAt(4) == 2.0 &&
       rateAt(8) == 3.0 && rateAt(9) == 4.0)
   }
+
+  // tests/index_test.py:197 window_duration + :206 get_index_string —
+  // the canonical "5m-4754394" fixture shared by pypond AND pond.js
+  test("index strings reproduce index_test.py fixtures exactly") {
+    import graft.functions.TimeIndex
+    assert(TimeIndex.durationMs("30s") == 30000L)
+    assert(TimeIndex.durationMs("5m") == 300000L)
+    // 2015-03-14T07:32:22Z = epoch ms 1426318342000
+    val tUs = 1426318342000L * 1000L
+    import spark.implicits._
+    val got = Seq(tUs).toDF("ts")
+      .select(TimeIndex.indexOf($"ts", "5m")).head.getString(0)
+    assert(got == "5m-4754394")
+  }
+
+  // tests/index_test.py:235 get_index_string_list: [07:30:00, 08:29:59]
+  // spans exactly 12 five-minute buckets 4754394..4754405
+  test("index range spans reproduce index_test.py:235 (12 buckets)") {
+    import graft.functions.TimeIndex
+    import spark.implicits._
+    val d1 = 1426318200000L * 1000L // 2015-03-14T07:30:00Z
+    val d2 = 1426321799000L * 1000L // 2015-03-14T08:29:59Z
+    val pos = Seq(d1, d2).toDF("ts")
+      .select(TimeIndex.posOf($"ts", "5m")).as[Long].collect()
+    assert(pos(0) == 4754394L && pos(1) == 4754405L)
+    assert(pos(1) - pos(0) + 1 == 12)
+  }
 }
