@@ -117,15 +117,29 @@ object GraftExpressions {
   def simhash24(tokens: Column): Column =
     Bridge.toCol(SimHash24(Bridge.toExpr(tokens)))
 
-  /** Register SQL names so spark.sql("...") users get them too. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_hash", es => PolyHash(es.head), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", es => VecDot(es.head, es(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash24", es => SimHash24(es.head), "scala_udf")
+  /** Builders shared by temp-function and extension registration;
+    * integer args (shingle n, subspace len) must be literals.
+    */
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash" -> (es => PolyHash(es.head)),
+    "vec_dot" -> (es => VecDot(es.head, es(1))),
+    "simhash24" -> (es => SimHash24(es.head)),
+    "shingle_hashes" -> (es =>
+      ShingleHashes(es.head, litInt(es(1), "shingle size"))),
+    "vec_sub_l2" -> (es =>
+      VecSubL2(es.head, es(1), es(2), litInt(es(3), "subspace len"))))
+
+  /** Register SQL names so spark.sql("...") users get them too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, b, "scala_udf")
+    }
 }
 
 /** Canonical extension-point registration:
@@ -140,15 +154,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("poly_hash"),
-      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (es: Seq[Expression]) => PolyHash(es.head)))
-    e.injectFunction((FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (es: Seq[Expression]) => VecDot(es.head, es(1))))
-    e.injectFunction((FunctionIdentifier("simhash24"),
-      new ExpressionInfo(classOf[SimHash24].getName, "simhash24"),
-      (es: Seq[Expression]) => SimHash24(es.head)))
-  }
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExpressions.builders.foreach { case (name, b) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
+    }
 }

@@ -76,6 +76,18 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("shingle_hashes / vec_sub_l2 registered for SQL use") {
+    org.apache.spark.sql.graft.GraftExpressions.register(spark)
+    assert(spark.sql(
+      "SELECT shingle_hashes(array('a','b','c'), 2) AS s").head()
+      .getSeq[Long](0).length == 2)
+    val d = spark.sql(
+      """SELECT vec_sub_l2(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), 0, 2) AS d"""
+        .stripMargin).head().getDouble(0)
+    assert(d == 5.0)
+  }
+
   test("poly_hash / vec_dot registered for SQL use") {
     org.apache.spark.sql.graft.GraftExpressions.register(spark)
     assert(spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0) ==
