@@ -470,6 +470,38 @@ object SparkEntry {
         round(percentile(col("value"), lit(0.5)).over(w), 6).as("med10"))
     },
 
+    // time-RANGE-frame rolling stats: trailing 10 minutes per series —
+    // sliding by TIME, not rows (frame peers at equal ts, so no
+    // tie-break needed); same one-shuffle window family
+    "ts_rolling_time" -> { (s, dir) =>
+      Trend.rollingTime(events(s, dir), "ts", "value", Seq("user_id"),
+        10 * UsMin)
+    },
+
+    // per-series lag-1 autocorrelation; the groupBy reuses the lag
+    // window's hash partitioning, so the whole query is ONE exchange
+    "ts_autocorr" -> { (s, dir) =>
+      Trend.autocorr(events(s, dir), "ts", "value", Seq("user_id"), 1)
+    },
+
+    // distributed interval join: clicks inside the 30-minute window
+    // opened by each error event (same user) — bucket-banded equality
+    // join on (user_id, bucket), never a per-key cross product
+    "q_interval_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val iv = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts").as("begin"),
+          (col("ts") + lit(30 * UsMin)).as("end"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      val matched = RangeJoin.pairs(iv, clicks, Seq("user_id"),
+          "begin", "end", "click_ts", bucketUs = 30 * UsMin)
+        .groupBy("user_id", "event_id").agg(count(lit(1)).as("n"))
+      iv.join(matched, Seq("user_id", "event_id"), "left")
+        .select(col("user_id"), col("event_id"), col("begin").as("ts"),
+          coalesce(col("n"), lit(0L)).as("n_clicks"))
+    },
+
     "ts_align_linear" -> { (s, dir) =>
       val clicks = events(s, dir).where(col("event_type") === "click")
       TimeSeries(clicks, "ts", Seq("user_id"))
@@ -937,6 +969,35 @@ object SparkEntry {
          |    ORDER BY $EvUs, value
          |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS med10
          |FROM events""".stripMargin,
+
+    "ts_rolling_time" ->
+      s"""SELECT user_id, $EvUs AS ts, value,
+         |  count(*) OVER w AS n_span,
+         |  round(avg(value) OVER w, 6) AS avg_span
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY $EvUs
+         |  RANGE BETWEEN ${10 * UsMin} PRECEDING AND CURRENT ROW)"""
+        .stripMargin,
+
+    "ts_autocorr" ->
+      s"""WITH p AS (SELECT user_id, value,
+         |  lag(value) OVER (PARTITION BY user_id ORDER BY $EvUs, value)
+         |    AS prev
+         |  FROM events)
+         |SELECT user_id, count(*) AS n_pairs,
+         |  round(corr(value, prev), 6) AS autocorr
+         |FROM p WHERE prev IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    "q_interval_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, $EvUs AS tus, event_type
+         |  FROM events)
+         |SELECT e.user_id, e.event_id, e.tus AS ts,
+         |  count(c.tus) AS n_clicks
+         |FROM e LEFT JOIN e c
+         |  ON c.user_id = e.user_id AND c.event_type = 'click'
+         |  AND c.tus >= e.tus AND c.tus < e.tus + ${30 * UsMin}
+         |WHERE e.event_type = 'error'
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "ts_align_linear" ->
       s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events
@@ -1422,6 +1483,12 @@ object SparkEntry {
     "doc_fingerprint" -> { (s, dir) =>
       TextOps.fingerprint(tbl(s, dir, "documents"))
         .select("doc_id", "fp", "fp_min_shingle")
+    },
+
+    // winnowing (MOSS) fingerprints — zero-shuffle: window minima and
+    // the in-array dedup all run inside the scan stage
+    "doc_winnow" -> { (s, dir) =>
+      TextOps.winnow(tbl(s, dir, "documents"), shingleN = 3, w = 4)
     },
 
     "doc_normalize" -> { (s, dir) =>
@@ -1938,6 +2005,20 @@ object SparkEntry {
          |SELECT s.doc_id, ${sqlPoly("d.text")} AS fp,
          |  list_min(s.sids) AS fp_min_shingle
          |FROM sids s JOIN documents d ON d.doc_id = s.doc_id""".stripMargin,
+
+    // ordered (non-distinct) shingle hashes, then each length-4
+    // window's minimum, deduped per doc — mirrors TextOps.winnow
+    // (list_slice end-inclusive == Spark slice(start, length=4))
+    "doc_winnow" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_transform(${sqlShingles("tk")}, s -> ${sqlPoly("s")}) AS sh
+         |  FROM toks)
+         |SELECT doc_id, unnest(CASE WHEN len(sh) >= 4 THEN
+         |    list_distinct(list_transform(range(4, len(sh) + 1),
+         |      i -> list_min(list_slice(sh, i - 3, i))))
+         |  ELSE [list_min(sh)] END) AS fp
+         |FROM sh WHERE len(sh) > 0""".stripMargin,
 
     "doc_normalize" ->
       """SELECT doc_id, norm_text,

@@ -294,4 +294,35 @@ object TextOps {
   def fingerprint(df: DataFrame, shingleN: Int = 3): DataFrame =
     df.withColumn("fp", polyHash(col("text")))
       .withColumn("fp_min_shingle", array_min(shingleIds(col("text"), shingleN)))
+
+  /** Winnowing fingerprints (the MOSS local-minimum scheme): slide a
+    * window of `w` consecutive shingle hashes along the document and
+    * keep each window's minimum; the distinct survivors are the doc's
+    * fingerprint set. Winnowing guarantees any shared run of
+    * `w + shingleN - 1` tokens between two documents shares at least
+    * one fingerprint — position-robust plagiarism/overlap detection
+    * where whole-doc hashes miss partial copies.
+    *
+    * Documents with fewer than `w` shingles (but at least one) keep
+    * their single global minimum, so every tokenizable doc gets >= 1
+    * fingerprint. Output: idCol, fp — one row per distinct fingerprint.
+    *
+    * Scale shape: ZERO shuffle — the shingle hashes (native
+    * expression), the per-window minima, and the in-array dedup all
+    * happen inside the scan stage; only (id, fp) pairs leave the scan.
+    */
+  def winnow(df: DataFrame, shingleN: Int = 3, w: Int = 4,
+             idCol: String = "doc_id"): DataFrame = {
+    // ordered, non-distinct shingle sequence (positions matter here)
+    val seq0 = org.apache.spark.sql.graft.GraftExpressions
+      .shingle_hashes(tokens(col("text")), shingleN)
+    val fps = when(size(col("__sh")) >= w,
+        array_distinct(transform(
+          sequence(lit(w), size(col("__sh"))),
+          i => array_min(slice(col("__sh"), i - lit(w - 1), lit(w))))))
+      .otherwise(array(array_min(col("__sh"))))
+    df.select(col(idCol), seq0.as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col(idCol), explode(fps).as("fp"))
+  }
 }

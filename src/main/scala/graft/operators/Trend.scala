@@ -151,4 +151,48 @@ object Trend {
       .agg((sum(areaMicro).cast("double") / lit(1e6)).as("area"),
         count(lit(1)).as("n_segments"))
   }
+
+  /** Time-based rolling statistics: for every event, count and mean of
+    * the values in the trailing `spanUs` microseconds (inclusive of the
+    * current instant) of the SAME series — pypond's "sliding by time,
+    * not by rows". A RANGE frame over the epoch-µs long, so rows at
+    * equal timestamps are frame PEERS and the result is independent of
+    * their physical order — no tie-break column needed.
+    *
+    * Scale shape: identical to the row-frame rolling family — ONE hash
+    * shuffle on the series key, then an ordered per-partition scan with
+    * a two-pointer frame (state = the rows inside one span, O(span
+    * density) not O(history)).
+    */
+  def rollingTime(df: DataFrame, tsCol: String, valCol: String,
+                  keyCols: Seq[String], spanUs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rangeBetween(-spanUs, 0)
+    df.select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .withColumn("n_span", count(lit(1)).over(w))
+      .withColumn("avg_span", round(avg(col(valCol)).over(w), 6))
+  }
+
+  /** Per-series lag-`lagN` autocorrelation (sample Pearson correlation
+    * of the series against itself shifted by `lagN` events) — the
+    * standard "is this metric self-similar / periodic" screen.
+    * Output: keyCols, n_pairs, autocorr (round-6; statistical aggregate
+    * over many doubles, the same tie posture as avg/stdev).
+    *
+    * Scale shape: the lag window and the final aggregation hash on the
+    * SAME series key, so Catalyst plans ONE exchange — the groupBy
+    * reuses the window's partitioning.
+    */
+  def autocorr(df: DataFrame, tsCol: String, valCol: String,
+               keyCols: Seq[String], lagN: Int = 1): DataFrame = {
+    // value in the ORDER BY pins which rows pair up under equal-ts ties
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valCol))
+    df.select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .withColumn("__prev", lag(col(valCol), lagN).over(w))
+      .where(col("__prev").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col(valCol), col("__prev")), 6).as("autocorr"))
+  }
 }

@@ -26,7 +26,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_tokens" -> 0, "mm_meta" -> 0, "ts_filter" -> 0,
     "ts_select" -> 0, "ts_map" -> 0, "doc_langid" -> 0,
     "doc_gopher" -> 0, "doc_fingerprint" -> 0, "doc_pii_scrub" -> 0,
-    "mm_frames" -> 0, "doc_sample_stratified" -> 0,
+    "mm_frames" -> 0, "doc_sample_stratified" -> 0, "doc_winnow" -> 0,
     // single-shuffle stateful / agg family
     "q1_agg" -> 1, "q_cube" -> 1, "ts_agg_basic" -> 1,
     "ts_rate" -> 1, "ts_fill_pad" -> 1, "ts_rollup_5m" -> 1,
@@ -37,6 +37,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_agg_approx" -> 1, "ts_hist" -> 1, "ts_counter_rate" -> 1,
     "doc_pack" -> 1, "ts_trend_slope" -> 1, "emb_label_centroid" -> 1,
     "ts_outliers" -> 1, "ts_rolling_median" -> 1,
+    "ts_rolling_time" -> 1, "ts_autocorr" -> 1,
+    // interval join: one (key, bucket) shuffle per side + the
+    // count-back join — never a per-key cross product
+    "q_interval_join" -> 3,
     // quality filter: tiny percentile agg + broadcast back over the scan
     "doc_quality_filter" -> 2,
     // funnel: one user-keyed window shuffle + the single-row global agg

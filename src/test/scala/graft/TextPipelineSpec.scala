@@ -11,6 +11,28 @@ class TextPipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("winnow: shared token runs share a fingerprint; short docs get 1") {
+    def h(s: String) = TextOps.polyHashBytes(s.getBytes("UTF-8"))
+    // doc 1 and 2 share the 6-token run "c d e f g h" = w + n - 1 tokens
+    // (w=4, n=3), so winnowing GUARANTEES a common fingerprint
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x y c d e f g h z"),
+      (3L, "p q r s")).toDF("doc_id", "text")
+    val fps = TextOps.winnow(df, 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // doc 3 has 2 shingles (< w): exactly its global minimum survives
+    assert(fps(3L) == Set(math.min(h("p q r"), h("q r s"))))
+    // doc 1: 6 shingles, windows end at 4..6 -> each fp is a min of a
+    // 4-run of its own shingle hashes
+    val sh1 = (0 to 5).map(i =>
+      h(Seq("a", "b", "c", "d", "e", "f", "g", "h").slice(i, i + 3).mkString(" ")))
+    val want1 = (3 to 5).map(i => sh1.slice(i - 3, i + 1).min).toSet
+    assert(fps(1L) == want1)
+  }
+
   test("normalize lowercases, strips punctuation, collapses whitespace") {
     val df = Seq((1L, "Hello,  World!  it IS: fine.")).toDF("doc_id", "text")
     val r = TextOps.normalize(df).select("norm_text", "n_chars_norm").head()

@@ -45,6 +45,30 @@ class TrendSpec extends AnyFunSuite {
     assert(got == 2.0)
   }
 
+  test("rollingTime counts the trailing span by TIME, peers included") {
+    import spark.implicits._
+    // span = 100s: at t=150 the frame is [50,150] -> rows at 60,150,150;
+    // equal-ts rows are frame PEERS so both 150s see the same frame
+    val df = Seq((1L, us(0), 10.0), (1L, us(60), 20.0),
+      (1L, us(150), 30.0), (1L, us(150), 40.0), (1L, us(500), 50.0))
+      .toDF("k", "ts", "v")
+    val got = Trend.rollingTime(df, "ts", "v", Seq("k"), us(100))
+      .select("ts", "n_span", "avg_span").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((us(0), 1L, 10.0), (us(60), 2L, 15.0),
+      (us(150), 3L, 30.0), (us(500), 1L, 50.0)))
+  }
+
+  test("autocorr is 1 for a perfectly linear series, per key") {
+    import spark.implicits._
+    val df = ((0 until 10).map(i => (1L, us(i * 10L), 2.0 * i)) ++
+      (0 until 4).map(i => (2L, us(i * 10L), 5.0 - i))).toDF("k", "ts", "v")
+    val got = Trend.autocorr(df, "ts", "v", Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // x_t = a + b*t (b != 0) has lag-1 sample correlation exactly 1
+    assert(got == Set((1L, 9L, 1.0), (2L, 3L, 1.0)))
+  }
+
   test("gaps finds exactly the deltas above threshold") {
     import spark.implicits._
     val df = Seq((1L, us(0)), (1L, us(50)), (1L, us(400)), (1L, us(420)),
