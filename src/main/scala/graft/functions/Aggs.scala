@@ -21,16 +21,39 @@ object Aggs {
   /** Order-independent exact sum (Functions.sum). */
   def sumExact(c: Column): Column = sum(c.cast(SumDec))
 
-  /** sumExact with a DOUBLE wire type: the sum itself is the exact
-    * decimal (order-independent), only the final value is surfaced as
-    * a double. Query outputs use this rather than raw DECIMAL because
-    * engines disagree on how a decimal column is rendered downstream
-    * (DuckDB's pandas bridge gives float64, parquet Decimal keeps
-    * trailing zeros), while an exact-decimal-to-double conversion is
-    * bit-identical everywhere as long as the unscaled value fits in
-    * 2^53 (true through sf1 at scale 6).
+  /** Integer micro-unit accumulator behind [[sumExactD]]: each value
+    * becomes its exact 6dp micro-unit count — through one double
+    * multiply + round() when |x| < 8e9 (there x·1e6 < 2^53, so the
+    * rounded product recovers the same 6dp value as a decimal cast),
+    * through the full decimal cast for outliers — and the micro-units
+    * accumulate as DECIMAL(38,0). Same exactness and order-
+    * independence as summing DECIMAL(38,6) directly, but the per-row
+    * BigDecimal construction (the hot-path cost: Prof shows q1 at
+    * 1.13s decimal vs 0.83s micros at sf0.1) is replaced by codegen'd
+    * double arithmetic on the fast path.
     */
-  def sumExactD(c: Column): Column = sumExact(c).cast("double")
+  private def sumExactMicros(c: Column): Column = {
+    val d = c.cast("double")
+    val Dec380 = DecimalType(38, 0)
+    sum(when(abs(d) < lit(8.0e9), round(d * lit(1e6)).cast("long").cast(Dec380))
+      .otherwise((c.cast(SumDec) * lit(1000000L)).cast(Dec380)))
+  }
+
+  /** Exact sum with a DOUBLE wire type: the accumulation is exact
+    * integer micro-units (order-independent at any scale), restored to
+    * value units by one exact decimal divide, and only the final value
+    * is surfaced as a double. Query outputs use this rather than raw
+    * DECIMAL because engines disagree on how a decimal column is
+    * rendered downstream (DuckDB's pandas bridge gives float64,
+    * parquet Decimal keeps trailing zeros), while an exact-decimal-to-
+    * double conversion is bit-identical everywhere as long as the
+    * unscaled value fits in 2^53 (true through sf1 at scale 6).
+    * Bit-identical to `CAST(sum(CAST(x AS DECIMAL(38,6))) AS DOUBLE)`
+    * — the DuckDB oracle form — for ≤6dp-exact inputs (all graft
+    * sum columns; ties beyond 6dp are the half-tie hazard §3 documents).
+    */
+  def sumExactD(c: Column): Column =
+    (sumExactMicros(c) / lit(1000000L)).cast("double")
 
   def avg6(c: Column): Column = round(avg(c), 6)
 
