@@ -234,12 +234,12 @@ object SparkEntry {
         .withColumn("__salt", pmod(col("event_id"), lit(16L)))
         .groupBy(col("event_type"), col("__salt"))
         .agg(count(lit(1)).as("pn"),
-          Aggs.sumExact(col("value")).as("psum"),
+          sum(Aggs.micros(col("value"))).as("psum"),
           min(col("value")).as("pmin"),
           max(col("value")).as("pmax"))
       salted.groupBy("event_type")
         .agg(sum(col("pn")).as("n"),
-          sum(col("psum")).cast("double").as("sum_value"),
+          Aggs.microsToD(sum(col("psum"))).as("sum_value"),
           min(col("pmin")).as("min_value"),
           max(col("pmax")).as("max_value"))
         .withColumn("avg_value", round(col("sum_value") / col("n"), 6))
@@ -456,7 +456,7 @@ object SparkEntry {
       events(s, dir).select(
         col("user_id"), col("ts"),
         round(avg(col("value")).over(last10), 6).as("ma10"),
-        sum(col("value").cast(Aggs.SumDec)).over(upTo).cast("double")
+        Aggs.microsToD(sum(Aggs.micros(col("value"))).over(upTo))
           .as("running_total"))
     },
 

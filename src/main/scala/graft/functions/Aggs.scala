@@ -32,12 +32,24 @@ object Aggs {
     * 1.13s decimal vs 0.83s micros at sf0.1) is replaced by codegen'd
     * double arithmetic on the fast path.
     */
-  private def sumExactMicros(c: Column): Column = {
+  val MicroDec: DecimalType = DecimalType(38, 0)
+
+  /** Per-value guarded micro-unit expression (the scalar half of the
+    * accumulator above) — also usable under window sums and two-stage
+    * (salted) partial aggregations.
+    */
+  def micros(c: Column): Column = {
     val d = c.cast("double")
-    val Dec380 = DecimalType(38, 0)
-    sum(when(abs(d) < lit(8.0e9), round(d * lit(1e6)).cast("long").cast(Dec380))
-      .otherwise((c.cast(SumDec) * lit(1000000L)).cast(Dec380)))
+    when(abs(d) < lit(8.0e9), round(d * lit(1e6)).cast("long").cast(MicroDec))
+      .otherwise((c.cast(SumDec) * lit(1000000L)).cast(MicroDec))
   }
+
+  /** Exact decimal divide restoring value units from a micro-unit sum,
+    * surfaced as double.
+    */
+  def microsToD(s: Column): Column = (s / lit(1000000L)).cast("double")
+
+  private def sumExactMicros(c: Column): Column = sum(micros(c))
 
   /** Exact sum with a DOUBLE wire type: the accumulation is exact
     * integer micro-units (order-independent at any scale), restored to
@@ -52,8 +64,7 @@ object Aggs {
     * — the DuckDB oracle form — for ≤6dp-exact inputs (all graft
     * sum columns; ties beyond 6dp are the half-tie hazard §3 documents).
     */
-  def sumExactD(c: Column): Column =
-    (sumExactMicros(c) / lit(1000000L)).cast("double")
+  def sumExactD(c: Column): Column = microsToD(sumExactMicros(c))
 
   def avg6(c: Column): Column = round(avg(c), 6)
 

@@ -94,7 +94,8 @@ object Trend {
     val pts = df.select((keyCols :+ tsCol :+ valCol).map(col): _*)
       .withColumn("__b", TimeIndex.posOf(col(tsCol), win))
     val means = pts.groupBy(keyC :+ col("__b"): _*)
-      .agg((sum(col(valCol).cast(graft.functions.Aggs.SumDec)).cast("double")
+      .agg((graft.functions.Aggs.microsToD(
+        sum(graft.functions.Aggs.micros(col(valCol))))
         / count(lit(1))).as("__ay"))
     val mw = Window.partitionBy(keyC: _*).orderBy(col("__b"))
     val anchored = means.select(keyC ++ Seq(col("__b"),
