@@ -42,4 +42,28 @@ object StreamRollup {
       .withColumn("ts_end", unix_micros(col("w.end")))
       .drop("w")
   }
+
+  /** Sliding (overlapping) window rollup over a streaming DataFrame —
+    * the unbounded twin of Rollup.slidingWindow. Spark's native
+    * `window(size, slide)` fans each event out to the size/slide
+    * windows containing it (same epoch-aligned window set as the batch
+    * operator's explode), and the watermark closes each window once no
+    * earlier event can still arrive. State per key = the open windows
+    * inside one watermark horizon — bounded on an unbounded stream.
+    */
+  def slidingWindow(stream: DataFrame, tsCol: String, keyCols: Seq[String],
+                    size: String, slide: String, watermark: String,
+                    aggs: Seq[Column]): DataFrame = {
+    val withTime = stream
+      .withColumn("__event_time", timestamp_micros(col(tsCol)))
+      .withWatermark("__event_time", watermark)
+    val gb = keyCols.map(col) :+
+      window(col("__event_time"), interval(size), interval(slide)).as("w")
+    withTime
+      .groupBy(gb: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("ts_begin", unix_micros(col("w.start")))
+      .withColumn("ts_end", unix_micros(col("w.end")))
+      .drop("w")
+  }
 }

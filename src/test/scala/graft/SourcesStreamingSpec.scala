@@ -135,6 +135,31 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming sliding-window rollup matches batch slidingWindow") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .select("user_id", "ts", "value")
+    val dir = Files.createTempDirectory("graft_slide").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    val rolled = StreamRollup.slidingWindow(stream, "ts", Seq("user_id"),
+      size = "2h", slide = "1h", watermark = "1 hour",
+      aggs = Seq(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sv")))
+    val q = rolled.writeStream.outputMode("complete")
+      .format("memory").queryName("slide_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("slide_test")
+      .select("user_id", "ts_begin", "ts_end", "n", "sv")
+    val want = Rollup.slidingWindow(batch, "ts", Seq("user_id"), "2h", "1h",
+      Seq(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sv")))
+      .select("user_id", "ts_begin", "ts_end", "n", "sv")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("update mode emits refreshed windows per batch (emit_on='events')") {
     // pypond's aggregator emit_on='events' re-emits a window's current
     // aggregate as events arrive (aggregator.py); Spark's update output
