@@ -516,6 +516,33 @@ object SparkEntry {
         .df.select("user_id", "ts", "value")
     },
 
+    // deep field access (pypond dotted field_specs, event.py get()):
+    // the nested JSON payload parses into a struct scan-side and its
+    // fields aggregate like any column — one partial-agg'd shuffle
+    "ts_nested_agg" -> { (s, dir) =>
+      events(s, dir)
+        .withColumn("__p", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("__p.k").cast("long")).as("sum_k"),
+          Aggs.avg6(col("__p.k")).as("avg_k"))
+    },
+
+    // pypond's headline chained Pipeline (align -> rate): per-second
+    // derivative of the day-boundary-aligned series. The chain stays
+    // ONE lazy plan; both stages hash on the series key (align's
+    // union hides its partitioning, so the rate re-shuffles — 2
+    // key-hash exchanges, no data explosion)
+    "ts_pipeline" -> { (s, dir) =>
+      val clicks = events(s, dir).where(col("event_type") === "click")
+      TimeSeries(clicks, "ts", Seq("user_id"))
+        .align(Seq("value"), "1d", "linear")
+        .rate(Seq("value"))
+        .df.select(col("user_id"), col("ts_begin"), col("ts_end"),
+          (round(col("value_rate"), 6) + lit(0.0)).as("rate"))
+    },
+
     "ts_rate" -> { (s, dir) =>
       val p = events(s, dir).where(col("event_type") === "purchase")
       val rated = Rate(p, "ts", Seq("value"), Seq("user_id"), allowNegative = true)
@@ -1033,6 +1060,42 @@ object SparkEntry {
          |UNION ALL
          |SELECT user_id, tns AS ts, value
          |FROM p WHERE ptns IS NULL AND tns % 86400000000 = 0""".stripMargin,
+
+    "ts_nested_agg" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(json_extract_string(props, '$$.k') AS BIGINT))
+         |    AS BIGINT) AS sum_k,
+         |  round(avg(CAST(json_extract_string(props, '$$.k') AS BIGINT)), 6)
+         |    AS avg_k
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    // align (UNROUNDED interpolation) then rate over the aligned
+    // boundary series — the oracle twin of the chained pipeline
+    "ts_pipeline" ->
+      s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT user_id, tns, value,
+         |  lag(tns) OVER w AS ptns, lag(value) OVER w AS pval
+         |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY tns)),
+         |a AS (
+         |  SELECT user_id, u.pos * 86400000000 AS ts,
+         |    pval + (value - pval) *
+         |      ((u.pos * 86400000000 - ptns) / CAST(tns - ptns AS DOUBLE))
+         |      AS value
+         |  FROM p, UNNEST(CASE WHEN ptns IS NOT NULL
+         |      AND tns // 86400000000 > ptns // 86400000000
+         |    THEN range(ptns // 86400000000 + 1, tns // 86400000000 + 1)
+         |    ELSE [] END) AS u(pos)
+         |  UNION ALL
+         |  SELECT user_id, tns AS ts, value
+         |  FROM p WHERE ptns IS NULL AND tns % 86400000000 = 0),
+         |r AS (SELECT user_id, ts, value,
+         |  lag(ts) OVER w2 AS pts, lag(value) OVER w2 AS pv
+         |  FROM a WINDOW w2 AS (PARTITION BY user_id ORDER BY ts))
+         |SELECT user_id, pts AS ts_begin, ts AS ts_end,
+         |  round((value - pv) / (CAST(ts - pts AS DOUBLE) / 1000000.0), 6)
+         |    + 0.0 AS rate
+         |FROM r WHERE pts IS NOT NULL""".stripMargin,
 
     "ts_rate" ->
       s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events

@@ -37,7 +37,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_agg_approx" -> 1, "ts_hist" -> 1, "ts_counter_rate" -> 1,
     "doc_pack" -> 1, "ts_trend_slope" -> 1, "emb_label_centroid" -> 1,
     "ts_outliers" -> 1, "ts_rolling_median" -> 1,
-    "ts_rolling_time" -> 1, "ts_autocorr" -> 1,
+    "ts_rolling_time" -> 1, "ts_autocorr" -> 1, "ts_nested_agg" -> 1,
+    // chained align->rate: align's interior-boundary UNION hides its
+    // key partitioning from Catalyst, so the rate window re-shuffles —
+    // 2 key-hash exchanges total, still no data explosion
+    "ts_pipeline" -> 2,
     // interval join: one (key, bucket) shuffle per side + the
     // count-back join — never a per-key cross product
     "q_interval_join" -> 3,
