@@ -1496,6 +1496,20 @@ object SparkEntry {
         .select("doc_id", "quality", "q75")
     },
 
+    // the practical end of a dedup pipeline: per near-dup cluster keep
+    // the best member (longest text, doc_id tie-break). Window on the
+    // cluster id — singleton-dominated, so the partition sizes stay
+    // O(cluster size) at any corpus scale
+    "doc_dedup_keep_best" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Dedup.minhashClusters(docs)
+        .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+        .withColumn("__rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster_id"), (col("__rk") === 1).as("keep"))
+    },
+
     "doc_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(tbl(s, dir, "documents"))
     },
@@ -1920,6 +1934,22 @@ object SparkEntry {
          |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
          |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
          |FROM documents d LEFT JOIN comp c ON c.u = d.doc_id""".stripMargin,
+
+    "doc_dedup_keep_best" ->
+      s"""WITH RECURSIVE $sqlMinhashCtes,
+         |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |walk AS (SELECT u, v AS lbl FROM edges
+         |  UNION
+         |  SELECT e.u, w.lbl FROM edges e JOIN walk w ON w.u = e.v),
+         |comp AS (SELECT u, min(lbl) AS cluster_id FROM walk GROUP BY u),
+         |lab AS (SELECT d.doc_id,
+         |    coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON c.u = d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
+         |FROM lab""".stripMargin,
 
     "doc_dedup_simhash" -> {
       val bitSums = (0 until Dedup.SimhashBits).map { i =>
