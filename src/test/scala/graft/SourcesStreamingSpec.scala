@@ -4,7 +4,8 @@ import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Wire
-import graft.streaming.StreamRollup
+import graft.streaming.{StreamRangeJoin, StreamRollup}
+import org.apache.spark.sql.DataFrame
 import graft.operators.Rollup
 import graft.functions.Aggs
 
@@ -156,6 +157,36 @@ class StreamRollupSpec extends AnyFunSuite {
     val want = Rollup.slidingWindow(batch, "ts", Seq("user_id"), "2h", "1h",
       Seq(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sv")))
       .select("user_id", "ts_begin", "ts_end", "n", "sv")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("stream-stream interval join matches the batch RangeJoin") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .select("event_id", "user_id", "ts", "event_type")
+    val span = 30L * 60L * 1000000L
+    def ivOf(df: DataFrame) = df.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts").as("begin"),
+        (col("ts") + lit(span)).as("end"))
+    def ptOf(df: DataFrame) = df.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+
+    val dir = Files.createTempDirectory("graft_ssj").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val got0 = StreamRangeJoin.pairs(ivOf(stream), ptOf(stream),
+      Seq("user_id"), "begin", "end", "ts", span, watermark = "1 hour")
+      .select(col("user_id"), col("event_id"), col("click_id"))
+    val q = got0.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ssj_test")
+    val want = graft.operators.RangeJoin.pairs(ivOf(ev), ptOf(ev),
+      Seq("user_id"), "begin", "end", "ts", span)
+      .select(col("user_id"), col("event_id"), col("click_id"))
     assert(got.count() == want.count())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
