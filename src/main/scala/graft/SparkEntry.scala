@@ -82,20 +82,25 @@ object SparkEntry {
     },
 
     "q3_join" -> { (s, dir) =>
-      val li = tbl(s, dir, "lineitem")
       val o = tbl(s, dir, "orders")
       val c = tbl(s, dir, "customer")
       val n = tbl(s, dir, "nation")
-      // dims broadcast explicitly; the orders side is left to AQE, which
-      // broadcasts it at small SFs and shuffle-joins at scale
+      // pre-aggregate lineitem to ORDER grain first: one partial-agg'd
+      // shuffle on l_orderkey replaces both the line-grain join payload
+      // and countDistinct's two-phase dedup (each order now appears
+      // once, so n_orders is a plain count). Dims broadcast; the
+      // fact-fact join is left to AQE (broadcast at small SFs,
+      // co-partitioned SMJ at scale — both sides keyed on orderkey).
+      val li = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(Aggs.micros(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("prev"))
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(
-          Aggs.sumExactD(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("revenue"),
-          countDistinct(col("o_orderkey")).as("n_orders"))
+        .agg(Aggs.microsToD(sum(col("prev"))).as("revenue"),
+          count(lit(1)).as("n_orders"))
     },
 
     // TPC-H Q4 shape: EXISTS -> left-semi join. The semi join carries
@@ -155,12 +160,21 @@ object SparkEntry {
     // shape (4x map rows, reduce rows = #groups across all subtotal
     // levels — still tiny at any corpus scale)
     "q_cube" -> { (s, dir) =>
-      tbl(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
+      // pre-aggregate to the finest grouping first, then cube over the
+      // tiny partial frame: the 4x Expand never touches the fact table,
+      // and every subtotal recombines exact micro-sums (avg derives
+      // from exact sum/count, same 6dp as the oracle's avg)
+      val pre = tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"),
+          sum(Aggs.micros(col("l_quantity"))).as("pq"),
+          sum(Aggs.micros(col("l_extendedprice"))).as("pp"))
+      pre.cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().cast("int").as("gid"),
-          count(lit(1)).as("n"),
-          Aggs.sumExactD(col("l_quantity")).as("sum_qty"),
-          Aggs.avg6(col("l_extendedprice")).as("avg_price"))
+          sum(col("pn")).as("n"),
+          Aggs.microsToD(sum(col("pq"))).as("sum_qty"),
+          round(Aggs.microsToD(sum(col("pp"))) / sum(col("pn")), 6)
+            .as("avg_price"))
     },
 
     // per-group argmin: cheapest lineitem per part. row_number over the

@@ -28,7 +28,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_gopher" -> 0, "doc_fingerprint" -> 0, "doc_pii_scrub" -> 0,
     "mm_frames" -> 0, "doc_sample_stratified" -> 0, "doc_winnow" -> 0,
     // single-shuffle stateful / agg family
-    "q1_agg" -> 1, "q_cube" -> 1, "ts_agg_basic" -> 1,
+    "q1_agg" -> 1, "ts_agg_basic" -> 1,
+    // cube: finest-grain partial agg + the subtotal re-combine over the
+    // tiny partial frame (the 4x Expand never touches the fact table)
+    "q_cube" -> 2,
     "ts_rate" -> 1, "ts_fill_pad" -> 1, "ts_rollup_5m" -> 1,
     "ts_ewma" -> 1, "ts_gaps" -> 1, "ts_integral" -> 1,
     "ts_asof_lookup" -> 1, "q_events_sessionize" -> 1,
