@@ -50,7 +50,7 @@ object Prof {
         .write.format("noop").mode("overwrite").save() }
     def gmic(c: org.apache.spark.sql.Column) = {
       val d = c.cast("double")
-      sum(when(abs(d) < lit(8.0e9), round(d*1e6).cast("long").cast("decimal(38,0)"))
+      sum(when(abs(d) < lit(4.0e9), round(d*1e6).cast("long").cast("decimal(38,0)"))
         .otherwise((c.cast("decimal(38,6)")*lit(1000000L)).cast("decimal(38,0)")))
     }
     t("q1_guardmicros")  { li.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))

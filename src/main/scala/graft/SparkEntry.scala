@@ -536,7 +536,7 @@ object SparkEntry {
     "ts_nested_agg" -> { (s, dir) =>
       events(s, dir)
         .withColumn("__p", from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+          org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
           sum(col("__p.k").cast("long")).as("sum_k"),

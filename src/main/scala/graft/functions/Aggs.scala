@@ -23,8 +23,11 @@ object Aggs {
 
   /** Integer micro-unit accumulator behind [[sumExactD]]: each value
     * becomes its exact 6dp micro-unit count — through one double
-    * multiply + round() when |x| < 8e9 (there x·1e6 < 2^53, so the
-    * rounded product recovers the same 6dp value as a decimal cast),
+    * multiply + round() when |x| < 4e9 (there x·1e6 < 2^52, so the
+    * product is within 0.5 ulp of the true integer and round()
+    * recovers exactly the same 6dp value as a decimal cast; at 2^53
+    * the product's ulp reaches 1 and shortest-repr inputs like
+    * 4503033111.643871 round to an off-by-one micro-count),
     * through the full decimal cast for outliers — and the micro-units
     * accumulate as DECIMAL(38,0). Same exactness and order-
     * independence as summing DECIMAL(38,6) directly, but the per-row
@@ -40,7 +43,7 @@ object Aggs {
     */
   def micros(c: Column): Column = {
     val d = c.cast("double")
-    when(abs(d) < lit(8.0e9), round(d * lit(1e6)).cast("long").cast(MicroDec))
+    when(abs(d) < lit(4.0e9), round(d * lit(1e6)).cast("long").cast(MicroDec))
       .otherwise((c.cast(SumDec) * lit(1000000L)).cast(MicroDec))
   }
 

@@ -34,10 +34,16 @@ object RangeJoin {
   def pairs(intervals: DataFrame, points: DataFrame, keyCols: Seq[String],
             beginCol: String, endCol: String, ptsTsCol: String,
             bucketUs: Long): DataFrame = {
-    // floor division: pre-1970 instants band consistently with posOf
-    val iv = intervals.withColumn("__b",
-      explode(sequence(fldiv(col(beginCol), bucketUs),
-        fldiv(col(endCol) - 1, bucketUs))))
+    // floor division: pre-1970 instants band consistently with posOf.
+    // Empty/inverted intervals (end <= begin) can match nothing under
+    // half-open containment, but sequence(start, stop) with start > stop
+    // DESCENDS by default — an inverted interval would explode into a
+    // huge bucket array. Drop them before banding.
+    val iv = intervals
+      .where(col(endCol) > col(beginCol))
+      .withColumn("__b",
+        explode(sequence(fldiv(col(beginCol), bucketUs),
+          fldiv(col(endCol) - 1, bucketUs))))
     val pt = points.withColumn("__b", fldiv(col(ptsTsCol), bucketUs))
     iv.join(pt, keyCols :+ "__b")
       .where(col(ptsTsCol) >= col(beginCol) && col(ptsTsCol) < col(endCol))

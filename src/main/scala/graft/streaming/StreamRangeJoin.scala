@@ -38,7 +38,7 @@ object StreamRangeJoin {
     val keyEq = keyCols.map(k => iv(k) === pt(k)).reduce(_ && _)
     // state-eviction bound (event-time to event-time) + exact containment
     val range = pt("__pt_time") >= iv("__iv_time") &&
-      pt("__pt_time") <= iv("__iv_time") + expr(s"INTERVAL ${maxSpanUs / 1000} MILLISECONDS") &&
+      pt("__pt_time") <= iv("__iv_time") + expr(s"INTERVAL $maxSpanUs MICROSECONDS") &&
       pt(s"pt_$ptsTsCol") >= iv(beginCol) && pt(s"pt_$ptsTsCol") < iv(endCol)
     val joined = iv.join(pt, keyEq && range)
     // drop the helper time columns and the duplicate key columns
