@@ -1470,6 +1470,14 @@ object SparkEntry {
   // ----------------------------------------------- §2.8 training-data ops
 
   private val EmbDim = 64
+
+  /** Posting-list df cap for the pruned ngram-Jaccard scale path —
+    * shared by the Spark query and its oracle so both prune the same
+    * shingles. 16 is deliberately low for sf-scale corpora so the test
+    * exercises real pruning; at 100 TB the cap trades recall on
+    * boilerplate-only pairs for a hard bound on the hottest join key.
+    */
+  private val NgramJaccardMaxDf = 16
   /** mm_frames frame-sampling step, shared by the Spark query and its
     * oracle SQL so the two sides cannot drift.
     */
@@ -1530,6 +1538,17 @@ object SparkEntry {
 
     "doc_dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"))
+    },
+
+    // THE scale path for exact ngram Jaccard: posting lists capped at
+    // maxDocFreq docs (a stopword shingle in 1e5 docs is 1e10 candidate
+    // pairs; it carries ~no Jaccard signal). Recall bound: a true pair
+    // is lost only if EVERY shared shingle has df > cap — near-dups
+    // share mostly rare shingles, so losses concentrate on templated
+    // boilerplate. The oracle applies the identical df cap.
+    "doc_dedup_ngram_jaccard_pruned" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"),
+        maxDocFreq = Some(NgramJaccardMaxDf))
     },
 
     "doc_dedup_cluster" -> { (s, dir) =>
@@ -1672,8 +1691,12 @@ object SparkEntry {
       Knn.kmeans(tbl(s, dir, "embeddings"), EmbDim)
     },
 
+    // LSH-cell blocking (not label blocking): a label block is
+    // O(block^2) pairs at corpus scale; the (table, bucket) cells the
+    // ANN index already computes bound the self-join instead, with
+    // exact-cosine verification after the bucket match
     "emb_dedup_cosine" -> { (s, dir) =>
-      Knn.cosineDupPairs(tbl(s, dir, "embeddings"), EmbDim, 0.3, "label")
+      Knn.cosineDupPairsLsh(tbl(s, dir, "embeddings"), EmbDim, 0.3)
     },
 
     "emb_quantize" -> { (s, dir) =>
@@ -1870,12 +1893,22 @@ object SparkEntry {
     */
   private val LshPlanes = 4
   private val LshTables = 4
-  private def sqlLshCtes: String = {
+
+  /** The banded corpus `lb(vec_id, embedding, tb, bk)` — one row per
+    * (vector, LSH table) with that table's bucket code. Shared by
+    * [[sqlLshCtes]] and the emb_dedup_cosine oracle so the dedup blocks
+    * are exactly the ANN index's cells.
+    */
+  private def sqlLshBandCte: String = {
     val lb = (0 until LshTables).map(t =>
       s"SELECT vec_id, embedding, $t AS tb,\n    " +
         s"${sqlBucket("embedding", LshPlanes, t * LshPlanes)} AS bk " +
         "FROM embeddings").mkString("\n  UNION ALL ")
-    s"""lb AS ($lb),
+    s"lb AS ($lb)"
+  }
+
+  private def sqlLshCtes: String = {
+    s"""$sqlLshBandCte,
        |lq AS (SELECT vec_id AS query_id, embedding AS qv, tb, bk FROM lb
        |  WHERE vec_id % 100 = 0),
        |lc AS (SELECT vec_id AS neighbor_id, embedding AS nv, tb, bk FROM lb),
@@ -2018,6 +2051,31 @@ object SparkEntry {
       s"""WITH $sqlSidsCte,
          |sz AS (SELECT doc_id, len(sids) AS n_sh FROM sids),
          |inv AS (SELECT doc_id, unnest(sids) AS sid FROM sids),
+         |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS n_shared
+         |  FROM inv a JOIN inv b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  round(CAST(n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - n_shared), 6)
+         |    AS jaccard
+         |FROM shared
+         |JOIN sz na ON na.doc_id = id_a
+         |JOIN sz nb ON nb.doc_id = id_b
+         |WHERE CAST(n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - n_shared)
+         |  >= 0.5""".stripMargin,
+
+    // identical chain with the df cap applied to the inverted index
+    // BEFORE the self-join (sizes stay the full shingle-set sizes, so
+    // the Jaccard denominator is unchanged — only candidate generation
+    // is pruned), mirroring Dedup.ngramJaccardPairs(maxDocFreq)
+    "doc_dedup_ngram_jaccard_pruned" ->
+      s"""WITH $sqlSidsCte,
+         |sz AS (SELECT doc_id, len(sids) AS n_sh FROM sids),
+         |inv0 AS (SELECT doc_id, unnest(sids) AS sid FROM sids),
+         |keep AS (SELECT sid FROM inv0 GROUP BY sid
+         |  HAVING count(*) <= $NgramJaccardMaxDf),
+         |inv AS (SELECT doc_id, sid FROM inv0
+         |  WHERE sid IN (SELECT sid FROM keep)),
          |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    count(*) AS n_shared
          |  FROM inv a JOIN inv b ON a.sid = b.sid AND a.doc_id < b.doc_id
@@ -2289,12 +2347,18 @@ object SparkEntry {
          |FROM a2""".stripMargin
     },
 
+    // blocks are the shared lb cells (sqlLshBandCte) — the oracle
+    // mirrors the LSH blocking exactly, then dedups multi-table
+    // collisions with max() like the Spark side
     "emb_dedup_cosine" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |  round(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3""".stripMargin,
+      s"""WITH $sqlLshBandCte,
+         |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${sqlCos("a.embedding", "b.embedding")} AS cos
+         |  FROM lb a JOIN lb b ON a.tb = b.tb AND a.bk = b.bk
+         |    AND a.vec_id < b.vec_id
+         |  WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.3)
+         |SELECT id_a, id_b, round(max(cos), 6) AS cos
+         |FROM p0 GROUP BY 1, 2""".stripMargin,
 
     "emb_quantize" ->
       s"""WITH d AS (SELECT i FROM range(1, ${EmbDim + 1}) t(i)),

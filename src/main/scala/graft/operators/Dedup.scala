@@ -330,13 +330,18 @@ object Dedup {
     // Scale path: a shingle occurring in >maxDocFreq docs generates
     // O(df^2) candidate pairs but carries ~no Jaccard signal; dropping
     // it bounds the hottest key (classic posting-list pruning). The
-    // default (None) stays exact for oracle parity.
+    // default (None) stays exact for oracle parity. The df count is a
+    // WINDOW over sid, not a groupBy+join: the window's sid-hash
+    // exchange is the same partitioning the self-join needs, so
+    // pruning rides the shuffle that was already required (the hot
+    // key's rows land on one task either way — that is exactly the
+    // skew the cap then removes from the join).
     val inv = maxDocFreq match {
       case None => invAll
       case Some(f) =>
-        val dfreq = invAll.groupBy("sid").agg(count(lit(1)).as("__df"))
-          .where(col("__df") <= f).select("sid")
-        invAll.join(dfreq, Seq("sid"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("sid")
+        invAll.withColumn("__df", count(lit(1)).over(w))
+          .where(col("__df") <= f).drop("__df")
     }
     // shuffle-hash pinned: the posting list is uniformly keyed (df is
     // bounded), so hash join on sid beats both sort-merge (no order to

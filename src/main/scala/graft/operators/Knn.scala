@@ -419,8 +419,53 @@ object Knn {
       round(col("cos"), 6).as("cos"))
   }
 
+  /** Embedding near-dup pairs above a cosine threshold, blocked by the
+    * same multi-table hyperplane LSH cells as [[lshTopK]]: each vector
+    * lands in `nTables` (table, bucket) cells, candidates are pairs
+    * sharing >= 1 cell (`id_a < id_b`), verified by EXACT cosine.
+    *
+    * Scale shape: the self-join side is a (tb, bk) cell, never a
+    * semantic block — cell populations are corpus/2^nPlanes per table
+    * on spread-out embeddings and shrink with nPlanes, so the pair
+    * space stays bounded at corpus scale (a label/category block, by
+    * contrast, is O(block²) with millions of vectors per label). The
+    * same pair can collide in several tables; cos is identical on
+    * every copy, so the max() groupBy is pure dedup and map-side
+    * combinable.
+    *
+    * Recall bound: a true pair at cosine c (angle θ = arccos c)
+    * surfaces with probability 1-(1-p^nPlanes)^nTables, p = 1-θ/π —
+    * `nTables` is the recall dial, paid linearly in shuffle volume.
+    */
+  def cosineDupPairsLsh(emb: DataFrame, dim: Int, threshold: Double,
+                        nPlanes: Int = 4, nTables: Int = 4,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    def cells(v: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("tb"), bucketCode(v, dim, nPlanes, t * nPlanes).as("bk"))
+    }: _*)
+    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("n"),
+        explode(cells(col(vecCol))).as("tbk"))
+      .select(col("id"), col("v"), col("n"),
+        col("tbk.tb").as("tb"), col("tbk.bk").as("bk"))
+    val a = banded.select(col("id").as("id_a"), col("v").as("va"),
+      col("n").as("na"), col("tb"), col("bk"))
+    val b = banded.select(col("id").as("id_b"), col("v").as("vb"),
+      col("n").as("nb"), col("tb"), col("bk"))
+    a.join(b, Seq("tb", "bk")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .groupBy("id_a", "id_b").agg(max(col("cos")).as("cos"))
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, blocked by a
     * coarse key (label or LSH bucket) so the self-join stays bounded.
+    * ONLY safe when the block column's populations are known-small
+    * (e.g. a precomputed fine-grained cluster id) — a semantic label
+    * block is O(block²) pairs; prefer [[cosineDupPairsLsh]] at corpus
+    * scale.
     */
   def cosineDupPairs(emb: DataFrame, dim: Int, threshold: Double,
                      blockCol: String, idCol: String = "vec_id",

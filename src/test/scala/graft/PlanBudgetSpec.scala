@@ -67,7 +67,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the rank self-join); the visible plan only shuffles the k winners
     "doc_dedup_minhash" -> 3, "doc_vocab" -> 2,
     "q3_join" -> 5, "q5_multijoin" -> 6,
-    "doc_dedup_ngram_jaccard" -> 5, "doc_tfidf" -> 7)
+    "doc_dedup_ngram_jaccard" -> 5, "doc_tfidf" -> 7,
+    // pruned scale path: the df-cap window rides the self-join's own
+    // sid shuffle — same budget as the unpruned chain
+    "doc_dedup_ngram_jaccard_pruned" -> 5,
+    // LSH-cell blocked dedup: ReuseExchange shares the banded side
+    // between the self-join's two inputs + pair-dedup agg
+    "emb_dedup_cosine" -> 2)
 
   test("no query exceeds its exchange budget") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
