@@ -358,13 +358,22 @@ object SparkEntry {
           col("n"))
     },
 
+    // all five pypond Filters modes (functions.py:31-75): ignore /
+    // zero / propagate / keep (count(*) vs valid count) / none_if_empty
+    // (exercised on mv2, a column with NO valid values, where count
+    // would otherwise be 0, not null)
     "ts_agg_filters" -> { (s, dir) =>
       events(s, dir).withColumn("mv", masked(col("value")))
+        .withColumn("mv2", when(col("value") < lit(-1e18), col("value")))
         .groupBy("event_type").agg(
           Aggs.avg6(col("mv")).as("avg_ignore"),
           round(avg(Aggs.zeroMissing(col("mv"))), 6).as("avg_zero"),
           round(Aggs.propagateMissing(avg(col("mv")), col("mv")), 6)
-            .as("avg_propagate"))
+            .as("avg_propagate"),
+          count(Aggs.keepMissing(lit(1))).as("n_keep"),
+          Aggs.countValid(col("mv")).as("n_valid"),
+          Aggs.noneIfEmpty(Aggs.countValid(col("mv2")), col("mv2"))
+            .cast("long").as("cnt_none_if_empty"))
     },
 
     "ts_size_valid" -> { (s, dir) =>
@@ -399,11 +408,28 @@ object SparkEntry {
           count(lit(1)).as("n")))
     },
 
+    // pypond's utc=False local-time rollup (series.py:1278): day
+    // boundaries in a named zone, DST-aware — "my days are in
+    // America/New_York", the most common real-world rollup ask
+    "ts_rollup_daily_tz" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Seq("event_type"))
+        .dailyRollup(Seq(
+          Aggs.sumExactD(col("value")).as("sum_value"),
+          count(lit(1)).as("n")), tz = Some("America/New_York"))
+    },
+
     "ts_rollup_monthly" -> { (s, dir) =>
       TimeSeries(events(s, dir), "ts", Seq("user_id"))
         .monthlyRollup(Seq(
           Aggs.sumExactD(col("value")).as("sum_value"),
           count(lit(1)).as("n")))
+    },
+
+    "ts_rollup_monthly_tz" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Seq("user_id"))
+        .monthlyRollup(Seq(
+          Aggs.sumExactD(col("value")).as("sum_value"),
+          count(lit(1)).as("n")), tz = Some("Asia/Tokyo"))
     },
 
     "ts_rollup_yearly" -> { (s, dir) =>
@@ -710,6 +736,15 @@ object SparkEntry {
         .withColumn("pos", row_number().over(w))
     },
 
+    // Collection.sort(field_path) (collection.py:460): order by a VALUE
+    // field, not time — per-series rank, (value, ts, event_id) ordering
+    // for determinism
+    "ts_sort_by_field" -> { (s, dir) =>
+      Shape.sortBy(
+        events(s, dir).select("user_id", "ts", "event_id", "value"),
+        Seq("user_id"), Seq("value", "ts", "event_id"))
+    },
+
     "ts_rename" -> { (s, dir) =>
       Shape.rename(
         events(s, dir).select("event_id", "ts", "event_type", "value"),
@@ -910,12 +945,17 @@ object SparkEntry {
 
     "ts_agg_filters" ->
       """WITH s AS (SELECT event_type,
-        |  CASE WHEN value < 5.0 THEN NULL ELSE value END AS mv FROM events)
+        |  CASE WHEN value < 5.0 THEN NULL ELSE value END AS mv,
+        |  CASE WHEN value < -1e18 THEN value END AS mv2 FROM events)
         |SELECT event_type,
         |  round(avg(mv),6) AS avg_ignore,
         |  round(avg(coalesce(mv, 0)),6) AS avg_zero,
         |  CASE WHEN count(*) <> count(mv) THEN NULL
-        |       ELSE round(avg(mv),6) END AS avg_propagate
+        |       ELSE round(avg(mv),6) END AS avg_propagate,
+        |  count(*) AS n_keep,
+        |  count(mv) AS n_valid,
+        |  CASE WHEN count(mv2) = 0 THEN NULL
+        |       ELSE count(mv2) END AS cnt_none_if_empty
         |FROM s GROUP BY event_type""".stripMargin,
 
     "ts_size_valid" ->
@@ -943,8 +983,26 @@ object SparkEntry {
          |  round(avg(value),6) AS avg_value, count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // timezone(tz, timezone('UTC', ts)): anchor the naive UTC wall
+    // time as an instant, then render it in the target zone —
+    // DST-aware on both engines (ICU in DuckDB, JVM tzdb in Spark)
+    "ts_rollup_daily_tz" ->
+      s"""SELECT event_type,
+         |  strftime(timezone('America/New_York', timezone('UTC', ts)),
+         |    '%Y-%m-%d') AS idx,
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value,
+         |  count(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
     "ts_rollup_monthly" ->
       s"""SELECT user_id, strftime(ts, '%Y-%m') AS idx,
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value, count(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "ts_rollup_monthly_tz" ->
+      s"""SELECT user_id,
+         |  strftime(timezone('Asia/Tokyo', timezone('UTC', ts)),
+         |    '%Y-%m') AS idx,
          |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value, count(*) AS n
          |FROM events GROUP BY 1, 2""".stripMargin,
 
@@ -1210,6 +1268,12 @@ object SparkEntry {
       s"""SELECT user_id, $EvUs AS ts,
          |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY $EvUs)
          |    AS INTEGER) AS pos
+         |FROM events""".stripMargin,
+
+    "ts_sort_by_field" ->
+      s"""SELECT user_id, $EvUs AS ts, event_id, value,
+         |  CAST(row_number() OVER (PARTITION BY user_id
+         |    ORDER BY value, $EvUs, event_id) AS INTEGER) AS pos
          |FROM events""".stripMargin,
 
     "ts_rename" ->

@@ -155,4 +155,19 @@ object Aggs {
     * Collection.size_valid (pypond/collection.py:157).
     */
   def countValid(c: Column): Column = count(when(!(c.isNull || isnan(c)), lit(1)))
+
+  /** Filters.none_if_empty (pypond/functions.py:69-75): the aggregate
+    * is null when the group has NO valid values. SQL avg/sum are
+    * already null there, so this only changes zero-default aggregates
+    * (count) — wrap: noneIfEmpty(countValid(c), c).
+    */
+  def noneIfEmpty(agg: Column, c: Column): Column =
+    when(countValid(c) === 0, lit(null)).otherwise(agg)
+
+  /** Filters.keep_missing (pypond/functions.py:31-34): the no-op
+    * filter — missing values stay in the group. Under SQL null-skipping
+    * aggregates this equals ignore_missing for sum/avg; it is
+    * observable through cardinality (count(*) vs countValid).
+    */
+  def keepMissing(c: Column): Column = c
 }

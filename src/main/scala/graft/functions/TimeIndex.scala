@@ -76,4 +76,21 @@ object TimeIndex {
   def dailyIndex(tsUs: Column): Column = date_format(toTimestamp(tsUs), "yyyy-MM-dd")
   def monthlyIndex(tsUs: Column): Column = date_format(toTimestamp(tsUs), "yyyy-MM")
   def yearlyIndex(tsUs: Column): Column = date_format(toTimestamp(tsUs), "yyyy")
+
+  /** Calendar index strings in a NAMED zone — pypond's `utc=False`
+    * local-time rollups (pypond/series.py:1278,1333,1388), with the
+    * zone explicit because a cluster has no meaningful "local".
+    * from_utc_timestamp shifts the instant to the zone's wall time
+    * (DST-aware via the JVM tz database), so day/month boundaries land
+    * where that zone's users expect; still pure column arithmetic
+    * inside codegen, one expression per row.
+    */
+  private def tzWall(tsUs: Column, tz: String): Column =
+    from_utc_timestamp(toTimestamp(tsUs), tz)
+  def dailyIndexTz(tsUs: Column, tz: String): Column =
+    date_format(tzWall(tsUs, tz), "yyyy-MM-dd")
+  def monthlyIndexTz(tsUs: Column, tz: String): Column =
+    date_format(tzWall(tsUs, tz), "yyyy-MM")
+  def yearlyIndexTz(tsUs: Column, tz: String): Column =
+    date_format(tzWall(tsUs, tz), "yyyy")
 }

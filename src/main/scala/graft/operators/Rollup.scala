@@ -87,16 +87,24 @@ object Rollup {
   }
 
   /** Calendar rollup: granularity in {"daily","monthly","yearly"};
-    * index strings "YYYY-MM-DD" / "YYYY-MM" / "YYYY" (UTC).
+    * index strings "YYYY-MM-DD" / "YYYY-MM" / "YYYY". UTC by default;
+    * pass `tz` for pypond's `utc=False` local-time day/month/year
+    * boundaries (pypond/series.py:1278,1333,1388) — zone-named rather
+    * than implicit, and still ONE partial-agg'd hash aggregation (the
+    * zone shift is scan-side column arithmetic, not a repartition).
     */
   def calendar(df: DataFrame, tsCol: String, keyCols: Seq[String],
-               granularity: String, aggs: Seq[Column]): DataFrame = {
+               granularity: String, aggs: Seq[Column],
+               tz: Option[String] = None): DataFrame = {
     val ts = col(tsCol)
-    val idx = granularity match {
-      case "daily"   => TimeIndex.dailyIndex(ts)
-      case "monthly" => TimeIndex.monthlyIndex(ts)
-      case "yearly"  => TimeIndex.yearlyIndex(ts)
-      case g => throw new IllegalArgumentException(s"bad granularity: $g")
+    val idx = (granularity, tz) match {
+      case ("daily", None)      => TimeIndex.dailyIndex(ts)
+      case ("monthly", None)    => TimeIndex.monthlyIndex(ts)
+      case ("yearly", None)     => TimeIndex.yearlyIndex(ts)
+      case ("daily", Some(z))   => TimeIndex.dailyIndexTz(ts, z)
+      case ("monthly", Some(z)) => TimeIndex.monthlyIndexTz(ts, z)
+      case ("yearly", Some(z))  => TimeIndex.yearlyIndexTz(ts, z)
+      case (g, _) => throw new IllegalArgumentException(s"bad granularity: $g")
     }
     val gb = keyCols.map(col) :+ idx.as("idx")
     df.groupBy(gb: _*).agg(aggs.head, aggs.tail: _*)

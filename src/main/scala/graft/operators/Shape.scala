@@ -77,4 +77,18 @@ object Shape {
   /** TimeSeries.rename_columns (pypond/series.py:1027). */
   def rename(df: DataFrame, renames: Map[String, String]): DataFrame =
     renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** Collection.sort(field_path) (pypond/collection.py:460): order by a
+    * VALUE field rather than time. Distributed form: a per-series rank
+    * position rather than a global total order (a global sort is a
+    * range-partition shuffle of the whole corpus; the per-key window
+    * shuffles once on the series key like every other stateful op).
+    * `orderCols` should end in a unique tiebreak for determinism.
+    */
+  def sortBy(df: DataFrame, keyCols: Seq[String],
+             orderCols: Seq[String], posCol: String = "pos"): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    df.withColumn(posCol, row_number().over(w))
+  }
 }

@@ -83,6 +83,11 @@ final case class TimeSeries(
     wrap(Shape.crop(df, tsCol, r.beginUs, r.endUs))
   def dedup(orderCol: String): TimeSeries =
     wrap(Shape.dedup(df, keyCols :+ tsCol, orderCol))
+  /** Collection.sort(field_path) (collection.py:460): per-series rank
+    * position by a value field; pass a unique trailing tiebreak.
+    */
+  def sortByField(orderCols: Seq[String]): TimeSeries =
+    wrap(Shape.sortBy(df, keyCols, orderCols))
   def take(n: Int, tieBreak: Seq[String] = Nil): TimeSeries =
     wrap(Shape.take(df, tsCol, keyCols, n, tieBreak))
   def offsetBy(by: Double, fields: Seq[String]): TimeSeries =
@@ -107,12 +112,15 @@ final case class TimeSeries(
   def fixedWindowRollup(window: String, aggs: Seq[Column]): DataFrame =
     Rollup.fixedWindow(df, tsCol, keyCols, window, aggs)
   def hourlyRollup(aggs: Seq[Column]): DataFrame = fixedWindowRollup("1h", aggs)
-  def dailyRollup(aggs: Seq[Column]): DataFrame =
-    Rollup.calendar(df, tsCol, keyCols, "daily", aggs)
-  def monthlyRollup(aggs: Seq[Column]): DataFrame =
-    Rollup.calendar(df, tsCol, keyCols, "monthly", aggs)
-  def yearlyRollup(aggs: Seq[Column]): DataFrame =
-    Rollup.calendar(df, tsCol, keyCols, "yearly", aggs)
+  /** `tz=Some(zone)` = pypond's utc=False local-time rollup with the
+    * zone explicit (series.py:1278,1333,1388).
+    */
+  def dailyRollup(aggs: Seq[Column], tz: Option[String] = None): DataFrame =
+    Rollup.calendar(df, tsCol, keyCols, "daily", aggs, tz)
+  def monthlyRollup(aggs: Seq[Column], tz: Option[String] = None): DataFrame =
+    Rollup.calendar(df, tsCol, keyCols, "monthly", aggs, tz)
+  def yearlyRollup(aggs: Seq[Column], tz: Option[String] = None): DataFrame =
+    Rollup.calendar(df, tsCol, keyCols, "yearly", aggs, tz)
   def collectByFixedWindow(window: String, aggs: Seq[Column]): DataFrame =
     Rollup.fixedWindowRange(df, tsCol, keyCols, window, aggs)
 

@@ -114,4 +114,33 @@ class ReferenceFixtureSpec extends AnyFunSuite {
     assert(pos(0) == 4754394L && pos(1) == 4754405L)
     assert(pos(1) - pos(0) + 1 == 12)
   }
+
+  // tests/series_test.py:670-700 test_non_fixed_rollups: daily/monthly/
+  // yearly rollup with utc=False renders index strings in LOCAL time
+  // (index.py:486-530 get_*_index_string(utc=False)). pypond uses the
+  // machine's zone; graft names it — semantics replayed here for
+  // America/New_York on SEPT_2014_DATA's first point 1409529600000 ms
+  // = 2014-09-01T00:00Z, which is 2014-08-31 20:00 in New York.
+  test("calendar rollups honor utc=False zone (series_test.py:670-700)") {
+    import graft.functions.TimeIndex
+    import spark.implicits._
+    val df = Seq((1409529600000L * 1000L, 80.0)).toDF("ts", "value")
+    def idx(c: org.apache.spark.sql.Column): String =
+      df.select(c).head.getString(0)
+    // utc=True default strings
+    assert(idx(TimeIndex.dailyIndex($"ts")) == "2014-09-01")
+    assert(idx(TimeIndex.monthlyIndex($"ts")) == "2014-09")
+    // utc=False (zone-named): the instant falls on the previous local day
+    assert(idx(TimeIndex.dailyIndexTz($"ts", "America/New_York")) == "2014-08-31")
+    assert(idx(TimeIndex.monthlyIndexTz($"ts", "America/New_York")) == "2014-08")
+    assert(idx(TimeIndex.yearlyIndexTz($"ts", "America/New_York")) == "2014")
+    // DST-aware: the same 04:30 UTC clock time is local day-15 under
+    // EDT (UTC-4, July) but still local day-14 under EST (UTC-5, Jan)
+    val july = Seq(1405398600000L * 1000L).toDF("ts") // 2014-07-15T04:30Z
+    val jan = Seq(1389760200000L * 1000L).toDF("ts")  // 2014-01-15T04:30Z
+    assert(july.select(TimeIndex.dailyIndexTz($"ts", "America/New_York"))
+      .head.getString(0) == "2014-07-15")
+    assert(jan.select(TimeIndex.dailyIndexTz($"ts", "America/New_York"))
+      .head.getString(0) == "2014-01-14")
+  }
 }
