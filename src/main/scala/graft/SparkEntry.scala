@@ -1720,6 +1720,14 @@ object SparkEntry {
       Knn.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
     },
 
+    // IVF over the LEARNED k-means codebook (one Lloyd update) rather
+    // than the every-Nth sample — recall of both centroid sources is
+    // measured side by side in emb_ann_recall
+    "emb_knn_ivf_learned" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.ivfTopKLearned(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+    },
+
     // ANN index quality evaluation: recall@3 of the LSH and IVF scale
     // paths against brute-force ground truth on the same query set —
     // the number that decides whether an approximate index is usable
@@ -1745,6 +1753,8 @@ object SparkEntry {
             col("recall"))
       evalOf(Knn.lshTopK(emb, q, EmbDim, 3), "lsh")
         .unionByName(evalOf(Knn.ivfTopK(emb, q, EmbDim, 3), "ivf"))
+        .unionByName(evalOf(Knn.ivfTopKLearned(emb, q, EmbDim, 3),
+          "ivf_learned"))
     },
 
     "emb_label_centroid" -> { (s, dir) =>
@@ -1881,6 +1891,58 @@ object SparkEntry {
     (0 until nPlanes).map { j =>
       s"(CASE WHEN ${sqlPlaneDot(v, offset + j)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** One unrolled Lloyd round as CTEs (kv/kc0/ka1/ke1/km1/kc1) ending
+    * in `kc1` = the learned codebook after one centroid update —
+    * shared VERBATIM by emb_kmeans, emb_knn_ivf_learned and
+    * emb_ann_recall's learned leg so the codebook every consumer sees
+    * is identical. Mirrors Knn.lloyd (every-67th seeding, max-cosine
+    * assignment with min-cid tie-break, 6dp-rounded centroid means).
+    */
+  private def sqlKmeansAssign(centsCte: String): String =
+    s"""SELECT vid, cid, cos FROM (SELECT kv.vid, c.cid,
+       |    ${sqlCos("kv.v", "c.cvec")} AS cos,
+       |    row_number() OVER (PARTITION BY kv.vid
+       |      ORDER BY ${sqlCos("kv.v", "c.cvec")} DESC, c.cid) AS rn
+       |  FROM kv, $centsCte c) WHERE rn = 1""".stripMargin
+
+  private def sqlKmeansCtes: String =
+    s"""kv AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
+       |kc0 AS (SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id % 67 = 1),
+       |ka1 AS (${sqlKmeansAssign("kc0")}),
+       |ke1 AS (SELECT ka1.cid, unnest(range(1, ${EmbDim + 1})) AS dim,
+       |    unnest(list_transform(kv.v, x -> CAST(x AS DOUBLE))) AS x
+       |  FROM ka1 JOIN kv ON kv.vid = ka1.vid),
+       |km1 AS (SELECT cid, dim, round(avg(x), 6) AS c FROM ke1
+       |  GROUP BY cid, dim),
+       |kc1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM km1
+       |  GROUP BY cid)""".stripMargin
+
+  /** Learned-codebook IVF coarse-quantizer CTEs (klc/klcell/kqcell) —
+    * the kc1 codebook in the [[sqlIvfCtes]] cell-assignment shape;
+    * shared by emb_knn_ivf_learned and emb_ann_recall's learned leg.
+    */
+  private def sqlIvfLearnedCtes: String =
+    s"""$sqlKmeansCtes,
+       |klc AS (SELECT cid, cvec, sqrt(${sqlDot("cvec", "cvec")}) AS cn
+       |  FROM kc1),
+       |klc0 AS (SELECT vec_id AS neighbor_id, embedding AS nv,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS nn FROM embeddings),
+       |kla AS (SELECT neighbor_id, nv, nn, cid,
+       |    row_number() OVER (PARTITION BY neighbor_id
+       |      ORDER BY ${sqlDot("nv", "cvec")} / (nn * cn) DESC, cid) AS crk
+       |  FROM klc0, klc),
+       |klcell AS (SELECT neighbor_id, nv, nn, cid FROM kla WHERE crk <= 1),
+       |klq0 AS (SELECT vec_id AS query_id, embedding AS qv,
+       |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |klqa AS (SELECT query_id, qv, qn, cid,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${sqlDot("qv", "cvec")} / (qn * cn) DESC, cid) AS crk
+       |  FROM klq0, klc),
+       |kqcell AS (SELECT query_id, qv, qn, cid FROM klqa WHERE crk <= 2)""".stripMargin
 
   /** Quality-score CTEs ending in `qual` (doc_id, n_tokens,
     * avg_token_len, punct_ratio, digit_ratio, stop_ratio, quality) —
@@ -2335,6 +2397,18 @@ object SparkEntry {
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 3""".stripMargin,
 
+    "emb_knn_ivf_learned" ->
+      s"""WITH $sqlIvfLearnedCtes,
+         |j AS (SELECT query_id, neighbor_id,
+         |    ${sqlDot("qv", "nv")} / (qn * nn) AS cos
+         |  FROM klcell JOIN kqcell USING (cid)
+         |  WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 3""".stripMargin,
+
     // the three index legs are verbatim re-statements of the
     // emb_knn_{brute,lsh,ivf} oracle chains at k=3 (same helpers, same
     // tie-breaks), so the recall eval cannot drift from the indexes it
@@ -2361,7 +2435,15 @@ object SparkEntry {
          |ir AS (SELECT query_id, neighbor_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM ij),
-         |ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rk <= 3)
+         |ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rk <= 3),
+         |$sqlIvfLearnedCtes,
+         |klj AS (SELECT query_id, neighbor_id,
+         |    ${sqlDot("qv", "nv")} / (qn * nn) AS cos
+         |  FROM klcell JOIN kqcell USING (cid) WHERE neighbor_id <> query_id),
+         |klr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM klj),
+         |ivfl AS (SELECT query_id, neighbor_id FROM klr WHERE rk <= 3)
          |SELECT 'lsh' AS method, count(*) AS n_truth,
          |  count(l.query_id) AS n_hits,
          |  round(CAST(count(l.query_id) AS DOUBLE) / count(*), 6) AS recall
@@ -2374,6 +2456,13 @@ object SparkEntry {
          |  round(CAST(count(i.query_id) AS DOUBLE) / count(*), 6) AS recall
          |FROM brute b LEFT JOIN ivf i
          |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT 'ivf_learned' AS method, count(*) AS n_truth,
+         |  count(kl.query_id) AS n_hits,
+         |  round(CAST(count(kl.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM brute b LEFT JOIN ivfl kl
+         |  ON b.query_id = kl.query_id AND b.neighbor_id = kl.neighbor_id
          |GROUP BY 1""".stripMargin,
 
     "emb_label_centroid" ->
@@ -2384,32 +2473,14 @@ object SparkEntry {
          |SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS c
          |FROM e GROUP BY label, dim""".stripMargin,
 
-    // two unrolled Lloyd rounds, centroids rounded to 6dp between
-    // rounds exactly like Knn.kmeans (so both engines carry identical
-    // centroids); assignment ties break on min centroid id
-    "emb_kmeans" -> {
-      def assign(centsCte: String) =
-        s"""SELECT vid, cid, cos FROM (SELECT v.vid, c.cid,
-           |    ${sqlCos("v.v", "c.cvec")} AS cos,
-           |    row_number() OVER (PARTITION BY v.vid
-           |      ORDER BY ${sqlCos("v.v", "c.cvec")} DESC, c.cid) AS rn
-           |  FROM v, $centsCte c) WHERE rn = 1""".stripMargin
-      s"""WITH v AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid,
-         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-         |  FROM embeddings WHERE vec_id % 67 = 1),
-         |a1 AS (${assign("c0")}),
-         |e1 AS (SELECT a1.cid, unnest(range(1, ${EmbDim + 1})) AS dim,
-         |    unnest(list_transform(v.v, x -> CAST(x AS DOUBLE))) AS x
-         |  FROM a1 JOIN v ON v.vid = a1.vid),
-         |m1 AS (SELECT cid, dim, round(avg(x), 6) AS c FROM e1
-         |  GROUP BY cid, dim),
-         |c1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM m1
-         |  GROUP BY cid),
-         |a2 AS (${assign("c1")})
+    // two unrolled Lloyd rounds via the shared kmeans CTEs (centroids
+    // rounded to 6dp between rounds exactly like Knn.kmeans, ties
+    // break on min centroid id); the final assignment reads kc1
+    "emb_kmeans" ->
+      s"""WITH $sqlKmeansCtes,
+         |ka2 AS (${sqlKmeansAssign("kc1")})
          |SELECT vid AS vec_id, cid AS cluster_id, round(cos, 6) AS cos
-         |FROM a2""".stripMargin
-    },
+         |FROM ka2""".stripMargin,
 
     // blocks are the shared lb cells (sqlLshBandCte) — the oracle
     // mirrors the LSH blocking exactly, then dedups multi-table

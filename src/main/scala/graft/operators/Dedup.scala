@@ -189,7 +189,18 @@ object Dedup {
     * it THROWS rather than returning unconverged labels.
     */
   def components(pairs: DataFrame, aCol: String = "id_a",
-                 bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+                 bCol: String = "id_b", maxIter: Int = 25): DataFrame =
+    componentsWithRounds(pairs, aCol, bCol, maxIter)._1
+
+  /** [[components]] plus the number of propagation rounds it took to
+    * reach the fixpoint — the telemetry that shows pointer jumping
+    * holds rounds at O(log diameter) on adversarial chain components
+    * (asserted by DedupSpec), not just that the non-convergence throw
+    * exists.
+    */
+  def componentsWithRounds(pairs: DataFrame, aCol: String = "id_a",
+                           bCol: String = "id_b",
+                           maxIter: Int = 25): (DataFrame, Int) = {
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
       .distinct().localCheckpoint()
@@ -237,7 +248,7 @@ object Dedup {
       throw new IllegalStateException(
         s"Dedup.components did not converge in $maxIter rounds — " +
           "component diameter exceeds the iteration budget; raise maxIter")
-    labels.select(col("u").as("id"), col("lbl").as("cluster_id"))
+    (labels.select(col("u").as("id"), col("lbl").as("cluster_id")), iter)
   }
 
   /** End-to-end dedup clustering: MinHash-LSH candidate pairs ->

@@ -381,7 +381,24 @@ object Knn {
     * Spark iterative-ML shape.
     */
   def kmeans(emb: DataFrame, dim: Int, iters: Int = 2, centroidEvery: Int = 67,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lloyd(emb, dim, iters, centroidEvery, idCol, vecCol)._1
+      .select(col("vid").as(idCol), col("cid").as("cluster_id"),
+        round(col("cos"), 6).as("cos"))
+
+  /** The learned coarse codebook: centroids after `iters-1` Lloyd
+    * updates — exactly the frame [[kmeans]] runs its final assignment
+    * against, shaped (cid, cvec: array<double>) so it plugs into
+    * [[ivfTopKLearned]] as the IVF coarse quantizer.
+    */
+  def kmeansCentroids(emb: DataFrame, dim: Int, iters: Int = 2,
+                      centroidEvery: Int = 67, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    lloyd(emb, dim, iters, centroidEvery, idCol, vecCol)._2
+
+  /** Shared Lloyd loop: (final assignment, centroids it was run against). */
+  private def lloyd(emb: DataFrame, dim: Int, iters: Int, centroidEvery: Int,
+                    idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     val v = emb.select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("v"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("vn"))
@@ -415,8 +432,53 @@ object Knn {
         if (iters > 2) cents = cents.localCheckpoint()
       }
     }
-    assigned.select(col("vid").as(idCol), col("cid").as("cluster_id"),
-      round(col("cos"), 6).as("cos"))
+    (assigned, cents)
+  }
+
+  /** IVF flat search over the LEARNED k-means codebook instead of the
+    * deterministic every-Nth sample — the centroid frame the doc
+    * comment on [[ivfTopK]] promises plugs in. Cell populations follow
+    * actual density (sampled centroids can leave near-empty cells), so
+    * recall at the same nProbe is the quantity `emb_ann_recall`
+    * compares. Same scale shape: k-row broadcast codebook, top-1
+    * corpus cell, nProbe query cells, search only the probed postings.
+    */
+  def ivfTopKLearned(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                     iters: Int = 2, centroidEvery: Int = 67, nProbe: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(corpus, dim, iters, centroidEvery, idCol, vecCol)
+      .withColumn("cn", sqrt(dotD(col("cvec"), col("cvec"))))
+    // widen each side ONCE; float->double is exact, so every cosine is
+    // bit-identical to the float-array path / the oracle's CAST fold
+    def side(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
+      df.select(col(idCol).as(id),
+        transform(col(vecCol), x => x.cast("double")).as(vec),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as(norm))
+    def cells(s: DataFrame, id: String, vec: String, norm: String,
+              n: Int): DataFrame = {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__ccos").desc, col("cid"))
+      s.crossJoin(broadcast(cents))
+        .withColumn("__ccos", dotD(col(vec), col("cvec")) / (col(norm) * col("cn")))
+        .withColumn("__crk", row_number().over(w))
+        .where(col("__crk") <= n)
+        .drop("cvec", "cn", "__ccos", "__crk")
+    }
+    val cCells = cells(side(corpus, "neighbor_id", "nvec", "nn"),
+      "neighbor_id", "nvec", "nn", 1)
+    val qCells = cells(side(queries, "query_id", "qvec", "qn"),
+      "query_id", "qvec", "qn", nProbe)
+    val joined = cCells.join(qCells, Seq("cid"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        dotD(col("qvec"), col("nvec")) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
   }
 
   /** Embedding near-dup pairs above a cosine threshold, blocked by the

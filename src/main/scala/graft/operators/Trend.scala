@@ -28,17 +28,36 @@ object Trend {
     * at most (1-alpha)^span (≈0.08% of the oldest value at defaults)
     * and keeps per-row state O(span) instead of O(history).
     *
-    * Nulls: collect_list skips them, so a null value simply drops out
-    * of the window (pypond's ignore_missing convention).
+    * Nulls are skipped (pypond's ignore_missing convention).
     *
     * Output is floored to µ-units (not rounded): round() half-ties at
     * the 6th decimal resolve differently across engines (surfaced at
     * sf0.1 — 6 rows in 100k), floor has no tie.
+    *
+    * The fold is a native window-frame aggregate (EwmaAgg: two scalar
+    * buffer slots per frame) — the earlier collect_list + HOF
+    * formulation materialized an O(span) array per row;
+    * ExpressionParitySpec pins bit-parity between the two.
     */
   def ewma(df: DataFrame, tsCol: String, valCol: String, keyCols: Seq[String],
            alpha: Double = 0.3, span: Int = 20, out: String = "ewma"): DataFrame = {
     // value is the ORDER tie-break: equal-ts events then fold in a
     // deterministic order, keeping the result partition-independent
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valCol))
+      .rowsBetween(-(span - 1), 0)
+    val fold = org.apache.spark.sql.graft.GraftExpressions
+      .ewma_fold(col(valCol).cast("double"), alpha).over(w)
+    df.withColumn(out, floor(fold * lit(1e6)) / lit(1e6))
+  }
+
+  /** The HOF formulation of [[ewma]]'s fold (collect_list + aggregate)
+    * — kept as the parity witness: definitionally the same
+    * left-to-right IEEE fold the DuckDB oracle runs.
+    */
+  def ewmaHof(df: DataFrame, tsCol: String, valCol: String,
+              keyCols: Seq[String], alpha: Double = 0.3, span: Int = 20,
+              out: String = "ewma"): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(valCol))
       .rowsBetween(-(span - 1), 0)

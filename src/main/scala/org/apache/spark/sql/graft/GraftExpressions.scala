@@ -103,8 +103,52 @@ case class VecSubL2(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** Recursive EWMA fold as a window-frame aggregate:
+  * acc := first value, then acc := acc*(1-alpha) + x*alpha per row of
+  * the frame, nulls skipped (pypond's ignore_missing). Two scalar
+  * buffer slots per frame — replaces the collect_list + HOF
+  * formulation that materialized an O(span) array per row.
+  *
+  * ORDER-DEPENDENT: only meaningful over a window frame (WindowExec
+  * initializes+updates each frame in frame order and never merges).
+  * The merge path is deliberately poisoned to null so accidental use
+  * in a partial-aggregated groupBy is visibly wrong, not silently
+  * plausible.
+  */
+case class EwmaAgg(child: Expression, alpha: Double)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions._
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  private lazy val acc = AttributeReference("acc", DoubleType)()
+  private lazy val seen =
+    AttributeReference("seen", BooleanType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(acc, seen)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(null, DoubleType), Literal(false))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), acc,
+      If(seen,
+        Add(Multiply(acc, Literal(1.0 - alpha)),
+          Multiply(child, Literal(alpha))),
+        child)),
+    Or(seen, IsNotNull(child)))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(Literal(null, DoubleType), Literal(false))
+  override lazy val evaluateExpression: Expression = acc
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): EwmaAgg = copy(child = cs.head)
+}
+
 object GraftExpressions {
   def poly_hash(c: Column): Column = Bridge.toCol(PolyHash(Bridge.toExpr(c)))
+  /** Window-frame EWMA fold (see [[EwmaAgg]]); use with `.over(w)`. */
+  def ewma_fold(c: Column, alpha: Double): Column =
+    Bridge.toCol(EwmaAgg(Bridge.toExpr(c), alpha)
+      .toAggregateExpression(isDistinct = false))
   def shingle_hashes(tokens: Column, n: Int): Column =
     Bridge.toCol(ShingleHashes(Bridge.toExpr(tokens), n))
   def vec_dot(a: Column, b: Column): Column =

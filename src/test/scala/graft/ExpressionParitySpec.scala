@@ -76,6 +76,29 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("EwmaAgg window fold == collect_list HOF fold on real events") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .select("user_id", "ts", "value")
+    val native = graft.operators.Trend.ewma(ev, "ts", "value", Seq("user_id"))
+    val hof = graft.operators.Trend.ewmaHof(ev, "ts", "value", Seq("user_id"))
+    assert(native.count() == ev.count())
+    assert(native.exceptAll(hof).isEmpty && hof.exceptAll(native).isEmpty)
+    // null handling: nulls drop out of the fold, seed skips to the
+    // first non-null value
+    val withNulls = Seq[(Long, java.lang.Double)](
+      (1L, null), (2L, 4.0), (3L, null), (4L, 8.0))
+      .toDF("ts", "v").withColumn("k", lit("a"))
+    val got = graft.operators.Trend.ewma(withNulls, "ts", "v", Seq("k"))
+      .orderBy("ts").select("ewma").collect()
+    assert(got(0).isNullAt(0))       // nothing seen yet
+    assert(got(1).getDouble(0) == 4.0) // seeded
+    assert(got(2).getDouble(0) == 4.0) // null skipped, acc carried
+    assert(got(3).getDouble(0) ==
+      math.floor((4.0 * 0.7 + 8.0 * 0.3) * 1e6) / 1e6)
+  }
+
   test("shingle_hashes / vec_sub_l2 registered for SQL use") {
     org.apache.spark.sql.graft.GraftExpressions.register(spark)
     assert(spark.sql(

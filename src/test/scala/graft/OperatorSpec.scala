@@ -165,6 +165,21 @@ class OperatorSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("Dedup.components converges in O(log diameter) rounds on a chain") {
+    // adversarial worst case: ONE chain component of diameter 255
+    // (heavily templated crawls where LSH pairs drift). Plain min-label
+    // propagation needs ~diameter rounds; pointer jumping (lbl :=
+    // lbl(lbl), active from round 3) halves chain lengths each round,
+    // so rounds stay ~2 + log2(d) + 1 convergence-detect round.
+    val n = 256
+    val pairs = (0L until n - 1L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.componentsWithRounds(pairs, maxIter = 25)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n && got.forall(_._2 == 0L))
+    assert(rounds <= 13, s"chain-256 took $rounds rounds — pointer " +
+      "jumping is not holding O(log d)")
+  }
+
   test("Dedup.minhashClusters keeps singletons as their own cluster") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

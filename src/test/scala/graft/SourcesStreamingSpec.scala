@@ -46,6 +46,36 @@ class WireSpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("value") == 0.75)
   }
 
+  test("arbitrary event frames survive wire write->read bit-identically") {
+    // property-style round trip (io/input.py tolerance: wire time is
+    // epoch MS, values are JSON numbers): seeded generator covering
+    // pre-1970 timestamps, epoch 0, far-future ms, duplicate
+    // timestamps within a series, and doubles across 30 orders of
+    // magnitude incl. exact negatives and shortest-repr-sensitive
+    // fractions. JSON shortest-repr round-trips every finite double
+    // exactly, so the comparison is bitwise (exceptAll), not approx.
+    val rnd = new scala.util.Random(42)
+    val valuePool = Seq(0.0, -1.5, 3.141592653589793, 1e-12, -1e-12,
+      6.02e23, -2.5e15, 0.1, 123456.789012, 42.0)
+    val tsPool = Seq(-86400000L, 0L, 1400425947000L, 4102444800000L)
+    val rows = (1 to 40).flatMap { s =>
+      val name = s"series_$s"
+      (0 to rnd.nextInt(20)).map { _ =>
+        val ms =
+          if (rnd.nextBoolean()) tsPool(rnd.nextInt(tsPool.size)) + rnd.nextInt(1000)
+          else rnd.between(-1000000000000L, 4000000000000L)
+        (name, ms * 1000L, valuePool(rnd.nextInt(valuePool.size)) * (1 + rnd.nextInt(9)))
+      }
+    }
+    val df = rows.toDF("name", "ts", "value")
+    val wires = Wire.toWireDocs(df, "ts", Seq("value"), Seq("name"),
+      col("name")).select("wire").as[String].collect().toSeq
+    assert(wires.length == 40) // one doc per series
+    val back = Wire.parse(spark, wires).df.select("name", "ts", "value")
+    assert(back.count() == df.count())
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("wire points are time-ordered per doc") {
     val df = Seq(("s", 3000000L, 3.0), ("s", 1000000L, 1.0), ("s", 2000000L, 2.0))
       .toDF("name", "ts", "v")
@@ -196,32 +226,41 @@ class StreamRollupSpec extends AnyFunSuite {
     // aggregate as events arrive (aggregator.py); Spark's update output
     // mode is the distributed analog: each micro-batch emits the
     // windows it touched, with their latest values.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
-      .select("event_id", "user_id", "ts", "value")
+    import spark.implicits._
+    val m = 60L * 1000000L // one minute in µs
+    // batch 1: two users inside hour-window 0; batch 2 lands MORE
+    // events in that same open window (watermark has not passed it)
+    val b1 = Seq((1L, 0L, 1.0), (1L, 10 * m, 2.0), (2L, 5 * m, 5.0))
+      .toDF("user_id", "ts", "value")
+    val b2 = Seq((1L, 20 * m, 3.0), (2L, 30 * m, 1.0))
+      .toDF("user_id", "ts", "value")
     val dir = Files.createTempDirectory("graft_upd").toString
-    // two micro-batches: first half of events, then the rest
-    batch.where(col("event_id") < 500).write.mode("overwrite").parquet(dir)
-    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    b1.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(b1.schema).parquet(dir)
     val rolled = StreamRollup.fixedWindow(stream, "ts", Seq("user_id"), "1h",
-      watermark = "1 hour", aggs = Seq(count(lit(1)).as("n")))
+      watermark = "1 hour",
+      aggs = Seq(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sv")))
     val q = rolled.writeStream.outputMode("update")
       .format("memory").queryName("upd_test").start()
     try {
       q.processAllAvailable()
-      batch.where(col("event_id") >= 500).write.mode("append").parquet(dir)
+      b2.write.mode("append").parquet(dir)
       q.processAllAvailable()
     } finally q.stop()
-    // final state of every window equals the batch rollup (take the
-    // last emission per window)
     val emitted = spark.table("upd_test")
-    assert(emitted.count() > 0)
-    val want = Rollup.fixedWindow(batch, "ts", Seq("user_id"), "1h",
-      Seq(count(lit(1)).as("n")))
-    // every batch window appears among emissions with its final count
+    // the per-event semantics is real: the still-open hour-0 windows
+    // were emitted in BOTH micro-batches (first with the partial
+    // aggregate, again refreshed) — not just once at window close
+    val reEmitted = emitted.groupBy("user_id", "idx")
+      .agg(count(lit(1)).as("k")).where(col("k") > 1).count()
+    assert(reEmitted == 2, "both hour-0 windows re-emit across batches")
+    // and each window's LAST emission converges to the batch rollup
+    // over the full data
+    val want = Rollup.fixedWindow(b1.unionByName(b2), "ts", Seq("user_id"),
+      "1h", Seq(count(lit(1)).as("n"), Aggs.sumExact(col("value")).as("sv")))
     val lastPerWindow = emitted.groupBy("user_id", "idx")
-      .agg(max(col("n")).as("n"))
-    assert(want.exceptAll(lastPerWindow.select("user_id", "idx", "n")).isEmpty)
+      .agg(max(col("n")).as("n"), max(col("sv")).as("sv"))
+    assert(want.select("user_id", "idx", "n", "sv")
+      .exceptAll(lastPerWindow.select("user_id", "idx", "n", "sv")).isEmpty)
   }
 }
