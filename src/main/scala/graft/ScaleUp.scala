@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-curve data builder: replicates the sf0.1 fact tables
+  * `copies`× with shifted keys into a synthetic "sf1" directory, so
+  * the full query suite can be timed at 10× rows and per-query scaling
+  * factors recorded (SURVEY §5). Bench tooling only — correctness runs
+  * stay on the driver-generated sf dirs.
+  *
+  * Statistics are preserved, not densified: each copy's near-dup /
+  * pair structure matches the original, and cross-copy pairs are
+  * suppressed (documents get per-copy token salts so shingle sets are
+  * disjoint across copies; embeddings get a small deterministic
+  * per-copy perturbation so no cross-copy exact dups appear). Dim
+  * tables stay fixed (the broadcast side; fact-side scaling is what
+  * the curve measures).
+  *
+  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val (src, out) = (args(0), args(1))
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val KeyOff = 100000000L // beyond every sf0.1 key range
+    val UserOff = 10000000L
+
+    def replicate(table: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$table.parquet")
+      (0 until copies).map(i => copy(base, i)).reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$table.parquet")
+      println(s"[scaleup] $table x$copies")
+    }
+
+    // dims: broadcast side, kept fixed
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[scaleup] $t (dim, copied)")
+    }
+
+    replicate("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOff))
+    }
+    replicate("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * KeyOff))
+    }
+    // events: 10x series (shifted user ids), same time range — density
+    // scales exactly like a bigger deployment over the same window
+    replicate("events") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * KeyOff))
+        .withColumn("user_id", col("user_id") + lit(i * UserOff))
+    }
+    // documents: per-copy token salt => shingle sets are disjoint
+    // across copies; within-copy dup structure identical to sf0.1
+    replicate("documents") { (df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("doc_id", col("doc_id") + lit(i * KeyOff))
+        .withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"x$i"))), " "))
+        .withColumn("n_chars", length(col("text")))
+    }
+    // embeddings: deterministic per-(copy, dim) perturbation keeps the
+    // distribution but kills cross-copy exact duplicates
+    replicate("embeddings") { (df, i) =>
+      if (i == 0) df
+      else df
+        .withColumn("vec_id", col("vec_id") + lit(i * KeyOff))
+        .withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            (x + ((lit(i * 31) + j) % 7 - 3).cast("float") * lit(0.01f))
+              .cast("float")))
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}
