@@ -1623,6 +1623,13 @@ object SparkEntry {
       Dedup.contamination(tbl(s, dir, "documents"), col("doc_id") % 97 === 0)
     },
 
+    // fixed-size-sketch scale path (no oracle: Bloom bit layout is
+    // engine-specific, like ts_agg_approx; the no-false-negative
+    // containment vs the exact operator is spec-pinned)
+    "doc_contamination_bloom" -> { (s, dir) =>
+      Dedup.contaminationBloom(tbl(s, dir, "documents"), col("doc_id") % 97 === 0)
+    },
+
     "doc_dup_ngram_frac" -> { (s, dir) =>
       Dedup.dupNgramFraction(tbl(s, dir, "documents"))
     },

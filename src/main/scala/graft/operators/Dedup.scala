@@ -298,6 +298,41 @@ object Dedup {
         (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Scale path for [[contamination]]: the benchmark's distinct shingle
+    * set folds into a FIXED-SIZE Bloom filter instead of a broadcast
+    * set. At 100 TB the exact path's broadcast grows with the benchmark
+    * suite; the sketch is `numBits/8` bytes NO MATTER WHAT, collected
+    * once on the driver (the same driver-side shape Spark's own
+    * InjectRuntimeFilter produces) and riding the corpus scan as a
+    * constant — the corpus side joins NOTHING.
+    *
+    * Bloom semantics: false positives only, never negatives — a doc
+    * reported clean is definitively clean, `n_shared_maybe` is an upper
+    * bound on the exact shared-shingle count, and the fp rate is set by
+    * numBits/|bench shingles| (~0.1% at the defaults for 1e5 shingles).
+    * DedupSpec pins the no-false-negative containment against the exact
+    * operator.
+    */
+  def contaminationBloom(docs: DataFrame, benchPred: Column, shingleN: Int = 3,
+                         idCol: String = "doc_id",
+                         estimatedItems: Long = 1L << 17,
+                         numBits: Long = 1L << 21): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions._
+    val sh = docs.select(col(idCol), benchPred.as("__bench"),
+      explode(shingleIds(col("text"), shingleN)).as("sid"))
+    val blob = sh.where(col("__bench")).select("sid").distinct()
+      .agg(bloom_filter_agg(col("sid"), estimatedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val hits = sh.where(!col("__bench"))
+      .where(bloom_might_contain(blob, col("sid")))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    docs.where(!benchPred).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shared_maybe"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Duplicated n-gram fraction per document (the RefinedWeb-style
     * repetition-across-corpus signal): of this doc's DISTINCT shingles,
     * the fraction that also occur in at least one other document. Null

@@ -144,7 +144,26 @@ case class EwmaAgg(child: Expression, alpha: Double)
 }
 
 object GraftExpressions {
+  import org.apache.spark.sql.catalyst.expressions.Literal
   def poly_hash(c: Column): Column = Bridge.toCol(PolyHash(Bridge.toExpr(c)))
+
+  /** Catalyst's BloomFilterAggregate (the sketch behind Spark's own
+    * runtime row-level filtering, not SQL-registered): folds a LONG
+    * column into a fixed-size Bloom filter blob. Mergeable across
+    * partitions, so the build is one partial-agg'd pass.
+    */
+  def bloom_filter_agg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    Bridge.toCol(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(Bridge.toExpr(c), Literal(estimatedItems),
+        Literal(numBits)).toAggregateExpression())
+
+  /** Membership probe against a CONSTANT Bloom blob (collected once on
+    * the driver — the same shape Spark's InjectRuntimeFilter produces
+    * via scalar subquery). False positives only, never negatives.
+    */
+  def bloom_might_contain(blob: Array[Byte], c: Column): Column =
+    Bridge.toCol(org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(Literal(blob, BinaryType), Bridge.toExpr(c)))
   /** Window-frame EWMA fold (see [[EwmaAgg]]); use with `.over(w)`. */
   def ewma_fold(c: Column, alpha: Double): Column =
     Bridge.toCol(EwmaAgg(Bridge.toExpr(c), alpha)

@@ -86,7 +86,7 @@ class QuerySmokeSpec extends AnyFunSuite {
   test("every query has an oracle (or is a declared rows-only sketch)") {
     // approximate sketches have engine-specific internals, so the
     // driver records their weaker rows-only check by design
-    val rowsOnly = Set("ts_agg_approx")
+    val rowsOnly = Set("ts_agg_approx", "doc_contamination_bloom")
     val missing =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

@@ -165,6 +165,29 @@ class OperatorSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("Dedup.contaminationBloom contains the exact result (no false negatives)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = col("doc_id") % 97 === 0
+    val exact = Dedup.contamination(docs, pred)
+      .select(col("doc_id"), col("n_shared"), col("contaminated"))
+    val bloom = Dedup.contaminationBloom(docs, pred)
+    val joined = exact.join(bloom, Seq("doc_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nExact, cExact) = (r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))
+      val nMaybe = r.getAs[Long]("n_shared_maybe")
+      // Bloom may only ADD phantom hits, never lose real ones
+      assert(nMaybe >= nExact, s"doc ${r.getLong(0)}: $nMaybe < $nExact")
+      assert(!cExact || nMaybe > 0)
+    }
+    // and the fp inflation is a sketch-sized effect, not a blowup
+    val exactHits = joined.map(_.getAs[Long]("n_shared")).sum
+    val maybeHits = joined.map(_.getAs[Long]("n_shared_maybe")).sum
+    assert(maybeHits <= exactHits + joined.length,
+      s"fp inflation too large: $maybeHits vs $exactHits")
+  }
+
   test("Dedup.components converges in O(log diameter) rounds on a chain") {
     // adversarial worst case: ONE chain component of diameter 255
     // (heavily templated crawls where LSH pairs drift). Plain min-label

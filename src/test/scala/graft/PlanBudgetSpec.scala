@@ -75,7 +75,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_dedup_ngram_jaccard_pruned" -> 5,
     // LSH-cell blocked dedup: ReuseExchange shares the banded side
     // between the self-join's two inputs + pair-dedup agg
-    "emb_dedup_cosine" -> 2)
+    "emb_dedup_cosine" -> 2,
+    // bloom probe rides the scan (the sketch is a literal); per-doc
+    // count agg + the left join back are the only exchanges
+    "doc_contamination_bloom" -> 2)
 
   test("no query exceeds its exchange budget") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
