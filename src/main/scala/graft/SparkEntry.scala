@@ -1802,6 +1802,10 @@ object SparkEntry {
         everyKth = MmFramesEveryKth).toDF()
     },
 
+    "mm_resize" -> { (s, dir) =>
+      Multimodal.resizePlan(s, tbl(s, dir, "documents"))
+    },
+
     "doc_tfidf" -> { (s, dir) =>
       TextOps.tfidf(tbl(s, dir, "documents"), perDoc = 3)
     },
@@ -2631,6 +2635,21 @@ object SparkEntry {
          |  (fp * ${TextOps.HashMul} + frame_idx) % ${TextOps.HashMod}
          |    AS frame_ref
          |FROM x""".stripMargin,
+
+    // the CASE mirrors resizePlan's no-upscale rule; dims are positive
+    // so DuckDB's // == Spark's div here
+    "mm_resize" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  64 + ${sqlPoly("text")} % 512 AS width,
+         |  64 + (${sqlPoly("text")} // 512) % 512 AS height
+         |  FROM documents)
+         |SELECT doc_id, width, height,
+         |  CASE WHEN greatest(width, height) <= 224 THEN width
+         |       ELSE width * 224 // greatest(width, height) END AS out_w,
+         |  CASE WHEN greatest(width, height) <= 224 THEN height
+         |       ELSE height * 224 // greatest(width, height) END AS out_h,
+         |  greatest(width, height) > 224 AS resized
+         |FROM m""".stripMargin,
 
     "doc_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents),

@@ -64,6 +64,27 @@ object Multimodal {
       .mapPartitions { rows => rows.map(MediaDecoder.decode) }
   }
 
+  /** Resize planning over decoded metadata: target dims fitting a
+    * `box`×`box` square, aspect preserved, integer floor arithmetic,
+    * never upscaling — the pure-plan half of an image resize (the
+    * pixel work belongs to the stubbed codec; a real build feeds
+    * (payload, out_w, out_h) to it). Scan-side projection on the
+    * batched decode pass: no shuffle, and the arithmetic is mirrored
+    * exactly by the DuckDB oracle.
+    */
+  def resizePlan(spark: SparkSession, docs: DataFrame, box: Int = 224): DataFrame = {
+    // dims are positive, so truncating `div` == floor division here
+    import org.apache.spark.sql.graft.Bridge.ldiv
+    decodeAll(spark, docs).toDF()
+      .withColumn("__mx", greatest(col("width"), col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("__mx") <= box, col("width"))
+          .otherwise(ldiv(col("width") * box, col("__mx"))).as("out_w"),
+        when(col("__mx") <= box, col("height"))
+          .otherwise(ldiv(col("height") * box, col("__mx"))).as("out_h"),
+        (col("__mx") > box).as("resized"))
+  }
+
   /** One sampled frame of a media row: the decode stub's per-frame
     * output. `frame_ref` is a deterministic handle (payload fingerprint
     * mixed with the frame index) standing in for decoded frame bytes.

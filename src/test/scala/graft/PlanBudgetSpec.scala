@@ -26,7 +26,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_tokens" -> 0, "mm_meta" -> 0, "ts_filter" -> 0,
     "ts_select" -> 0, "ts_map" -> 0, "doc_langid" -> 0,
     "doc_gopher" -> 0, "doc_fingerprint" -> 0, "doc_pii_scrub" -> 0,
-    "mm_frames" -> 0, "doc_sample_stratified" -> 0, "doc_winnow" -> 0,
+    "mm_frames" -> 0, "mm_resize" -> 0,
+    "doc_sample_stratified" -> 0, "doc_winnow" -> 0,
     // single-shuffle stateful / agg family
     "q1_agg" -> 1, "ts_agg_basic" -> 1,
     // cube: finest-grain partial agg + the subtotal re-combine over the
