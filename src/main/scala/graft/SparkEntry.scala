@@ -745,6 +745,16 @@ object SparkEntry {
         Seq("user_id"), Seq("value", "ts", "event_id"))
     },
 
+    // TimeSeries.at_time / bisect (series.py:335,395): latest event at
+    // or before Jan 10 per series — a pushed-down filter + per-key
+    // top-1, not a driver-side binary search
+    "ts_at_time" -> { (s, dir) =>
+      TimeSeries(events(s, dir)
+          .select("user_id", "ts", "event_id", "value"),
+          "ts", Seq("user_id"))
+        .atTime(Jan10, tieBreak = Seq("event_id"))
+    },
+
     "ts_rename" -> { (s, dir) =>
       Shape.rename(
         events(s, dir).select("event_id", "ts", "event_type", "value"),
@@ -1275,6 +1285,14 @@ object SparkEntry {
          |  CAST(row_number() OVER (PARTITION BY user_id
          |    ORDER BY value, $EvUs, event_id) AS INTEGER) AS pos
          |FROM events""".stripMargin,
+
+    "ts_at_time" ->
+      s"""SELECT user_id, ts, event_id, value FROM (
+         |  SELECT user_id, $EvUs AS ts, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY $EvUs DESC, event_id DESC) AS rn
+         |  FROM events WHERE $EvUs <= 1704844800000000)
+         |WHERE rn = 1""".stripMargin,
 
     "ts_rename" ->
       s"""SELECT event_id, $EvUs AS ts, event_type AS kind, value AS reading

@@ -133,11 +133,13 @@ final case class TimeSeries(
 
   /** Latest event at or before t — TimeSeries.at_time / bisect
     * semantics (series.py:335,395) as a pushed-down filter + per-key
-    * top-1, not a driver-side binary search.
+    * top-1, not a driver-side binary search. `tieBreak` columns order
+    * equal-ts events deterministically (descending, like ts).
     */
-  def atTime(tUs: Long): DataFrame = {
+  def atTime(tUs: Long, tieBreak: Seq[String] = Nil): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).desc)
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(c => col(c).desc): _*)
     df.where(col(tsCol) <= tUs)
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
