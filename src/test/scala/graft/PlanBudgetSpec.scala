@@ -79,7 +79,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_dedup_cosine" -> 2,
     // bloom probe rides the scan (the sketch is a literal); per-doc
     // count agg + the left join back are the only exchanges
-    "doc_contamination_bloom" -> 2)
+    "doc_contamination_bloom" -> 2,
+    // iterative-ML composite: one Lloyd round (assignment window +
+    // k*dim centroid partial-aggs) + both cell assignments + final
+    // rank window — every exchange carries ids/centroid rows, never
+    // the corpus cross product
+    "emb_knn_ivf_learned" -> 17)
 
   test("no query exceeds its exchange budget") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
