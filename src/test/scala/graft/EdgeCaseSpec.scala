@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+import graft.ts.TimeSeries
+
+/** Operators must degrade to empty results (never throw) on empty
+  * input — at 100 TB a predicate routinely empties a whole slice of
+  * the corpus, and a pipeline stage that throws on it takes the job
+  * down. pypond's processors likewise pass empty collections through
+  * (collection.py aggregations return None, pipelines emit nothing).
+  */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def emptyEvents =
+    Seq.empty[(Long, Long, Double)].toDF("user_id", "ts", "value")
+  private def emptyDocs =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  test("stateful series processors pass empty frames through") {
+    val ts = TimeSeries(emptyEvents, "ts", Seq("user_id"))
+    assert(ts.align(Seq("value"), "1h", "linear").df.isEmpty)
+    assert(ts.rate(Seq("value")).df.isEmpty)
+    assert(ts.fillPad(Seq("value")).df.isEmpty)
+    assert(ts.fillLinear("value").df.isEmpty)
+    assert(Trend.ewma(emptyEvents, "ts", "value", Seq("user_id")).isEmpty)
+    assert(Trend.gaps(emptyEvents, "ts", Seq("user_id"), 1000L).isEmpty)
+    assert(Rollup.fixedWindow(emptyEvents, "ts", Seq("user_id"), "1h",
+      Seq(count(lit(1)).as("n"))).isEmpty)
+    assert(Rollup.calendar(emptyEvents, "ts", Seq("user_id"), "daily",
+      Seq(count(lit(1)).as("n")), tz = Some("America/New_York")).isEmpty)
+  }
+
+  test("dedup family passes empty corpora through") {
+    assert(Dedup.exact(emptyDocs).isEmpty)
+    assert(Dedup.minhashCandidates(emptyDocs).isEmpty)
+    assert(Dedup.simhashPairs(emptyDocs).isEmpty)
+    assert(Dedup.ngramJaccardPairs(emptyDocs).isEmpty)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, maxDocFreq = Some(16)).isEmpty)
+    assert(Dedup.minhashClusters(emptyDocs).isEmpty)
+    assert(Dedup.dupNgramFraction(emptyDocs).isEmpty)
+  }
+
+  test("components of an empty pair list is empty (and converges)") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val (labels, rounds) = Dedup.componentsWithRounds(pairs)
+    assert(labels.isEmpty && rounds <= 1)
+  }
+
+  test("range join drops inverted intervals instead of exploding") {
+    // end < begin is invalid input: zero matches, and crucially no
+    // descending-sequence bucket explosion (the r5-advice regression)
+    val iv = Seq((1L, 5000000L, 0L)).toDF("k", "begin", "end")
+    val pt = Seq((1L, 1000000L)).toDF("k", "t")
+    val out = RangeJoin.pairs(iv, pt, Seq("k"), "begin", "end", "t",
+      bucketUs = 60000000L)
+    assert(out.isEmpty)
+  }
+
+  test("knn ops handle an empty query set") {
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val noQueries = emb.where(lit(false))
+    assert(Knn.bruteTopK(emb, noQueries, 2, 3).isEmpty)
+    assert(Knn.lshTopK(emb, noQueries, 2, 3).isEmpty)
+    assert(Knn.ivfTopK(emb, noQueries, 2, 3, centroidEvery = 1).isEmpty)
+  }
+}
