@@ -1811,6 +1811,14 @@ object SparkEntry {
       Knn.ivfPqTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
     },
 
+    // ADC top-15 then exact-cosine rerank to top-3: the two-stage
+    // pattern that buys back PQ quantization error while fetching only
+    // |Q|*15 true vectors (candidate list broadcast over the scan)
+    "emb_ivf_pq_rerank" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.ivfPqRerankTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+    },
+
     "mm_meta" -> { (s, dir) =>
       Multimodal.decodeAll(s, tbl(s, dir, "documents")).toDF()
     },
@@ -1972,6 +1980,41 @@ object SparkEntry {
        |      ORDER BY ${sqlDot("qv", "cvec")} / (qn * cn) DESC, cid) AS crk
        |  FROM klq0, klc),
        |kqcell AS (SELECT query_id, qv, qn, cid FROM klqa WHERE crk <= 2)""".stripMargin
+
+  /** IVF-PQ ADC chain (pc/sub/codes0/codes/dtab/cand/sc/r) ending in
+    * `r` = candidates ranked per query by the ADC fold — shared by
+    * emb_ivf_pq (rank <= 3 direct) and emb_ivf_pq_rerank (rank <= 15
+    * then exact-cosine rerank). Consumes q0/ccell/qcell from
+    * [[sqlIvfCtes]], which must precede it in the WITH chain.
+    */
+  private def sqlIvfPqAdcCtes: String =
+    s"""pc AS (SELECT vec_id AS pcid, embedding AS pcvec
+       |  FROM embeddings WHERE vec_id % 67 = 1),
+       |sub AS (SELECT unnest(range(4)) AS s),
+       |codes0 AS (SELECT e.vec_id AS neighbor_id, sub.s, pc.pcid,
+       |    ${sqlSubL2("e.embedding", "pc.pcvec", "sub.s")} AS dist
+       |  FROM embeddings e, pc, sub),
+       |codes AS (SELECT neighbor_id, s, pcid FROM (
+       |    SELECT neighbor_id, s, pcid, row_number() OVER (
+       |      PARTITION BY neighbor_id, s ORDER BY dist, pcid) AS rn
+       |    FROM codes0) WHERE rn = 1),
+       |dtab AS (SELECT q0.query_id, sub.s, pc.pcid,
+       |    ${sqlSubL2("q0.qv", "pc.pcvec", "sub.s")} AS d
+       |  FROM q0, pc, sub),
+       |cand AS (SELECT query_id, neighbor_id
+       |  FROM ccell JOIN qcell USING (cid)
+       |  WHERE neighbor_id <> query_id),
+       |sc AS (SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
+       |      (x, y) -> x + y) AS adist
+       |  FROM cand c
+       |  JOIN codes k ON k.neighbor_id = c.neighbor_id
+       |  JOIN dtab t ON t.query_id = c.query_id AND t.s = k.s
+       |    AND t.pcid = k.pcid
+       |  GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id, adist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist, neighbor_id) AS INTEGER) AS rank FROM sc)""".stripMargin
 
   /** Quality-score CTEs ending in `qual` (doc_id, n_tokens,
     * avg_token_len, punct_ratio, digit_ratio, stop_ratio, quality) —
@@ -2561,35 +2604,26 @@ object SparkEntry {
     // surfaced at 6dp, exactly like the Spark side
     "emb_ivf_pq" ->
       s"""WITH $sqlIvfCtes,
-         |pc AS (SELECT vec_id AS pcid, embedding AS pcvec
-         |  FROM embeddings WHERE vec_id % 67 = 1),
-         |sub AS (SELECT unnest(range(4)) AS s),
-         |codes0 AS (SELECT e.vec_id AS neighbor_id, sub.s, pc.pcid,
-         |    ${sqlSubL2("e.embedding", "pc.pcvec", "sub.s")} AS dist
-         |  FROM embeddings e, pc, sub),
-         |codes AS (SELECT neighbor_id, s, pcid FROM (
-         |    SELECT neighbor_id, s, pcid, row_number() OVER (
-         |      PARTITION BY neighbor_id, s ORDER BY dist, pcid) AS rn
-         |    FROM codes0) WHERE rn = 1),
-         |dtab AS (SELECT q0.query_id, sub.s, pc.pcid,
-         |    ${sqlSubL2("q0.qv", "pc.pcvec", "sub.s")} AS d
-         |  FROM q0, pc, sub),
-         |cand AS (SELECT query_id, neighbor_id
-         |  FROM ccell JOIN qcell USING (cid)
-         |  WHERE neighbor_id <> query_id),
-         |sc AS (SELECT c.query_id, c.neighbor_id,
-         |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
-         |      (x, y) -> x + y) AS adist
-         |  FROM cand c
-         |  JOIN codes k ON k.neighbor_id = c.neighbor_id
-         |  JOIN dtab t ON t.query_id = c.query_id AND t.s = k.s
-         |    AND t.pcid = k.pcid
-         |  GROUP BY 1, 2),
-         |r AS (SELECT query_id, neighbor_id, adist,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adist, neighbor_id) AS INTEGER) AS rank FROM sc)
+         |$sqlIvfPqAdcCtes
          |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // two-stage serving: ADC top-15 from the shared chain, then exact
+    // cosine against the true vectors (q0/c0 from the IVF CTEs) picks
+    // the final top-3 — mirrors Knn.ivfPqRerankTopK
+    "emb_ivf_pq_rerank" ->
+      s"""WITH $sqlIvfCtes,
+         |$sqlIvfPqAdcCtes,
+         |rr0 AS (SELECT r.query_id, r.neighbor_id,
+         |    ${sqlDot("q0.qv", "c0.nv")} / (q0.qn * c0.nn) AS cos
+         |  FROM r JOIN q0 USING (query_id)
+         |  JOIN c0 ON c0.neighbor_id = r.neighbor_id
+         |  WHERE r.rank <= 15),
+         |rr AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM rr0)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM rr WHERE rank <= 3""".stripMargin,
 
     "doc_pipeline" -> {
       def lst(words: Seq[String]): String = words.map(w => s"'$w'").mkString(", ")

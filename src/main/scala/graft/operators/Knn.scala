@@ -355,6 +355,41 @@ object Knn {
         round(col("adist"), 6).as("adist"))
   }
 
+  /** IVF-PQ search with EXACT rerank — the standard two-stage serving
+    * pattern: ADC ranks cheaply over PQ codes, the top `rerank`
+    * candidates per query are re-scored by exact cosine against their
+    * true vectors, and the final top-k comes from the exact scores.
+    * Buys back most of the PQ quantization error while touching only
+    * |Q|·rerank real vectors.
+    *
+    * Scale shape: the candidate list (|Q|·rerank id pairs) is
+    * BROADCAST against the corpus scan for the vector fetch — the
+    * corpus never shuffles; the rerank window partitions on query_id.
+    */
+  def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                      rerank: Int = 15, m: Int = 4, coarseEvery: Int = 37,
+                      pqEvery: Int = 67, nProbe: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val approx = ivfPqTopK(corpus, queries, dim, rerank, m, coarseEvery,
+      pqEvery, nProbe, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val exact = c.join(broadcast(approx), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Native double-array dot (graft.functions.VecDotD): inputs are
     * pre-widened to array<double> ONCE per row, then every dot is one
     * codegen'd tight loop. Widening each float to double before the
