@@ -1780,6 +1780,9 @@ object SparkEntry {
         .unionByName(evalOf(Knn.ivfTopK(emb, q, EmbDim, 3), "ivf"))
         .unionByName(evalOf(Knn.ivfTopKLearned(emb, q, EmbDim, 3),
           "ivf_learned"))
+        .unionByName(evalOf(Knn.ivfPqTopK(emb, q, EmbDim, 3), "ivf_pq"))
+        .unionByName(evalOf(Knn.ivfPqRerankTopK(emb, q, EmbDim, 3),
+          "ivf_pq_rerank"))
     },
 
     "emb_label_centroid" -> { (s, dir) =>
@@ -2515,7 +2518,18 @@ object SparkEntry {
          |klr AS (SELECT query_id, neighbor_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM klj),
-         |ivfl AS (SELECT query_id, neighbor_id FROM klr WHERE rk <= 3)
+         |ivfl AS (SELECT query_id, neighbor_id FROM klr WHERE rk <= 3),
+         |$sqlIvfPqAdcCtes,
+         |pq3 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+         |prr0 AS (SELECT r.query_id, r.neighbor_id,
+         |    ${sqlDot("q0.qv", "c0.nv")} / (q0.qn * c0.nn) AS cos
+         |  FROM r JOIN q0 USING (query_id)
+         |  JOIN c0 ON c0.neighbor_id = r.neighbor_id
+         |  WHERE r.rank <= 15),
+         |prr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM prr0),
+         |pqr3 AS (SELECT query_id, neighbor_id FROM prr WHERE rk <= 3)
          |SELECT 'lsh' AS method, count(*) AS n_truth,
          |  count(l.query_id) AS n_hits,
          |  round(CAST(count(l.query_id) AS DOUBLE) / count(*), 6) AS recall
@@ -2535,6 +2549,20 @@ object SparkEntry {
          |  round(CAST(count(kl.query_id) AS DOUBLE) / count(*), 6) AS recall
          |FROM brute b LEFT JOIN ivfl kl
          |  ON b.query_id = kl.query_id AND b.neighbor_id = kl.neighbor_id
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT 'ivf_pq' AS method, count(*) AS n_truth,
+         |  count(p.query_id) AS n_hits,
+         |  round(CAST(count(p.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM brute b LEFT JOIN pq3 p
+         |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT 'ivf_pq_rerank' AS method, count(*) AS n_truth,
+         |  count(pr.query_id) AS n_hits,
+         |  round(CAST(count(pr.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM brute b LEFT JOIN pqr3 pr
+         |  ON b.query_id = pr.query_id AND b.neighbor_id = pr.neighbor_id
          |GROUP BY 1""".stripMargin,
 
     "emb_label_centroid" ->
