@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{Knn, TextOps}
+import graft.functions.Aggs
 
 /** The native codegen'd expressions must be bit-identical to their
   * higher-order-function twins (which are definitionally the DuckDB
@@ -74,6 +75,27 @@ class ExpressionParitySpec extends AnyFunSuite {
         .vec_sub_l2($"a", $"b", $"s", subDim).as("n"),
       hof.as("h")).where($"n" =!= $"h")
     assert(bad.isEmpty)
+  }
+
+  test("micros() == exact decimal micro-count across the guard boundary") {
+    // the r5-advice counterexamples (6dp-exact values in [4.5e9, 8e9)
+    // whose double*1e6 product rounds off-by-one) must now take the
+    // decimal branch; values under the 4e9 guard stay on the fast path
+    // and must agree with the decimal cast bit-for-bit
+    val adversarial = Seq(4503033111.643871, -4479830194.266215,
+      4.48e9, 7.9e9, -7.9e9)
+    val rnd = new scala.util.Random(7)
+    val under = (1 to 4000).map { _ =>
+      // random 6dp-exact value below the guard: micros < 4e15
+      val micros = (rnd.nextDouble() * 3.999e15).toLong *
+        (if (rnd.nextBoolean()) 1 else -1)
+      micros / 1e6
+    }
+    val df = (adversarial ++ under).toDF("v")
+    val dec = (col("v").cast(Aggs.SumDec) * lit(1000000L)).cast(Aggs.MicroDec)
+    val bad = df.select(col("v"), Aggs.micros(col("v")).as("fast"),
+      dec.as("exact")).where(col("fast") =!= col("exact"))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(";"))
   }
 
   test("EwmaAgg window fold == collect_list HOF fold on real events") {
