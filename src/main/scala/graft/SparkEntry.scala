@@ -1652,6 +1652,10 @@ object SparkEntry {
       Dedup.dupNgramFraction(tbl(s, dir, "documents"))
     },
 
+    "doc_dup_blocks" -> { (s, dir) =>
+      Dedup.dupBlockFraction(tbl(s, dir, "documents"))
+    },
+
     "doc_langid" -> { (s, dir) =>
       TextOps.langId(tbl(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
@@ -2247,6 +2251,27 @@ object SparkEntry {
          |    round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / len(s.sids), 6)
          |  END AS dup_frac
          |FROM sids s LEFT JOIN nd ON nd.doc_id = s.doc_id""".stripMargin,
+
+    // non-overlapping 16-token blocks: DuckDB list_slice is
+    // position-inclusive (i*16+1 .. i*16+16) == Spark slice(start, 16);
+    // range(0, nb) is empty when nb = 0, matching the Spark guard
+    "doc_dup_blocks" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |b AS (SELECT doc_id, list_distinct(
+         |    list_transform(range(0, len(tk) // 16), i ->
+         |      ${sqlPoly("array_to_string(list_slice(tk, i*16+1, i*16+16), ' ')")}))
+         |    AS bids
+         |  FROM toks),
+         |inv AS (SELECT doc_id, unnest(bids) AS bid FROM b),
+         |dup AS (SELECT bid FROM inv GROUP BY bid HAVING count(*) >= 2),
+         |nd AS (SELECT doc_id, count(*) AS n_dup FROM inv
+         |  WHERE bid IN (SELECT bid FROM dup) GROUP BY doc_id)
+         |SELECT b.doc_id, len(b.bids) AS n_blocks,
+         |  coalesce(nd.n_dup, 0) AS n_dup,
+         |  CASE WHEN len(b.bids) > 0 THEN
+         |    round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / len(b.bids), 6)
+         |  END AS dup_frac
+         |FROM b LEFT JOIN nd ON nd.doc_id = b.doc_id""".stripMargin,
 
     "doc_dedup_ngram_jaccard" ->
       s"""WITH $sqlSidsCte,

@@ -359,6 +359,42 @@ object Dedup {
             / col("n_shingles"), 6)).as("dup_frac"))
   }
 
+  /** Block-level duplication (the line/paragraph repetition signal of
+    * Gopher/MassiveText-style filters): of this doc's distinct
+    * `blockW`-token NON-overlapping blocks, the fraction that also
+    * occur in at least one other document. This corpus is flat token
+    * streams, so fixed-width blocks stand in for lines — on a real
+    * newline-delimited corpus only the splitter changes.
+    *
+    * Scale shape: block hashing is scan-side (native polyHash per
+    * block), the inverted index shuffles (block_id, doc_id) only —
+    * same posture as [[dupNgramFraction]] at line granularity, with
+    * ~blockW× fewer index rows than shingles.
+    */
+  def dupBlockFraction(docs: DataFrame, blockW: Int = 16,
+                       idCol: String = "doc_id"): DataFrame = {
+    val tk = tokens(col("text"))
+    val nb = (size(tk) / blockW).cast("int")
+    val blocks = when(nb > 0,
+      transform(sequence(lit(0), nb - 1), i =>
+        org.apache.spark.sql.graft.GraftExpressions.poly_hash(
+          array_join(slice(tk, i * blockW + 1, lit(blockW)), " "))))
+      .otherwise(array().cast("array<bigint>"))
+    val withB = docs.select(col(idCol), array_distinct(blocks).as("bids"))
+    val inv = withB.select(col(idCol), explode(col("bids")).as("bid"))
+    val dup = inv.groupBy("bid").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2).select("bid")
+    val nDup = inv.hint("shuffle_hash").join(dup, Seq("bid"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    withB.select(col(idCol), size(col("bids")).cast("long").as("n_blocks"))
+      .join(nDup, Seq(idCol), "left")
+      .select(col(idCol), col("n_blocks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_blocks") > 0,
+          round(coalesce(col("n_dup"), lit(0L)).cast("double")
+            / col("n_blocks"), 6)).as("dup_frac"))
+  }
+
   // --- exact n-gram Jaccard via shingle inverted index ----------------
 
   /** Pairs with word-`shingleN`-gram Jaccard >= `threshold`, computed

@@ -80,6 +80,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // bloom probe rides the scan (the sketch is a literal); per-doc
     // count agg + the left join back are the only exchanges
     "doc_contamination_bloom" -> 2,
+    // block inverted index: same chain as doc_dup_ngram_frac
+    "doc_dup_blocks" -> 5,
     // iterative-ML composite: one Lloyd round (assignment window +
     // k*dim centroid partial-aggs) + both cell assignments + final
     // rank window — every exchange carries ids/centroid rows, never
