@@ -62,26 +62,41 @@ object ScaleUp {
       df.withColumn("event_id", col("event_id") + lit(i * KeyOff))
         .withColumn("user_id", col("user_id") + lit(i * UserOff))
     }
-    // documents: per-copy token salt => shingle sets are disjoint
-    // across copies; within-copy dup structure identical to sf0.1
+    // documents: per-copy token salt => shingle sets containing any
+    // content token are disjoint across copies while within-copy dup
+    // structure stays identical to sf0.1. Stopwords are left UNsalted
+    // so langid/quality/gopher selectivities match the base copy
+    // (salting them would zero every stop-ratio for 9/10 of the
+    // corpus), and empty tokens are dropped like TextOps.tokens does
+    // (salting '' would mint tokens the base copy lacks).
+    val stopAll = (graft.operators.TextOps.StopEn ++
+      graft.operators.TextOps.StopDe ++ graft.operators.TextOps.StopFr ++
+      graft.operators.TextOps.StopEs).distinct
     replicate("documents") { (df, i) =>
       if (i == 0) df
       else df
         .withColumn("doc_id", col("doc_id") + lit(i * KeyOff))
         .withColumn("text",
-          array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(s"x$i"))), " "))
+          array_join(transform(
+            filter(split(col("text"), " "), t => length(t) > 0),
+            t => when(array_contains(
+                lit(stopAll.toArray), t), t)
+              .otherwise(concat(t, lit(s"x$i")))), " "))
         .withColumn("n_chars", length(col("text")))
     }
     // embeddings: deterministic per-(copy, dim) perturbation keeps the
-    // distribution but kills cross-copy exact duplicates
+    // distribution but kills cross-copy exact duplicates; the copy
+    // multiplier is taken mod 101 (coprime, > copies) so no two copies
+    // share a perturbation pattern — (i*31 + j) % 7 would repeat with
+    // period 7 in the copy index and leave copies 1/8 and 2/9 as
+    // bit-identical twins
     replicate("embeddings") { (df, i) =>
       if (i == 0) df
       else df
         .withColumn("vec_id", col("vec_id") + lit(i * KeyOff))
         .withColumn("embedding",
           transform(col("embedding"), (x, j) =>
-            (x + ((lit(i * 31) + j) % 7 - 3).cast("float") * lit(0.01f))
+            (x + ((lit(i * 31) + j) % 101 % 7 - 3).cast("float") * lit(0.01f))
               .cast("float")))
     }
     spark.stop()
