@@ -65,10 +65,13 @@ object ScaleUp {
     // documents: per-copy token salt => shingle sets containing any
     // content token are disjoint across copies while within-copy dup
     // structure stays identical to sf0.1. Stopwords are left UNsalted
-    // so langid/quality/gopher selectivities match the base copy
-    // (salting them would zero every stop-ratio for 9/10 of the
-    // corpus), and empty tokens are dropped like TextOps.tokens does
-    // (salting '' would mint tokens the base copy lacks).
+    // so langid/stop-ratio selectivities match the base copy (salting
+    // them would zero every stop-ratio for 9/10 of the corpus); the
+    // salt is ONE LETTER ('b'..'j'), so digit_ratio is exactly
+    // preserved and avg_token_len shifts only +~1 (the residual,
+    // unavoidable cost of making shingles disjoint); empty tokens are
+    // dropped like TextOps.tokens does (salting '' would mint tokens
+    // the base copy lacks).
     val stopAll = (graft.operators.TextOps.StopEn ++
       graft.operators.TextOps.StopDe ++ graft.operators.TextOps.StopFr ++
       graft.operators.TextOps.StopEs).distinct
@@ -81,7 +84,7 @@ object ScaleUp {
             filter(split(col("text"), " "), t => length(t) > 0),
             t => when(array_contains(
                 lit(stopAll.toArray), t), t)
-              .otherwise(concat(t, lit(s"x$i")))), " "))
+              .otherwise(concat(t, lit(('a' + i).toChar.toString)))), " "))
         .withColumn("n_chars", length(col("text")))
     }
     // embeddings: deterministic per-(copy, dim) perturbation keeps the

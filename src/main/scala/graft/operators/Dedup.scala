@@ -343,21 +343,8 @@ object Dedup {
     * joins back as a shuffle-hash semi-join on sid.
     */
   def dupNgramFraction(docs: DataFrame, shingleN: Int = 3,
-                       idCol: String = "doc_id"): DataFrame = {
-    val withSh = docs.select(col(idCol), shingleIds(col("text"), shingleN).as("sids"))
-    val inv = withSh.select(col(idCol), explode(col("sids")).as("sid"))
-    val dup = inv.groupBy("sid").agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= 2).select("sid")
-    val nDup = inv.hint("shuffle_hash").join(dup, Seq("sid"), "left_semi")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
-    withSh.select(col(idCol), size(col("sids")).cast("long").as("n_shingles"))
-      .join(nDup, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        when(col("n_shingles") > 0,
-          round(coalesce(col("n_dup"), lit(0L)).cast("double")
-            / col("n_shingles"), 6)).as("dup_frac"))
-  }
+                       idCol: String = "doc_id"): DataFrame =
+    dupIdFraction(docs, shingleIds(col("text"), shingleN), idCol, "n_shingles")
 
   /** Block-level duplication (the line/paragraph repetition signal of
     * Gopher/MassiveText-style filters): of this doc's distinct
@@ -380,19 +367,31 @@ object Dedup {
         org.apache.spark.sql.graft.GraftExpressions.poly_hash(
           array_join(slice(tk, i * blockW + 1, lit(blockW)), " "))))
       .otherwise(array().cast("array<bigint>"))
-    val withB = docs.select(col(idCol), array_distinct(blocks).as("bids"))
-    val inv = withB.select(col(idCol), explode(col("bids")).as("bid"))
-    val dup = inv.groupBy("bid").agg(count(lit(1)).as("__df"))
-      .where(col("__df") >= 2).select("bid")
-    val nDup = inv.hint("shuffle_hash").join(dup, Seq("bid"), "left_semi")
+    dupIdFraction(docs, array_distinct(blocks), idCol, "n_blocks")
+  }
+
+  /** Shared cross-corpus duplication chain behind [[dupNgramFraction]]
+    * and [[dupBlockFraction]]: given a distinct-id-array column, emit
+    * per doc the id count, how many of its ids occur in >= 2 docs, and
+    * the fraction (null when the doc has no ids). One partial-agg'd
+    * groupBy for the duplicated-id set + a shuffle-hash semi-join on
+    * the id — both signals keep the same shuffle shape by sharing it.
+    */
+  private def dupIdFraction(docs: DataFrame, idsCol: Column, idCol: String,
+                            nName: String): DataFrame = {
+    val withIds = docs.select(col(idCol), idsCol.as("__ids"))
+    val inv = withIds.select(col(idCol), explode(col("__ids")).as("__id"))
+    val dup = inv.groupBy("__id").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2).select("__id")
+    val nDup = inv.hint("shuffle_hash").join(dup, Seq("__id"), "left_semi")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
-    withB.select(col(idCol), size(col("bids")).cast("long").as("n_blocks"))
+    withIds.select(col(idCol), size(col("__ids")).cast("long").as(nName))
       .join(nDup, Seq(idCol), "left")
-      .select(col(idCol), col("n_blocks"),
+      .select(col(idCol), col(nName),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        when(col("n_blocks") > 0,
+        when(col(nName) > 0,
           round(coalesce(col("n_dup"), lit(0L)).cast("double")
-            / col("n_blocks"), 6)).as("dup_frac"))
+            / col(nName), 6)).as("dup_frac"))
   }
 
   // --- exact n-gram Jaccard via shingle inverted index ----------------
