@@ -1656,6 +1656,13 @@ object SparkEntry {
       Dedup.dupBlockFraction(tbl(s, dir, "documents"))
     },
 
+    // the destructive counterpart of doc_dup_blocks: repeated blocks
+    // keep only their corpus-wide first occurrence and the text is
+    // reassembled (C4/RefinedWeb repeated-span removal as a transform)
+    "doc_block_dedup" -> { (s, dir) =>
+      Dedup.blockDedup(tbl(s, dir, "documents"))
+    },
+
     "doc_langid" -> { (s, dir) =>
       TextOps.langId(tbl(s, dir, "documents"))
         .select(col("doc_id"), col("lang"),
@@ -1803,6 +1810,15 @@ object SparkEntry {
     // exact-cosine verification after the bucket match
     "emb_dedup_cosine" -> { (s, dir) =>
       Knn.cosineDupPairsLsh(tbl(s, dir, "embeddings"), EmbDim, 0.3)
+    },
+
+    // SemDeDup: near-dup pairs found only within learned k-means
+    // clusters; each pair drops the member closer to its centroid
+    // (keep-farthest policy). Cluster population = corpus/k is the
+    // bound on the self-join — the other blocking scheme next to
+    // emb_dedup_cosine's LSH cells
+    "emb_semdedup" -> { (s, dir) =>
+      Knn.semDedup(tbl(s, dir, "embeddings"), EmbDim, 0.3)
     },
 
     "emb_quantize" -> { (s, dir) =>
@@ -2273,6 +2289,31 @@ object SparkEntry {
          |  END AS dup_frac
          |FROM b LEFT JOIN nd ON nd.doc_id = b.doc_id""".stripMargin,
 
+    // first occurrence = min (doc_id, pos) per block hash, expressed
+    // as a row_number window; reassembly re-slices the token list at
+    // the kept positions then appends the sub-16-token tail
+    "doc_block_dedup" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |b AS (SELECT doc_id, tk, len(tk) AS ntk,
+         |    len(tk) // 16 AS nb FROM toks),
+         |o0 AS (SELECT doc_id, tk, unnest(range(0, nb)) AS pos FROM b),
+         |occ AS (SELECT doc_id, pos,
+         |    ${sqlPoly("array_to_string(list_slice(tk, pos*16+1, pos*16+16), ' ')")} AS h
+         |  FROM o0),
+         |k AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM occ) WHERE rn = 1),
+         |kl AS (SELECT doc_id, list(pos ORDER BY pos) AS kp FROM k
+         |  GROUP BY doc_id)
+         |SELECT b.doc_id, CAST(nb AS BIGINT) AS n_blocks,
+         |  CAST(nb - coalesce(len(kl.kp), 0) AS BIGINT) AS n_removed,
+         |  coalesce(array_to_string(list_filter(list_concat(
+         |    list_transform(coalesce(kl.kp, CAST([] AS BIGINT[])), p ->
+         |      array_to_string(list_slice(tk, p*16+1, p*16+16), ' ')),
+         |    [coalesce(array_to_string(list_slice(tk, nb*16+1, ntk), ' '), '')]),
+         |    s -> len(s) > 0), ' '), '') AS new_text
+         |FROM b LEFT JOIN kl USING (doc_id)""".stripMargin,
+
     "doc_dedup_ngram_jaccard" ->
       s"""WITH $sqlSidsCte,
          |sz AS (SELECT doc_id, len(sids) AS n_sh FROM sids),
@@ -2606,6 +2647,28 @@ object SparkEntry {
          |ka2 AS (${sqlKmeansAssign("kc1")})
          |SELECT vid AS vec_id, cid AS cluster_id, round(cos, 6) AS cos
          |FROM ka2""".stripMargin,
+
+    // SemDeDup via the shared kmeans CTEs: intra-cluster pairs at
+    // cosine >= 0.3; each pair drops the member with the HIGHER
+    // 6dp-rounded centroid cosine (keep-farthest-from-centroid, ties
+    // keep the lower id) — the comparison uses the rounded value on
+    // both engines so the drop set cannot drift
+    "emb_semdedup" ->
+      s"""WITH $sqlKmeansCtes,
+         |ka2 AS (${sqlKmeansAssign("kc1")}),
+         |a2 AS (SELECT vid, cid, round(cos, 6) AS ccos FROM ka2),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (SELECT a.vid AS id_a, b.vid AS id_b,
+         |    a.ccos AS ca, b.ccos AS cb
+         |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vid < b.vid
+         |  JOIN e ea ON ea.vec_id = a.vid
+         |  JOIN e eb ON eb.vec_id = b.vid
+         |  WHERE ${sqlCos("ea.embedding", "eb.embedding")} >= 0.3),
+         |d AS (SELECT DISTINCT CASE WHEN ca < cb OR (ca = cb AND id_a < id_b)
+         |    THEN id_b ELSE id_a END AS vid FROM p)
+         |SELECT a2.vid AS vec_id, a2.cid AS cluster_id,
+         |  a2.ccos AS centroid_cos, d.vid IS NULL AS keep
+         |FROM a2 LEFT JOIN d ON d.vid = a2.vid""".stripMargin,
 
     // blocks are the shared lb cells (sqlLshBandCte) — the oracle
     // mirrors the LSH blocking exactly, then dedups multi-table

@@ -394,6 +394,56 @@ object Dedup {
             / col(nName), 6)).as("dup_frac"))
   }
 
+  /** Global block-level exact dedup WITH text reassembly — the
+    * destructive counterpart of the [[dupBlockFraction]] signal, i.e.
+    * the C4/RefinedWeb "remove repeated lines/spans, keep one copy"
+    * transform: text is cut into non-overlapping `blockW`-token
+    * blocks; an occurrence of a block survives only if it is the
+    * corpus-wide FIRST occurrence of that block's hash (minimum
+    * (doc_id, position)); each doc's surviving blocks rejoin in
+    * order, followed by the sub-`blockW` token tail (always kept).
+    * Unique blocks are their own first occurrence, so untouched docs
+    * round-trip verbatim on this space-separated corpus. On a
+    * newline-delimited corpus only the splitter changes (block =
+    * line).
+    *
+    * Output: (doc_id, n_blocks, n_removed, new_text).
+    *
+    * Scale shape: block hashing is scan-side (native polyHash); the
+    * two shuffles carry (hash, doc_id, pos) triples and kept
+    * positions — never block text. First-occurrence selection is a
+    * partial-agg'd min(struct(doc_id, pos)) per hash; reassembly
+    * re-slices the token array from the kept positions in the final
+    * per-doc collect, so text bytes never ride a shuffle.
+    */
+  def blockDedup(docs: DataFrame, blockW: Int = 16,
+                 idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.poly_hash
+    val base = docs.select(col(idCol), tokens(col("text")).as("__tk"))
+      .withColumn("__nb", (size(col("__tk")) / blockW).cast("int"))
+    def blockTxt(tk: Column, pos: Column): Column =
+      array_join(slice(tk, pos * blockW + 1, lit(blockW)), " ")
+    val occ = base.select(col(idCol), posexplode(
+        when(col("__nb") > 0, transform(sequence(lit(0), col("__nb") - 1),
+          i => poly_hash(blockTxt(col("__tk"), i))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "h")))
+    val firsts = occ.groupBy("h")
+      .agg(min(struct(col(idCol), col("pos"))).as("w"))
+    val kept = occ.join(firsts, Seq("h"))
+      .where(col(idCol) === col(s"w.$idCol") && col("pos") === col("w.pos"))
+      .groupBy(idCol).agg(sort_array(collect_list(col("pos"))).as("__kp"))
+    base.join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("__nb").cast("long").as("n_blocks"),
+        (col("__nb") - coalesce(size(col("__kp")), lit(0))).cast("long")
+          .as("n_removed"),
+        array_join(filter(concat(
+            transform(coalesce(col("__kp"), array().cast("array<int>")),
+              p => blockTxt(col("__tk"), p)),
+            array(array_join(slice(col("__tk"), col("__nb") * blockW + 1,
+              size(col("__tk")) - col("__nb") * blockW), " "))),
+          s => length(s) > 0), " ").as("new_text"))
+  }
+
   // --- exact n-gram Jaccard via shingle inverted index ----------------
 
   /** Pairs with word-`shingleN`-gram Jaccard >= `threshold`, computed

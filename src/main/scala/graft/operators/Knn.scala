@@ -577,4 +577,47 @@ object Knn {
       .where(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication via k-means cluster blocking — embeddings are
+    * clustered with [[kmeans]], near-dup pairs (cosine >= `threshold`)
+    * are found ONLY within each learned cluster via
+    * [[cosineDupPairs]], and within every pair the member CLOSER to
+    * its centroid is dropped (the paper's keep-farthest-from-centroid
+    * policy; ties break toward keeping the lower id). Returns one row
+    * per vector: (idCol, cluster_id, centroid_cos, keep).
+    *
+    * Scale shape: this is the safe [[cosineDupPairs]] use its doc
+    * comment calls out — the learned cluster id is a fine-grained
+    * block whose population is corpus/k, and k (via `centroidEvery`)
+    * is the dial that keeps blocks bounded as the corpus grows. The
+    * kmeans assignment is a broadcast-centroid scan; the pair→drop
+    * reduction joins the tiny pair set against the assignment, so the
+    * corpus never self-joins outside its cluster. The assignment is
+    * lazily localCheckpoint'd ONCE (the doc_minhash_est signature
+    * pattern): five consumers read it (block join, both pair sides,
+    * both drop-rule sides) — without the checkpoint each would re-run
+    * the Lloyd subplan, corpus scans and all.
+    */
+  def semDedup(emb: DataFrame, dim: Int, threshold: Double,
+               iters: Int = 2, centroidEvery: Int = 67,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val assign = kmeans(emb, dim, iters, centroidEvery, idCol, vecCol)
+      .localCheckpoint(false)
+    val blocked = emb.select(col(idCol), col(vecCol))
+      .join(assign.select(col(idCol), col("cluster_id")), Seq(idCol))
+    val pairs = cosineDupPairs(blocked, dim, threshold, "cluster_id",
+      idCol, vecCol)
+    val ca = assign.select(col(idCol).as("id_a"), col("cos").as("__ca"))
+    val cb = assign.select(col(idCol).as("id_b"), col("cos").as("__cb"))
+    val drops = pairs.join(ca, Seq("id_a")).join(cb, Seq("id_b"))
+      .select(when(col("__ca") < col("__cb") ||
+          (col("__ca") === col("__cb") && col("id_a") < col("id_b")),
+        col("id_b")).otherwise(col("id_a")).as(idCol))
+      .distinct()
+    assign.join(drops.withColumn("__d", lit(1)), Seq(idCol), "left")
+      .select(col(idCol), col("cluster_id"),
+        col("cos").as("centroid_cos"), col("__d").isNull.as("keep"))
+  }
 }

@@ -214,6 +214,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set((1L, 1L, true), (2L, 1L, false), (3L, 3L, true)))
   }
 
+  test("Dedup.blockDedup keeps first occurrence, reassembles in order") {
+    val docs = Seq(
+      (1L, "a b c d x"),   // blocks "a b","c d"; tail "x"
+      (2L, "a b e f"),     // "a b" repeats (1,0) -> removed
+      (3L, "c d"),         // whole text is a repeated block -> empty
+      (4L, "g h g h"))     // within-doc repeat: keep first
+      .toDF("doc_id", "text")
+    val out = Dedup.blockDedup(docs, blockW = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((2L, 0L, "a b c d x"))) // untouched: verbatim
+    assert(out(2L) == ((2L, 1L, "e f")))
+    assert(out(3L) == ((1L, 1L, "")))
+    assert(out(4L) == ((2L, 1L, "g h")))
+  }
+
+  test("Knn.semDedup drops the pair member closer to its centroid") {
+    // clusters {0,1} and {2,3} (seeds = every 2nd id); each pair is
+    // near-identical (cos ~0.995), and the longer vector of each pair
+    // (ids 0, 2) sits closer to its cluster mean -> dropped
+    val e = Seq(
+      (0L, Array(1.0f, 0.1f)), (1L, Array(0.9f, 0.0f)),
+      (2L, Array(0.1f, 1.0f)), (3L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Knn.semDedup(e, 2, threshold = 0.95, iters = 2,
+      centroidEvery = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(out == Map(0L -> ((1L, false)), 1L -> ((1L, true)),
+      2L -> ((3L, false)), 3L -> ((3L, true))))
+  }
+
   test("Knn.kmeans assigns vectors to the nearest seeded centroid") {
     // seeds = ids 1,3 (every 2nd): cluster {0,1} near x-axis, {2,3} near y
     val e = Seq(

@@ -82,6 +82,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_contamination_bloom" -> 2,
     // block inverted index: same chain as doc_dup_ngram_frac
     "doc_dup_blocks" -> 5,
+    // first-occurrence selection (groupBy h) + join-back + per-doc
+    // kept-position collect + broadcast reassembly join
+    "doc_block_dedup" -> 8,
+    // one Lloyd subplan (shown once; lazily checkpointed at runtime so
+    // five consumers share ONE materialization) + blocked self-join +
+    // pair->drop joins + final left join
+    "emb_semdedup" -> 20,
     // iterative-ML composite: one Lloyd round (assignment window +
     // k*dim centroid partial-aggs) + both cell assignments + final
     // rank window — every exchange carries ids/centroid rows, never
