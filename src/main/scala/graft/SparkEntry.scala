@@ -1725,6 +1725,22 @@ object SparkEntry {
         .select("doc_id", "lang")
     },
 
+    // temperature-flattened (alpha=0.5) domain mixture at a 50%
+    // corpus target: rare sources keep rate 1, dominant sources thin
+    "doc_source_mix" -> { (s, dir) =>
+      Sampling.sourceMix(tbl(s, dir, "documents"), col("source"),
+        col("text"), targetFrac = 0.5)
+        .select("doc_id", "source")
+    },
+
+    "doc_lm_score" -> { (s, dir) =>
+      TextOps.lmScore(tbl(s, dir, "documents"))
+    },
+
+    "doc_ccnet_bucket" -> { (s, dir) =>
+      TextOps.ccnetBucket(tbl(s, dir, "documents"))
+    },
+
     "doc_vocab" -> { (s, dir) =>
       TextOps.vocab(tbl(s, dir, "documents"), topK = 50)
     },
@@ -1821,6 +1837,12 @@ object SparkEntry {
       Knn.semDedup(tbl(s, dir, "embeddings"), EmbDim, 0.3)
     },
 
+    // diversity-keeping counterpart of semdedup: per-learned-cluster
+    // top-8 by ASCENDING centroid cosine (boundary members kept)
+    "emb_cluster_sample" -> { (s, dir) =>
+      Knn.clusterSample(tbl(s, dir, "embeddings"), EmbDim, perCluster = 8)
+    },
+
     "emb_quantize" -> { (s, dir) =>
       Knn.quantizeInt8(tbl(s, dir, "embeddings"))
     },
@@ -1911,6 +1933,29 @@ object SparkEntry {
        |  list_distinct(list_transform(${sqlShingles("tk")},
        |    s -> ${sqlPoly("s")})) AS sids
        |  FROM toks)""".stripMargin
+
+  /** Bigram-LM scoring chain ending in `lnll` = (doc_id, n_bigrams,
+    * lm_nll) — mirrors [[graft.operators.TextOps.lmScore]] exactly
+    * (k = 0.5 smoothing, micro-nat snapping before the per-doc sum);
+    * shared by doc_lm_score and doc_ccnet_bucket so the two cannot
+    * drift.
+    */
+  private def sqlLmCtes: String =
+    s"""ltk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+       |lbg AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+       |    unnest(tk[2:len(tk)]) AS w2 FROM ltk WHERE len(tk) >= 2),
+       |lc2 AS (SELECT w1, w2, count(*) AS c2 FROM lbg GROUP BY 1, 2),
+       |lc1 AS (SELECT w1, count(*) AS c1 FROM lbg GROUP BY 1),
+       |lv AS (SELECT count(DISTINCT t) AS V FROM
+       |  (SELECT unnest(tk) AS t FROM ltk)),
+       |lterm AS (SELECT doc_id, CAST(round(ln((c2 + 0.5) / (c1 + 0.5 * V))
+       |    * 1000000) AS BIGINT) AS tu
+       |  FROM lbg JOIN lc2 USING (w1, w2) JOIN lc1 USING (w1), lv),
+       |lsc AS (SELECT doc_id, count(*) AS nb, sum(tu) AS su FROM lterm
+       |  GROUP BY doc_id),
+       |lnll AS (SELECT d.doc_id, coalesce(lsc.nb, 0) AS n_bigrams,
+       |    round(-(CAST(su AS DOUBLE)) / 1000000.0 / nb, 6) AS lm_nll
+       |  FROM documents d LEFT JOIN lsc ON lsc.doc_id = d.doc_id)""".stripMargin
 
   /** MinHash-LSH candidate pairs as a CTE chain ending in
     * `pairs(id_a, id_b)` — the SQL twin of Dedup.minhashCandidates,
@@ -2486,6 +2531,34 @@ object SparkEntry {
          |WHERE ${sqlPoly("text")} % 100 <
          |  CASE WHEN lang = 'en' THEN 20 ELSE 60 END""".stripMargin,
 
+    // mixture weights: w_s ∝ sqrt(n_s) (sqrt is correctly rounded in
+    // both engines, pow is not); the sqrt-sum rounds to 6dp so its
+    // accumulation order cannot move a threshold
+    "doc_source_mix" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents
+         |  GROUP BY source),
+         |t AS (SELECT sum(n) AS tot, round(sum(sqrt(CAST(n AS DOUBLE))), 6)
+         |  AS ssum FROM c),
+         |r AS (SELECT source, CAST(round(least(1.0,
+         |    0.5 * tot * sqrt(CAST(n AS DOUBLE)) / ssum / n) * 1000000)
+         |  AS BIGINT) AS thr FROM c, t)
+         |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+         |WHERE ${sqlPoly("text")} % 1000000 < thr""".stripMargin,
+
+    "doc_lm_score" ->
+      s"""WITH $sqlLmCtes
+         |SELECT doc_id, n_bigrams, lm_nll FROM lnll""".stripMargin,
+
+    "doc_ccnet_bucket" ->
+      s"""WITH $sqlLmCtes,
+         |lth AS (SELECT round(quantile_cont(lm_nll, 1.0/3), 6) AS t1,
+         |    round(quantile_cont(lm_nll, 2.0/3), 6) AS t2
+         |  FROM lnll WHERE lm_nll IS NOT NULL)
+         |SELECT doc_id, lm_nll, CASE WHEN lm_nll IS NULL THEN NULL
+         |  WHEN lm_nll <= t1 THEN 'head' WHEN lm_nll <= t2 THEN 'middle'
+         |  ELSE 'tail' END AS ppl_bucket
+         |FROM lnll, lth""".stripMargin,
+
     "doc_vocab" ->
       s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS token FROM documents),
          |v AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df_docs
@@ -2669,6 +2742,19 @@ object SparkEntry {
          |SELECT a2.vid AS vec_id, a2.cid AS cluster_id,
          |  a2.ccos AS centroid_cos, d.vid IS NULL AS keep
          |FROM a2 LEFT JOIN d ON d.vid = a2.vid""".stripMargin,
+
+    // per-cluster top-8 by ASCENDING rounded centroid cosine
+    // (farthest-from-centroid kept), vid tie-break — shares the
+    // kmeans CTEs verbatim with emb_kmeans/emb_semdedup
+    "emb_cluster_sample" ->
+      s"""WITH $sqlKmeansCtes,
+         |ka2 AS (${sqlKmeansAssign("kc1")}),
+         |a2 AS (SELECT vid, cid, round(cos, 6) AS ccos FROM ka2),
+         |rs AS (SELECT vid, cid, ccos, CAST(row_number() OVER
+         |    (PARTITION BY cid ORDER BY ccos, vid) AS INTEGER) AS rk
+         |  FROM a2)
+         |SELECT vid AS vec_id, cid AS cluster_id, ccos AS centroid_cos, rk
+         |FROM rs WHERE rk <= 8""".stripMargin,
 
     // blocks are the shared lb cells (sqlLshBandCte) — the oracle
     // mirrors the LSH blocking exactly, then dedups multi-table

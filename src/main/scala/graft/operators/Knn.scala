@@ -620,4 +620,32 @@ object Knn {
       .select(col(idCol), col("cluster_id"),
         col("cos").as("centroid_cos"), col("__d").isNull.as("keep"))
   }
+
+  /** Cluster-balanced diversity sampling over the learned k-means
+    * cells: keep at most `perCluster` vectors per cluster, preferring
+    * the FARTHEST-from-centroid members (ascending 6dp centroid
+    * cosine, vec-id tie-break) — the boundary-keeping counterpart of
+    * [[semDedup]]'s drop-the-prototypes policy; together they give
+    * density-balanced corpus pruning (dense prototype regions thinned,
+    * boundary diversity preserved). Output:
+    * (idCol, cluster_id, centroid_cos, rk).
+    *
+    * Scale shape: assignment is the broadcast-centroid [[kmeans]]
+    * scan; the per-cluster top-m is one window keyed by cluster_id —
+    * k partitions of ~corpus/k rows, no self-join anywhere, and
+    * `centroidEvery` (i.e. k) is the dial that keeps each cluster
+    * partition bounded as the corpus grows.
+    */
+  def clusterSample(emb: DataFrame, dim: Int, perCluster: Int,
+                    iters: Int = 2, centroidEvery: Int = 67,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val assign = kmeans(emb, dim, iters, centroidEvery, idCol, vecCol)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("cos").asc, col(idCol))
+    assign.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perCluster)
+      .select(col(idCol), col("cluster_id"),
+        col("cos").as("centroid_cos"), col("rk"))
+  }
 }

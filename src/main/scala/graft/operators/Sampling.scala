@@ -90,4 +90,36 @@ object Sampling {
     }
     df.where(pctBucket(content) < keepPct)
   }
+
+  /** Temperature-flattened domain-mixture sampling — the "sampling
+    * weights" step of pretraining curation (the Pile/Gopher mixture
+    * recipes): target weights w_s ∝ n_s^0.5 flatten the natural
+    * source distribution (rare domains upweighted relative to their
+    * share), realized as deterministic per-source keep rates
+    * r_s = min(1, targetFrac · N · w_s / n_s) applied as a hash
+    * predicate on the content column. The exponent is fixed at 0.5
+    * because sqrt() is IEEE-correctly-rounded in every engine while
+    * pow() parity is library-dependent — the same convention that keeps
+    * [[graft.operators.TextOps.tfidf]] off log().
+    *
+    * Scale shape: the rate table is one tiny partial-agg'd groupBy
+    * (|sources| rows) broadcast back over the scan — the corpus itself
+    * never shuffles; keep/drop is a scan-side codegen'd predicate,
+    * reproducible across runs/engines/repartitioning. The sqrt-weight
+    * sum rounds to 6dp so its accumulation order cannot drift the
+    * per-source thresholds between engines.
+    */
+  def sourceMix(df: DataFrame, source: Column, content: Column,
+                targetFrac: Double): DataFrame = {
+    val counts = df.groupBy(source.as("__src")).agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__n")).as("__tot"),
+      round(sum(sqrt(col("__n"))), 6).as("__ssum"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("__src"),
+        (round(least(lit(1.0), lit(targetFrac) * col("__tot") * sqrt(col("__n"))
+          / col("__ssum") / col("__n")) * lit(1e6))).cast("long").as("__thr"))
+    df.join(broadcast(rates), source === col("__src"))
+      .where(poly_hash(content) % 1000000L < col("__thr"))
+      .drop("__src", "__thr")
+  }
 }

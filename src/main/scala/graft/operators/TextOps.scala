@@ -311,6 +311,80 @@ object TextOps {
     * expression), the per-window minima, and the in-array dedup all
     * happen inside the scan stage; only (id, fp) pairs leave the scan.
     */
+  // --- n-gram LM quality scoring (CCNet-style) ------------------------
+
+  /** Bigram-LM negative log-likelihood per document — the CCNet
+    * perplexity-quality signal, with the LM trained on the corpus
+    * itself: p(w2|w1) = (c(w1 w2) + 0.5) / (c(w1 ·) + 0.5·V) (add-k
+    * smoothing, k = 0.5, V = corpus vocabulary size), and
+    * lm_nll = -avg(ln p) over the doc's bigrams (nats; lower = more
+    * predictable = "head"-quality text). Docs with < 2 tokens score
+    * null with n_bigrams = 0. Output: (idCol, n_bigrams, lm_nll).
+    *
+    * Cross-engine parity: each ln term is snapped to integer
+    * micro-nats (round(ln·1e6)) BEFORE the per-doc sum — the
+    * [[graft.functions.Aggs.micros]] convention — so the accumulation
+    * is exact integer arithmetic and order-independent; libm ln
+    * differences (<1 ulp) only matter within 1e-9 of a snap boundary.
+    * k = 0.5 keeps every count+smoothing term exact in double.
+    *
+    * Scale shape: training is two token-keyed partial-agg'd shuffles
+    * (bigram and bigram-start counts); scoring joins the bigram stream
+    * to those counts on its own token keys (no broadcast of the model
+    * needed — the join IS token-partitioned), and the per-doc reduce
+    * carries (id, micro-nats) longs. V rides a broadcast 1-row
+    * aggregate, lazy inside the plan like [[tfidf]]'s N.
+    */
+  def lmScore(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val k = 0.5
+    val toks = df.select(col(idCol), tokens(col("text")).as("__tk"))
+    val bg = toks.where(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val v = toks.select(explode(col("__tk")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__V"))
+    val term = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        round(log((col("__c2") + lit(k)) / (col("__c1") + lit(k) * col("__V")))
+          * lit(1e6)).cast("long").as("__tu"))
+    val s = term.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__tu")).as("__su"))
+    df.select(col(idCol)).join(s, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-(col("__su").cast("double")) / lit(1e6) / col("n_bigrams"), 6)
+          .as("lm_nll"))
+  }
+
+  /** CCNet head/middle/tail perplexity bucketing: tertile thresholds
+    * of the corpus [[lmScore]] distribution (6dp, linear
+    * interpolation), each doc labeled by which third its lm_nll falls
+    * in (head = most predictable). Unscorable docs (< 2 tokens) get a
+    * null bucket. Output: (idCol, lm_nll, ppl_bucket).
+    *
+    * The scored frame is lazily localCheckpoint'd once — the
+    * threshold aggregate and the labeling scan both read it without
+    * re-running the LM chain.
+    */
+  def ccnetBucket(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val scored = lmScore(df, idCol).localCheckpoint(false)
+    val th = scored.where(col("lm_nll").isNotNull)
+      .agg(graft.functions.Aggs.percentileLin6(col("lm_nll"), 1.0 / 3).as("__t1"),
+        graft.functions.Aggs.percentileLin6(col("lm_nll"), 2.0 / 3).as("__t2"))
+    scored.crossJoin(broadcast(th))
+      .select(col(idCol), col("lm_nll"),
+        when(col("lm_nll").isNull, lit(null).cast("string"))
+          .when(col("lm_nll") <= col("__t1"), lit("head"))
+          .when(col("lm_nll") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   def winnow(df: DataFrame, shingleN: Int = 3, w: Int = 4,
              idCol: String = "doc_id"): DataFrame = {
     // ordered, non-distinct shingle sequence (positions matter here)

@@ -245,6 +245,67 @@ class OperatorSpec extends AnyFunSuite {
       2L -> ((3L, false)), 3L -> ((3L, true))))
   }
 
+  test("Knn.clusterSample keeps the farthest-from-centroid member first") {
+    // same fixture as semDedup: clusters {0,1} and {2,3}; ids 0 and 2
+    // sit CLOSER to their cluster mean, so perCluster=1 keeps 1 and 3
+    val e = Seq(
+      (0L, Array(1.0f, 0.1f)), (1L, Array(0.9f, 0.0f)),
+      (2L, Array(0.1f, 1.0f)), (3L, Array(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Knn.clusterSample(e, 2, perCluster = 1, iters = 2,
+      centroidEvery = 2).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(out.map(_.getInt(3)).forall(_ == 1))
+  }
+
+  test("Sampling.sourceMix clamps rare sources to keep-all, thins the rest") {
+    // 99 'web' docs + 1 'book': the book rate clamps at 1 (always
+    // kept, hash-independent); web thins to its sub-1 rate. The doc
+    // id LEADS the text: the polynomial hash diffuses prefix
+    // differences through the whole fold, where a shared long prefix
+    // would cluster the suffix-only variation into a narrow band
+    val docs = (1 to 99).map(i => (i.toLong, s"$i web doc", "web")) :+
+      ((100L, "the one book", "book"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val out = Sampling.sourceMix(df, col("source"), col("text"),
+      targetFrac = 0.5).collect()
+    assert(out.count(_.getString(2) == "book") == 1)
+    val web = out.count(_.getString(2) == "web")
+    assert(web > 0 && web < 99)
+  }
+
+  test("TextOps.lmScore: repeated bigrams predictable, short docs null") {
+    val docs = Seq(
+      (1L, "a b a b a b"),  // 5 bigrams, all from {a b, b a}
+      (2L, "c d e f g h"),  // 5 bigrams, all singletons
+      (3L, "x"))            // no bigram
+      .toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(out(1L)._1 == 5L && out(2L)._1 == 5L && out(3L) == ((0L, None)))
+    assert(out(1L)._2.get < out(2L)._2.get) // repetition = lower NLL
+  }
+
+  test("TextOps.ccnetBucket tertiles order head <= middle <= tail") {
+    val docs = (1 to 9).map { i =>
+      // increasing novelty: doc i repeats one bigram 10-i times then
+      // adds i distinct tokens -> NLL increases with i
+      val rep = Seq.fill(10 - i)("r r").mkString(" ")
+      val novel = (1 to i).map(j => s"t${i}_$j").mkString(" ")
+      (i.toLong, s"$rep $novel")
+    }.toDF("doc_id", "text") union Seq((99L, "solo")).toDF("doc_id", "text")
+    val rows = TextOps.ccnetBucket(docs).collect()
+    val byBucket = rows.filter(!_.isNullAt(1))
+      .groupBy(_.getString(2)).map { case (b, rs) =>
+        b -> rs.map(_.getDouble(1)) }
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet))
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    assert(rows.find(_.getLong(0) == 99L).get.isNullAt(2)) // unscorable
+  }
+
   test("Knn.kmeans assigns vectors to the nearest seeded centroid") {
     // seeds = ids 1,3 (every 2nd): cluster {0,1} near x-axis, {2,3} near y
     val e = Seq(

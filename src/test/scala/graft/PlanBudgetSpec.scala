@@ -93,7 +93,21 @@ class PlanBudgetSpec extends AnyFunSuite {
     // k*dim centroid partial-aggs) + both cell assignments + final
     // rank window — every exchange carries ids/centroid rows, never
     // the corpus cross product
-    "emb_knn_ivf_learned" -> 17)
+    "emb_knn_ivf_learned" -> 17,
+    // rate table: tiny source-count agg + 1-row total + two broadcasts
+    // back over the scan — the corpus itself never shuffles
+    "doc_source_mix" -> 5,
+    // LM train (bigram + start-count partial aggs) + token-keyed
+    // scoring joins + per-doc micro-nat reduce + broadcast V + the
+    // final left join back to doc ids — bigram tokens ride exactly
+    // two agg shuffles and the join keys, text never
+    "doc_lm_score" -> 9,
+    // the lm chain is lazily checkpointed once; the visible plan is
+    // the tertile agg broadcast + the labeling scan
+    "doc_ccnet_bucket" -> 2,
+    // kmeans Lloyd round (assignment window + k*dim centroid partial
+    // aggs) + the per-cluster top-m window keyed by cluster_id
+    "emb_cluster_sample" -> 8)
 
   test("no query exceeds its exchange budget") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
