@@ -1737,6 +1737,10 @@ object SparkEntry {
       TextOps.lmScore(tbl(s, dir, "documents"))
     },
 
+    "doc_entropy" -> { (s, dir) =>
+      TextOps.entropy(tbl(s, dir, "documents"))
+    },
+
     "doc_ccnet_bucket" -> { (s, dir) =>
       TextOps.ccnetBucket(tbl(s, dir, "documents"))
     },
@@ -2548,6 +2552,25 @@ object SparkEntry {
     "doc_lm_score" ->
       s"""WITH $sqlLmCtes
          |SELECT doc_id, n_bigrams, lm_nll FROM lnll""".stripMargin,
+
+    // run lengths over the sorted token list = per-type counts; each
+    // entropy term snaps to micro-nats before the in-list exact sum
+    "doc_entropy" ->
+      s"""WITH et AS (SELECT doc_id, list_sort($sqlToks) AS s FROM documents),
+         |e2 AS (SELECT doc_id, s, len(s) AS n,
+         |    list_filter(range(1, len(s)+1),
+         |      i -> i = 1 OR s[i] != s[i-1]) AS st FROM et),
+         |e3 AS (SELECT doc_id, n, list_transform(range(1, len(st)+1),
+         |    j -> coalesce(st[j+1], n+1) - st[j]) AS lens FROM e2),
+         |e4 AS (SELECT doc_id, n, list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(lens, L -> CAST(round(CAST(L AS DOUBLE) / n
+         |      * ln(CAST(L AS DOUBLE) / n) * 1000000) AS BIGINT))),
+         |    (a, b) -> a + b) AS su FROM e3)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+         |  CASE WHEN n = 0 THEN NULL
+         |    ELSE round(-(CAST(su AS DOUBLE)) / 1000000.0, 6) + 0.0
+         |  END AS entropy
+         |FROM e4""".stripMargin,
 
     "doc_ccnet_bucket" ->
       s"""WITH $sqlLmCtes,

@@ -362,6 +362,43 @@ object TextOps {
           .as("lm_nll"))
   }
 
+  /** Per-document token-distribution Shannon entropy (nats) — the
+    * lexical-diversity quality signal (low entropy = repetitive /
+    * boilerplate text): H = -Σ_w (c_w/n)·ln(c_w/n) over the doc's own
+    * token counts. Docs with no tokens score null. Output:
+    * (idCol, n_tokens, entropy).
+    *
+    * Scale shape: ZERO shuffle — the doc's token array is sorted
+    * in-row, run lengths (= per-type counts) come from one
+    * higher-order filter/zip over the sorted array, and the entropy
+    * fold snaps each term to integer micro-nats ([[lmScore]]'s parity
+    * convention) before an in-array exact sum. A per-doc statistic
+    * never needs to leave the scan stage, so it doesn't.
+    */
+  def entropy(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val s = sort_array(tokens(col("text")))
+    val n = size(col("__s"))
+    // n = 0 guard: sequence(1, 0) would DESCEND ([1, 0]) and index 0
+    // into the array — the RangeJoin.scala inverted-sequence hazard
+    val starts = when(n === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), n),
+        i => i === 1 || element_at(col("__s"), i) =!= element_at(col("__s"), i - 1)))
+    val lens = zip_with(col("__st"),
+      concat(slice(col("__st"), lit(2), size(col("__st"))), array(n + 1)),
+      (a, b) => b - a)
+    val nd = n.cast("double")
+    val su = aggregate(lens, lit(0L), (acc, l) =>
+      acc + round(l.cast("double") / nd * log(l.cast("double") / nd)
+        * lit(1e6)).cast("long"))
+    df.select(col(idCol), s.as("__s"))
+      .select(col(idCol), col("__s"), starts.as("__st"))
+      .select(col(idCol), n.cast("long").as("n_tokens"),
+        when(n === 0, lit(null))
+          // + 0.0: a constant doc's su = 0 would negate to -0.0
+          .otherwise(round(-(su.cast("double")) / lit(1e6), 6) + lit(0.0))
+          .as("entropy"))
+  }
+
   /** CCNet head/middle/tail perplexity bucketing: tertile thresholds
     * of the corpus [[lmScore]] distribution (6dp, linear
     * interpolation), each doc labeled by which third its lm_nll falls

@@ -274,18 +274,52 @@ class OperatorSpec extends AnyFunSuite {
     assert(web > 0 && web < 99)
   }
 
-  test("TextOps.lmScore: repeated bigrams predictable, short docs null") {
+  test("TextOps.lmScore matches the hand-computed micro-nat fold") {
     val docs = Seq(
-      (1L, "a b a b a b"),  // 5 bigrams, all from {a b, b a}
-      (2L, "c d e f g h"),  // 5 bigrams, all singletons
-      (3L, "x"))            // no bigram
+      (1L, "a b a b a b"),  // bigrams (a,b)x3, (b,a)x2
+      (2L, "c d e f g h"),  // 5 singleton bigrams
+      (3L, "x"))            // no bigram -> null score
       .toDF("doc_id", "text")
+    // corpus model: c2(ab)=3, c2(ba)=2, singletons 1; c1(a)=3, c1(b)=2,
+    // others 1; V = 9 distinct tokens; k = 0.5
+    def snap(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    def nll(su: Long, n: Int): Double = new java.math.BigDecimal(
+      -su.toDouble / 1e6 / n).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue
+    val su1 = 3 * snap(math.log(3.5 / (3 + 4.5))) +
+      2 * snap(math.log(2.5 / (2 + 4.5)))
+    val su2 = 5L * snap(math.log(1.5 / (1 + 4.5)))
     val out = TextOps.lmScore(docs).collect()
       .map(r => r.getLong(0) ->
         ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
       .toMap
-    assert(out(1L)._1 == 5L && out(2L)._1 == 5L && out(3L) == ((0L, None)))
+    assert(out(1L) == ((5L, Some(nll(su1, 5)))))
+    assert(out(2L) == ((5L, Some(nll(su2, 5)))))
+    assert(out(3L) == ((0L, None)))
     assert(out(1L)._2.get < out(2L)._2.get) // repetition = lower NLL
+  }
+
+  test("TextOps.entropy: uniform > skewed > constant; empty null") {
+    val docs = Seq(
+      (1L, "a b c d"),    // uniform: H = ln 4
+      (2L, "a a a b"),    // skewed
+      (3L, "a a a a"),    // constant: H = 0
+      (4L, ""))           // no tokens -> null
+      .toDF("doc_id", "text")
+    def snap(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    def h(fracs: Double*): Double = new java.math.BigDecimal(
+      -fracs.map(f => snap(f * math.log(f))).sum.toDouble / 1e6)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val out = TextOps.entropy(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(out(1L) == ((4L, Some(h(0.25, 0.25, 0.25, 0.25)))))
+    assert(out(2L) == ((4L, Some(h(0.75, 0.25)))))
+    assert(out(3L) == ((4L, Some(0.0))))
+    assert(out(4L) == ((0L, None)))
   }
 
   test("TextOps.ccnetBucket tertiles order head <= middle <= tail") {
