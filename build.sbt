@@ -37,4 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local-mode Spark = driver-only: size the heap for the 32-thread
   // executor pool (8g caused GC-bound bench variance at local[32])
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Spark's whole-stage codegen emits hundreds of janino classes per
+  // query; a 100+ query session overflows the JDK-17 default 240m code
+  // cache, HotSpot stops JIT-compiling, and identical stages
+  // nondeterministically run interpreted at 50-60x the CPU (measured:
+  // doc_lm_score's final stage 6.4 -> 422 CPU-seconds on the same
+  // rows). Size it so the JIT never turns off.
+  "-XX:ReservedCodeCacheSize=1g",
 )
