@@ -263,4 +263,36 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(want.select("user_id", "idx", "n", "sv")
       .exceptAll(lastPerWindow.select("user_id", "idx", "n", "sv")).isEmpty)
   }
+
+  test("stateless text-analysis ops run unchanged on streams (batch parity)") {
+    // the scan-side LLM-pipeline family (langid, quality, entropy, ...)
+    // is pure per-row Catalyst expressions — no shuffle, no state — so
+    // the same operator code is stream-safe in append mode with no
+    // watermark. This pins that property: a lost pushdown that
+    // introduced an aggregate would break the streaming run outright.
+    val batch = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_textstream").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    def pipeline(df: DataFrame): DataFrame =
+      graft.operators.TextOps.quality(graft.operators.TextOps.langId(df))
+        .select("doc_id", "pred_lang", "n_tokens", "quality")
+    val q = pipeline(stream).writeStream.outputMode("append")
+      .format("memory").queryName("text_stream").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("text_stream")
+    val want = pipeline(batch)
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    val q2 = graft.operators.TextOps.entropy(stream).writeStream
+      .outputMode("append").format("memory").queryName("entropy_stream").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.table("entropy_stream")
+    val want2 = graft.operators.TextOps.entropy(batch)
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+  }
 }
