@@ -1733,6 +1733,16 @@ object SparkEntry {
         .select("doc_id", "source")
     },
 
+    // assemble the training mix: per source, best-quality-first docs
+    // until an 800-token budget is spent (greedy knapsack; quality then
+    // doc_id gives a total order so the kept set is deterministic)
+    "doc_token_budget" -> { (s, dir) =>
+      Sampling.tokenBudget(TextOps.quality(tbl(s, dir, "documents")),
+        col("source"), col("n_tokens"), budget = 800L,
+        priority = Seq(col("quality").desc, col("doc_id")))
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+    },
+
     "doc_lm_score" -> { (s, dir) =>
       TextOps.lmScore(tbl(s, dir, "documents"))
     },
@@ -2548,6 +2558,19 @@ object SparkEntry {
          |  AS BIGINT) AS thr FROM c, t)
          |SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
          |WHERE ${sqlPoly("text")} % 1000000 < thr""".stripMargin,
+
+    // greedy per-source token-budget knapsack over the shared quality
+    // CTE: identical ROWS-frame prefix sum, identical total order
+    "doc_token_budget" ->
+      s"""WITH $sqlQualityCtes,
+         |b AS (SELECT q.doc_id, d.source, q.n_tokens, q.quality,
+         |  CAST(sum(q.n_tokens) OVER (PARTITION BY d.source
+         |    ORDER BY q.quality DESC, q.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_tokens
+         |  FROM qual q JOIN documents d USING (doc_id))
+         |SELECT doc_id, source, n_tokens, quality, cum_tokens FROM b
+         |WHERE cum_tokens <= 800""".stripMargin,
 
     "doc_lm_score" ->
       s"""WITH $sqlLmCtes

@@ -122,4 +122,28 @@ object Sampling {
       .where(poly_hash(content) % 1000000L < col("__thr"))
       .drop("__src", "__thr")
   }
+
+  /** Token-budget corpus assembly: within each group, rank rows best-
+    * first by `priority` and keep rows while the running token total
+    * stays within `budget` — the "assemble an N-token training mix from
+    * the best available data" step that ends a curation pipeline
+    * (greedy per-source knapsack; the priority columns must totally
+    * order rows so the kept set is deterministic). Appends
+    * `cum_tokens` (tokens used through and including each kept row).
+    *
+    * Scale shape: one shuffle on the group key, then a per-group
+    * ordered window prefix-sum. A single source's docs sort within its
+    * partitions (Spark's window sort spills, it does not OOM); when
+    * one source is a whole crawl, the dial is a coarse pre-filter — the
+    * [[graft.operators.TextOps]] quality percentile two-pass — to cut
+    * the sorted set to ~budget-sized before exact assembly.
+    */
+  def tokenBudget(df: DataFrame, groupCol: Column, tokensCol: Column,
+                  budget: Long, priority: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(priority: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.withColumn("cum_tokens", sum(tokensCol).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
 }

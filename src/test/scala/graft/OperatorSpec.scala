@@ -274,6 +274,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(web > 0 && web < 99)
   }
 
+  test("Sampling.tokenBudget keeps best-first until the budget is spent") {
+    // per-source greedy: quality desc, doc_id tie-break; a doc that
+    // would overflow the budget is dropped even if later smaller docs
+    // would still fit (greedy prefix, not optimal knapsack - that is
+    // the documented semantics)
+    val df = Seq(
+      (1L, "web", 40L, 0.9), (2L, "web", 50L, 0.8), (3L, "web", 30L, 0.7),
+      (4L, "web", 10L, 0.6), (5L, "book", 100L, 0.5), (6L, "book", 10L, 0.4))
+      .toDF("doc_id", "source", "n_tokens", "quality")
+    val out = Sampling.tokenBudget(df, col("source"), col("n_tokens"),
+      budget = 100L, priority = Seq(col("quality").desc, col("doc_id")))
+      .select("doc_id", "cum_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // web: 40 (cum 40) + 50 (cum 90) kept, 30 overflows (cum 120) ->
+    // dropped, and 10 after it also dropped (prefix semantics, cum 130)
+    // book: 100 exactly exhausts the budget; the next doc overflows
+    assert(out == Map(1L -> 40L, 2L -> 90L, 5L -> 100L))
+  }
+
   test("TextOps.lmScore matches the hand-computed micro-nat fold") {
     val docs = Seq(
       (1L, "a b a b a b"),  // bigrams (a,b)x3, (b,a)x2

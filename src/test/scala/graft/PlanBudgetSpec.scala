@@ -42,6 +42,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "q_rank_stats" -> 1, "ts_seasonal" -> 1, "doc_shard" -> 1,
     "ts_agg_approx" -> 1, "ts_hist" -> 1, "ts_counter_rate" -> 1,
     "doc_pack" -> 1, "ts_trend_slope" -> 1, "emb_label_centroid" -> 1,
+    // quality fuses into the scan; the only shuffle is the per-source
+    // window prefix-sum
+    "doc_token_budget" -> 1,
     "ts_outliers" -> 1, "ts_rolling_median" -> 1,
     "ts_rolling_time" -> 1, "ts_autocorr" -> 1, "ts_nested_agg" -> 1,
     // chained align->rate: align's interior-boundary UNION hides its
