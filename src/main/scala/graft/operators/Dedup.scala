@@ -53,8 +53,11 @@ object Dedup {
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** Band key: fold `r` signature slots with the rolling-hash mix. */
-  private def bandKey(hs: Seq[Column]): Column =
+  /** Band key: fold `r` signature slots with the rolling-hash mix.
+    * (package-visible: StreamNearDedup bands the same way, so stream
+    * and batch agree on which docs collide.)
+    */
+  private[graft] def bandKey(hs: Seq[Column]): Column =
     hs.reduceLeft((acc, h) => (acc * lit(31L) + h) % lit(HashMod))
 
   /** LSH banding: candidate near-duplicate pairs (id_a < id_b) that
