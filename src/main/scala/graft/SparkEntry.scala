@@ -631,6 +631,12 @@ object SparkEntry {
         "ts", Seq("user_id"), 5, tieBreak = Seq("event_id"))
     },
 
+    // positional slice [3, 8) per series, Python-slice semantics
+    "ts_slice" -> { (s, dir) =>
+      Shape.slice(events(s, dir).select("user_id", "ts", "event_id", "value"),
+        "ts", Seq("user_id"), from = 3, until = 8, tieBreak = Seq("event_id"))
+    },
+
     // distribution-rank window family: percent_rank / cume_dist /
     // ntile per group — one shuffle on the group key, per-partition
     // sort, no second pass
@@ -1247,6 +1253,13 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY user_id
          |      ORDER BY $EvUs, event_id) AS rn
          |  FROM events) WHERE rn <= 5""".stripMargin,
+
+    "ts_slice" ->
+      s"""SELECT user_id, ts, event_id, value FROM (
+         |  SELECT user_id, $EvUs AS ts, event_id, value,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY $EvUs, event_id) AS rn
+         |  FROM events) WHERE rn > 3 AND rn <= 8""".stripMargin,
 
     "ts_select" ->
       s"SELECT user_id, $EvUs AS ts, value AS reading FROM events",

@@ -50,6 +50,19 @@ object Shape {
       .drop("__rn")
   }
 
+  /** Positional slice per series key: events [from, until) in time
+    * order, Python-slice semantics (pypond/series.py:419 slice →
+    * collection.py:552). Same one-shuffle window shape as [[take]].
+    */
+  def slice(df: DataFrame, tsCol: String, keyCols: Seq[String],
+            from: Int, until: Int, tieBreak: Seq[String] = Nil): DataFrame = {
+    val order = (tsCol +: tieBreak).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > from && col("__rn") <= until)
+      .drop("__rn")
+  }
+
   /** Collection.dedup (pypond/collection.py:434): one event per key;
     * on duplicates the LATER event's values win (Event.merge contract).
     * `orderCol` stands in for arrival order.

@@ -45,6 +45,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     // quality fuses into the scan; the only shuffle is the per-source
     // window prefix-sum
     "doc_token_budget" -> 1,
+    "ts_slice" -> 1,
     "ts_outliers" -> 1, "ts_rolling_median" -> 1,
     "ts_rolling_time" -> 1, "ts_autocorr" -> 1, "ts_nested_agg" -> 1,
     // chained align->rate: align's interior-boundary UNION hides its
