@@ -26,17 +26,17 @@ object SparkEntry {
   // ---------------------------------------------------------------- I/O
 
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); read it as epoch-ns long
+    // older testdata wrote events.ts as TIMESTAMP(NANOS); surface it as an
+    // epoch-ns long so normalizeUs can key off the schema
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
   }
-  /** events with ts normalized to the canonical epoch-µs long (DuckDB's
-    * parquet reader surfaces TIMESTAMP(NANOS) at µs precision, so µs is
-    * the exact common grain for oracle parity).
+  /** events with ts normalized to the canonical epoch-µs long regardless
+    * of the parquet physical type (TIMESTAMP(NANOS) long, TIMESTAMP, or
+    * TIMESTAMP_NTZ — DuckDB's epoch_us sees the same µs value for all).
     */
   private def events(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events")
-      .withColumn("ts", TimeIndex.nsToUs(col("ts")))
+    TimeIndex.normalizeUs(tbl(s, dir, "events"), "ts")
 
   // time constants (epoch µs)
   private val UsMin = 60L * 1000000L

@@ -72,6 +72,33 @@ object TimeIndex {
     */
   def nsToUs(tsNs: Column): Column = fldiv(tsNs, 1000L)
 
+  /** Normalize a time column of any supported physical type to the
+    * canonical epoch-µs long, keyed off the frame's actual schema:
+    *
+    *  - `LONG`           — TIMESTAMP(NANOS) surfaced by the
+    *    `nanosAsLong` legacy parquet read → floor-div to µs;
+    *  - `TIMESTAMP`      — `unix_micros` (exact, µs is Spark's native
+    *    timestamp tick);
+    *  - `TIMESTAMP_NTZ`  — wall-clock parquet (isAdjustedToUTC=false);
+    *    interpreted as UTC via a cast under the session zone, which
+    *    every graft session pins to UTC — the same reading DuckDB's
+    *    `epoch_us` gives the raw value, so oracle parity holds.
+    *
+    * Lets one load path serve both generations of the driver's
+    * testdata (events.ts was TIMESTAMP(NANOS), is now timestamp[us]).
+    */
+  def normalizeUs(df: org.apache.spark.sql.DataFrame, tsCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val c = df.schema(tsCol).dataType match {
+      case LongType => nsToUs(col(tsCol))
+      case TimestampType => unix_micros(col(tsCol))
+      case TimestampNTZType => unix_micros(col(tsCol).cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(s"$tsCol: unsupported time type $other")
+    }
+    df.withColumn(tsCol, c)
+  }
+
   /** Calendar index strings (UTC). reference: pypond/index.py:486-530. */
   def dailyIndex(tsUs: Column): Column = date_format(toTimestamp(tsUs), "yyyy-MM-dd")
   def monthlyIndex(tsUs: Column): Column = date_format(toTimestamp(tsUs), "yyyy-MM")

@@ -166,17 +166,15 @@ object TimeSeries {
   def fromTimestamp(df: DataFrame, tsCol: String, keyCols: Seq[String] = Nil): TimeSeries =
     TimeSeries(df.withColumn(tsCol, unix_micros(col(tsCol))), tsCol, keyCols)
 
-  /** Read parquet where the time column was written with nanosecond
-    * precision (Spark surfaces it as a long when
-    * spark.sql.legacy.parquet.nanosAsLong is set); normalized to µs.
+  /** Read parquet whose time column may be any supported physical type
+    * (TIMESTAMP(NANOS) surfaced as long under nanosAsLong, TIMESTAMP, or
+    * TIMESTAMP_NTZ); normalized to the canonical epoch-µs long.
     */
   def readParquetNanos(spark: SparkSession, path: String, tsCol: String,
                        keyCols: Seq[String] = Nil): TimeSeries = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path)
-    TimeSeries(
-      df.withColumn(tsCol, graft.functions.TimeIndex.nsToUs(col(tsCol))),
-      tsCol, keyCols)
+    TimeSeries(graft.functions.TimeIndex.normalizeUs(df, tsCol), tsCol, keyCols)
   }
 
   /** Parquet with a regular timestamp column. */

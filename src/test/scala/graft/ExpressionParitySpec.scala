@@ -101,7 +101,7 @@ class ExpressionParitySpec extends AnyFunSuite {
   test("EwmaAgg window fold == collect_list HOF fold on real events") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .select("user_id", "ts", "value")
     val native = graft.operators.Trend.ewma(ev, "ts", "value", Seq("user_id"))
     val hof = graft.operators.Trend.ewmaHof(ev, "ts", "value", Seq("user_id"))

@@ -383,7 +383,7 @@ class OperatorSpec extends AnyFunSuite {
   test("Salted rollup equals plain rollup for decomposable aggs") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
     val plain = Rollup.fixedWindow(ev, "ts", Seq("user_id"), "1h",
       Seq(sum($"value").cast("decimal(38,6)").as("sv"), count(lit(1)).as("n")))
     val salted = Rollup.fixedWindowSalted(ev, "ts", Seq("user_id"), "1h", 8,

@@ -92,7 +92,7 @@ class LakeSpec extends AnyFunSuite {
   test("daily-partitioned layout prunes partitions for time crops") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
     val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString
     graft.sources.Lake.writeDaily(ev, "ts", dir)
 
@@ -113,7 +113,7 @@ class LakeSpec extends AnyFunSuite {
   test("bucketed tables join and aggregate with zero runtime exchange") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .select("user_id", "ts", "value")
     graft.sources.Lake.writeBucketed(ev, "user_id", 4, "ev_a")
     graft.sources.Lake.writeBucketed(
@@ -142,7 +142,7 @@ class StreamRollupSpec extends AnyFunSuite {
   test("streaming fixed-window rollup matches batch rollup") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .select("user_id", "ts", "value")
 
     // stage as a streaming source dir
@@ -169,7 +169,7 @@ class StreamRollupSpec extends AnyFunSuite {
   test("streaming sliding-window rollup matches batch slidingWindow") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .select("user_id", "ts", "value")
     val dir = Files.createTempDirectory("graft_slide").toString
     batch.write.mode("overwrite").parquet(dir)
@@ -194,7 +194,7 @@ class StreamRollupSpec extends AnyFunSuite {
   test("stream-stream interval join matches the batch RangeJoin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .select("event_id", "user_id", "ts", "event_type")
     val span = 30L * 60L * 1000000L
     def ivOf(df: DataFrame) = df.where(col("event_type") === "error")

@@ -13,7 +13,7 @@ class StreamRateSpec extends AnyFunSuite {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .where($"event_type" === "purchase")
       .select($"user_id", $"ts", $"value")
 
@@ -45,7 +45,7 @@ class StreamAlignSpec extends AnyFunSuite {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .where($"event_type" === "click")
       .select($"user_id", $"ts", $"value")
 
@@ -74,7 +74,7 @@ class StreamDedupSpec extends AnyFunSuite {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .select($"user_id", $"event_type", $"ts", $"value")
 
     val dir = Files.createTempDirectory("graft_sdedup").toString
@@ -103,7 +103,7 @@ class StreamSessionizeSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapUs = 30L * 60L * 1000000L
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .select($"user_id", $"ts", $"value")
 
     val dir = Files.createTempDirectory("graft_sess").toString

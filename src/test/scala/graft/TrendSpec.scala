@@ -144,7 +144,7 @@ class StreamFillSpec extends AnyFunSuite {
     // on which duplicate the window scan sees last, which is exactly
     // the nondeterminism ts_dedup exists to remove
     val base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .groupBy($"user_id", $"ts").agg(min($"value").as("value"))
       .withColumn("value", when($"value" < 5.0, lit(null)).otherwise($"value"))
       .select($"user_id", $"ts", $"value")
@@ -178,7 +178,7 @@ class StreamEwmaSpec extends AnyFunSuite {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .select($"user_id", $"ts", $"value")
 
     val dir = Files.createTempDirectory("graft_sewma").toString
@@ -207,7 +207,7 @@ class StreamCrossingsSpec extends AnyFunSuite {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), 1000L))
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
       .select($"user_id", $"ts", $"value")
 
     val dir = Files.createTempDirectory("graft_scross").toString
