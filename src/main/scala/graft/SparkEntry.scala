@@ -1764,6 +1764,10 @@ object SparkEntry {
       TextOps.entropy(tbl(s, dir, "documents"))
     },
 
+    "doc_classify" -> { (s, dir) =>
+      TextOps.classify(tbl(s, dir, "documents"))
+    },
+
     "doc_ccnet_bucket" -> { (s, dir) =>
       TextOps.ccnetBucket(tbl(s, dir, "documents"))
     },
@@ -2607,6 +2611,32 @@ object SparkEntry {
          |    ELSE round(-(CAST(su AS DOUBLE)) / 1000000.0, 6) + 0.0
          |  END AS entropy
          |FROM e4""".stripMargin,
+
+    // hashed-feature linear classifier: unigram polyHashes + bigram
+    // shingle hashes mod 2^16, per-bucket micro-unit weights mixed from
+    // the bucket id (TextOps.hashWeightU), exact integer sum then one
+    // rounded division — same micro-unit convention as lm/entropy
+    "doc_classify" ->
+      s"""WITH ct AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |cf AS (SELECT doc_id, list_concat(
+         |    list_transform(tk, t -> ${sqlPoly("t")} % 65536),
+         |    list_transform(
+         |      list_transform(range(1, greatest(len(tk)-1, 0) + 1),
+         |        i -> array_to_string(list_slice(tk, i, i+1), ' ')),
+         |      s -> ${sqlPoly("s")} % 65536)) AS fb
+         |  FROM ct),
+         |cs AS (SELECT doc_id, len(fb) AS nf,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(fb,
+         |        b -> (b * 2654435761) % 2147483648 % 2000001 - 1000000)),
+         |      (a, b) -> a + b) AS su FROM cf)
+         |SELECT doc_id, CAST(nf AS BIGINT) AS n_feats,
+         |  CASE WHEN nf = 0 THEN NULL
+         |    ELSE round(CAST(su AS DOUBLE) / 1000000.0 / nf, 6) + 0.0
+         |  END AS margin,
+         |  CASE WHEN nf = 0 THEN NULL WHEN su > 0 THEN 'keep'
+         |    ELSE 'drop' END AS label
+         |FROM cs""".stripMargin,
 
     "doc_ccnet_bucket" ->
       s"""WITH $sqlLmCtes,

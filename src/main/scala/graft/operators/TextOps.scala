@@ -422,6 +422,91 @@ object TextOps {
           .otherwise(lit("tail")).as("ppl_bucket"))
   }
 
+  // ------------------------------------------------- hashed classifier
+
+  /** Feature-hash bucket count for [[classify]] — 2^16 buckets, the
+    * usual hashing-trick width for a fastText-style linear filter.
+    */
+  val ClassifyBuckets = 65536L
+  /** Knuth multiplicative constant; also SimHash24's mixer. */
+  private val MixA = 2654435761L
+  private val Pow31 = 2147483648L // 2^31
+
+  /** Deterministic per-bucket weight in integer MICRO-units, range
+    * [-1e6, 1e6] ≈ [-1.0, 1.0]: mix the bucket id and fold into the
+    * range. Stands in for a trained model's weight vector — swap in a
+    * real table via [[classifyWithWeights]]; the bucketing and scoring
+    * arithmetic are identical either way. All products stay < 2^48,
+    * exact in any 64-bit integer engine.
+    */
+  def hashWeightU(bucket: Column): Column =
+    pmod(bucket * lit(MixA), lit(Pow31)) % lit(2000001L) - lit(1000000L)
+
+  /** Hashed feature-bucket array of a document: unigram polyHashes and
+    * bigram shingle hashes, each folded mod [[ClassifyBuckets]]. The
+    * native shingle expression hashes n-grams without materializing the
+    * joined strings, so the whole featurizer is scan-side arithmetic.
+    */
+  def featureBuckets(toks: Column, buckets: Long = ClassifyBuckets): Column =
+    concat(
+      transform(toks, t => pmod(polyHash(t), lit(buckets))),
+      transform(org.apache.spark.sql.graft.GraftExpressions
+        .shingle_hashes(toks, 2), h => pmod(h, lit(buckets))))
+
+  /** Model-based quality scoring with the hashing trick — the linear
+    * classifier filter stage of modern pretraining pipelines (a
+    * fastText-style unigram+bigram model scored at scan throughput):
+    * margin = Σ_f w[bucket(f)] / n_feats, label = keep iff the raw
+    * integer sum is positive. Weights come from [[hashWeightU]]
+    * (micro-units, summed exactly before one final rounded division —
+    * [[lmScore]]'s parity convention). Output:
+    * (idCol, n_feats, margin, label); docs with no tokens score null.
+    *
+    * Scale shape: ZERO shuffle — featurize, weight, and reduce are one
+    * higher-order fold fused into the scan stage. A 100 TB corpus is
+    * scored embarrassingly parallel with no data movement at all.
+    */
+  def classify(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), featureBuckets(tokens(col("text"))).as("__fb"))
+      .select(col(idCol), size(col("__fb")).cast("long").as("n_feats"),
+        aggregate(col("__fb"), lit(0L), (acc, b) => acc + hashWeightU(b))
+          .as("__su"))
+      .select(col(idCol), col("n_feats"),
+        when(col("n_feats") > 0,
+          round(col("__su").cast("double") / lit(1e6) / col("n_feats"), 6)
+            + lit(0.0)).as("margin"),
+        when(col("n_feats") === 0, lit(null).cast("string"))
+          .when(col("__su") > 0, lit("keep"))
+          .when(col("__su") <= 0, lit("drop"))
+          .as("label"))
+
+  /** [[classify]] against an explicit trained weight table
+    * (bucket LONG, w_micro LONG) — the path a real shipped model takes.
+    * The table is at most [[ClassifyBuckets]] rows (a few hundred KB),
+    * so it broadcasts to every executor and the join adds no exchange
+    * on the corpus side; the per-doc reduce is one partial-agg'd
+    * doc-keyed shuffle carrying (id, long) pairs. Buckets absent from
+    * the table weigh 0, so a sparse model behaves like the dense one.
+    */
+  def classifyWithWeights(df: DataFrame, weights: DataFrame,
+                          idCol: String = "doc_id"): DataFrame = {
+    val fb = df
+      .select(col(idCol), featureBuckets(tokens(col("text"))).as("__fb"))
+      .select(col(idCol), explode_outer(col("__fb")).as("__b"))
+    fb.join(broadcast(weights), fb("__b") === weights("bucket"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__b")).as("n_feats"),
+        sum(coalesce(col("w_micro"), lit(0L))).as("__su"))
+      .select(col(idCol), col("n_feats"),
+        when(col("n_feats") > 0,
+          round(col("__su").cast("double") / lit(1e6) / col("n_feats"), 6)
+            + lit(0.0)).as("margin"),
+        when(col("n_feats") === 0, lit(null).cast("string"))
+          .when(col("__su") > 0, lit("keep"))
+          .when(col("__su") <= 0, lit("drop"))
+          .as("label"))
+  }
+
   def winnow(df: DataFrame, shingleN: Int = 3, w: Int = 4,
              idCol: String = "doc_id"): DataFrame = {
     // ordered, non-distinct shingle sequence (positions matter here)

@@ -341,6 +341,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, None)))
   }
 
+  test("TextOps.classify: hand fold; weight-table path is bit-identical") {
+    val docs = Seq(
+      (1L, "the cat sat"),   // 3 unigrams + 2 bigrams
+      (2L, "x"),             // 1 unigram, no bigram
+      (3L, ""))              // no features -> nulls
+      .toDF("doc_id", "text")
+    // hand-compute doc 1's margin with the same integer arithmetic
+    def poly(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    def wU(b: Long): Long = (b * 2654435761L) % 2147483648L % 2000001L - 1000000L
+    val feats = Seq("the", "cat", "sat", "the cat", "cat sat").map(s => poly(s) % 65536L)
+    val su = feats.map(wU).sum
+    val wantMargin = new java.math.BigDecimal(su.toDouble / 1e6 / feats.size)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+
+    val out = TextOps.classify(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getString(3))))).toMap
+    assert(out(1L) == ((5L, Some(wantMargin),
+      Some(if (su > 0) "keep" else "drop"))))
+    assert(out(2L)._1 == 1L)
+    assert(out(3L) == ((0L, None, None)))
+
+    // a real weight table with the same weights reproduces the hashed
+    // path bit-for-bit (absent buckets = 0 exercised by restricting the
+    // table to the buckets actually hit — others never contribute)
+    val wtab = spark.range(65536)
+      .select(col("id").as("bucket"),
+        TextOps.hashWeightU(col("id")).as("w_micro"))
+    val a = TextOps.classify(docs).orderBy("doc_id").collect().toSeq
+    val b = TextOps.classifyWithWeights(docs, wtab).orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("TextOps.ccnetBucket tertiles order head <= middle <= tail") {
     val docs = (1 to 9).map { i =>
       // increasing novelty: doc i repeats one bigram 10-i times then

@@ -28,6 +28,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_gopher" -> 0, "doc_fingerprint" -> 0, "doc_pii_scrub" -> 0,
     "mm_frames" -> 0, "mm_resize" -> 0,
     "doc_sample_stratified" -> 0, "doc_winnow" -> 0, "doc_entropy" -> 0,
+    "doc_classify" -> 0,
     // single-shuffle stateful / agg family
     "q1_agg" -> 1, "ts_agg_basic" -> 1,
     // cube: finest-grain partial agg + the subtotal re-combine over the
