@@ -74,22 +74,28 @@ object Dedup {
     */
   def candidatesFromSigs(sigs: DataFrame, k: Int, bands: Int,
                          idCol: String): DataFrame = {
-    val r = k / bands
-    // ONE banded subplan (explode, not a union of per-band selects):
-    // a union would re-run the signature aggregation per band, and the
-    // self-join's two sides then become identical subplans that
-    // ReuseExchange can share
-    val bandStructs = (0 until bands).map { b =>
-      val hs = (0 until r).map(i => col(s"h${b * r + i}"))
-      struct(lit(b).as("band"), bandKey(hs).as("bk"))
-    }
-    val banded = sigs
-      .select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val banded = bandedFromSigs(sigs, k, bands, idCol)
     val a = banded.select(col(idCol).as("id_a"), col("band"), col("bk"))
     val b = banded.select(col(idCol).as("id_b"), col("band"), col("bk"))
     a.join(b, Seq("band", "bk")).where(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  /** (idCol, band, bk) rows of every doc — the banding subplan shared
+    * by pair generation and the persisted signature store. ONE explode
+    * (not a union of per-band selects): a union would re-run the
+    * signature aggregation per band, and a self-join's two sides then
+    * become identical subplans that ReuseExchange can share.
+    */
+  private[graft] def bandedFromSigs(sigs: DataFrame, k: Int, bands: Int,
+                                    idCol: String): DataFrame = {
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      val hs = (0 until r).map(i => col(s"h${b * r + i}"))
+      struct(lit(b).as("band"), bandKey(hs).as("bk"))
+    }
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bk").as("bk"))
   }
 
   /** Signature-agreement Jaccard estimate for the LSH candidate pairs:
@@ -495,5 +501,64 @@ object Dedup {
         round(col("n_shared").cast("double")
           / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
+  }
+
+  // --- incremental dedup against a persisted signature store ----------
+
+  /** Fused single-column band key: band * HashMod + bk (injective —
+    * bk < HashMod), so the store can bucket AND join on ONE column,
+    * the exact shape Spark's bucketed-join elision requires.
+    */
+  private def fusedKey: Column = col("band") * lit(HashMod) + col("bk")
+
+  /** Persist a corpus's LSH band keys as a bucketed table — the
+    * INCREMENTAL dedup substrate. At 100 TB you dedup each incoming
+    * batch against everything already ingested; re-hashing the corpus
+    * per batch is a non-starter, so its band keys (one long + id per
+    * band per doc — a sliver of the text) are paid for ONCE and land
+    * pre-shuffled: bucketed by the fused band key, the key
+    * [[dedupAgainstStore]] joins on, so the store side of every later
+    * batch join reads its buckets with ZERO runtime exchange. `mode =
+    * "append"` ingests a new batch's keys into the same buckets (see
+    * [[appendToSignatureStore]]).
+    */
+  def writeSignatureStore(docs: DataFrame, table: String, nBuckets: Int = 32,
+                          k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                          idCol: String = "doc_id",
+                          mode: String = "overwrite"): Unit =
+    bandedFromSigs(minhashSignatures(docs, k, shingleN, idCol), k, bands, idCol)
+      .select(col(idCol), fusedKey.as("bkey"))
+      .write.mode(mode).bucketBy(nBuckets, "bkey").sortBy("bkey")
+      .format("parquet").saveAsTable(table)
+
+  /** Ingest an accepted batch's band keys into the store (same bucket
+    * spec, so appended files join just as exchange-free).
+    */
+  def appendToSignatureStore(docs: DataFrame, table: String,
+                             nBuckets: Int = 32, k: Int = 16, bands: Int = 4,
+                             shingleN: Int = 3, idCol: String = "doc_id"): Unit =
+    writeSignatureStore(docs, table, nBuckets, k, bands, shingleN, idCol,
+      mode = "append")
+
+  /** Drop every batch doc that LSH-collides with an already-ingested
+    * doc: batch band keys semi-join the store on the fused bucket key
+    * (store side exchange-free — the write-time shuffle is reused),
+    * and the surviving frame is the batch minus the hit ids. ONLY the
+    * batch is tokenized, hashed, and shuffled; corpus cost is a
+    * bucket-colocated read of (bkey, id) longs. Intra-batch dups are
+    * deliberately untouched — run the in-batch LSH path for those —
+    * so the operator composes: filter intra-batch, dedup against
+    * store, then [[appendToSignatureStore]] the survivors.
+    */
+  def dedupAgainstStore(spark: org.apache.spark.sql.SparkSession,
+                        batch: DataFrame, table: String,
+                        k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+                        idCol: String = "doc_id"): DataFrame = {
+    val store = spark.table(table)
+    val bb = bandedFromSigs(minhashSignatures(batch, k, shingleN, idCol),
+      k, bands, idCol).select(col(idCol), fusedKey.as("bkey"))
+    val hits = bb.join(store.select("bkey"), Seq("bkey"), "left_semi")
+      .select(col(idCol)).distinct()
+    batch.join(hits, Seq(idCol), "left_anti")
   }
 }

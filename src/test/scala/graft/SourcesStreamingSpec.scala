@@ -134,6 +134,55 @@ class LakeSpec extends AnyFunSuite {
       assert(agg.count() == ev.select("user_id").distinct().count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
+
+  test("signature store dedups a new batch; store side never re-shuffles") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    Dedup.writeSignatureStore(corpus, "sig_store", nBuckets = 8)
+
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val out = Dedup.dedupAgainstStore(spark, batch, "sig_store")
+      val plan = out.queryExecution.executedPlan.toString()
+      // the store scan is bucketed on the join key (write-time shuffle
+      // reused)...
+      assert(plan.contains("SelectedBucketsCount"), plan.take(1500))
+      // ...so the whole pipeline carries exactly the 4 batch-side
+      // exchanges (signature agg, semi-join batch side, hit-id
+      // distinct, anti-join batch side) — a 5th would mean the store
+      // side shuffled
+      val nEx = plan.linesIterator.count(_.contains("Exchange"))
+      assert(nEx <= 4, s"$nEx exchanges:\n${plan.take(2000)}")
+
+      // dropped == exactly the batch docs LSH-paired with a corpus doc
+      val pairs = Dedup.minhashCandidates(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val corpusIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+      val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+      val wantDrop = pairs.flatMap { case (a, b) =>
+        Seq((a, b), (b, a)).collect {
+          case (x, y) if batchIds(x) && corpusIds(y) => x
+        }
+      }.toSet
+      val got = out.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == batchIds -- wantDrop)
+
+      // after ingesting the batch's keys, a replayed batch dedups down
+      // to only docs that produce no band key (too short to shingle)
+      Dedup.appendToSignatureStore(batch, "sig_store", nBuckets = 8)
+      val keyless = batch
+        .where(size(TextOps.shingleIds(col("text"), 3)) === 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val replay = Dedup.dedupAgainstStore(spark, batch, "sig_store")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(replay == keyless)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+  }
 }
 
 class StreamRollupSpec extends AnyFunSuite {
