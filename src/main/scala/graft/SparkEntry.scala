@@ -1803,6 +1803,20 @@ object SparkEntry {
       Knn.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
     },
 
+    // the PERSISTED index: build the cell-partitioned layout once,
+    // search via planning-time partition pruning — bit-identical to
+    // emb_knn_ivf (same assignment, same ranking), so it shares that
+    // oracle. The temp-dir build is part of the measured query: the
+    // round's bench prices index construction honestly
+    "emb_knn_ivf_indexed" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
+      Knn.writeIvfIndex(emb, EmbDim, path)
+      Knn.searchIvfIndex(s, path, emb.where(col("vec_id") % 100 === 0),
+        EmbDim, 3)
+    },
+
     // IVF over the LEARNED k-means codebook (one Lloyd update) rather
     // than the every-Nth sample — recall of both centroid sources is
     // measured side by side in emb_ann_recall
@@ -2689,6 +2703,20 @@ object SparkEntry {
          |FROM lr WHERE rank <= 3""".stripMargin,
 
     "emb_knn_ivf" ->
+      s"""WITH $sqlIvfCtes,
+         |j AS (SELECT query_id, neighbor_id,
+         |    ${sqlDot("qv", "nv")} / (qn * nn) AS cos
+         |  FROM ccell JOIN qcell USING (cid)
+         |  WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // persisted-index search is definitionally the same computation as
+    // emb_knn_ivf (the index just materializes ccell) — same oracle
+    "emb_knn_ivf_indexed" ->
       s"""WITH $sqlIvfCtes,
          |j AS (SELECT query_id, neighbor_id,
          |    ${sqlDot("qv", "nv")} / (qn * nn) AS cos

@@ -290,6 +290,65 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
+  // --- persisted IVF index --------------------------------------------
+
+  /** Persist the IVF layout as a cell-partitioned parquet index — the
+    * serving-side answer to "don't rebuild the index per query batch":
+    * each corpus vector lands under `cells/cell=<cid>/` with its id,
+    * vector, and precomputed norm, and the coarse centroid frame is
+    * stored alongside under `centroids/`. Build cost (assignment is
+    * one broadcast-centroid pass, the write shuffles each vector to
+    * its cell directory) is paid ONCE; every subsequent
+    * [[searchIvfIndex]] reads only the probed cells.
+    */
+  def writeIvfIndex(corpus: DataFrame, dim: Int, path: String,
+                    centroidEvery: Int = 37, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit = {
+    val cents = coarseCents(corpus, dim, centroidEvery, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+    nearestCells(cents, dim)(c, "neighbor_id", "nvec", 1, "nn")
+      .withColumnRenamed("cid", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted [[writeIvfIndex]] layout: queries rank the
+    * stored centroids (broadcast — a few-hundred-row frame), and the
+    * probed cell ids become a LITERAL partition predicate, so the
+    * index scan prunes to nProbe/nCells of the corpus at planning time
+    * (`PartitionFilters` in the plan — the spec asserts it). The one
+    * driver-side collect carries only the probed cell ids (≤ nProbe ×
+    * |queries| longs, and never more than the centroid count) — that
+    * bounded list is exactly what buys planning-time pruning.
+    * Bit-identical results to [[ivfTopK]] with the same parameters:
+    * vectors and norms round-trip parquet exactly.
+    */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, dim: Int, k: Int, nProbe: Int = 2,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val qCells = nearestCells(cents, dim)(q, "query_id", "qvec", nProbe, "qn")
+      .localCheckpoint(false) // probed twice: the id collect + the join
+    val probed = qCells.select("cid").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(s"$path/cells")
+      .where(col("cell").isin(probed: _*))
+      .withColumnRenamed("cell", "cid")
+    val joined = idx.join(qCells, Seq("cid"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    joined.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** IVF-PQ asymmetric-distance search — the classic large-corpus ANN
     * serving layout (an IVF cell index over PQ-coded vectors): a query
     * probes its `nProbe` nearest coarse cells and ranks the candidates

@@ -405,6 +405,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("persisted IVF index prunes to probed cells and equals ivfTopK") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Knn.writeIvfIndex(emb, 64, dir)
+
+    val out = Knn.searchIvfIndex(spark, dir, queries, 64, 3)
+    val plan = out.queryExecution.executedPlan.toString()
+    // the probed-cell predicate reaches the scan as a partition filter
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(1200))
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val want = Knn.ivfTopK(emb, queries, 64, 3).collect().map(key).toSet
+    val got = out.collect().map(key).toSet
+    assert(got == want)
+  }
+
   test("Knn.bruteTopK ranks by cosine") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
