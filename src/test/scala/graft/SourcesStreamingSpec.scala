@@ -183,6 +183,46 @@ class LakeSpec extends AnyFunSuite {
       assert(replay == keyless)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
   }
+
+  test("batch ingest gates, dedups intra- and cross-batch, grows the store") {
+    import graft.operators.{Dedup, Ingest, TextOps}
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val b1 = docs.where(col("doc_id") % 2 === 0)
+    // batch 2: the odd docs plus exact-text replays of early b1 docs
+    // under fresh ids — the cross-batch dups the store must catch
+    val replays = docs.where(col("doc_id") % 2 === 0 && col("doc_id") < 40)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val b2 = docs.where(col("doc_id") % 2 === 1).unionByName(replays)
+    spark.sql("DROP TABLE IF EXISTS ingest_store")
+
+    val a1 = Ingest.batch(spark, b1, "ingest_store", nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // against an empty store the pipeline is gate + intra-batch dedup:
+    // recompose from the verified stages
+    val gated = b1.join(TextOps.classify(b1).where(col("label") === "keep")
+      .select("doc_id"), Seq("doc_id"), "left_semi")
+    val later = Dedup.minhashCandidates(gated)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    val want1 = gated.select("doc_id").collect().map(_.getLong(0)).toSet -- later
+    assert(a1 == want1)
+
+    val a2 = Ingest.batch(spark, b2, "ingest_store", nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // a replayed text whose original entered the corpus (and shingles,
+    // so it bands) must be rejected by the store join
+    val shingled = docs
+      .where(size(TextOps.shingleIds(col("text"), 3)) > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mustDrop = a1.filter(id => id < 40 && shingled(id)).map(_ + 1000000L)
+    assert(mustDrop.nonEmpty && a2.intersect(mustDrop).isEmpty)
+
+    // replaying batch 1 wholesale: everything that bands is now known
+    val a3 = Ingest.batch(spark, b1, "ingest_store", nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a3.forall(id => !shingled(id)))
+  }
 }
 
 class StreamRollupSpec extends AnyFunSuite {
