@@ -383,5 +383,14 @@ class StreamRollupSpec extends AnyFunSuite {
     val got2 = spark.table("entropy_stream")
     val want2 = graft.operators.TextOps.entropy(batch)
     assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+
+    // the hashed classifier gate is the same class of pure scan-side
+    // expression — an unbounded corpus scores with zero state
+    val q3 = graft.operators.TextOps.classify(stream).writeStream
+      .outputMode("append").format("memory").queryName("classify_stream").start()
+    try q3.processAllAvailable() finally q3.stop()
+    val got3 = spark.table("classify_stream")
+    val want3 = graft.operators.TextOps.classify(batch)
+    assert(got3.exceptAll(want3).isEmpty && want3.exceptAll(got3).isEmpty)
   }
 }
