@@ -68,4 +68,16 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Knn.lshTopK(emb, noQueries, 2, 3).isEmpty)
     assert(Knn.ivfTopK(emb, noQueries, 2, 3, centroidEvery = 1).isEmpty)
   }
+
+  test("classifier and ingest pipeline pass empty batches through") {
+    assert(TextOps.classify(emptyDocs).isEmpty)
+    spark.sql("DROP TABLE IF EXISTS edge_store")
+    // empty batch bootstraps an empty store and accepts nothing...
+    assert(Ingest.batch(spark, emptyDocs, "edge_store", nBuckets = 2).isEmpty)
+    // ...and a later real batch still ingests against it
+    val docs = Seq((1L, "the cat sat on the mat with the cat"))
+      .toDF("doc_id", "text")
+    val accepted = Ingest.batch(spark, docs, "edge_store", nBuckets = 2)
+    assert(accepted.count() <= 1) // gate may drop it; it must not throw
+  }
 }
