@@ -70,4 +70,37 @@ object Ingest {
       k, bands, shingleN, idCol)
     accepted
   }
+
+  /** Continuous ingest: run [[batch]] on every micro-batch of an
+    * unbounded doc stream via `foreachBatch`, writing accepted docs to
+    * a parquet corpus directory. Complements
+    * [[graft.streaming.StreamNearDedup]]'s watermark-bounded state
+    * with the opposite trade: dedup state lives in the durable
+    * bucketed store, so a duplicate is caught no matter how late it
+    * arrives (unbounded horizon), at the cost of a store join per
+    * micro-batch instead of in-memory state. Micro-batches are
+    * serialized by Structured Streaming, so the read-store →
+    * append-store sequence never races itself.
+    *
+    * foreachBatch is at-least-once on retry (the standard caveat):
+    * replaying a micro-batch re-appends the same band keys — harmless,
+    * the dedup verdicts don't change — but the corpus append can
+    * duplicate rows; an exactly-once corpus needs an idempotent sink
+    * keyed on `idCol`.
+    *
+    * Returns the started query; the caller owns its lifecycle.
+    */
+  def stream(docs: DataFrame, storeTable: String, corpusDir: String,
+             checkpointDir: String, benchBlob: Option[Array[Byte]] = None,
+             nBuckets: Int = 32, k: Int = 16, bands: Int = 4,
+             shingleN: Int = 3, idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        batch(mb.sparkSession, mb, storeTable, benchBlob, nBuckets,
+          k, bands, shingleN, idCol)
+          .write.mode("append").parquet(corpusDir)
+      }
+      .start()
 }

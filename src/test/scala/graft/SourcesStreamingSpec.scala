@@ -223,6 +223,45 @@ class LakeSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a3.forall(id => !shingled(id)))
   }
+
+  test("streaming ingest equals sequential batch ingest (durable store)") {
+    import graft.operators.Ingest
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val b1 = docs.where(col("doc_id") < 250)
+    val replays = b1.where(col("doc_id") < 40)
+      .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text"))
+    val b2 = docs.where(col("doc_id") >= 250 && col("doc_id") < 400)
+      .unionByName(replays)
+
+    val src = Files.createTempDirectory("graft_ing_src").toString
+    val corpus = Files.createTempDirectory("graft_ing_out").toString
+    val ckpt = Files.createTempDirectory("graft_ing_ck").toString
+    spark.sql("DROP TABLE IF EXISTS stream_ingest_store")
+    b1.write.mode("append").parquet(src)
+    val q = Ingest.stream(
+      spark.readStream.schema(b1.schema).parquet(src),
+      "stream_ingest_store", corpus, ckpt, nBuckets = 8)
+    try {
+      q.processAllAvailable()
+      b2.write.mode("append").parquet(src)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // the same two batches through the batch pipeline on a fresh store
+    spark.sql("DROP TABLE IF EXISTS stream_ingest_ref")
+    val r1 = Ingest.batch(spark, b1, "stream_ingest_ref", nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r2 = Ingest.batch(spark, b2, "stream_ingest_ref", nBuckets = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (r1 ++ r2))
+    // and the late replay of an ingested text was caught cross-batch
+    assert(r1.exists(id => got.contains(id)) &&
+      !got.exists(_ >= 1000000L))
+  }
 }
 
 class StreamRollupSpec extends AnyFunSuite {
