@@ -1783,6 +1783,19 @@ object SparkEntry {
       TextOps.classify(tbl(s, dir, "documents"))
     },
 
+    // the TRAINED classifier: one exact-arithmetic logistic gradient
+    // step from the zero init (sigmoid(0) = 1/2 exactly, so step 1 is
+    // transcendental-free and the oracle mirrors it bit-for-bit),
+    // labels = "is this doc English", then score the corpus with the
+    // learned table. Multi-step training (with the snapped sigmoid) is
+    // the same trainStep iterated — spec-tested for loss descent
+    "doc_classify_trained" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("__is_en", when(col("lang") === "en", 1).otherwise(0))
+      val w1 = TextOps.trainStep(docs, "__is_en", TextOps.zeroWeights(s))
+      TextOps.classifyWithWeights(docs, w1)
+    },
+
     "doc_ccnet_bucket" -> { (s, dir) =>
       TextOps.ccnetBucket(tbl(s, dir, "documents"))
     },
@@ -2007,6 +2020,17 @@ object SparkEntry {
       "(a,b) -> (a*31+b) % 1000000007)"
 
   private val sqlToks = "list_filter(string_split(text, ' '), t -> len(t) > 0)"
+
+  /** Hashed classifier feature buckets over a `tk` token list — SQL
+    * twin of TextOps.featureBuckets (unigram + bigram hashes mod 2^16).
+    */
+  private def sqlFeatureBuckets: String =
+    s"""list_concat(
+       |    list_transform(tk, t -> ${sqlPoly("t")} % 65536),
+       |    list_transform(
+       |      list_transform(range(1, greatest(len(tk)-1, 0) + 1),
+       |        i -> array_to_string(list_slice(tk, i, i+1), ' ')),
+       |      s -> ${sqlPoly("s")} % 65536))""".stripMargin
 
   private def sqlShingles(t: String): String =
     s"list_transform(range(1, greatest(len($t)-2, 0) + 1), " +
@@ -2677,12 +2701,7 @@ object SparkEntry {
     // rounded division — same micro-unit convention as lm/entropy
     "doc_classify" ->
       s"""WITH ct AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-         |cf AS (SELECT doc_id, list_concat(
-         |    list_transform(tk, t -> ${sqlPoly("t")} % 65536),
-         |    list_transform(
-         |      list_transform(range(1, greatest(len(tk)-1, 0) + 1),
-         |        i -> array_to_string(list_slice(tk, i, i+1), ' ')),
-         |      s -> ${sqlPoly("s")} % 65536)) AS fb
+         |cf AS (SELECT doc_id, $sqlFeatureBuckets AS fb
          |  FROM ct),
          |cs AS (SELECT doc_id, len(fb) AS nf,
          |    list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2696,6 +2715,37 @@ object SparkEntry {
          |  CASE WHEN nf = 0 THEN NULL WHEN su > 0 THEN 'keep'
          |    ELSE 'drop' END AS label
          |FROM cs""".stripMargin,
+
+    // one-step-from-zero logistic training + scoring: errU is exactly
+    // +-500000 (sigmoid(0)=1/2), every later quantity is 64-bit
+    // integer arithmetic plus the shared round() conventions
+    "doc_classify_trained" ->
+      s"""WITH ct AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    $sqlToks AS tk FROM documents),
+         |cf AS (SELECT doc_id, y, $sqlFeatureBuckets AS fb FROM ct),
+         |ce AS (SELECT doc_id, y, fb, len(fb) AS n,
+         |    CAST(round((0.5 - y) * 1000000) AS BIGINT) AS errU
+         |  FROM cf WHERE len(fb) > 0),
+         |cx AS (SELECT unnest(fb) AS bucket,
+         |    CAST(round(CAST(errU AS DOUBLE) / n) AS BIGINT) AS tU
+         |  FROM ce),
+         |g AS (SELECT bucket, sum(tU) AS gU FROM cx GROUP BY bucket),
+         |nd AS (SELECT count(*) AS ndocs FROM ce),
+         |w1 AS (SELECT bucket,
+         |    CAST(0 - round(0.5 * gU / ndocs) AS BIGINT) AS w
+         |  FROM g, nd),
+         |sx AS (SELECT doc_id, unnest(fb) AS bucket FROM cf),
+         |ss AS (SELECT sx.doc_id, count(*) AS nf,
+         |    sum(coalesce(w1.w, 0)) AS su
+         |  FROM sx LEFT JOIN w1 USING (bucket) GROUP BY sx.doc_id)
+         |SELECT d.doc_id, CAST(coalesce(ss.nf, 0) AS BIGINT) AS n_feats,
+         |  CASE WHEN coalesce(ss.nf, 0) = 0 THEN NULL
+         |    ELSE round(CAST(ss.su AS DOUBLE) / 1000000.0 / ss.nf, 6) + 0.0
+         |  END AS margin,
+         |  CASE WHEN coalesce(ss.nf, 0) = 0 THEN NULL
+         |    WHEN ss.su > 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM documents d LEFT JOIN ss ON ss.doc_id = d.doc_id""".stripMargin,
 
     "doc_ccnet_bucket" ->
       s"""WITH $sqlLmCtes,

@@ -507,6 +507,78 @@ object TextOps {
           .as("label"))
   }
 
+  /** The all-buckets zero weight table — the canonical train-from-
+    * scratch init for [[trainStep]].
+    */
+  def zeroWeights(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(ClassifyBuckets)
+      .select(col("id").as("bucket"), lit(0L).as("w_micro"))
+
+  /** One distributed logistic-regression gradient step over the hashed
+    * features — how a real weight table for [[classifyWithWeights]] is
+    * learned in-engine (the kmeans pattern: the model is a small
+    * broadcast frame, each round is a bounded number of batch-keyed
+    * shuffles over the training docs, never a driver-side loop over
+    * rows). `docs` needs `text` and a 0/1 `labelCol`.
+    *
+    * Exact-arithmetic parity convention: the per-doc error snaps to
+    * integer micro-units (errU = round((sigmoid(margin) − y)·1e6)),
+    * each feature occurrence contributes round(errU / n_feats), and
+    * the bucket update is w − round(lr · gradSum / nDocs) — so a step
+    * is reproducible bit-for-bit by any 64-bit SQL engine. From the
+    * [[zeroWeights]] init the first step needs no transcendentals at
+    * all (sigmoid(0) = 1/2 exactly), which is what the oracle-verified
+    * one-step query exploits; later steps go through the snapped
+    * sigmoid.
+    *
+    * Scale shape: features are re-hashed from the text each step (scan
+    * arithmetic — cheaper at 100 TB than materializing a feature
+    * matrix); the shuffles carry (id, long) pairs; the model rides a
+    * broadcast. nDocs is a lazy 1-row aggregate inside the plan.
+    */
+  def trainStep(docs: DataFrame, labelCol: String, weights: DataFrame,
+                lr: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
+    val fb = docs.select(col(idCol), col(labelCol).cast("double").as("__y"),
+        featureBuckets(tokens(col("text"))).as("__fb"))
+      .where(size(col("__fb")) > 0)
+      .localCheckpoint(false) // read by the doc agg AND the grad join
+    val ex = fb.select(col(idCol), explode(col("__fb")).as("bucket"))
+    val perDoc = ex.join(broadcast(weights), Seq("bucket"), "left")
+      .groupBy(idCol)
+      .agg(sum(coalesce(col("w_micro"), lit(0L))).as("__su"),
+        count(lit(1)).as("__n"))
+      .join(fb.select(col(idCol), col("__y")), Seq(idCol))
+      .select(col(idCol), col("__n"),
+        round((lit(1.0) / (lit(1.0) +
+          exp(-(col("__su").cast("double") / lit(1e6) / col("__n"))))
+          - col("__y")) * lit(1e6)).cast("long").as("__errU"))
+    val grads = ex.join(perDoc, Seq(idCol))
+      .select(col("bucket"),
+        round(col("__errU").cast("double") / col("__n")).cast("long")
+          .as("__tU"))
+      .groupBy("bucket").agg(sum(col("__tU")).as("__gU"))
+    val nd = fb.agg(count(lit(1)).as("__nd"))
+    weights.join(grads, Seq("bucket"), "left")
+      .crossJoin(broadcast(nd))
+      .select(col("bucket"),
+        (col("w_micro") - round(lit(lr)
+          * coalesce(col("__gU"), lit(0L)).cast("double") / col("__nd"))
+          .cast("long")).as("w_micro"))
+  }
+
+  /** `iters` gradient steps from the zero init; the returned table
+    * plugs straight into [[classifyWithWeights]]. Each round's model
+    * (65k longs) is lazily checkpointed so round r+1 reads a
+    * materialized table instead of re-deriving rounds 1..r.
+    */
+  def train(docs: DataFrame, labelCol: String, iters: Int = 3,
+            lr: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
+    var w = zeroWeights(docs.sparkSession)
+    for (_ <- 0 until iters)
+      w = trainStep(docs, labelCol, w, lr, idCol).localCheckpoint(false)
+    w
+  }
+
   def winnow(df: DataFrame, shingleN: Int = 3, w: Int = 4,
              idCol: String = "doc_id"): DataFrame = {
     // ordered, non-distinct shingle sequence (positions matter here)

@@ -376,6 +376,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("TextOps.train learns the language labels (descent across steps)") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("y", when(col("lang") === "en", 1).otherwise(0))
+    def accuracy(w: org.apache.spark.sql.DataFrame): Double = {
+      val scored = TextOps.classifyWithWeights(docs, w)
+        .join(docs.select("doc_id", "y"), Seq("doc_id"))
+      scored.where((col("label") === "keep") === (col("y") === 1))
+        .count().toDouble / scored.count()
+    }
+    val a1 = accuracy(TextOps.train(docs, "y", iters = 1))
+    val a3 = accuracy(TextOps.train(docs, "y", iters = 3))
+    // 61% of docs are non-English, so majority-class accuracy is 0.61
+    assert(a1 > 0.61, s"one step must beat the majority class: $a1")
+    assert(a3 >= a1 - 0.02, s"more steps must not regress: $a1 -> $a3")
+  }
+
   test("TextOps.ccnetBucket tertiles order head <= middle <= tail") {
     val docs = (1 to 9).map { i =>
       // increasing novelty: doc i repeats one bigram 10-i times then
