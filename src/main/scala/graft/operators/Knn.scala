@@ -313,6 +313,26 @@ object Knn {
     cents.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Grow a persisted [[writeIvfIndex]] layout with a new vector
+    * batch: assign against the STORED centroids (read once,
+    * broadcast), append into the existing cell directories. Centroids
+    * stay fixed — cells drift fatter as the corpus grows, and a
+    * periodic [[writeIvfIndex]] rebuild re-balances them; that's the
+    * standard serving-index lifecycle, and it keeps appends cheap (one
+    * broadcast pass over just the batch, no corpus read at all).
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, path: String, dim: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val c = batch.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+    nearestCells(cents, dim)(c, "neighbor_id", "nvec", 1, "nn")
+      .withColumnRenamed("cid", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Probe a persisted [[writeIvfIndex]] layout: queries rank the
     * stored centroids (broadcast — a few-hundred-row frame), and the
     * probed cell ids become a LITERAL partition predicate, so the

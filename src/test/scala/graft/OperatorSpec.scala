@@ -439,6 +439,20 @@ class OperatorSpec extends AnyFunSuite {
     val want = Knn.ivfTopK(emb, queries, 64, 3).collect().map(key).toSet
     val got = out.collect().map(key).toSet
     assert(got == want)
+
+    // grow the index: an appended exact copy of a query vector (fresh
+    // id) lands in the query's own best cell, so it must surface as
+    // that query's new top neighbor (cos = 1)
+    val probe = queries.orderBy("vec_id").limit(1)
+    val clone = probe.select((col("vec_id") + lit(9000000L)).as("vec_id"),
+      col("embedding"))
+    Knn.appendToIvfIndex(spark, clone, dir, 64)
+    val probeId = probe.collect().head.getLong(0)
+    val after = Knn.searchIvfIndex(spark, dir, probe, 64, 3)
+      .where(col("query_id") === probeId && col("rank") === 1)
+      .collect().head
+    assert(after.getLong(2) == probeId + 9000000L &&
+      after.getDouble(3) == 1.0)
   }
 
   test("Knn.bruteTopK ranks by cosine") {
