@@ -1665,6 +1665,27 @@ object SparkEntry {
       Dedup.minhashClusters(tbl(s, dir, "documents"))
     },
 
+    // dedup-index quality eval — the text twin of emb_ann_recall:
+    // recall of the MinHash-LSH banding and SimHash byte-banding
+    // against exact-Jaccard ground truth (pairs with J >= 0.5). The
+    // number that says whether the approximate candidate generators
+    // are safe to point at the full corpus
+    "doc_dedup_eval" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs)
+        .select("id_a", "id_b").localCheckpoint(false)
+      def evalOf(cand: DataFrame, method: String): DataFrame =
+        truth.join(cand.select(col("id_a"), col("id_b"))
+            .withColumn("__h", lit(1)), Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+            round(count(col("__h")).cast("double") / count(lit(1)), 6)
+              .as("recall"))
+          .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
+            col("recall"))
+      evalOf(Dedup.minhashCandidates(docs), "minhash_lsh")
+        .unionByName(evalOf(Dedup.simhashPairs(docs), "simhash"))
+    },
+
     "doc_contamination" -> { (s, dir) =>
       Dedup.contamination(tbl(s, dir, "documents"), col("doc_id") % 97 === 0)
     },
@@ -2472,6 +2493,50 @@ object SparkEntry {
          |    [coalesce(array_to_string(list_slice(tk, nb*16+1, ntk), ' '), '')]),
          |    s -> len(s) > 0), ' '), '') AS new_text
          |FROM b LEFT JOIN kl USING (doc_id)""".stripMargin,
+
+    "doc_dedup_eval" -> {
+      val bitSums = (0 until Dedup.SimhashBits).map { i =>
+        s"sum(CASE WHEN (th // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS bs$i"
+      }.mkString(",\n  ")
+      val shExpr = (0 until Dedup.SimhashBits).map { i =>
+        s"(CASE WHEN bs$i > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      val sBandSelects = (0 until 3).map { b =>
+        s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (b * 8)}) % 256 AS bk FROM ssh2"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $sqlMinhashCtes,
+         |sz AS (SELECT doc_id, len(sids) AS n_sh FROM sids),
+         |inv AS (SELECT doc_id, unnest(sids) AS sid FROM sids),
+         |tshared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS n_shared
+         |  FROM inv a JOIN inv b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b FROM tshared
+         |  JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+         |  WHERE CAST(n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - n_shared)
+         |    >= 0.5),
+         |stoks AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+         |sth AS (SELECT doc_id,
+         |    (${sqlPoly("t")} * 2654435761) % 2147483648 AS th FROM stoks),
+         |sbits AS (SELECT doc_id, $bitSums FROM sth GROUP BY doc_id),
+         |ssh2 AS (SELECT doc_id, $shExpr AS simhash FROM sbits),
+         |sbands AS ($sBandSelects),
+         |spairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sbands a JOIN sbands b ON a.band = b.band AND a.bk = b.bk
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 4)
+         |SELECT 'minhash_lsh' AS method, count(*) AS n_truth,
+         |  count(p.id_a) AS n_hits,
+         |  round(CAST(count(p.id_a) AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN pairs p
+         |  ON t.id_a = p.id_a AND t.id_b = p.id_b
+         |UNION ALL
+         |SELECT 'simhash' AS method, count(*) AS n_truth,
+         |  count(p.id_a) AS n_hits,
+         |  round(CAST(count(p.id_a) AS DOUBLE) / count(*), 6) AS recall
+         |FROM truth t LEFT JOIN spairs p
+         |  ON t.id_a = p.id_a AND t.id_b = p.id_b""".stripMargin
+    },
 
     "doc_dedup_ngram_jaccard" ->
       s"""WITH $sqlSidsCte,
