@@ -43,6 +43,27 @@ object Lake {
       .bucketBy(nBuckets, keyCol).sortBy(keyCol)
       .format("parquet").saveAsTable(table)
 
+  /** Backfill: replace ONLY the UTC-day partitions present in `df`,
+    * leaving every other day's files untouched — the late-data /
+    * correction path a daily-partitioned 100 TB lake needs (a static
+    * overwrite would truncate the whole table to relay one day).
+    * Implemented with dynamic partition overwrite, scoped to this one
+    * write so the session default is preserved.
+    */
+  def backfillDaily(df: DataFrame, tsCol: String, path: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try
+      df.withColumn("dt", TimeIndex.dailyIndex(col(tsCol)))
+        .write.mode("overwrite").partitionBy("dt").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Range-crop that ALSO constrains the partition column, so the
     * filter prunes directories, then the row-level ts predicate
     * (pushed to parquet) trims the edge partitions.

@@ -110,6 +110,34 @@ class LakeSpec extends AnyFunSuite {
     assert(cropped.df.count() == want)
   }
 
+  test("backfillDaily replaces only the touched day partitions") {
+    val ev = graft.functions.TimeIndex.normalizeUs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+      .select("user_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_backfill").toString
+    graft.sources.Lake.writeDaily(ev, "ts", dir)
+    val before = spark.read.parquet(dir)
+    // dt is partition-inferred as DATE on read; compare as its string form
+    val day = before.select(min(col("dt")).cast("string")).head.getString(0)
+    val othersBefore = before.where(col("dt") =!= day)
+      .agg(count(lit(1)), sum(col("value"))).head
+
+    // correct that one day: same rows, values doubled
+    val corrected = ev
+      .where(graft.functions.TimeIndex.dailyIndex(col("ts")) === day)
+      .withColumn("value", col("value") * 2)
+    graft.sources.Lake.backfillDaily(corrected, "ts", dir)
+
+    val after = spark.read.parquet(dir)
+    // the touched day carries the corrected values...
+    assert(math.abs(
+      after.where(col("dt") === day).agg(sum(col("value"))).head.getDouble(0)
+        - corrected.agg(sum(col("value"))).head.getDouble(0)) < 1e-6)
+    // ...and every other day is byte-for-byte what it was
+    assert(after.where(col("dt") =!= day)
+      .agg(count(lit(1)), sum(col("value"))).head == othersBefore)
+  }
+
   test("bucketed tables join and aggregate with zero runtime exchange") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
