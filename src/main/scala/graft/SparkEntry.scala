@@ -1821,6 +1821,13 @@ object SparkEntry {
       TextOps.ccnetBucket(tbl(s, dir, "documents"))
     },
 
+    // DSIR importance resampling score: hashed-ngram log-likelihood
+    // ratio of "looks like the English slice" vs the raw corpus —
+    // the data-selection weight a targeted pretraining mix samples by
+    "doc_dsir" -> { (s, dir) =>
+      TextOps.dsir(tbl(s, dir, "documents"), col("lang") === "en")
+    },
+
     "doc_vocab" -> { (s, dir) =>
       TextOps.vocab(tbl(s, dir, "documents"), topK = 50)
     },
@@ -1974,6 +1981,14 @@ object SparkEntry {
     "emb_ivf_pq" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Knn.ivfPqTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+    },
+
+    // int8 scalar-quantized flat search + exact rerank: serving
+    // against the emb_quantize store (4x scan I/O cut), the SQ
+    // counterpart of emb_ivf_pq_rerank's two-stage pattern
+    "emb_sq_search" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.sqSearchTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
     },
 
     // ADC top-15 then exact-cosine rerank to top-3: the two-stage
@@ -2812,6 +2827,34 @@ object SparkEntry {
          |    WHEN ss.su > 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM documents d LEFT JOIN ss ON ss.doc_id = d.doc_id""".stripMargin,
 
+    // DSIR: per-bucket micro-nat-snapped log terms, exact integer
+    // per-doc accumulation su − n·cu, one rounded division — the
+    // lm_score parity convention over the classifier's feature buckets
+    "doc_dsir" ->
+      s"""WITH dt AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         |    $sqlToks AS tk FROM documents),
+         |df0 AS (SELECT doc_id, y, $sqlFeatureBuckets AS fb FROM dt),
+         |dx AS (SELECT doc_id, y, unnest(fb) AS b FROM df0),
+         |dbc AS (SELECT b, count(*) AS craw, sum(y) AS ctgt
+         |  FROM dx GROUP BY b),
+         |dbw AS (SELECT b,
+         |    CAST(round(ln(ctgt + 0.5) * 1000000) AS BIGINT)
+         |      - CAST(round(ln(craw + 0.5) * 1000000) AS BIGINT) AS wu
+         |  FROM dbc),
+         |dcu AS (SELECT
+         |    CAST(round(ln(sum(ctgt) + 0.5 * 65536) * 1000000) AS BIGINT)
+         |      - CAST(round(ln(sum(craw) + 0.5 * 65536) * 1000000) AS BIGINT)
+         |      AS cu
+         |  FROM dbc),
+         |dds AS (SELECT doc_id, count(*) AS n, sum(wu) AS su
+         |  FROM dx JOIN dbw USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(dds.n, 0) AS BIGINT) AS n_feats,
+         |  CASE WHEN dds.n IS NULL THEN NULL
+         |    ELSE round(CAST(su - n * cu AS DOUBLE) / 1000000.0 / n, 6) + 0.0
+         |  END AS dsir_logw
+         |FROM documents d LEFT JOIN dds ON dds.doc_id = d.doc_id, dcu""".stripMargin,
+
     "doc_ccnet_bucket" ->
       s"""WITH $sqlLmCtes,
          |lth AS (SELECT round(quantile_cont(lm_nll, 1.0/3), 6) AS t1,
@@ -3124,6 +3167,41 @@ object SparkEntry {
          |$sqlIvfPqAdcCtes
          |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // SQ8 flat search: dequantized-cosine stage ranks top-15 with
+    // quantizeInt8's exact floor-code arithmetic, exact-cosine rerank
+    // picks the final top-3 — mirrors Knn.sqSearchTopK
+    "emb_sq_search" ->
+      s"""WITH d AS (SELECT i FROM range(1, ${EmbDim + 1}) t(i)),
+         |s AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+         |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+         |  FROM embeddings, d GROUP BY i),
+         |a AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |  FROM s),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv,
+         |    list_transform(embedding, (x, i) ->
+         |      mns[i] + CAST(CASE WHEN mxs[i] = mns[i] THEN 0
+         |        ELSE CAST(floor((CAST(x AS DOUBLE) - mns[i])
+         |          / (mxs[i] - mns[i]) * CAST(255.0 AS DOUBLE)) AS INTEGER)
+         |        END AS DOUBLE) / 255.0 * (mxs[i] - mns[i])) AS dv
+         |  FROM embeddings, a),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |j AS (SELECT query_id, neighbor_id, qv, nv,
+         |    ${sqlDot("qv", "dv")}
+         |      / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("dv", "dv")}))
+         |      AS acos_
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, qv, nv, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY acos_ DESC, neighbor_id) AS rk
+         |  FROM j),
+         |rr0 AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
+         |  FROM r WHERE rk <= 15),
+         |rr AS (SELECT query_id, neighbor_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM rr0)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM rr WHERE rank <= 3""".stripMargin,
 
     // two-stage serving: ADC top-15 from the shared chain, then exact
     // cosine against the true vectors (q0/c0 from the IVF CTEs) picks

@@ -176,6 +176,75 @@ object Knn {
         })).as("codes"))
   }
 
+  /** Int8 scalar-quantized flat search with exact rerank — serving
+    * against the [[quantizeInt8]] store (faiss SQ8-flat shape): stage 1
+    * ranks by approximate cosine between the exact query and the
+    * DEQUANTIZED corpus vector (mn + code/255·(mx−mn), the same
+    * floor-code arithmetic as quantizeInt8); stage 2 re-scores the top
+    * `rerank` candidates per query by exact cosine against their true
+    * vectors and takes the final top-k. Measures what int8 compression
+    * costs at serving time — and at 100 TB the point: stage 1 reads a
+    * 1-byte-per-dim store (4× the scan I/O and resident-memory cut of
+    * the float corpus), stage 2 fetches only |Q|·rerank true vectors
+    * via a broadcast candidate list.
+    *
+    * Scale shape: the (dim)-row min/max stats partial-agg to one
+    * broadcast array pair (quantizeInt8's stats pass); stage 1 is a
+    * corpus scan against the broadcast query set (zero corpus shuffle
+    * before the per-query top-rerank window, same as [[bruteTopK]]);
+    * the corpus never shuffles vectors.
+    */
+  def sqSearchTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                   rerank: Int = 15, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+    val arrs = stats.groupBy().agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("mn")))),
+        s => s.getField("mn")).as("mns"),
+      transform(array_sort(collect_list(struct(col("pos"), col("mx")))),
+        s => s.getField("mx")).as("mxs"))
+    // dequantized corpus vector: the int8 code round-tripped to double
+    // with quantizeInt8's exact floor-code arithmetic
+    val deq = corpus.crossJoin(broadcast(arrs))
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          val code = when(mx === mn, lit(0)).otherwise(
+            floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)).cast("int"))
+          mn + code.cast("double") / lit(255.0) * (mx - mn)
+        }).as("dv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      transform(col(vecCol), x => x.cast("double")).as("qd"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val scored = deq.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("acos",
+        dotD(col("qd"), col("dv")) / (col("qn") * sqrt(dotD(col("dv"), col("dv")))))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val cand = scored.withColumn("rk", row_number().over(wa))
+      .where(col("rk") <= rerank)
+      .select("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+    val qx = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val exact = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qx), Seq("query_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** Product quantization: split the vector into `m` contiguous
     * subspaces, code each subvector as its nearest (L2) centroid from a
     * deterministic every-Nth codebook — the memory layout behind

@@ -579,6 +579,55 @@ object TextOps {
     w
   }
 
+  /** DSIR-style data selection score (arXiv:2302.03169): per-doc
+    * average log importance weight log(p_target(f)/p_raw(f)) under
+    * hashed unigram+bigram bag-of-ngram models with add-1/2 smoothing.
+    * `targetPred` marks the in-domain rows (the tiny high-quality set
+    * you want the corpus resampled toward); raw = the whole corpus.
+    * Positive scores mean "looks like the target domain". Output:
+    * (idCol, n_feats, dsir_logw); docs with no tokens score null.
+    *
+    * Cross-engine parity: each per-bucket log term snaps to integer
+    * micro-nats ([[lmScore]]'s convention) BEFORE any summation, the
+    * per-doc accumulation is exact 64-bit integer arithmetic
+    * (su − n·constU), and one rounded division ends the chain.
+    *
+    * Scale shape: two corpus scans (the quantizeInt8 stats-then-score
+    * pattern). Scan 1 partial-aggs hashed features to a ≤ 2^16-row
+    * (bucket, craw, ctgt) model — map-side combine makes the shuffle
+    * carry bucket counts, never text; the model lazily checkpoints
+    * once so the weight table and its 1-row normalizer don't re-run
+    * the stats scan. The model broadcasts; scan 2 re-hashes
+    * (explode_outer, so featureless docs survive without a join-back)
+    * and reduces per doc — one (id, long)-carrying shuffle.
+    */
+  def dsir(df: DataFrame, targetPred: Column,
+           idCol: String = "doc_id"): DataFrame = {
+    def lnU(x: Column): Column = round(log(x) * lit(1e6)).cast("long")
+    val fx = df.select(col(idCol),
+      when(targetPred, 1L).otherwise(0L).as("__y"),
+      explode_outer(featureBuckets(tokens(col("text")))).as("__b"))
+    val bc = fx.where(col("__b").isNotNull).groupBy("__b")
+      .agg(count(lit(1)).as("__craw"), sum(col("__y")).as("__ctgt"))
+      .localCheckpoint(false)
+    val bw = bc.select(col("__b"),
+      (lnU(col("__ctgt") + lit(0.5)) - lnU(col("__craw") + lit(0.5)))
+        .as("__wu"))
+    val tot = bc.agg(
+      (lnU(sum(col("__ctgt")) + lit(0.5 * ClassifyBuckets))
+        - lnU(sum(col("__craw")) + lit(0.5 * ClassifyBuckets))).as("__cu"))
+    fx.join(broadcast(bw), Seq("__b"), "left")
+      .groupBy(idCol)
+      .agg(count(col("__b")).as("__n"), sum(col("__wu")).as("__su"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        col("__n").as("n_feats"),
+        when(col("__n") === 0, lit(null).cast("double"))
+          .otherwise(round((col("__su") - col("__n") * col("__cu"))
+            .cast("double") / lit(1e6) / col("__n"), 6) + lit(0.0))
+          .as("dsir_logw"))
+  }
+
   def winnow(df: DataFrame, shingleN: Int = 3, w: Int = 4,
              idCol: String = "doc_id"): DataFrame = {
     // ordered, non-distinct shingle sequence (positions matter here)

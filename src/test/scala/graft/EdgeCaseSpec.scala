@@ -71,6 +71,7 @@ class EdgeCaseSpec extends AnyFunSuite {
 
   test("classifier and ingest pipeline pass empty batches through") {
     assert(TextOps.classify(emptyDocs).isEmpty)
+    assert(TextOps.dsir(emptyDocs, lit(true)).isEmpty)
     spark.sql("DROP TABLE IF EXISTS edge_store")
     // empty batch bootstraps an empty store and accepts nothing...
     assert(Ingest.batch(spark, emptyDocs, "edge_store", nBuckets = 2).isEmpty)

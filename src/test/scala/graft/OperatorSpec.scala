@@ -376,6 +376,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("TextOps.dsir: reference fold on a tiny corpus; direction is right") {
+    val corpus = Seq((1L, "aa aa", "en"), (2L, "bb bb", "de"), (3L, "", "en"))
+    val docs = corpus.toDF("doc_id", "text", "lang")
+    def poly(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    def feats(t: String): Seq[Long] = {
+      val tk = t.split(" ").filter(_.nonEmpty).toSeq
+      tk.map(w => poly(w) % 65536L) ++
+        tk.sliding(2).filter(_.size == 2).map(bg => poly(bg.mkString(" ")) % 65536L)
+    }
+    def snap(x: Double): Long = new java.math.BigDecimal(x * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    def lnU(x: Double): Long = snap(math.log(x))
+    def round6(x: Double): Double = new java.math.BigDecimal(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue + 0.0
+    val y = Map(1L -> 1L, 2L -> 0L, 3L -> 1L)
+    val all = corpus.flatMap { case (id, t, _) => feats(t).map(b => (id, b)) }
+    val craw = all.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+    val ctgt = all.groupBy(_._2)
+      .map { case (b, xs) => b -> xs.count(x => y(x._1) == 1).toLong }
+    val cu = lnU(ctgt.values.sum + 0.5 * 65536) - lnU(craw.values.sum + 0.5 * 65536)
+    def want(t: String): Option[Double] = {
+      val fs = feats(t)
+      if (fs.isEmpty) None
+      else {
+        val su = fs.map(b => lnU(ctgt(b) + 0.5) - lnU(craw(b) + 0.5)).sum
+        Some(round6((su - fs.size * cu).toDouble / 1e6 / fs.size))
+      }
+    }
+    val out = TextOps.dsir(docs, col("lang") === "en").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L) == ((3L, want("aa aa"))))
+    assert(out(2L) == ((3L, want("bb bb"))))
+    assert(out(3L) == ((0L, None)))
+    // the target-only doc must outscore the out-of-domain doc
+    assert(out(1L)._2.get > out(2L)._2.get)
+  }
+
   test("TextOps.train learns the language labels (descent across steps)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")
@@ -463,6 +502,18 @@ class OperatorSpec extends AnyFunSuite {
     val out = Knn.bruteTopK(e, e.where($"vec_id" === 0), 2, 2)
       .orderBy("rank").collect()
     assert(out.map(_.getLong(2)).toSeq == Seq(3L, 1L))
+  }
+
+  test("Knn.sqSearchTopK reproduces the exact brute-force top-3") {
+    // int8 quantization + exact rerank preserves the full top-3 on the
+    // test embeddings (recall@3 = 1.0, also measured at sf0.01) — and
+    // because the rerank stage scores by the SAME exact cosine with
+    // the same tie-break, the surviving rows are bit-identical
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" % 100 === 0)
+    val sq = Knn.sqSearchTopK(emb, q, 64, 3).orderBy("query_id", "rank")
+    val brute = Knn.bruteTopK(emb, q, 64, 3).orderBy("query_id", "rank")
+    assert(sq.collect().toSeq == brute.collect().toSeq)
   }
 
   test("Salted rollup equals plain rollup for decomposable aggs") {

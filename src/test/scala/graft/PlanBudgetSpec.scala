@@ -68,6 +68,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_quantize" -> 3, "ts_mad" -> 6,
     // pq: broadcast codebook + two partial-agged shuffles (no window)
     "emb_pq" -> 3,
+    // sq flat search: stats pass (pos agg + 1-row collect + broadcast)
+    // + broadcast query set + top-rerank window + broadcast candidate
+    // list and query re-join for the exact rerank window
+    "emb_sq_search" -> 8,
     "q_retention" -> 2, "q_argmin" -> 2, "q4_semijoin" -> 2,
     "ts_align_linear" -> 2, "ts_merge" -> 2,
     // doc_vocab: the corpus-scale agg + TakeOrderedAndProject live in a
@@ -99,6 +103,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // rank window — every exchange carries ids/centroid rows, never
     // the corpus cross product
     "emb_knn_ivf_learned" -> 17,
+    // dsir: per-doc micro-nat reduce + broadcast weight/normalizer
+    // frames off the lazily-checkpointed bucket model — the stats
+    // scan's own agg exchange lives behind the checkpoint
+    "doc_dsir" -> 4,
     // rate table: tiny source-count agg + 1-row total + two broadcasts
     // back over the scan — the corpus itself never shuffles
     "doc_source_mix" -> 5,
