@@ -1832,6 +1832,12 @@ object SparkEntry {
       TextOps.vocab(tbl(s, dir, "documents"), topK = 50)
     },
 
+    // tokenizer training's inner loop: corpus-weighted adjacent
+    // character-pair counts (the argmax IS the next BPE merge)
+    "doc_bpe_step" -> { (s, dir) =>
+      TextOps.bpePairs(tbl(s, dir, "documents"), topK = 50)
+    },
+
     "doc_length_quantiles" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
         .withColumn("n_tokens", size(TextOps.tokens(col("text"))).cast("long"))
@@ -2872,6 +2878,20 @@ object SparkEntry {
          |r AS (SELECT CAST(row_number() OVER (ORDER BY tf DESC, token)
          |    AS INTEGER) AS rank, token, tf, df_docs FROM v)
          |SELECT rank, token, tf, df_docs FROM r WHERE rank <= 50""".stripMargin,
+
+    // BPE merge statistics: word-frequency table first, char pairs
+    // over the word table (substr is char-based 1-indexed in both
+    // engines), count-desc/pair-asc top-k — mirrors TextOps.bpePairs
+    "doc_bpe_step" ->
+      s"""WITH btk AS (SELECT unnest($sqlToks) AS w FROM documents),
+         |bwc AS (SELECT w, count(*) AS wn FROM btk GROUP BY w),
+         |bpp AS (SELECT wn, unnest(list_transform(range(1, len(w)),
+         |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+         |  FROM bwc WHERE len(w) >= 2),
+         |bpc AS (SELECT pair, CAST(sum(wn) AS BIGINT) AS merge_count
+         |  FROM bpp GROUP BY pair)
+         |SELECT pair, merge_count FROM bpc
+         |ORDER BY merge_count DESC, pair LIMIT 50""".stripMargin,
 
     "doc_length_quantiles" ->
       s"""WITH d AS (SELECT lang, n_chars, CAST(len($sqlToks) AS BIGINT)

@@ -628,6 +628,32 @@ object TextOps {
           .as("dsir_logw"))
   }
 
+  /** The BPE-trainer's merge-statistics scan: corpus-wide counts of
+    * adjacent character pairs inside words, weighted by word frequency
+    * — the quantity whose argmax IS the next BPE merge, computed once
+    * per merge round when training a tokenizer on the corpus. Output:
+    * the top-k (pair, merge_count) rows, count desc / pair asc.
+    *
+    * Scale shape: the corpus reduces FIRST to its word-frequency table
+    * (the vocab agg — one partial-agg'd shuffle carrying words, not
+    * text), pair explosion runs over that much smaller table, the pair
+    * agg is a second count-carrying partial agg, and the top-k is
+    * TakeOrderedAndProject (per-partition heaps, no global sort). A
+    * real multi-round trainer re-runs this over the word table alone,
+    * never re-touching the corpus.
+    */
+  def bpePairs(df: DataFrame, topK: Int = 50): DataFrame = {
+    val wc = df.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    val pairs = wc.where(length(col("w")) >= 2)
+      .select(col("wn"),
+        explode(transform(sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+    pairs.groupBy("pair").agg(sum(col("wn")).as("merge_count"))
+      .orderBy(col("merge_count").desc, col("pair"))
+      .limit(topK)
+  }
+
   def winnow(df: DataFrame, shingleN: Int = 3, w: Int = 4,
              idCol: String = "doc_id"): DataFrame = {
     // ordered, non-distinct shingle sequence (positions matter here)

@@ -415,6 +415,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(1L)._2.get > out(2L)._2.get)
   }
 
+  test("TextOps.bpePairs counts word-frequency-weighted char pairs") {
+    val docs = Seq((1L, "ab ab abc"), (2L, "ab"), (3L, "x"))
+      .toDF("doc_id", "text")
+    // ab appears 3x (1 pair each), abc once (pairs ab, bc); "x" has no
+    // pair — so merge counts are ab: 4, bc: 1 and the argmax is "ab"
+    val out = TextOps.bpePairs(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("ab", 4L), ("bc", 1L)))
+  }
+
   test("TextOps.train learns the language labels (descent across steps)") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

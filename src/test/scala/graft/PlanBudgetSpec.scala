@@ -78,6 +78,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // lazily-checkpointed sub-RDD (scanned once, shared by both sides of
     // the rank self-join); the visible plan only shuffles the k winners
     "doc_dedup_minhash" -> 3, "doc_vocab" -> 2,
+    // bpe: word-freq agg + pair agg; the top-k is
+    // TakeOrderedAndProject (per-partition heaps, no global sort)
+    "doc_bpe_step" -> 2,
     "q3_join" -> 5, "q5_multijoin" -> 6,
     "doc_dedup_ngram_jaccard" -> 5, "doc_tfidf" -> 7,
     // pruned scale path: the df-cap window rides the self-join's own
