@@ -2018,6 +2018,12 @@ object SparkEntry {
       Multimodal.resizePlan(s, tbl(s, dir, "documents"))
     },
 
+    // audio-modality plumbing: stub PCM decode -> fixed-size analysis
+    // windows -> exact integer (energy, peak) per frame
+    "mm_audio" -> { (s, dir) =>
+      Multimodal.audioFeatures(s, tbl(s, dir, "documents")).toDF()
+    },
+
     "doc_tfidf" -> { (s, dir) =>
       TextOps.tfidf(tbl(s, dir, "documents"), perDoc = 3)
     },
@@ -3289,6 +3295,24 @@ object SparkEntry {
          |  64 + (${sqlPoly("text")} // 512) % 512 AS height,
          |  1 + ${sqlPoly("text")} % 8 AS n_frames
          |FROM documents""".stripMargin,
+
+    // window size / multiplier / modulus interpolated from the SAME
+    // constants the Spark side uses (Multimodal.AudioWinSize,
+    // TextOps.HashMul/HashMod); every quantity is 64-bit integer
+    // arithmetic, so the stub waveform and its features are exact
+    "mm_audio" ->
+      s"""WITH m AS (SELECT doc_id, ${sqlPoly("text")} AS h FROM documents),
+         |aa AS (SELECT doc_id, h, 64 + h % 64 AS n FROM m),
+         |ax AS (SELECT doc_id, h, n, unnest(range(n)) AS i FROM aa),
+         |av AS (SELECT doc_id, n, i // ${Multimodal.AudioWinSize} AS win_idx,
+         |    ((h * ${TextOps.HashMul} + i) % ${TextOps.HashMod})
+         |      % 2001 - 1000 AS smp
+         |  FROM ax)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+         |  CAST(win_idx AS BIGINT) AS win_idx,
+         |  CAST(sum(smp * smp) AS BIGINT) AS energy,
+         |  CAST(max(abs(smp)) AS BIGINT) AS peak
+         |FROM av GROUP BY doc_id, n, win_idx""".stripMargin,
 
     // step / multiplier / modulus interpolated from the SAME constants
     // the Spark side uses (MmFramesEveryKth, TextOps.HashMul/HashMod) —

@@ -102,6 +102,60 @@ object Multimodal {
     * inherits the corpus partitioning, so downstream per-frame feature
     * extraction stays co-located with its document.
     */
+  /** Per-window audio analysis output: exact integer energy (sum of
+    * squared samples) and peak amplitude per fixed-size frame.
+    */
+  final case class AudioWin(doc_id: Long, n_samples: Long, win_idx: Long,
+                            energy: Long, peak: Long)
+
+  /** Samples per analysis window — interpolated into the oracle SQL so
+    * the two sides cannot drift.
+    */
+  val AudioWinSize = 16L
+
+  /** Windowed audio feature extraction for audio-style payloads: the
+    * decode stub derives a deterministic integer waveform from the
+    * payload fingerprint (a real build replaces it with a PCM decode),
+    * then non-overlapping [[AudioWinSize]]-sample frames reduce to
+    * (energy, peak) — the framing/feature shape of a real
+    * VAD/loudness pass, with every quantity exact 64-bit integer
+    * arithmetic so the oracle reproduces it bit-for-bit.
+    *
+    * Scale shape: the same batched per-partition decode pass as
+    * [[decodeAll]] — a scan-side flatMap, zero shuffle; window rows
+    * (≤ 8 per doc here) inherit the corpus partitioning so
+    * downstream per-frame work stays co-located.
+    */
+  def audioFeatures(spark: SparkSession, docs: DataFrame): Dataset[AudioWin] = {
+    import spark.implicits._
+    val winSz = AudioWinSize
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val h = graft.functions.HashImpl.polyHash(
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(r.payload))
+          val n = 64L + h % 64L
+          val nWins = (n + winSz - 1) / winSz
+          (0L until nWins).iterator.map { w =>
+            var i = w * winSz
+            val end = math.min(i + winSz, n)
+            var energy = 0L
+            var peak = 0L
+            while (i < end) {
+              val s = ((h * TextOps.HashMul + i) % TextOps.HashMod) % 2001L - 1000L
+              energy += s * s
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              i += 1
+            }
+            AudioWin(r.doc_id, n, w, energy, peak)
+          }
+        }
+      }
+  }
+
   def sampleFrames(spark: SparkSession, docs: DataFrame,
                    everyKth: Int = 2): Dataset[MediaFrame] = {
     import spark.implicits._

@@ -552,6 +552,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(neg.getLong(1) == -2L * 300000000L)
   }
 
+  test("Multimodal.audioFeatures: exact window fold, full coverage") {
+    val docs = Seq((1L, "hello")).toDF("doc_id", "text")
+    def poly(s: String): Long =
+      s.codePoints.toArray.foldLeft(0L)((a, c) => (a * 31 + c) % 1000000007L)
+    val h = poly("hello")
+    val n = 64L + h % 64L
+    val samples = (0L until n).map(i => ((h * 31 + i) % 1000000007L) % 2001L - 1000L)
+    val want = samples.grouped(16).zipWithIndex.map { case (w, idx) =>
+      (1L, n, idx.toLong, w.map(s => s * s).sum, w.map(math.abs).max)
+    }.toSeq
+    val out = Multimodal.audioFeatures(spark, docs).collect()
+      .sortBy(_.win_idx)
+      .map(a => (a.doc_id, a.n_samples, a.win_idx, a.energy, a.peak)).toSeq
+    assert(out == want)
+    // every sample is covered exactly once across the windows
+    assert(out.size == (n + 15) / 16)
+  }
+
   test("Multimodal decode stub is deterministic and batch-shaped") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "xyz"))
       .toDF("doc_id", "text")

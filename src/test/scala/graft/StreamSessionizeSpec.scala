@@ -67,6 +67,43 @@ class StreamAlignSpec extends AnyFunSuite {
   }
 }
 
+class StreamAsOfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming as-of lookup equals batch Combine.asof exactly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+    val lookups = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val refs = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+
+    val dirL = Files.createTempDirectory("graft_asof_l").toString
+    val dirR = Files.createTempDirectory("graft_asof_r").toString
+    lookups.write.mode("overwrite").parquet(dirL)
+    refs.write.mode("overwrite").parquet(dirR)
+    val sl = spark.readStream.schema(lookups.schema).parquet(dirL)
+      .as[graft.streaming.StreamAsOf.Lookup]
+    val sr = spark.readStream.schema(refs.schema).parquet(dirR)
+      .as[graft.streaming.StreamAsOf.Ref]
+
+    val q = graft.streaming.StreamAsOf(spark, sl, sr)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("asof_test")
+      .select($"user_id", $"ts", $"event_id", $"asof_value")
+    val want = graft.operators.Combine.asof(lookups, refs, Seq("user_id"),
+      "ts", Seq("event_id"), Seq("value"))
+      .select($"user_id", $"ts", $"event_id", $"asof_value")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
+
 class StreamDedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
