@@ -1916,6 +1916,7 @@ object SparkEntry {
         .unionByName(evalOf(Knn.ivfPqTopK(emb, q, EmbDim, 3), "ivf_pq"))
         .unionByName(evalOf(Knn.ivfPqRerankTopK(emb, q, EmbDim, 3),
           "ivf_pq_rerank"))
+        .unionByName(evalOf(Knn.sqSearchTopK(emb, q, EmbDim, 3), "sq"))
     },
 
     // embedding-compression eval: how much of the full-dim neighbor
@@ -1978,6 +1979,12 @@ object SparkEntry {
 
     "emb_quantize" -> { (s, dir) =>
       Knn.quantizeInt8(tbl(s, dir, "embeddings"))
+    },
+
+    // top principal direction of the centered embedding corpus
+    // (distributed power iteration; whitening / all-but-the-top)
+    "emb_pca" -> { (s, dir) =>
+      Knn.pcaTop(tbl(s, dir, "embeddings"), EmbDim)
     },
 
     "emb_pq" -> { (s, dir) =>
@@ -2158,6 +2165,42 @@ object SparkEntry {
     (0 until nPlanes).map { j =>
       s"(CASE WHEN ${sqlPlaneDot(v, offset + j)} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** SQ8 two-stage search as CTEs ending in `sqfin` = (query_id,
+    * neighbor_id, cos, rank) after the exact-cosine rerank of the
+    * dequantized-cosine top-15 — the SQL twin of Knn.sqSearchTopK,
+    * shared by emb_sq_search and emb_ann_recall's sq leg so the eval
+    * cannot drift from the index it measures.
+    */
+  private def sqlSqCtes: String =
+    s"""sqdd AS (SELECT i FROM range(1, ${EmbDim + 1}) t(i)),
+       |sqst AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
+       |    max(CAST(embedding[i] AS DOUBLE)) AS mx
+       |  FROM embeddings, sqdd GROUP BY i),
+       |sqar AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+       |  FROM sqst),
+       |sqc AS (SELECT vec_id AS neighbor_id, embedding AS nv,
+       |    list_transform(embedding, (x, i) ->
+       |      mns[i] + CAST(CASE WHEN mxs[i] = mns[i] THEN 0
+       |        ELSE CAST(floor((CAST(x AS DOUBLE) - mns[i])
+       |          / (mxs[i] - mns[i]) * CAST(255.0 AS DOUBLE)) AS INTEGER)
+       |        END AS DOUBLE) / 255.0 * (mxs[i] - mns[i])) AS dv
+       |  FROM embeddings, sqar),
+       |sqq AS (SELECT vec_id AS query_id, embedding AS qv
+       |    FROM embeddings WHERE vec_id % 100 = 0),
+       |sqj AS (SELECT query_id, neighbor_id, qv, nv,
+       |    ${sqlDot("qv", "dv")}
+       |      / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("dv", "dv")}))
+       |      AS acos_
+       |  FROM sqc, sqq WHERE neighbor_id <> query_id),
+       |sqrk AS (SELECT query_id, neighbor_id, qv, nv, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY acos_ DESC, neighbor_id) AS rk
+       |  FROM sqj),
+       |sqrr AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
+       |  FROM sqrk WHERE rk <= 15),
+       |sqfin AS (SELECT query_id, neighbor_id, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM sqrr)""".stripMargin
 
   /** One unrolled Lloyd round as CTEs (kv/kc0/ka1/ke1/km1/kc1) ending
     * in `kc1` = the learned codebook after one centroid update —
@@ -3052,7 +3095,9 @@ object SparkEntry {
          |prr AS (SELECT query_id, neighbor_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM prr0),
-         |pqr3 AS (SELECT query_id, neighbor_id FROM prr WHERE rk <= 3)
+         |pqr3 AS (SELECT query_id, neighbor_id FROM prr WHERE rk <= 3),
+         |$sqlSqCtes,
+         |sq3 AS (SELECT query_id, neighbor_id FROM sqfin WHERE rank <= 3)
          |SELECT 'lsh' AS method, count(*) AS n_truth,
          |  count(l.query_id) AS n_hits,
          |  round(CAST(count(l.query_id) AS DOUBLE) / count(*), 6) AS recall
@@ -3086,6 +3131,13 @@ object SparkEntry {
          |  round(CAST(count(pr.query_id) AS DOUBLE) / count(*), 6) AS recall
          |FROM brute b LEFT JOIN pqr3 pr
          |  ON b.query_id = pr.query_id AND b.neighbor_id = pr.neighbor_id
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT 'sq' AS method, count(*) AS n_truth,
+         |  count(sq.query_id) AS n_hits,
+         |  round(CAST(count(sq.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM brute b LEFT JOIN sq3 sq
+         |  ON b.query_id = sq.query_id AND b.neighbor_id = sq.neighbor_id
          |GROUP BY 1""".stripMargin,
 
     "emb_label_centroid" ->
@@ -3167,6 +3219,45 @@ object SparkEntry {
          |  AS codes
          |FROM embeddings, a""".stripMargin,
 
+    // PCA power iteration, 2 unrolled rounds: cross-row sums are
+    // per-row micro-unit snaps summed as BIGINT (order-independent),
+    // per-row dots are the shared index-order fold, v re-rounds to 6dp
+    // after each normalization — mirrors Knn.pcaTop exactly
+    "emb_pca" ->
+      s"""WITH pd AS (SELECT unnest(range(1, ${EmbDim + 1})) AS i),
+         |pmu0 AS (SELECT i,
+         |    sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+         |      AS BIGINT)) AS su, count(*) AS n
+         |  FROM embeddings, pd GROUP BY i),
+         |pmu AS (SELECT list(CAST(su AS DOUBLE) / 1000000.0 / n ORDER BY i)
+         |  AS mu FROM pmu0),
+         |pv0 AS (SELECT list_transform(range(1, ${EmbDim + 1}),
+         |  i -> 0.125) AS v),
+         |pc1 AS (SELECT list_transform(range(1, ${EmbDim + 1}),
+         |    i -> CAST(embedding[i] AS DOUBLE) - mu[i]) AS xc
+         |  FROM embeddings, pmu),
+         |ps1 AS (SELECT xc, ${sqlDot("xc", "v")} AS s FROM pc1, pv0),
+         |pu1x AS (SELECT i, sum(CAST(round(s * xc[i] * 1000000) AS BIGINT))
+         |    AS su FROM ps1, pd GROUP BY i),
+         |pu1 AS (SELECT list(CAST(su AS DOUBLE) / 1000000.0 ORDER BY i)
+         |  AS u FROM pu1x),
+         |pn1 AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+         |    list_transform(u, x -> x * x)), (a, b) -> a + b)) AS nr, u
+         |  FROM pu1),
+         |pv1 AS (SELECT list_transform(u, x -> round(x / nr, 6) + 0.0) AS v
+         |  FROM pn1),
+         |ps2 AS (SELECT xc, ${sqlDot("xc", "v")} AS s FROM pc1, pv1),
+         |pu2x AS (SELECT i, sum(CAST(round(s * xc[i] * 1000000) AS BIGINT))
+         |    AS su FROM ps2, pd GROUP BY i),
+         |pu2 AS (SELECT list(CAST(su AS DOUBLE) / 1000000.0 ORDER BY i)
+         |  AS u FROM pu2x),
+         |pn2 AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+         |    list_transform(u, x -> x * x)), (a, b) -> a + b)) AS nr, u
+         |  FROM pu2),
+         |pv2 AS (SELECT list_transform(u, x -> round(x / nr, 6) + 0.0) AS v
+         |  FROM pn2)
+         |SELECT CAST(i AS BIGINT) AS dim, v[i] AS v FROM pv2, pd""".stripMargin,
+
     // PQ: the subspace distance is the shared sqlSubL2 fold; the err2
     // fold runs in subspace order on both sides
     "emb_pq" ->
@@ -3196,38 +3287,12 @@ object SparkEntry {
 
     // SQ8 flat search: dequantized-cosine stage ranks top-15 with
     // quantizeInt8's exact floor-code arithmetic, exact-cosine rerank
-    // picks the final top-3 — mirrors Knn.sqSearchTopK
+    // picks the final top-3 — mirrors Knn.sqSearchTopK (shared chain
+    // with emb_ann_recall's sq leg)
     "emb_sq_search" ->
-      s"""WITH d AS (SELECT i FROM range(1, ${EmbDim + 1}) t(i)),
-         |s AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
-         |    max(CAST(embedding[i] AS DOUBLE)) AS mx
-         |  FROM embeddings, d GROUP BY i),
-         |a AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
-         |  FROM s),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv,
-         |    list_transform(embedding, (x, i) ->
-         |      mns[i] + CAST(CASE WHEN mxs[i] = mns[i] THEN 0
-         |        ELSE CAST(floor((CAST(x AS DOUBLE) - mns[i])
-         |          / (mxs[i] - mns[i]) * CAST(255.0 AS DOUBLE)) AS INTEGER)
-         |        END AS DOUBLE) / 255.0 * (mxs[i] - mns[i])) AS dv
-         |  FROM embeddings, a),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv
-         |    FROM embeddings WHERE vec_id % 100 = 0),
-         |j AS (SELECT query_id, neighbor_id, qv, nv,
-         |    ${sqlDot("qv", "dv")}
-         |      / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("dv", "dv")}))
-         |      AS acos_
-         |  FROM c, q WHERE neighbor_id <> query_id),
-         |r AS (SELECT query_id, neighbor_id, qv, nv, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY acos_ DESC, neighbor_id) AS rk
-         |  FROM j),
-         |rr0 AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
-         |  FROM r WHERE rk <= 15),
-         |rr AS (SELECT query_id, neighbor_id, cos,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM rr0)
+      s"""WITH $sqlSqCtes
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
-         |FROM rr WHERE rank <= 3""".stripMargin,
+         |FROM sqfin WHERE rank <= 3""".stripMargin,
 
     // two-stage serving: ADC top-15 from the shared chain, then exact
     // cosine against the true vectors (q0/c0 from the IVF CTEs) picks

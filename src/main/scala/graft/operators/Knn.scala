@@ -538,6 +538,65 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Top principal direction of the (centered) embedding corpus via
+    * distributed power iteration — the dominant-component primitive
+    * behind embedding whitening / all-but-the-top post-processing.
+    * Each round computes u = Xᶜᵀ(Xᶜ·v) without ever materializing the
+    * d×d covariance: a scan produces sᵢ = ⟨xᵢ−μ, v⟩ per row, the
+    * per-dimension reduce sums sᵢ·(xᵢ−μ)d, and v ← u/‖u‖. Returns
+    * (dim 1..d, v) — the unit direction after `iters` rounds.
+    *
+    * Cross-engine parity: every CROSS-ROW sum is snapped to integer
+    * micro-units per row first (round(t·1e6) summed as BIGINT — the
+    * order-independent convention), μ comes from the same snapped sum,
+    * and v re-rounds to 6dp after each normalization, so both engines
+    * carry identical vectors into the next round. Per-row arithmetic
+    * (the dot folds) runs in index order on both sides.
+    *
+    * Scale shape: per round, one corpus scan + one (pos)-keyed
+    * partial-agg'd shuffle reducing to `dim` rows — the centroids
+    * pattern; μ and v ride broadcast 1-row arrays. The d×d covariance
+    * never exists anywhere. Rounds are a bounded driver loop over lazy
+    * plans (kmeans's shape), each round's d-row result lazily
+    * checkpointed so round r+1 doesn't re-derive rounds 1..r.
+    */
+  def pcaTop(emb: DataFrame, dim: Int, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val xD = transform(col(vecCol), x => x.cast("double"))
+    // centered mean: exact per-dim integer micro-sum / n / 1e6
+    val mu = emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(round(col("x").cast("double") * lit(1e6)).cast("long")).as("su"),
+        count(lit(1)).as("n"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("su"), col("n")))),
+        s => s.getField("su").cast("double") / lit(1e6)
+          / s.getField("n").cast("double")).as("mu"))
+    var v = emb.sparkSession.range(1)
+      .select(transform(sequence(lit(1), lit(dim)),
+        _ => lit(1.0 / math.sqrt(dim.toDouble))).as("v"))
+    for (_ <- 0 until iters) {
+      val centered = emb.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
+        .select(zip_with(xD, col("mu"), (x, m) => x - m).as("xc"), col("v"))
+        .select(col("xc"), dotD(col("xc"), col("v")).as("s"))
+      val u = centered
+        .select(col("s"), posexplode(col("xc")).as(Seq("pos", "x")))
+        .groupBy("pos")
+        .agg(sum(round(col("s") * col("x") * lit(1e6)).cast("long")).as("su"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("su")))),
+          s => s.getField("su").cast("double") / lit(1e6)).as("u"))
+      v = u.select(
+        sqrt(aggregate(col("u"), lit(0.0), (acc, x) => acc + x * x)).as("nr"),
+        col("u"))
+        .select(transform(col("u"),
+          x => round(x / col("nr"), 6) + lit(0.0)).as("v"))
+        .localCheckpoint(false)
+    }
+    v.select(posexplode(col("v")).as(Seq("pos", "vx")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("vx").as("v"))
+  }
+
   /** Native double-array dot (graft.functions.VecDotD): inputs are
     * pre-widened to array<double> ONCE per row, then every dot is one
     * codegen'd tight loop. Widening each float to double before the

@@ -514,6 +514,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).toSeq == Seq(3L, 1L))
   }
 
+  test("Knn.pcaTop finds the dominant direction of an anisotropic cloud") {
+    val pts = Seq(
+      (1L, Array(3.0f, 1.0f)), (2L, Array(-3.0f, -1.0f)),
+      (3L, Array(6.0f, 2.0f)), (4L, Array(-6.0f, -2.0f)),
+      (5L, Array(0.2f, -0.6f)), (6L, Array(-0.2f, 0.6f)))
+      .toDF("vec_id", "embedding")
+    val v = Knn.pcaTop(pts, 2, iters = 5).orderBy("dim").collect()
+      .map(_.getDouble(1))
+    // variance concentrates along (3,1): the unit top component must
+    // align with it (sign is fixed by the deterministic v0)
+    val e = Array(3.0 / math.sqrt(10), 1.0 / math.sqrt(10))
+    assert(math.abs(v(0) * e(0) + v(1) * e(1)) > 0.999, v.toSeq.toString)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+  }
+
   test("Knn.sqSearchTopK reproduces the exact brute-force top-3") {
     // int8 quantization + exact rerank preserves the full top-3 on the
     // test embeddings (recall@3 = 1.0, also measured at sf0.01) — and

@@ -68,6 +68,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_quantize" -> 3, "ts_mad" -> 6,
     // pq: broadcast codebook + two partial-agged shuffles (no window)
     "emb_pq" -> 3,
+    // pca: every round's d-row result is lazily checkpointed, so the
+    // visible plan is only the final posexplode of a 1-row frame (the
+    // per-round (pos)-keyed partial aggs run behind the checkpoints)
+    "emb_pca" -> 0,
     // sq flat search: stats pass (pos agg + 1-row collect + broadcast)
     // + broadcast query set + top-rerank window + broadcast candidate
     // list and query re-join for the exact rerank window
