@@ -829,6 +829,16 @@ object SparkEntry {
         leftCols = Seq("event_id", "value"), rightVals = Seq("value"))
     },
 
+    // the forward mirror: earliest click AT OR AFTER each purchase —
+    // "next reading after this point" (asof's following-frame twin)
+    "ts_asof_next" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+      val clicks = ev.where(col("event_type") === "click")
+      Combine.asofNext(purchases, clicks, Seq("user_id"), "ts",
+        leftCols = Seq("event_id", "value"), rightVals = Seq("value"))
+    },
+
     // --- §2.6 timerange algebra ------------------------------------
     "ts_timerange" -> { (s, dir) =>
       val qb = lit(Jan10)
@@ -1365,6 +1375,16 @@ object SparkEntry {
          |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
          |  WHERE event_type = 'click') r
          |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // forward as-of: DuckDB's ASOF with the inequality flipped picks
+    // the EARLIEST right row >= l.ts — mirrors Combine.asofNext
+    "ts_asof_next" ->
+      s"""SELECT l.user_id, epoch_us(l.ts) AS ts, l.event_id, l.value,
+         |  r.value AS next_value
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+         |  WHERE event_type = 'click') r
+         |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
     "ts_timerange" ->
       s"""WITH r AS (SELECT user_id, event_type,

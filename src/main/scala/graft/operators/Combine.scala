@@ -73,4 +73,40 @@ object Combine {
       .select((keyCols :+ tsCol).map(col) ++ leftCols.map(col) ++
         rightVals.map(v => col(s"__asof.$v").as(s"asof_$v")): _*)
   }
+
+  /** Forward as-of join: for every left row, the EARLIEST right row
+    * with right.ts >= left.ts within the same key — the
+    * "next reading after this point" lookup ([[asof]]'s mirror).
+    * Same single-shuffle shape: tag + union + first(ignoreNulls) over
+    * a following frame; left rows sort before right rows at equal ts,
+    * so an equal-ts right row qualifies (>= semantics).
+    */
+  def asofNext(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               tsCol: String, leftCols: Seq[String],
+               rightVals: Seq[String]): DataFrame = {
+    val rStruct = struct(rightVals.map(col): _*)
+    val rNullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(rightVals.map(v => right.schema(v))))
+    val lTagged = left.select(
+      (keyCols :+ tsCol).map(col) ++
+        leftCols.map(col) :+
+        rNullStruct.as("__r") :+
+        lit(1).as("__is_l"): _*)
+    val rTagged = right.select(
+      (keyCols :+ tsCol).map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("__r") :+
+        lit(0).as("__is_l"): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__is_l").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("__asof", first(col("__r"), ignoreNulls = true).over(w))
+
+    filled.where(col("__is_l") === 1)
+      .select((keyCols :+ tsCol).map(col) ++ leftCols.map(col) ++
+        rightVals.map(v => col(s"__asof.$v").as(s"next_$v")): _*)
+  }
 }

@@ -108,6 +108,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2).isNullAt(3))          // k=2 t=100 -> nothing yet
   }
 
+  test("Combine.asofNext picks earliest right row >= left ts per key") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 200L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, 5.0), (1L, 200L, 7.0), (2L, 150L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = Combine.asofNext(left, right, Seq("k"), "ts",
+      leftCols = Seq("tag"), rightVals = Seq("v"))
+      .orderBy("k", "ts").collect()
+    assert(out(0).getDouble(3) == 5.0)  // k=1 t=100 -> right@100 (>=)
+    assert(out(1).isNullAt(3))          // k=1 t=250 -> nothing ahead
+    assert(out(2).isNullAt(3))          // k=2 t=200 -> right@150 is behind
+  }
+
   test("Combine.asof returns the matched row's null, not an older value") {
     val left = Seq((1L, 300L, "a")).toDF("k", "ts", "tag")
     val right = Seq((1L, 100L, Some(5.0)), (1L, 200L, None)).toDF("k", "ts", "v")
