@@ -64,6 +64,34 @@ object Lake {
     }
   }
 
+  /** Small-file compaction, scoped to the named UTC-day partitions: a
+    * streaming ingest (or many tiny backfills) leaves a day's data as
+    * hundreds of KB-sized files, and at 100 TB the scan's task-per-file
+    * overhead dominates I/O. Each listed day is rewritten as
+    * `filesPerDay` files; every other day's files are untouched
+    * ([[backfillDaily]]'s dynamic partition overwrite). The day's rows
+    * are eagerly localCheckpoint'd first — severing the plan from the
+    * files about to be replaced (Spark refuses a direct
+    * read-and-overwrite of the same location) — then coalesced, so the
+    * rewrite itself shuffles nothing. Days compact independently: at
+    * real scale, schedule them as parallel jobs.
+    */
+  def compactDaily(spark: SparkSession, path: String, days: Seq[String],
+                   filesPerDay: Int = 1): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try days.foreach { day =>
+      spark.read.parquet(path).where(col("dt") === day)
+        .localCheckpoint()
+        .coalesce(filesPerDay)
+        .write.mode("overwrite").partitionBy("dt").parquet(path)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Range-crop that ALSO constrains the partition column, so the
     * filter prunes directories, then the row-level ts predicate
     * (pushed to parquet) trims the edge partitions.

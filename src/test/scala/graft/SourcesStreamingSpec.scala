@@ -138,6 +138,34 @@ class LakeSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum(col("value"))).head == othersBefore)
   }
 
+  test("compactDaily collapses a fragmented day; content and other days intact") {
+    val ev = graft.functions.TimeIndex.normalizeUs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+      .select("user_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    // simulate a fragmented ingest: 16 writers per day partition
+    graft.sources.Lake.writeDaily(ev.repartition(16), "ts", dir)
+    def files(day: String): Int =
+      new java.io.File(s"$dir/dt=$day")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+    val days = spark.read.parquet(dir)
+      .select(col("dt").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val (target, other) = (days.head, days.last)
+    val beforeRows = spark.read.parquet(dir)
+      .select(col("user_id"), col("ts"), col("value")).collect().toSet
+    val otherFilesBefore = files(other)
+    assert(files(target) > 1, "fixture must start fragmented")
+
+    graft.sources.Lake.compactDaily(spark, dir, Seq(target))
+
+    assert(files(target) == 1, s"day $target should compact to one file")
+    assert(files(other) == otherFilesBefore, "untouched day rewritten")
+    val afterRows = spark.read.parquet(dir)
+      .select(col("user_id"), col("ts"), col("value")).collect().toSet
+    assert(afterRows == beforeRows, "compaction must not change content")
+  }
+
   test("bucketed tables join and aggregate with zero runtime exchange") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
