@@ -66,6 +66,11 @@ object SparkEntry {
   // shared mask that induces ~10% missing values for the fill/filter ops
   private def masked(c: Column): Column = when(c < 5.0, lit(null)).otherwise(c)
 
+  // CUSUM drift parameters (µ-units), interpolated into the oracle SQL
+  // so the two sides cannot drift: target 50.0, alarm threshold 500.0
+  private val CusumTargetUs = 50000000L
+  private val CusumHUs = 500000000L
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -489,6 +494,14 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("prev_v"), col("value"),
           when(col("value") >= 100.0, lit("up")).otherwise(lit("down"))
             .as("direction"))
+    },
+
+    // CUSUM drift alarms: the change-point member of the alerting
+    // family (recursive max rewritten as prefix-sum + running-min
+    // window algebra; µ-unit integers, so the prefixes are exact)
+    "ts_cusum" -> { (s, dir) =>
+      Trend.cusum(events(s, dir), "ts", "value", Seq("user_id"),
+        target = CusumTargetUs / 1e6, h = CusumHUs / 1e6)
     },
 
     // per-series z-score outliers (classic anomaly screen)
@@ -1085,6 +1098,21 @@ object SparkEntry {
          |WHERE prev_v IS NOT NULL
          |  AND ((prev_v < 100.0 AND value >= 100.0)
          |    OR (prev_v >= 100.0 AND value < 100.0))""".stripMargin,
+
+    // prefix-sum + running-min CUSUM rewrite; yus is the tie-free
+    // µ-unit floor, so both engines run exact-integer prefixes
+    "ts_cusum" ->
+      s"""WITH y AS (SELECT user_id, $EvUs AS tus, value,
+         |  CAST(floor(value * 1e6) AS BIGINT) - $CusumTargetUs AS yus
+         |  FROM events),
+         |p AS (SELECT *, sum(yus) OVER (PARTITION BY user_id
+         |  ORDER BY tus, value ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |  CURRENT ROW) AS pre FROM y),
+         |cs AS (SELECT *, pre - least(0, min(pre) OVER (PARTITION BY user_id
+         |  ORDER BY tus, value ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |  CURRENT ROW)) AS sus FROM p)
+         |SELECT user_id, tus AS ts, value, CAST(sus AS DOUBLE) / 1e6 AS cusum
+         |FROM cs WHERE sus > $CusumHUs""".stripMargin,
 
     "ts_outliers" ->
       s"""WITH z AS (SELECT user_id, $EvUs AS tus, value,
@@ -2034,6 +2062,26 @@ object SparkEntry {
 
     "mm_meta" -> { (s, dir) =>
       Multimodal.decodeAll(s, tbl(s, dir, "documents")).toDF()
+    },
+
+    // content-addressed exact media dedup: sha-256 over payload BYTES,
+    // no decode needed — the first gate of a multimodal pipeline
+    "mm_dedup" -> { (s, dir) =>
+      Multimodal.dedupExact(tbl(s, dir, "documents"))
+    },
+
+    // Gopher top-n-gram repetition: per-doc mode found scan-side via
+    // sorted-array run lengths — zero shuffle (complements doc_gopher's
+    // distinct-ngram rep_2gram with the dominant-phrase signal)
+    "doc_repetition" -> { (s, dir) =>
+      TextOps.topNgram(tbl(s, dir, "documents"), n = 2)
+    },
+
+    // cosine radius query: broadcast queries, zero corpus shuffle, no
+    // rank window — the dedup-mining sibling of emb_knn_brute
+    "emb_range_search" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.rangeSearch(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 0.2)
     },
 
     "mm_frames" -> { (s, dir) =>
@@ -3380,6 +3428,40 @@ object SparkEntry {
          |  64 + (${sqlPoly("text")} // 512) % 512 AS height,
          |  1 + ${sqlPoly("text")} % 8 AS n_frames
          |FROM documents""".stripMargin,
+
+    // sha256 over the utf-8 payload bytes on both sides (DuckDB
+    // sha256(VARCHAR) hashes the utf-8 encoding; encode() makes the
+    // byte-length explicit)
+    "mm_dedup" ->
+      """SELECT doc_id, sha256(text) AS content_sha,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
+        |FROM documents""".stripMargin,
+
+    // per-doc most frequent bigram; tie-break cnt DESC, gram DESC
+    // mirrors the Spark side's struct max (highest count, then
+    // lexicographically last gram); LEFT JOIN keeps gram-less docs
+    "doc_repetition" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS tk FROM documents),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+         |    i -> array_to_string(tk[i:i+1], ' '))) AS gram FROM t),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |b AS (SELECT doc_id, gram, cnt FROM c QUALIFY row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1)
+         |SELECT d.doc_id, b.gram AS top_gram, b.cnt AS top_cnt,
+         |  round(CAST(b.cnt AS DOUBLE) * length(b.gram) / length(d.text), 6)
+         |    AS top_frac
+         |FROM documents d LEFT JOIN b ON d.doc_id = b.doc_id""".stripMargin,
+
+    // threshold on the UNROUNDED cosine, like the Spark side; cos
+    // surfaces round-6
+    "emb_range_search" ->
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  round(${sqlCos("q.embedding", "c.embedding")}, 6) AS cos
+         |FROM embeddings c,
+         |  (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+         |WHERE c.vec_id <> q.vec_id
+         |  AND ${sqlCos("q.embedding", "c.embedding")} >= 0.2""".stripMargin,
 
     // window size / multiplier / modulus interpolated from the SAME
     // constants the Spark side uses (Multimodal.AudioWinSize,

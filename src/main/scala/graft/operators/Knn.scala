@@ -855,4 +855,29 @@ object Knn {
       .select(col(idCol), col("cluster_id"),
         col("cos").as("centroid_cos"), col("rk"))
   }
+  /** Cosine RANGE search: every corpus vector with cosine >= `tau` of
+    * each query — the radius-query sibling of [[bruteTopK]] (dedup
+    * candidate mining, "find everything near this centroid" probes).
+    *
+    * Scale shape: strictly LIGHTER than top-k — the query set
+    * broadcasts, the corpus never shuffles, and with no rank window
+    * there is no shuffle at all: scan → broadcast join → filter, one
+    * stage end to end. The threshold applies to the UNROUNDED cosine
+    * (the oracle mirrors this); output cos is round-6.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, dim: Int,
+                  tau: Double, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+      .where(col("cos") >= tau)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
 }

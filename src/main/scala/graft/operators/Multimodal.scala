@@ -156,6 +156,28 @@ object Multimodal {
       }
   }
 
+  /** Exact media dedup by content address: sha-256 over the raw
+    * payload BYTES (not any decoded form — byte-identical files dedup
+    * even when codecs would decode them differently), keep the lowest
+    * id per content group. This is the first gate of a multimodal
+    * pipeline: it needs no decode at all, so it runs on payloads whose
+    * codec is missing/broken.
+    *
+    * Scale shape: ONE hash shuffle on the 32-byte digest (uniformly
+    * distributed — no skew by construction); shuffle rows carry
+    * (id, digest, length), never the payload.
+    *
+    * Output: idCol, content_sha, n_bytes, keep.
+    */
+  def dedupExact(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_sha"))
+    withPayload(docs)
+      .select(col(idCol), sha2(col("payload"), 256).as("content_sha"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+  }
+
   def sampleFrames(spark: SparkSession, docs: DataFrame,
                    everyKth: Int = 2): Dataset[MediaFrame] = {
     import spark.implicits._

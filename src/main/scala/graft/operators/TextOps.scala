@@ -668,4 +668,44 @@ object TextOps {
       .where(size(col("__sh")) > 0)
       .select(col(idCol), explode(fps).as("fp"))
   }
+
+  /** Gopher-style top-n-gram repetition signal (Rae et al. 2021 §A1.1:
+    * "fraction of characters in the most common n-gram"): per doc, the
+    * most frequent word `n`-gram, its count, and the fraction of the
+    * doc's characters it accounts for (count × gram length / text
+    * length). Complements [[repetitionRatio]] (which measures DISTINCT
+    * n-gram loss, not the single dominant phrase).
+    *
+    * The per-doc mode is computed WITHOUT exploding: sort the gram
+    * array, find run starts, zip into (count, gram) structs, take the
+    * struct max — highest count, ties to the lexicographically LAST
+    * gram (struct ordering), mirrored by the oracle's ORDER BY cnt
+    * DESC, gram DESC. A pure scan-side projection: per-doc state never
+    * leaves the row, ZERO shuffle at any corpus size.
+    *
+    * Docs with fewer than `n` tokens emit null gram/count/fraction.
+    * Output: idCol, top_gram, top_cnt, top_frac (round-6).
+    */
+  def topNgram(df: DataFrame, n: Int = 2, idCol: String = "doc_id"): DataFrame = {
+    val s = sort_array(shingles(tokens(col("text")), n))
+    val sz = size(col("__s"))
+    // n = 0 guard: sequence(1, 0) would DESCEND — same hazard as entropy
+    val starts = when(sz === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(1), sz),
+        i => i === 1 || element_at(col("__s"), i) =!= element_at(col("__s"), i - 1)))
+    val lens = zip_with(col("__st"),
+      concat(slice(col("__st"), lit(2), size(col("__st"))), array(sz + 1)),
+      (a, b) => b - a)
+    val runs = zip_with(col("__st"), col("__ln"),
+      (st, l) => struct(l.as("cnt"), element_at(col("__s"), st).as("gram")))
+    df.select(col(idCol), length(col("text")).as("__nc"), s.as("__s"))
+      .select(col(idCol), col("__nc"), col("__s"), starts.as("__st"))
+      .withColumn("__ln", lens)
+      .withColumn("__best", array_max(runs))
+      .select(col(idCol),
+        col("__best.gram").as("top_gram"),
+        col("__best.cnt").cast("long").as("top_cnt"),
+        round(col("__best.cnt").cast("double") * length(col("__best.gram"))
+          / col("__nc").cast("double"), 6).as("top_frac"))
+  }
 }

@@ -215,4 +215,45 @@ object Trend {
       .agg(count(lit(1)).as("n_pairs"),
         round(corr(col(valCol), col("__prev")), 6).as("autocorr"))
   }
+
+  /** CUSUM positive-drift detector (Page's cumulative sum) — the
+    * change-point member of the alerting family next to threshold
+    * crossings and z-score outliers: S_0 = 0,
+    * S_i = max(0, S_{i-1} + (x_i - target)), alarm while S_i > h.
+    *
+    * The recursive max is rewritten as window algebra so no row ever
+    * sees more than O(1) state: with P_i the running prefix sum of
+    * (x_i - target), S_i = P_i - min(0, min_{j<=i} P_j) — a running
+    * sum plus a running min over the SAME ordered frame, both plain
+    * prefix aggregates. Emits only the alarm rows.
+    *
+    * Determinism across engines: values enter as tie-free µ-unit
+    * floors (floor(x·1e6) BIGINT), so the prefix sums are exact
+    * integers — no float-summation order sensitivity — and `cusum`
+    * surfaces as that integer over 1e6. Equal-ts rows are ordered by
+    * value; rows identical in (ts, value) are interchangeable, so the
+    * output multiset is still unique.
+    *
+    * Scale shape: ONE hash shuffle on the series key, then a single
+    * ordered per-partition scan computing both running aggregates —
+    * the same posture as align/rate/fill.
+    *
+    * Output: keyCols, tsCol, valCol, cusum (alarm rows only).
+    */
+  def cusum(df: DataFrame, tsCol: String, valCol: String,
+            keyCols: Seq[String], target: Double, h: Double): DataFrame = {
+    val targetUs = math.round(target * 1e6)
+    val hUs = math.round(h * 1e6)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val yUs = floor(col(valCol) * lit(1e6)).cast("long") - lit(targetUs)
+    df.select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .withColumn("__p", sum(yUs).over(w))
+      .withColumn("__m", least(lit(0L), min(col("__p")).over(w)))
+      .withColumn("__s", col("__p") - col("__m"))
+      .where(col("__s") > hUs)
+      .withColumn("cusum", col("__s").cast("double") / lit(1e6))
+      .drop("__p", "__m", "__s")
+  }
 }

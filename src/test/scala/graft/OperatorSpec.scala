@@ -527,6 +527,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).toSeq == Seq(3L, 1L))
   }
 
+  test("Knn.rangeSearch returns exactly the neighbors above the radius") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Knn.rangeSearch(e, e.where($"vec_id" === 0), 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cos(0,1) ~ 0.994 in; cos(0,2) = 0 and cos(0,3) = -1 out; no self
+    assert(out == Set((0L, 1L)))
+  }
+
+  test("Multimodal.dedupExact groups byte-identical payloads, keeps min id") {
+    val docs = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.dedupExact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(got == Set((3L, 9L, true), (10L, 9L, false), (7L, 5L, true)))
+    // same payload -> same content address
+    val shas = Multimodal.dedupExact(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(shas(3L) == shas(10L) && shas(3L) != shas(7L))
+  }
+
   test("Knn.pcaTop finds the dominant direction of an anisotropic cloud") {
     val pts = Seq(
       (1L, Array(3.0f, 1.0f)), (2L, Array(-3.0f, -1.0f)),

@@ -28,7 +28,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_gopher" -> 0, "doc_fingerprint" -> 0, "doc_pii_scrub" -> 0,
     "mm_frames" -> 0, "mm_resize" -> 0,
     "doc_sample_stratified" -> 0, "doc_winnow" -> 0, "doc_entropy" -> 0,
-    "doc_classify" -> 0,
+    "doc_classify" -> 0, "doc_repetition" -> 0,
+    // radius search: the only exchange is the query-set BROADCAST (no
+    // shuffle — lighter than top-k, which adds its rank window's hash
+    // exchange); the corpus never moves
+    "emb_range_search" -> 1,
+    // cusum: prefix-sum + running-min over ONE series-key window
+    "ts_cusum" -> 1,
+    // digest-keyed keep window — one uniformly-distributed shuffle
+    "mm_dedup" -> 1,
     // single-shuffle stateful / agg family
     "q1_agg" -> 1, "ts_agg_basic" -> 1,
     // cube: finest-grain partial agg + the subtotal re-combine over the

@@ -132,6 +132,24 @@ class TrendSpec extends AnyFunSuite {
       Trend.lttb(rows.toDF("k", "ts", "v"), "ts", "v", Seq("k"), "1m")
         .collect().toSet)
   }
+
+  test("cusum: prefix-minus-running-min equals the recursive max fold") {
+    import spark.implicits._
+    // target 10, h 5: S = (0) 3, 7, 0 (dip drains), 8 -> alarms at 7 and 8
+    val df = Seq((1L, us(0), 13.0), (1L, us(10), 14.0),
+      (1L, us(20), 2.0), (1L, us(30), 18.0)).toDF("k", "ts", "v")
+    val got = Trend.cusum(df, "ts", "v", Seq("k"), target = 10.0, h = 5.0)
+      .orderBy("ts").collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((us(10), 7.0), (us(30), 8.0)))
+  }
+
+  test("cusum never alarms while the series stays at/below target") {
+    import spark.implicits._
+    val df = Seq((1L, us(0), 10.0), (1L, us(10), 9.0), (1L, us(20), 10.0))
+      .toDF("k", "ts", "v")
+    assert(Trend.cusum(df, "ts", "v", Seq("k"), 10.0, 0.5).count() == 0)
+  }
 }
 
 class StreamFillSpec extends AnyFunSuite {
