@@ -3438,16 +3438,21 @@ object SparkEntry {
         |  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
         |FROM documents""".stripMargin,
 
-    // per-doc most frequent bigram; tie-break cnt DESC, gram DESC
-    // mirrors the Spark side's struct max (highest count, then
-    // lexicographically last gram); LEFT JOIN keeps gram-less docs
+    // per-doc most frequent bigram counted per shingle HASH (the
+    // MinHash/Jaccard unit — mirrors the Spark side's long-array
+    // runs); tie-break cnt DESC, hash DESC; the winning gram string
+    // is the hash's FIRST occurrence (arg_min by position = Spark's
+    // array_position recovery); LEFT JOIN keeps gram-less docs
     "doc_repetition" ->
       s"""WITH t AS (SELECT doc_id, text, $sqlToks AS tk FROM documents),
-         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
-         |    i -> array_to_string(tk[i:i+1], ' '))) AS gram FROM t),
-         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |g AS (SELECT doc_id, text, tk, unnest(range(1, len(tk))) AS i FROM t),
+         |g2 AS (SELECT doc_id, i, array_to_string(tk[i:i+1], ' ') AS gram
+         |  FROM g),
+         |hh AS (SELECT doc_id, i, gram, ${sqlPoly("gram")} AS hs FROM g2),
+         |c AS (SELECT doc_id, hs, count(*) AS cnt, arg_min(gram, i) AS gram
+         |  FROM hh GROUP BY 1, 2),
          |b AS (SELECT doc_id, gram, cnt FROM c QUALIFY row_number() OVER
-         |  (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1)
+         |  (PARTITION BY doc_id ORDER BY cnt DESC, hs DESC) = 1)
          |SELECT d.doc_id, b.gram AS top_gram, b.cnt AS top_cnt,
          |  round(CAST(b.cnt AS DOUBLE) * length(b.gram) / length(d.text), 6)
          |    AS top_frac

@@ -116,15 +116,17 @@ class TextPipelineSpec extends AnyFunSuite {
   test("topNgram finds the dominant bigram, char fraction, null when none") {
     val docs = Seq(
       (1L, "a b a b c"),          // "a b" x2 of 9 chars -> 6/9
-      (2L, "x y z x y z"),        // "x y" and "y z" tie at 2 -> last wins
+      (2L, "x y z x y z"),        // "x y" and "y z" tie at 2 -> larger hash
       (3L, "hello")).toDF("doc_id", "text")
+    def h(s: String) = TextOps.polyHashBytes(s.getBytes("UTF-8"))
+    val tieWinner = if (h("y z") > h("x y")) "y z" else "x y"
     val got = TextOps.topNgram(docs, 2).collect()
       .map(r => (r.getLong(0), Option(r.getString(1)),
         if (r.isNullAt(2)) -1L else r.getLong(2),
         if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
     assert(got == Set(
       (1L, Some("a b"), 2L, math.rint(2.0 * 3 / 9 * 1e6) / 1e6),
-      (2L, Some("y z"), 2L, math.rint(2.0 * 3 / 11 * 1e6) / 1e6),
+      (2L, Some(tieWinner), 2L, math.rint(2.0 * 3 / 11 * 1e6) / 1e6),
       (3L, None, -1L, -1.0)))
   }
 }
