@@ -570,6 +570,29 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n_clicks"))
     },
 
+    // the optimizer-rule path of the interval join: the query is the
+    // NAIVE keyless containment join a user would write; the
+    // BandedRangeJoinRule (injected via GraftExtensions) rewrites it
+    // to the banded equi-join, replacing the BroadcastNestedLoopJoin
+    // the stock planner would emit. The conf stays set for the
+    // session: the rule only fires on keyless long-containment joins,
+    // and no other registered query has one (semantics are preserved
+    // even if one appears).
+    "q_interval_join_auto" -> { (s, dir) =>
+      s.conf.set(org.apache.spark.sql.graft.BandedRangeJoinRule.BucketConfKey,
+        (30 * UsMin).toString)
+      val ev = events(s, dir)
+      val iv = ev.where(col("event_type") === "error" && col("user_id") % 50 === 0)
+        .select(col("event_id"), col("ts").as("begin"),
+          (col("ts") + lit(30 * UsMin)).as("end"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("ts").as("click_ts"))
+      iv.join(clicks,
+          col("click_ts") >= col("begin") && col("click_ts") < col("end"))
+        .groupBy("event_id", "begin").agg(count(lit(1)).as("n_clicks"))
+        .select(col("event_id"), col("begin").as("ts"), col("n_clicks"))
+    },
+
     "ts_align_linear" -> { (s, dir) =>
       val clicks = events(s, dir).where(col("event_type") === "click")
       TimeSeries(clicks, "ts", Seq("user_id"))
@@ -1166,6 +1189,19 @@ object SparkEntry {
          |  AND c.tus >= e.tus AND c.tus < e.tus + ${30 * UsMin}
          |WHERE e.event_type = 'error'
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the oracle IS the naive containment join — DuckDB runs it as
+    // written; the Spark side must produce identical rows through the
+    // rule's banded rewrite
+    "q_interval_join_auto" ->
+      s"""WITH e AS (SELECT user_id, event_id, $EvUs AS tus, event_type
+         |  FROM events),
+         |iv AS (SELECT event_id, tus AS b, tus + ${30 * UsMin} AS e2
+         |  FROM e WHERE event_type = 'error' AND user_id % 50 = 0),
+         |c AS (SELECT tus FROM e WHERE event_type = 'click')
+         |SELECT iv.event_id, iv.b AS ts, count(*) AS n_clicks
+         |FROM iv JOIN c ON c.tus >= iv.b AND c.tus < iv.e2
+         |GROUP BY 1, 2""".stripMargin,
 
     "ts_align_linear" ->
       s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events

@@ -217,9 +217,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   import org.apache.spark.sql.catalyst.FunctionIdentifier
   import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftExpressions.builders.foreach { case (name, b) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), b))
     }
+    // inert until spark.graft.rangeJoin.bucketUs is set positive
+    e.injectOptimizerRule(_ => BandedRangeJoinRule)
+  }
 }

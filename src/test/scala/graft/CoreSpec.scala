@@ -12,6 +12,9 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the full extension surface (native SQL functions + the banded
+      // range-join rule, inert until its bucket conf is set)
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
       // bucketed-table tests register catalog tables; keep their files
       // out of the repo working tree
       .config("spark.sql.warehouse.dir",

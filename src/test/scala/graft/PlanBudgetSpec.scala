@@ -65,6 +65,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // interval join: one (key, bucket) shuffle per side + the
     // count-back join — never a per-key cross product
     "q_interval_join" -> 3,
+    // the optimizer-rule path: BandedRangeJoinRule turns the keyless
+    // containment join into a banded equi-join (2 band-hash exchanges)
+    // + the group-by — and NO BroadcastNestedLoopJoin anywhere
+    "q_interval_join_auto" -> 3,
     // quality filter: tiny percentile agg + broadcast back over the scan
     "doc_quality_filter" -> 2,
     // funnel: one user-keyed window shuffle + the single-row global agg
