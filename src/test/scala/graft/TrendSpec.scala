@@ -254,3 +254,36 @@ class StreamCrossingsSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 }
+
+
+class StreamCusumSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming cusum equals the batch window-algebra rewrite exactly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_scusum").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamCusum.Ev]
+
+    val q = graft.streaming.StreamCusum(spark, stream, 50.0, 500.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scusum_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("scusum_test")
+      .select($"user_id", $"ts", $"value", $"cusum")
+
+    // the batch operator's prefix-sum + running-min rewrite is
+    // definitionally the same recursion the stream folds directly —
+    // bit-identical alarms, so backfill and live stream agree
+    val want = Trend.cusum(batch, "ts", "value", Seq("user_id"), 50.0, 500.0)
+      .select($"user_id", $"ts", $"value", $"cusum")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
