@@ -2120,6 +2120,14 @@ object SparkEntry {
       Knn.rangeSearch(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 0.2)
     },
 
+    // the radius query's scale path: candidates from the shared LSH
+    // cells (no broadcast, no cross product), exact-cosine verified —
+    // recall dial = tables, like the top-k path
+    "emb_range_search_lsh" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.lshRangeSearch(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 0.2)
+    },
+
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(s, tbl(s, dir, "documents"),
         everyKth = MmFramesEveryKth).toDF()
@@ -3503,6 +3511,14 @@ object SparkEntry {
          |  (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
          |WHERE c.vec_id <> q.vec_id
          |  AND ${sqlCos("q.embedding", "c.embedding")} >= 0.2""".stripMargin,
+
+    // the shared lj CTE IS the LSH candidate set (same cells as
+    // emb_knn_lsh / emb_dedup_cosine); the radius filter replaces the
+    // top-k rank
+    "emb_range_search_lsh" ->
+      s"""WITH $sqlLshCtes
+         |SELECT query_id, neighbor_id, round(cos, 6) AS cos
+         |FROM lj WHERE cos >= 0.2""".stripMargin,
 
     // window size / multiplier / modulus interpolated from the SAME
     // constants the Spark side uses (Multimodal.AudioWinSize,

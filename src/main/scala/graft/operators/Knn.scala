@@ -113,6 +113,41 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** LSH-bucketed cosine RANGE search — the scale path of
+    * [[rangeSearch]] for query sets too large to broadcast: candidates
+    * are rows sharing a (table, bucket) cell with the query in at
+    * least one of the `nTables` tables (the same cells [[lshTopK]] and
+    * the LSH-blocked dedup use), verified by exact cosine. Recall
+    * follows the same 1-(1-p^nPlanes)^nTables dial as top-k; unlike
+    * top-k there is no rank window — the radius threshold replaces it,
+    * so the plan is banding + one equi-join + a dedup agg.
+    */
+  def lshRangeSearch(corpus: DataFrame, queries: DataFrame, dim: Int,
+                     tau: Double, nPlanes: Int = 4, nTables: Int = 4,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    def buckets(v: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("tb"), bucketCode(v, dim, nPlanes, t * nPlanes).as("bk"))
+    }: _*)
+    def side(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          sqrt(dot(col(vecCol), col(vecCol), dim)).as(norm),
+          explode(buckets(col(vecCol))).as("tbk"))
+        .select(col(id), col(vec), col(norm),
+          col("tbk.tb").as("tb"), col("tbk.bk").as("bk"))
+    side(corpus, "neighbor_id", "nvec", "nn")
+      .join(side(queries, "query_id", "qvec", "qn"), Seq("tb", "bk"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+      // cos is identical on every table's copy of a pair, so filtering
+      // before the max() dedup equals filtering after it
+      .where(col("cos") >= tau)
+      .groupBy("query_id", "neighbor_id").agg(max(col("cos")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /** dot(v, plane_j) with the deterministic integer components. */
   private def planeDot(vec: Column, dim: Int, j: Int): Column =
     aggregate(

@@ -538,6 +538,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Set((0L, 1L)))
   }
 
+  test("Knn.lshRangeSearch is a subset of the exact radius, same cosines") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.where($"vec_id" % 100 === 0)
+    val exact = Knn.rangeSearch(emb, q, 64, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Knn.lshRangeSearch(emb, q, 64, 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    // candidates come from LSH cells, but every surviving pair is
+    // exact-cosine verified: a subset of the true radius, cos identical
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (k, c) => exact.get(k).contains(c) })
+  }
+
   test("Multimodal.dedupExact groups byte-identical payloads, keeps min id") {
     val docs = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")

@@ -33,6 +33,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // shuffle — lighter than top-k, which adds its rank window's hash
     // exchange); the corpus never moves
     "emb_range_search" -> 1,
+    // LSH radius path: band shuffles per side + the pair-dedup agg;
+    // ReuseExchange shares the banded subplan between join inputs
+    "emb_range_search_lsh" -> 3,
     // cusum: prefix-sum + running-min over ONE series-key window
     "ts_cusum" -> 1,
     // digest-keyed keep window — one uniformly-distributed shuffle
