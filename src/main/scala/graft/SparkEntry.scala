@@ -2106,6 +2106,12 @@ object SparkEntry {
       Multimodal.dedupExact(tbl(s, dir, "documents"))
     },
 
+    // perceptual near-dup pairs off the stub decode's mean-threshold
+    // aHash: byte-banded candidates, exact hamming verify
+    "mm_phash" -> { (s, dir) =>
+      Multimodal.phashPairs(s, tbl(s, dir, "documents"))
+    },
+
     // Gopher top-n-gram repetition: per-doc mode found scan-side via
     // sorted-array run lengths — zero shuffle (complements doc_gopher's
     // distinct-ngram rep_2gram with the dominant-phrase signal)
@@ -3481,6 +3487,31 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS keep
         |FROM documents""".stripMargin,
+
+    // the aHash pipeline restated from the SAME constants
+    // (PhashPixels, HashMul/HashMod): pixels -> exact integer
+    // mean-threshold bits -> byte banding -> hamming verify
+    "mm_phash" ->
+      s"""WITH m AS (SELECT doc_id, ${sqlPoly("text")} AS h FROM documents),
+         |pxi AS (SELECT doc_id, h,
+         |  unnest(range(${Multimodal.PhashPixels})) AS i FROM m),
+         |pxt AS (SELECT doc_id, i,
+         |  (h + i * 654664997) % ${TextOps.HashMod} AS t FROM pxi),
+         |px AS (SELECT doc_id, i, (t * t) % ${TextOps.HashMod} % 256 AS p
+         |  FROM pxt),
+         |pt AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id),
+         |ph AS (SELECT px.doc_id, sum(CASE WHEN p * ${Multimodal.PhashPixels}
+         |    > tot THEN 1 << i ELSE 0 END) AS phash
+         |  FROM px JOIN pt ON px.doc_id = pt.doc_id GROUP BY px.doc_id),
+         |bd AS (SELECT doc_id, phash, b.band,
+         |    (phash >> (b.band * 8)) % 256 AS bk
+         |  FROM ph, (SELECT unnest(range(${Multimodal.PhashPixels / 8}))
+         |    AS band) b),
+         |pp AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |    bit_count(xor(a.phash, b2.phash)) AS hamming
+         |  FROM bd a JOIN bd b2 ON a.band = b2.band AND a.bk = b2.bk
+         |    AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, hamming FROM pp WHERE hamming <= 3""".stripMargin,
 
     // per-doc most frequent bigram counted per shingle HASH (the
     // MinHash/Jaccard unit — mirrors the Spark side's long-array

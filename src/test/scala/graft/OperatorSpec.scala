@@ -552,6 +552,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(lsh.forall { case (k, c) => exact.get(k).contains(c) })
   }
 
+  test("Multimodal.phashPairs: identical payloads pair at hamming 0") {
+    val docs = Seq((1L, "the same picture bytes"), (2L, "the same picture bytes"),
+      (3L, "completely different content here")).toDF("doc_id", "text")
+    val ph = Multimodal.phashAll(spark, docs).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    assert(ph(1L) == ph(2L))
+    val pairs = Multimodal.phashPairs(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    // determinism: re-running yields the same hashes
+    assert(Multimodal.phashAll(spark, docs).collect()
+      .map(p => p.doc_id -> p.phash).toMap == ph)
+  }
+
   test("Multimodal.dedupExact groups byte-identical payloads, keeps min id") {
     val docs = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")

@@ -40,6 +40,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_cusum" -> 1,
     // digest-keyed keep window — one uniformly-distributed shuffle
     "mm_dedup" -> 1,
+    // phash banding: hashes from the scan-stage decode pass, (band,
+    // byte) self-join + the pair-distinct agg
+    "mm_phash" -> 3,
     // single-shuffle stateful / agg family
     "q1_agg" -> 1, "ts_agg_basic" -> 1,
     // cube: finest-grain partial agg + the subtotal re-combine over the
