@@ -71,6 +71,12 @@ object SparkEntry {
   private val CusumTargetUs = 50000000L
   private val CusumHUs = 500000000L
 
+  // Holt smoothing factors; the ORACLE interpolates these (and their
+  // 1-x complements) as Scala-printed shortest-repr doubles, so both
+  // engines parse bit-identical literals
+  private val HoltAlpha = 0.3
+  private val HoltBeta = 0.2
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -742,6 +748,13 @@ object SparkEntry {
     "ts_ewma" -> { (s, dir) =>
       Trend.ewma(events(s, dir).select("user_id", "ts", "value"),
         "ts", "value", Seq("user_id"))
+    },
+
+    // Holt double-exponential smoothing: level + trend + the
+    // one-step forecast is level + trend (ewma's trend-aware upgrade)
+    "ts_holt" -> { (s, dir) =>
+      Trend.holt(events(s, dir).select("user_id", "ts", "value"),
+        "ts", "value", Seq("user_id"), HoltAlpha, HoltBeta)
     },
 
     // trapezoidal integral per (series, hour) — the inverse of rate
@@ -1543,6 +1556,34 @@ object SparkEntry {
          |    acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE))
          |    * 1000000.0) / 1000000.0 AS ewma
          |FROM l""".stripMargin,
+
+    // the same list() frame as ts_ewma, folded over [level, trend]
+    // LIST state (struct_pack-in-lambda computes the second field
+    // against the already-updated first — hand-verified quirk; list
+    // state folds atomically): seed = first element [x1, 0], per step
+    // l' = αx + (1-α)(l+b), b' = β(l'−l) + (1-β)b with l' INLINED —
+    // verbatim the native HoltAgg update trees, so the IEEE sequences
+    // are identical; µ-unit floors close the chain
+    "ts_holt" ->
+      s"""WITH l AS (SELECT user_id, $EvUs AS ts, value,
+         |    list(value) OVER (PARTITION BY user_id ORDER BY $EvUs, value
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+         |  FROM events),
+         |f AS (SELECT user_id, ts, value,
+         |  list_reduce(list_transform(lst,
+         |      x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+         |    (acc, e) -> [
+         |      e[1] * CAST($HoltAlpha AS DOUBLE)
+         |        + (acc[1] + acc[2]) * CAST(${1.0 - HoltAlpha} AS DOUBLE),
+         |      (e[1] * CAST($HoltAlpha AS DOUBLE)
+         |          + (acc[1] + acc[2]) * CAST(${1.0 - HoltAlpha} AS DOUBLE)
+         |          - acc[1]) * CAST($HoltBeta AS DOUBLE)
+         |        + acc[2] * CAST(${1.0 - HoltBeta} AS DOUBLE)]) AS st
+         |  FROM l)
+         |SELECT user_id, ts, value,
+         |  floor(st[1] * 1000000.0) / 1000000.0 AS level,
+         |  floor(st[2] * 1000000.0) / 1000000.0 AS trend
+         |FROM f""".stripMargin,
 
     // segment areas floored to integer micro-units, summed as BIGINT —
     // mirrors Trend.integral's tie-free determinism contract

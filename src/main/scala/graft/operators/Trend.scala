@@ -216,6 +216,34 @@ object Trend {
         round(corr(col(valCol), col("__prev")), 6).as("autocorr"))
   }
 
+  /** Holt double-exponential smoothing (level + linear trend) over a
+    * trailing `span`-row window — the trend-aware upgrade of [[ewma]]:
+    * level tracks the local mean, trend the local slope, and
+    * level + trend is the classic one-step-ahead forecast. Seeded with
+    * (first value, 0); the float fold order is pinned inside the
+    * native HoltAgg window aggregate so results are bit-deterministic
+    * across engines (outputs are µ-unit floors, the ewma contract).
+    *
+    * Scale shape: identical to ewma — ONE hash shuffle on the series
+    * key, two scalar buffer slots per frame, no O(span) array ever
+    * materialized.
+    *
+    * Output: input columns + `level` + `trend`.
+    */
+  def holt(df: DataFrame, tsCol: String, valCol: String, keyCols: Seq[String],
+           alpha: Double = 0.3, beta: Double = 0.2,
+           span: Int = 20): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valCol))
+      .rowsBetween(-(span - 1), 0)
+    val fold = org.apache.spark.sql.graft.GraftExpressions
+      .holt_fold(col(valCol).cast("double"), alpha, beta).over(w)
+    df.withColumn("__h", fold)
+      .withColumn("level", floor(col("__h.level") * lit(1e6)) / lit(1e6))
+      .withColumn("trend", floor(col("__h.trend") * lit(1e6)) / lit(1e6))
+      .drop("__h")
+  }
+
   /** CUSUM positive-drift detector (Page's cumulative sum) — the
     * change-point member of the alerting family next to threshold
     * crossings and z-score outliers: S_0 = 0,

@@ -143,6 +143,56 @@ case class EwmaAgg(child: Expression, alpha: Double)
       cs: IndexedSeq[Expression]): EwmaAgg = copy(child = cs.head)
 }
 
+/** Holt double-exponential smoothing (level + linear trend) as a
+  * window-frame aggregate — [[EwmaAgg]]'s two-state sibling:
+  *
+  *   seed (first non-null x):  l = x, b = 0
+  *   per row:  l' = α·x + (1-α)·(l + b);  b' = β·(l' − l) + (1-β)·b
+  *
+  * Returns struct(level, trend). The float operation ORDER is pinned
+  * (x·α + (l+b)·(1-α), then (l'−l)·β + b·(1-β), l' inlined) so the
+  * DuckDB list_reduce oracle replays bit-identical IEEE sequences.
+  * Nulls keep the state unchanged. Same frame-only contract as
+  * EwmaAgg: the merge path is poisoned.
+  */
+case class HoltAgg(child: Expression, alpha: Double, beta: Double)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions._
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("level", DoubleType), StructField("trend", DoubleType)))
+  private lazy val lv = AttributeReference("lv", DoubleType)()
+  private lazy val tr = AttributeReference("tr", DoubleType)()
+  private lazy val seen =
+    AttributeReference("seen", BooleanType, nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(lv, tr, seen)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(null, DoubleType), Literal(null, DoubleType), Literal(false))
+  // l' appears in both updates; the tree is duplicated VERBATIM so the
+  // arithmetic matches the oracle's inlined lambda exactly
+  private def lNew: Expression =
+    Add(Multiply(child, Literal(alpha)),
+      Multiply(Add(lv, tr), Literal(1.0 - alpha)))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), lv, If(seen, lNew, child)),
+    If(IsNull(child), tr,
+      If(seen,
+        Add(Multiply(Subtract(lNew, lv), Literal(beta)),
+          Multiply(tr, Literal(1.0 - beta))),
+        Literal(0.0))),
+    Or(seen, IsNotNull(child)))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(Literal(null, DoubleType), Literal(null, DoubleType), Literal(false))
+  override lazy val evaluateExpression: Expression =
+    CreateNamedStruct(Seq(Literal("level"), lv, Literal("trend"), tr))
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HoltAgg = copy(child = cs.head)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.catalyst.expressions.Literal
   def poly_hash(c: Column): Column = Bridge.toCol(PolyHash(Bridge.toExpr(c)))
@@ -167,6 +217,10 @@ object GraftExpressions {
   /** Window-frame EWMA fold (see [[EwmaAgg]]); use with `.over(w)`. */
   def ewma_fold(c: Column, alpha: Double): Column =
     Bridge.toCol(EwmaAgg(Bridge.toExpr(c), alpha)
+      .toAggregateExpression(isDistinct = false))
+  /** Window-frame Holt fold (see [[HoltAgg]]); use with `.over(w)`. */
+  def holt_fold(c: Column, alpha: Double, beta: Double): Column =
+    Bridge.toCol(HoltAgg(Bridge.toExpr(c), alpha, beta)
       .toAggregateExpression(isDistinct = false))
   def shingle_hashes(tokens: Column, n: Int): Column =
     Bridge.toCol(ShingleHashes(Bridge.toExpr(tokens), n))

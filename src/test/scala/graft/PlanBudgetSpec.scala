@@ -51,7 +51,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_rate" -> 1, "ts_fill_pad" -> 1, "ts_rollup_5m" -> 1,
     "ts_rollup_daily_tz" -> 1, "ts_rollup_monthly_tz" -> 1,
     "ts_sort_by_field" -> 1, "ts_agg_filters" -> 1, "ts_at_time" -> 1,
-    "ts_ewma" -> 1, "ts_gaps" -> 1, "ts_integral" -> 1,
+    "ts_ewma" -> 1, "ts_holt" -> 1, "ts_gaps" -> 1, "ts_integral" -> 1,
     "ts_asof_lookup" -> 1, "ts_asof_next" -> 1,
     "q_events_sessionize" -> 1,
     "q_topn_window" -> 1, "ts_crossings" -> 1,

@@ -133,6 +133,35 @@ class TrendSpec extends AnyFunSuite {
         .collect().toSet)
   }
 
+  test("holt: level and trend follow the double-smoothing recursion") {
+    import spark.implicits._
+    val df = Seq((1L, us(0), 10.0), (1L, us(10), 20.0),
+      (1L, us(20), 15.0), (1L, us(30), 30.0)).toDF("k", "ts", "v")
+    val got = Trend.holt(df, "ts", "v", Seq("k"), alpha = 0.3, beta = 0.2)
+      .orderBy("ts").select("level", "trend").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    var (l, b) = (10.0, 0.0)
+    var want = Vector((l, b))
+    Seq(20.0, 15.0, 30.0).foreach { x =>
+      val ln = x * 0.3 + (l + b) * 0.7
+      b = (ln - l) * 0.2 + b * 0.8; l = ln
+      want :+= ((l, b))
+    }
+    def f6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got.toSeq == want.map(p => (f6(p._1), f6(p._2))))
+  }
+
+  test("holt skips nulls and keeps state (ignore_missing)") {
+    import spark.implicits._
+    val df = Seq((1L, us(0), Some(10.0)), (1L, us(10), None),
+      (1L, us(20), Some(20.0))).toDF("k", "ts", "v")
+    val got = Trend.holt(df, "ts", "v", Seq("k")).orderBy("ts")
+      .select("level").collect()
+    assert(got(0).getDouble(0) == 10.0)
+    assert(got(1).getDouble(0) == 10.0) // null row: state unchanged
+    assert(got(2).getDouble(0) == math.floor((20.0 * 0.3 + 10.0 * 0.7) * 1e6) / 1e6)
+  }
+
   test("cusum: prefix-minus-running-min equals the recursive max fold") {
     import spark.implicits._
     // target 10, h 5: S = (0) 3, 7, 0 (dip drains), 8 -> alarms at 7 and 8
