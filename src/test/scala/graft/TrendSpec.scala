@@ -316,3 +316,35 @@ class StreamCusumSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 }
+
+
+class StreamHoltSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming holt equals the batch window aggregate exactly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_sholt").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamHolt.Ev]
+
+    val q = graft.streaming.StreamHolt(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sholt_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sholt_test")
+      .select($"user_id", $"ts", $"value", $"level", $"trend")
+
+    // the stream re-folds the same bounded window with the same float
+    // order as the native HoltAgg -> bit-identical level AND trend
+    val want = Trend.holt(batch, "ts", "value", Seq("user_id"))
+      .select($"user_id", $"ts", $"value", $"level", $"trend")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
