@@ -902,6 +902,16 @@ object SparkEntry {
           TimeRange.intersectionDurUs(col("b"), col("e"), qb, qe).as("isect_us"))
     },
 
+    // index.py:439 get_index_string_list: every daily index covering
+    // each (user, type)'s observed range — index algebra over
+    // TimeRanges, computed scan-side after one tiny agg
+    "ts_index_list" -> { (s, dir) =>
+      events(s, dir).groupBy("user_id", "event_type")
+        .agg(min(col("ts")).as("b"), max(col("ts")).as("e"))
+        .select(col("user_id"), col("event_type"),
+          explode(TimeIndex.indexList(col("b"), col("e"), "1d")).as("idx"))
+    },
+
     "ts_timerange_rel" -> { (s, dir) =>
       val ev = events(s, dir)
       val mx = ev.agg(max(col("ts")).as("mx"))
@@ -1215,6 +1225,16 @@ object SparkEntry {
          |SELECT iv.event_id, iv.b AS ts, count(*) AS n_clicks
          |FROM iv JOIN c ON c.tus >= iv.b AND c.tus < iv.e2
          |GROUP BY 1, 2""".stripMargin,
+
+    // bucket-of-begin .. bucket-of-end inclusive, floor division —
+    // mirrors TimeIndex.indexList
+    "ts_index_list" ->
+      s"""WITH r AS (SELECT user_id, event_type,
+         |    min($EvUs) AS b, max($EvUs) AS e FROM events GROUP BY 1, 2),
+         |g AS (SELECT user_id, event_type,
+         |  unnest(range(b // 86400000000, e // 86400000000 + 1)) AS i FROM r)
+         |SELECT user_id, event_type, '1d-' || CAST(i AS VARCHAR) AS idx
+         |FROM g""".stripMargin,
 
     "ts_align_linear" ->
       s"""WITH s AS (SELECT user_id, $EvUs AS tns, value FROM events

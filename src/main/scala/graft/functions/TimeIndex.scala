@@ -55,6 +55,21 @@ object TimeIndex {
   def indexOf(tsUs: Column, win: String): Column =
     concat(lit(win + "-"), posOf(tsUs, win).cast("string"))
 
+  /** Every fixed-window index string covering [beginUs, endUs] —
+    * reference: pypond/index.py:439 get_index_string_list (the bucket
+    * of `begin` through the bucket of `end`, inclusive). Floor
+    * division, so pre-1970 ranges band consistently with [[posOf]].
+    * Returns array<string>; inverted ranges (end < begin) yield an
+    * empty array (sequence() would DESCEND otherwise).
+    */
+  def indexList(beginUs: Column, endUs: Column, win: String): Column = {
+    val b = posOf(beginUs, win)
+    val e = posOf(endUs, win)
+    when(e < b, array().cast("array<string>"))
+      .otherwise(transform(sequence(b, e),
+        i => concat(lit(win + "-"), i.cast("string"))))
+  }
+
   /** Begin of the window containing tsUs, in epoch µs. */
   def windowStartUs(tsUs: Column, win: String): Column =
     posOf(tsUs, win) * lit(durationUs(win))

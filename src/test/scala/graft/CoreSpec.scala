@@ -43,6 +43,24 @@ class TimeIndexSpec extends AnyFunSuite {
       .head().getString(0)
     assert(idx == "5m-4754394")
   }
+
+  test("indexList covers begin..end buckets inclusive (index.py:439)") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    def list(b: Long, e: Long, win: String): Seq[String] =
+      Seq((b, e)).toDF("b", "e")
+        .select(TimeIndex.indexList(
+          org.apache.spark.sql.functions.col("b"),
+          org.apache.spark.sql.functions.col("e"), win))
+        .head().getSeq[String](0)
+    val h = 3600000000L
+    assert(list(h + 1, 3 * h, "1h") == Seq("1h-1", "1h-2", "1h-3"))
+    assert(list(h, h, "1h") == Seq("1h-1"))
+    // pre-1970: floor division bands negatives consistently with posOf
+    assert(list(-h - 1, 1, "1h") == Seq("1h--2", "1h--1", "1h-0"))
+    // inverted range: empty, never a descending sequence
+    assert(list(3 * h, h, "1h").isEmpty)
+  }
 }
 
 class TimeRangeSpec extends AnyFunSuite {

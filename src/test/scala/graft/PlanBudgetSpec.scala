@@ -62,6 +62,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // window prefix-sum
     "doc_token_budget" -> 1,
     "ts_slice" -> 1,
+    // one tiny (user, type) agg; the index fan-out is scan-side
+    "ts_index_list" -> 1,
     "ts_outliers" -> 1, "ts_rolling_median" -> 1,
     "ts_rolling_time" -> 1, "ts_autocorr" -> 1, "ts_nested_agg" -> 1,
     // chained align->rate: align's interior-boundary UNION hides its
