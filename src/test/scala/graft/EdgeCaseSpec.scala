@@ -44,6 +44,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.dupNgramFraction(emptyDocs).isEmpty)
   }
 
+  test("round-6 additions pass empty inputs through") {
+    assert(Trend.cusum(emptyEvents, "ts", "value", Seq("user_id"),
+      50.0, 500.0).isEmpty)
+    assert(Trend.holt(emptyEvents, "ts", "value", Seq("user_id")).isEmpty)
+    assert(TextOps.topNgram(emptyDocs).isEmpty)
+    assert(Multimodal.dedupExact(emptyDocs).isEmpty)
+    assert(Multimodal.phashPairs(spark, emptyDocs).isEmpty)
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Knn.rangeSearch(emptyEmb, emptyEmb, 2, 0.5).isEmpty)
+    assert(Knn.lshRangeSearch(emptyEmb, emptyEmb, 2, 0.5).isEmpty)
+  }
+
   test("components of an empty pair list is empty (and converges)") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val (labels, rounds) = Dedup.componentsWithRounds(pairs)
