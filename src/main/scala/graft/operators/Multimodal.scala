@@ -178,7 +178,17 @@ object Multimodal {
       .withColumn("keep", col(idCol) === min(col(idCol)).over(w))
   }
 
-  /** Pixels per stub "thumbnail" — interpolated into the oracle SQL. */
+  /** Pixels per stub "thumbnail" — interpolated into the oracle SQL.
+    * ALSO the hash width (1 bit/pixel) and therefore the scale dial:
+    * random (non-dup) pairs collide in a band with probability
+    * bands/2^bandBits, so a 16-bit hash has a n²·2/2^8 candidate
+    * floor — visible as mm_phash's super-linear leg on the sf1 curve.
+    * A production run uses pixels=64 with `bandBits`=16 (real phash
+    * dimensions): 4 bands × 2^16 buckets pushes the random floor
+    * below corpus size while pigeonhole still guarantees recall for
+    * hamming <= 3. 16 is kept for the registered query so its output
+    * is non-degenerate on the 500-doc test corpus.
+    */
   val PhashPixels = 16
 
   /** Perceptual hash of a media row (aHash shape: mean-threshold the
@@ -235,11 +245,12 @@ object Multimodal {
     * bucket-granular.
     */
   def phashPairs(spark: SparkSession, docs: DataFrame,
-                 maxHamming: Int = 3): DataFrame = {
-    val bands = PhashPixels / 8
+                 maxHamming: Int = 3, bandBits: Int = 8): DataFrame = {
+    val bands = PhashPixels / bandBits
     val ph = phashAll(spark, docs).toDF()
     val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"), (shiftright(col("phash"), b * 8) % 256).as("bk"))
+      struct(lit(b).as("band"),
+        (shiftright(col("phash"), b * bandBits) % (1L << bandBits)).as("bk"))
     }
     val banded = ph
       .select(col("doc_id"), col("phash"), explode(array(bandStructs: _*)).as("bb"))
