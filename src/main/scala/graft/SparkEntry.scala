@@ -768,6 +768,32 @@ object SparkEntry {
       Trend.lttb(events(s, dir), "ts", "value", Seq("user_id"), "1d")
     },
 
+    // M4 pixel-perfect downsampling: first/last/min/max anchors per
+    // (series, hour) — pure partial-aggregable min/max of structs
+    "ts_m4" -> { (s, dir) =>
+      Trend.m4(events(s, dir), "ts", "value", Seq("user_id"), "1h")
+    },
+
+    // seasonal-adjusted anomaly screen: z-score against the series'
+    // OWN hour-of-day profile (ts_outliers' seasonal sibling — a
+    // nightly batch job is only anomalous relative to other nights)
+    "ts_seasonal_outliers" -> { (s, dir) =>
+      val hod = pmod(org.apache.spark.sql.graft.Bridge
+        .fldiv(col("ts"), UsHour), lit(24L))
+      val w = Window.partitionBy(col("user_id"), col("hod"))
+      events(s, dir).select(col("user_id"), col("ts"), col("value"))
+        .withColumn("hod", hod)
+        .withColumn("mu", avg(col("value")).over(w))
+        .withColumn("sigma", stddev_pop(col("value")).over(w))
+        // single-observation cells have sigma 0 — no distribution to
+        // deviate from, so they cannot alarm (and ANSI mode would
+        // otherwise fault on the division)
+        .where(col("sigma") > 0)
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+        .where(col("z") > 2.5)
+        .select(col("user_id"), col("ts"), col("hod"), col("value"), col("z"))
+    },
+
     // --- §2.4 shaping ----------------------------------------------
     "ts_select" -> { (s, dir) =>
       Shape.rename(
@@ -1159,6 +1185,38 @@ object SparkEntry {
          |  CURRENT ROW)) AS sus FROM p)
          |SELECT user_id, tus AS ts, value, CAST(sus AS DOUBLE) / 1e6 AS cusum
          |FROM cs WHERE sus > $CusumHUs""".stripMargin,
+
+    // anchor tie-breaks mirror the struct-lexicographic mins/maxes:
+    // v_first = MIN value at the earliest ts, v_last = MAX value at
+    // the latest, tmin = earliest ts at vmin, tmax = latest at vmax
+    "ts_m4" ->
+      s"""WITH e2 AS (SELECT user_id, $EvUs // 3600000000 AS bucket,
+         |    $EvUs AS tus, value FROM events),
+         |g AS (SELECT user_id, bucket, count(*) AS n, min(tus) AS tf,
+         |    max(tus) AS tl, min(value) AS vmin, max(value) AS vmax
+         |  FROM e2 GROUP BY 1, 2)
+         |SELECT g.user_id, g.bucket, g.n,
+         |  g.tf AS t_first,
+         |  min(CASE WHEN e2.tus = g.tf THEN e2.value END) AS v_first,
+         |  g.tl AS t_last,
+         |  max(CASE WHEN e2.tus = g.tl THEN e2.value END) AS v_last,
+         |  g.vmin, min(CASE WHEN e2.value = g.vmin THEN e2.tus END) AS tmin,
+         |  g.vmax, max(CASE WHEN e2.value = g.vmax THEN e2.tus END) AS tmax
+         |FROM g JOIN e2 ON e2.user_id = g.user_id AND e2.bucket = g.bucket
+         |GROUP BY 1, 2, 3, 4, 6, 8, 10""".stripMargin,
+
+    // sigma-0 cells (single observation) are excluded on both sides
+    "ts_seasonal_outliers" ->
+      s"""WITH p AS (SELECT user_id, $EvUs AS tus,
+         |  ($EvUs // 3600000000) % 24 AS hod, value,
+         |  avg(value) OVER w AS mu, stddev_pop(value) OVER w AS sigma
+         |  FROM events WINDOW w AS (PARTITION BY user_id,
+         |    ($EvUs // 3600000000) % 24)),
+         |z AS (SELECT user_id, tus, hod, value,
+         |    round((value - mu) / sigma, 6) AS z
+         |  FROM p WHERE sigma > 0)
+         |SELECT user_id, tus AS ts, hod, value, z FROM z
+         |WHERE z > 2.5""".stripMargin,
 
     "ts_outliers" ->
       s"""WITH z AS (SELECT user_id, $EvUs AS tus, value,

@@ -138,6 +138,39 @@ object Trend {
       .select(keyC ++ Seq(col("__b").as("bucket"), col(tsCol), col(valCol)): _*)
   }
 
+  /** M4 downsampling (Jugel et al., VLDB 2014): per (series, bucket),
+    * the four anchor points a pixel-perfect line rendering needs —
+    * first, last, min, max — next to [[lttb]]'s shape-preserving
+    * single point. Unlike LTTB this is PURE aggregation: min/max of
+    * (value, ts) and (ts, value) structs, all partial-aggregable, so
+    * the whole downsample is ONE map-side-combined shuffle with
+    * reduce rows = #buckets — no window, no join.
+    *
+    * Tie-breaks are struct-lexicographic and deterministic: the min
+    * point takes the EARLIEST ts among equal minima, the max point
+    * the LATEST; first/last take the lowest/highest value at an
+    * equal-ts edge.
+    *
+    * Output: keyCols, bucket, n, t_first, v_first, t_last, v_last,
+    * vmin, tmin, vmax, tmax.
+    */
+  def m4(df: DataFrame, tsCol: String, valCol: String, keyCols: Seq[String],
+         win: String): DataFrame = {
+    val keyC = keyCols.map(col)
+    df.select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .groupBy(keyC :+ TimeIndex.posOf(col(tsCol), win).as("bucket"): _*)
+      .agg(count(lit(1)).as("n"),
+        min(struct(col(tsCol), col(valCol))).as("__f"),
+        max(struct(col(tsCol), col(valCol))).as("__l"),
+        min(struct(col(valCol), col(tsCol))).as("__mn"),
+        max(struct(col(valCol), col(tsCol))).as("__mx"))
+      .select(keyC ++ Seq(col("bucket"), col("n"),
+        col(s"__f.$tsCol").as("t_first"), col(s"__f.$valCol").as("v_first"),
+        col(s"__l.$tsCol").as("t_last"), col(s"__l.$valCol").as("v_last"),
+        col(s"__mn.$valCol").as("vmin"), col(s"__mn.$tsCol").as("tmin"),
+        col(s"__mx.$valCol").as("vmax"), col(s"__mx.$tsCol").as("tmax")): _*)
+  }
+
   /** Trapezoidal integral of a series per calendar window — the inverse
     * of Rate: area = Σ (v_prev + v_cur)/2 · Δt_seconds over consecutive
     * pairs, each pair attributed to the window of its LEFT endpoint.

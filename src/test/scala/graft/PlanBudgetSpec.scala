@@ -38,6 +38,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_range_search_lsh" -> 3,
     // cusum: prefix-sum + running-min over ONE series-key window
     "ts_cusum" -> 1,
+    // m4: pure partial-aggregable struct min/max — one combined shuffle
+    "ts_m4" -> 1,
+    // seasonal z: one (user, hour-of-day) window shuffle
+    "ts_seasonal_outliers" -> 1,
     // digest-keyed keep window — one uniformly-distributed shuffle
     "mm_dedup" -> 1,
     // phash banding: hashes from the scan-stage decode pass, (band,

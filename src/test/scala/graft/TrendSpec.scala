@@ -133,6 +133,24 @@ class TrendSpec extends AnyFunSuite {
         .collect().toSet)
   }
 
+  test("m4 keeps first/last/min/max anchors with deterministic ties") {
+    import spark.implicits._
+    // one 1m bucket; value 1.0 appears at t=10 and t=20 (min tie ->
+    // earliest), 9.0 at t=30 and t=40 (max tie -> latest); equal-ts
+    // edge rows at t=0 (first tie -> lowest value)
+    val df = Seq((1L, us(0), 5.0), (1L, us(0), 3.0), (1L, us(10), 1.0),
+      (1L, us(20), 1.0), (1L, us(30), 9.0), (1L, us(40), 9.0))
+      .toDF("k", "ts", "v")
+    val r = Trend.m4(df, "ts", "v", Seq("k"), "1m").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(2) == 6L)                                // n
+    assert(row.getLong(3) == us(0) && row.getDouble(4) == 3.0)  // first
+    assert(row.getLong(5) == us(40) && row.getDouble(6) == 9.0) // last
+    assert(row.getDouble(7) == 1.0 && row.getLong(8) == us(10)) // min
+    assert(row.getDouble(9) == 9.0 && row.getLong(10) == us(40)) // max
+  }
+
   test("holt: level and trend follow the double-smoothing recursion") {
     import spark.implicits._
     val df = Seq((1L, us(0), 10.0), (1L, us(10), 20.0),
