@@ -2231,6 +2231,25 @@ object SparkEntry {
       Multimodal.phashPairs(s, tbl(s, dir, "documents"))
     },
 
+    // banding recall vs exact hamming<=3 over the same hashes — the
+    // eval that keeps the candidate generator honest (hashes are a
+    // long per doc, so the ground-truth self-join is broadcast)
+    "mm_phash_eval" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val ph = Multimodal.phashAll(s, docs).toDF()
+      val exact = ph.select(col("doc_id").as("id_a"), col("phash").as("ph_a"))
+        .join(broadcast(ph.select(col("doc_id").as("id_b"),
+          col("phash").as("ph_b"))), col("id_a") < col("id_b"))
+        .where(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= 3)
+      exact.agg(count(lit(1)).as("n_true"))
+        .crossJoin(Multimodal.phashPairs(s, docs)
+          .agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"), col("n_found"),
+          when(col("n_true") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_found").cast("double") / col("n_true"), 6))
+            .as("recall"))
+    },
+
     // Gopher top-n-gram repetition: per-doc mode found scan-side via
     // sorted-array run lengths — zero shuffle (complements doc_gopher's
     // distinct-ngram rep_2gram with the dominant-phrase signal)
@@ -2607,6 +2626,33 @@ object SparkEntry {
     * [[sqlLshCtes]] and the emb_dedup_cosine oracle so the dedup blocks
     * are exactly the ANN index's cells.
     */
+  /** The stub-decode perceptual-hash chain shared by mm_phash and its
+    * recall eval: `ph(doc_id, phash)` and the byte-banded candidate
+    * pairs `pp(id_a, id_b, hamming)` — every constant interpolated
+    * from the Spark side's (Multimodal.PhashPixels, TextOps.HashMul/
+    * HashMod, the squared-mix step).
+    */
+  private def sqlPhashCtes: String =
+    s"""m AS (SELECT doc_id, ${sqlPoly("text")} AS h FROM documents),
+       |pxi AS (SELECT doc_id, h,
+       |  unnest(range(${Multimodal.PhashPixels})) AS i FROM m),
+       |pxt AS (SELECT doc_id, i,
+       |  (h + i * 654664997) % ${TextOps.HashMod} AS t FROM pxi),
+       |px AS (SELECT doc_id, i, (t * t) % ${TextOps.HashMod} % 256 AS p
+       |  FROM pxt),
+       |pt AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id),
+       |ph AS (SELECT px.doc_id, sum(CASE WHEN p * ${Multimodal.PhashPixels}
+       |    > tot THEN 1 << i ELSE 0 END) AS phash
+       |  FROM px JOIN pt ON px.doc_id = pt.doc_id GROUP BY px.doc_id),
+       |bd AS (SELECT doc_id, phash, b.band,
+       |    (phash >> (b.band * 8)) % 256 AS bk
+       |  FROM ph, (SELECT unnest(range(${Multimodal.PhashPixels / 8}))
+       |    AS band) b),
+       |pp AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+       |    bit_count(xor(a.phash, b2.phash)) AS hamming
+       |  FROM bd a JOIN bd b2 ON a.band = b2.band AND a.bk = b2.bk
+       |    AND a.doc_id < b2.doc_id)""".stripMargin
+
   private def sqlLshBandCte: String = {
     val lb = (0 until LshTables).map(t =>
       s"SELECT vec_id, embedding, $t AS tb,\n    " +
@@ -3611,26 +3657,21 @@ object SparkEntry {
     // (PhashPixels, HashMul/HashMod): pixels -> exact integer
     // mean-threshold bits -> byte banding -> hamming verify
     "mm_phash" ->
-      s"""WITH m AS (SELECT doc_id, ${sqlPoly("text")} AS h FROM documents),
-         |pxi AS (SELECT doc_id, h,
-         |  unnest(range(${Multimodal.PhashPixels})) AS i FROM m),
-         |pxt AS (SELECT doc_id, i,
-         |  (h + i * 654664997) % ${TextOps.HashMod} AS t FROM pxi),
-         |px AS (SELECT doc_id, i, (t * t) % ${TextOps.HashMod} % 256 AS p
-         |  FROM pxt),
-         |pt AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id),
-         |ph AS (SELECT px.doc_id, sum(CASE WHEN p * ${Multimodal.PhashPixels}
-         |    > tot THEN 1 << i ELSE 0 END) AS phash
-         |  FROM px JOIN pt ON px.doc_id = pt.doc_id GROUP BY px.doc_id),
-         |bd AS (SELECT doc_id, phash, b.band,
-         |    (phash >> (b.band * 8)) % 256 AS bk
-         |  FROM ph, (SELECT unnest(range(${Multimodal.PhashPixels / 8}))
-         |    AS band) b),
-         |pp AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-         |    bit_count(xor(a.phash, b2.phash)) AS hamming
-         |  FROM bd a JOIN bd b2 ON a.band = b2.band AND a.bk = b2.bk
-         |    AND a.doc_id < b2.doc_id)
+      s"""WITH $sqlPhashCtes
          |SELECT id_a, id_b, hamming FROM pp WHERE hamming <= 3""".stripMargin,
+
+    // banding recall vs the exact hamming<=3 ground truth over the
+    // SAME hashes (shared CTEs): the eval that keeps the byte-banded
+    // candidate generator honest, like doc_dedup_eval for text
+    "mm_phash_eval" ->
+      s"""WITH $sqlPhashCtes,
+         |ex AS (SELECT count(*) AS n_true FROM ph a JOIN ph b
+         |  ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+         |fo AS (SELECT count(*) AS n_found FROM pp WHERE hamming <= 3)
+         |SELECT n_true, n_found,
+         |  round(CAST(n_found AS DOUBLE) / nullif(n_true, 0), 6) AS recall
+         |FROM ex, fo""".stripMargin,
 
     // per-doc most frequent bigram counted per shingle HASH (the
     // MinHash/Jaccard unit — mirrors the Spark side's long-array

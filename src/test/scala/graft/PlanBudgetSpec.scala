@@ -47,6 +47,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // phash banding: hashes from the scan-stage decode pass, (band,
     // byte) self-join + the pair-distinct agg
     "mm_phash" -> 3,
+    // eval: broadcast ground-truth self-join over (id, long) hashes +
+    // the banded chain + two 1-row aggs
+    "mm_phash_eval" -> 6,
     // single-shuffle stateful / agg family
     "q1_agg" -> 1, "ts_agg_basic" -> 1,
     // cube: finest-grain partial agg + the subtotal re-combine over the
