@@ -92,6 +92,27 @@ object Lake {
     }
   }
 
+  /** Streaming ingest INTO the daily-partitioned layout: an unbounded
+    * event stream lands under the same `dt=YYYY-MM-DD/` directories
+    * batch writes use, so downstream time-range queries prune the
+    * live table identically, and [[compactDaily]] repairs the
+    * small-file fragmentation a micro-batch cadence leaves behind.
+    * Exactly-once files via the parquet sink's checkpoint + commit
+    * log; the query is returned unstarted-awaitable (caller manages
+    * lifecycle).
+    */
+  def streamAppendDaily(stream: DataFrame, tsCol: String, path: String,
+                        checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.withColumn("dt", TimeIndex.dailyIndex(col(tsCol)))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("dt")
+      .start()
+
   /** Range-crop that ALSO constrains the partition column, so the
     * filter prunes directories, then the row-level ts predicate
     * (pushed to parquet) trims the edge partitions.

@@ -110,6 +110,36 @@ class LakeSpec extends AnyFunSuite {
     assert(cropped.df.count() == want)
   }
 
+  test("streamAppendDaily lands a stream in the partitioned layout") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+      .select("user_id", "ts", "value")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_lsrc").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lout").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_lck").toString
+    ev.write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(srcDir)
+    val q = graft.sources.Lake.streamAppendDaily(stream, "ts", outDir, ckDir)
+    try q.processAllAvailable() finally q.stop()
+
+    // the streamed table IS the batch lake layout: dt directories
+    // exist, partition pruning applies, content matches the input
+    val dts = new java.io.File(outDir).listFiles
+      .filter(_.getName.startsWith("dt=")).map(_.getName)
+    assert(dts.length > 1, dts.toSeq.toString)
+    val t = graft.sources.Lake.read(spark, outDir, "ts", Seq("user_id"))
+    val b = 1704672000000000L // 2024-01-08
+    val e = 1704844800000000L // 2024-01-10
+    val cropped = graft.sources.Lake.cropDaily(t, b, e)
+    val plan = cropped.df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(t.df.count() == ev.count())
+    assert(cropped.df.count() ==
+      ev.where(col("ts") >= b && col("ts") <= e).count())
+  }
+
   test("backfillDaily replaces only the touched day partitions") {
     val ev = graft.functions.TimeIndex.normalizeUs(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
