@@ -790,7 +790,7 @@ object SparkEntry {
         // otherwise fault on the division)
         .where(col("sigma") > 0)
         .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
-        .where(col("z") > 2.5)
+        .where(col("z") > 2.0)
         .select(col("user_id"), col("ts"), col("hod"), col("value"), col("z"))
     },
 
@@ -1216,7 +1216,7 @@ object SparkEntry {
          |    round((value - mu) / sigma, 6) AS z
          |  FROM p WHERE sigma > 0)
          |SELECT user_id, tus AS ts, hod, value, z FROM z
-         |WHERE z > 2.5""".stripMargin,
+         |WHERE z > 2.0""".stripMargin,
 
     "ts_outliers" ->
       s"""WITH z AS (SELECT user_id, $EvUs AS tus, value,
@@ -2063,6 +2063,20 @@ object SparkEntry {
       Knn.lshTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
     },
 
+    // max-inner-product retrieval, exact baseline: raw-dot top-5 per
+    // query (norm-sensitive scoring — the operator cosine can't express)
+    "emb_mips" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.mipsTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 5)
+    },
+
+    // MIPS scale path: norm-augmentation reduction to hyperplane LSH
+    // banding over dim+1 coordinates, exact-dot verification
+    "emb_mips_lsh" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.mipsLshTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+    },
+
     "emb_knn_ivf" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Knn.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
@@ -2413,9 +2427,17 @@ object SparkEntry {
   private def sqlCos(a: String, b: String): String = sqlCosN(a, b, EmbDim)
 
   private def sqlPlaneDot(v: String, j: Int): String =
-    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbDim + 1}), " +
+    sqlPlaneDotN(v, j, EmbDim)
+
+  private def sqlPlaneDotN(v: String, j: Int, n: Int): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${n + 1}), " +
       s"i -> CAST($v[i] AS DOUBLE) * CAST((${j + 1} * 73856093 + i * 19349663) " +
       s"% 2000001 - 1000000 AS DOUBLE))), (x,y) -> x+y)"
+
+  private def sqlBucketN(v: String, nPlanes: Int, offset: Int, n: Int): String =
+    (0 until nPlanes).map { j =>
+      s"(CASE WHEN ${sqlPlaneDotN(v, offset + j, n)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   private def sqlBucket(v: String, nPlanes: Int, offset: Int = 0): String =
     (0 until nPlanes).map { j =>
@@ -3256,6 +3278,52 @@ object SparkEntry {
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM lj)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM lr WHERE rank <= 3""".stripMargin,
+
+    "emb_mips" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |j AS (SELECT query_id, neighbor_id, ${sqlDot("qv", "nv")} AS ip
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |r AS (SELECT query_id, neighbor_id, ip,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rank FROM j)
+         |SELECT query_id, rank, neighbor_id, round(ip, 6) AS ip
+         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // mirrors the norm-augmentation banding exactly: corpus vectors
+    // padded with sqrt(M^2 - |x|^2), queries with 0, buckets over
+    // dim+1 coordinates; candidates scored by the exact dot product
+    "emb_mips_lsh" ->
+      s"""WITH m2 AS (SELECT max(${sqlDot("embedding", "embedding")}) AS m2
+         |  FROM embeddings),
+         |ma AS (SELECT vec_id, embedding,
+         |    list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |      sqrt(greatest(m2.m2
+         |        - ${sqlDot("embedding", "embedding")}, 0.0))) AS aug
+         |  FROM embeddings, m2),
+         |mq0 AS (SELECT vec_id, embedding,
+         |    list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+         |      0.0) AS aug
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |mb AS (${(0 until LshTables).map(t =>
+               s"SELECT vec_id, embedding, $t AS tb,\n    " +
+                 s"${sqlBucketN("aug", LshPlanes, t * LshPlanes, EmbDim + 1)} AS bk " +
+                 "FROM ma").mkString("\n  UNION ALL ")}),
+         |qb AS (${(0 until LshTables).map(t =>
+               s"SELECT vec_id, embedding, $t AS tb,\n    " +
+                 s"${sqlBucketN("aug", LshPlanes, t * LshPlanes, EmbDim + 1)} AS bk " +
+                 "FROM mq0").mkString("\n  UNION ALL ")}),
+         |mcand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    max(${sqlDot("q.embedding", "c.embedding")}) AS ip
+         |  FROM mb c JOIN qb q ON c.tb = q.tb AND c.bk = q.bk
+         |    AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |mr AS (SELECT query_id, neighbor_id, ip,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rank FROM mcand)
+         |SELECT query_id, rank, neighbor_id, round(ip, 6) AS ip
+         |FROM mr WHERE rank <= 3""".stripMargin,
 
     "emb_knn_ivf" ->
       s"""WITH $sqlIvfCtes,

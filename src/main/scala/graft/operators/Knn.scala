@@ -148,6 +148,87 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
+  // --- max-inner-product search (MIPS) -------------------------------
+
+  /** Brute-force max-inner-product top-k: for each query row, the k
+    * corpus rows with the largest RAW dot product (self excluded).
+    * Retrieval/recsys scoring where vector norms carry signal (a
+    * popularity-scaled item embedding should outrank a niche one at
+    * the same angle) — cosine's normalization erases exactly that
+    * signal, so MIPS is a distinct operator, not a cosine variant.
+    * Same scale shape as [[bruteTopK]]: broadcast query set over a
+    * distributed corpus scan + per-query top-k window — zero corpus
+    * shuffle.
+    */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
+      .crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("ip", dot(col("qvec"), col("nvec"), dim))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("ip"), 6).as("ip"))
+  }
+
+  /** MIPS scale path: norm-augmentation reduction to angular search —
+    * append sqrt(M^2 - |x|^2) to each corpus vector (M^2 = max squared
+    * norm, a one-row broadcast agg) and a 0 to each query, after which
+    * every augmented corpus vector has norm M and
+    * cos(q', x') = dot(q, x) / (|q| * M) is MONOTONE in the inner
+    * product — so the multi-table hyperplane banding that serves
+    * [[lshTopK]] applies unchanged over dim+1 coordinates. Candidates
+    * are verified by the EXACT dot product (the augmentation only
+    * steers bucketing; the score is the true inner product, identical
+    * to [[mipsTopK]]'s). Shuffle carries (table, bucket, id, vec) —
+    * never a cross product; recall dial = (nPlanes, nTables).
+    */
+  def mipsLshTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                  nPlanes: Int = 4, nTables: Int = 4,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val m2 = corpus.agg(max(dot(col(vecCol), col(vecCol), dim)).as("__m2"))
+    def buckets(v: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("tb"),
+        bucketCode(v, dim + 1, nPlanes, t * nPlanes).as("bk"))
+    }: _*)
+    def side(df: DataFrame, id: String, vec: String,
+             corpusSide: Boolean): DataFrame = {
+      val base = df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .crossJoin(broadcast(m2))
+      val n2 = dot(col(vec), col(vec), dim)
+      // fp guard: M^2 - |x|^2 can round a hair negative on the max row
+      val last =
+        if (corpusSide) sqrt(greatest(col("__m2") - n2, lit(0.0)))
+        else lit(0.0)
+      base
+        .withColumn("__aug",
+          concat(transform(col(vec), x => x.cast("double")), array(last)))
+        .select(col(id), col(vec), explode(buckets(col("__aug"))).as("tbk"))
+        .select(col(id), col(vec),
+          col("tbk.tb").as("tb"), col("tbk.bk").as("bk"))
+    }
+    val cand = side(corpus, "neighbor_id", "nvec", corpusSide = true)
+      .join(side(queries, "query_id", "qvec", corpusSide = false),
+        Seq("tb", "bk"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("ip", dot(col("qvec"), col("nvec"), dim))
+      // same pair collides in several tables; ip is identical on every
+      // copy, so max() is pure dedup (map-side combinable)
+      .groupBy("query_id", "neighbor_id").agg(max(col("ip")).as("ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("ip"), 6).as("ip"))
+  }
+
   /** dot(v, plane_j) with the deterministic integer components. */
   private def planeDot(vec: Column, dim: Int, j: Int): Column =
     aggregate(

@@ -54,6 +54,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(Knn.rangeSearch(emptyEmb, emptyEmb, 2, 0.5).isEmpty)
     assert(Knn.lshRangeSearch(emptyEmb, emptyEmb, 2, 0.5).isEmpty)
+    assert(Knn.mipsTopK(emptyEmb, emptyEmb, 2, 3).isEmpty)
+    assert(Knn.mipsLshTopK(emptyEmb, emptyEmb, 2, 3).isEmpty)
   }
 
   test("components of an empty pair list is empty (and converges)") {

@@ -258,6 +258,37 @@ class OperatorSpec extends AnyFunSuite {
       2L -> ((3L, false)), 3L -> ((3L, true))))
   }
 
+  test("Knn.mipsTopK ranks by raw inner product, not angle") {
+    // q = (1,0); c10 points the SAME direction as c1 but 10x longer:
+    // cosine would tie them (then id-break to c1), MIPS must put the
+    // long vector first — the norm IS the signal
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (10L, Array(10.0f, 0.0f)),
+      (2L, Array(0.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((99L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Knn.mipsTopK(corpus, q, 2, 3).collect()
+      .map(r => r.getInt(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) == ((10L, 10.0)) && out(2) == ((1L, 1.0)) &&
+      out(3) == ((2L, 0.0)))
+  }
+
+  test("Knn.mipsLshTopK candidate scores equal the brute inner product") {
+    // LSH may miss pairs (recall dial) but must never mis-score one:
+    // every (query, neighbor, ip) it emits appears in the brute
+    // all-pairs scoring with the identical ip
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+    val brute = Knn.mipsTopK(emb, queries, 64, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = Knn.mipsLshTopK(emb, queries, 64, 3).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(brute(key) == r.getDouble(3), s"score drift at $key")
+    }
+  }
+
   test("Knn.clusterSample keeps the farthest-from-centroid member first") {
     // same fixture as semDedup: clusters {0,1} and {2,3}; ids 0 and 2
     // sit CLOSER to their cluster mean, so perCluster=1 keeps 1 and 3

@@ -36,6 +36,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // LSH radius path: band shuffles per side + the pair-dedup agg;
     // ReuseExchange shares the banded subplan between join inputs
     "emb_range_search_lsh" -> 3,
+    // brute MIPS: query-set broadcast + the top-k rank window's hash
+    // exchange — the corpus never shuffles
+    "emb_mips" -> 2,
+    // augmented-LSH MIPS: M^2 one-row agg+broadcast (x2 sides), band
+    // shuffles per side, pair-dedup agg, rank window
+    "emb_mips_lsh" -> 7,
     // cusum: prefix-sum + running-min over ONE series-key window
     "ts_cusum" -> 1,
     // m4: pure partial-aggregable struct min/max — one combined shuffle
