@@ -558,6 +558,22 @@ object SparkEntry {
       Trend.autocorr(events(s, dir), "ts", "value", Seq("user_id"), 1)
     },
 
+    // lag cross-correlation: does a user's 'view' value series follow
+    // their 'click' series, and at what daily delay — both series
+    // rolled to the 1d grid first so lags are well-defined
+    "ts_cross_corr" -> { (s, dir) =>
+      val b = (org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), UsDay)
+        * UsDay).as("bucket")
+      val r = events(s, dir)
+        .where(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), b, col("event_type"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      Trend.crossCorr(
+        r.where(col("event_type") === "click").drop("event_type"),
+        r.where(col("event_type") === "view").drop("event_type"),
+        "bucket", "v", Seq("user_id"), UsDay)
+    },
+
     // distributed interval join: clicks inside the 30-minute window
     // opened by each error event (same user) — bucket-banded equality
     // join on (user_id, bucket), never a per-key cross product
@@ -1259,6 +1275,25 @@ object SparkEntry {
          |SELECT user_id, count(*) AS n_pairs,
          |  round(corr(value, prev), 6) AS autocorr
          |FROM p WHERE prev IS NOT NULL GROUP BY user_id""".stripMargin,
+
+    "ts_cross_corr" ->
+      s"""WITH r AS (SELECT user_id,
+         |    ($EvUs // 86400000000) * 86400000000 AS bucket,
+         |    event_type, round(avg(value), 6) AS v
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |  GROUP BY 1, 2, 3),
+         |x AS (SELECT user_id, bucket, v FROM r WHERE event_type = 'click'),
+         |y AS (SELECT user_id, bucket, v FROM r WHERE event_type = 'view'),
+         |l AS (SELECT unnest([0, 1, 2]) AS lag),
+         |j AS (SELECT x.user_id, l.lag, x.v AS xv, y.v AS yv
+         |  FROM x CROSS JOIN l JOIN y ON y.user_id = x.user_id
+         |    AND y.bucket = x.bucket + l.lag * 86400000000),
+         |g AS (SELECT user_id, lag, count(*) AS n_pairs,
+         |    round(corr(xv, yv), 6) AS xcorr
+         |  FROM j GROUP BY 1, 2
+         |  HAVING count(*) >= 2 AND stddev_samp(xv) > 0
+         |    AND stddev_samp(yv) > 0)
+         |SELECT user_id, lag, n_pairs, xcorr FROM g""".stripMargin,
 
     "q_interval_join" ->
       s"""WITH e AS (SELECT user_id, event_id, $EvUs AS tus, event_type

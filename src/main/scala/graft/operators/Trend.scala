@@ -249,6 +249,49 @@ object Trend {
         round(corr(col(valCol), col("__prev")), 6).as("autocorr"))
   }
 
+  /** Lag CROSS-correlation between two keyed series on a shared time
+    * grid: Pearson correlation of x(t) against y(t + lag·stepUs) for
+    * each requested lag — "does series y follow series x, and at what
+    * delay" (the leading-indicator screen [[autocorr]] runs against a
+    * single series). Pairs exist only where BOTH series have a sample
+    * at the lagged grid point, so feed it aligned/rolled-up frames.
+    * Output: keyCols, lag, n_pairs, xcorr (round-6, the same tie
+    * posture as autocorr). Degenerate groups (under 2 pairs, or zero
+    * variance on either side) are dropped on both engines.
+    *
+    * Scale shape: the lag fan-out explodes the X side by |lags| (a
+    * handful), then ONE equi-join shuffle per side on
+    * (key, lagged time) — never a per-key cross product; the corr
+    * agg re-shuffles only (key, lag) pair rows.
+    */
+  def crossCorr(x: DataFrame, y: DataFrame, tsCol: String, valCol: String,
+                keyCols: Seq[String], stepUs: Long,
+                lags: Seq[Int] = Seq(0, 1, 2)): DataFrame = {
+    val xs = x.select((keyCols.map(col) :+ col(tsCol).as("__xt")
+      :+ col(valCol).as("__xv")): _*)
+      .withColumn("lag", explode(array(lags.map(lit): _*)))
+    val ys = y.select((keyCols.map(col) :+ col(tsCol).as("__yt")
+      :+ col(valCol).as("__yv")): _*)
+    val cond = keyCols.map(k => xs(k) === ys(k)).reduce(_ && _) &&
+      ys("__yt") === xs("__xt") + col("lag").cast("long") * lit(stepUs)
+    val paired = xs.join(ys, cond)
+      .select((keyCols.map(xs(_)) :+ col("lag")
+        :+ col("__xv") :+ col("__yv")): _*)
+    // degenerate groups (<2 pairs, or zero variance on either side)
+    // have no correlation — and ANSI mode faults corr's internal
+    // divide on them, so they must be EXCLUDED before the agg, not
+    // cleaned up after; the window shares the agg's partitioning
+    val wg = Window.partitionBy((keyCols.map(col) :+ col("lag")): _*)
+    paired
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__sx", stddev_samp(col("__xv")).over(wg))
+      .withColumn("__sy", stddev_samp(col("__yv")).over(wg))
+      .where(col("__n") >= 2 && col("__sx") > 0 && col("__sy") > 0)
+      .groupBy((keyCols.map(col) :+ col("lag")): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("__xv"), col("__yv")), 6).as("xcorr"))
+  }
+
   /** Holt double-exponential smoothing (level + linear trend) over a
     * trailing `span`-row window — the trend-aware upgrade of [[ewma]]:
     * level tracks the local mean, trend the local slope, and

@@ -56,6 +56,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Knn.lshRangeSearch(emptyEmb, emptyEmb, 2, 0.5).isEmpty)
     assert(Knn.mipsTopK(emptyEmb, emptyEmb, 2, 3).isEmpty)
     assert(Knn.mipsLshTopK(emptyEmb, emptyEmb, 2, 3).isEmpty)
+    assert(Trend.crossCorr(emptyEvents, emptyEvents, "ts", "value",
+      Seq("user_id"), 1000L).isEmpty)
   }
 
   test("components of an empty pair list is empty (and converges)") {

@@ -258,6 +258,25 @@ class OperatorSpec extends AnyFunSuite {
       2L -> ((3L, false)), 3L -> ((3L, true))))
   }
 
+  test("Trend.crossCorr finds the lag where y follows x") {
+    // y(t) = 2*x(t-1): at lag 1 every pair is on a line (corr 1.0);
+    // at lag 0 the alignment is scrambled. user 2's y is constant —
+    // zero variance must be dropped, not emitted as NaN
+    val x = Seq((1L, 0L, 1.0), (1L, 1L, 5.0), (1L, 2L, 2.0), (1L, 3L, 8.0),
+      (2L, 0L, 1.0), (2L, 1L, 2.0), (2L, 2L, 3.0))
+      .toDF("user_id", "ts", "v")
+    val y = Seq((1L, 1L, 2.0), (1L, 2L, 10.0), (1L, 3L, 4.0), (1L, 4L, 16.0),
+      (2L, 1L, 7.0), (2L, 2L, 7.0), (2L, 3L, 7.0))
+      .toDF("user_id", "ts", "v")
+    val out = Trend.crossCorr(x, y, "ts", "v", Seq("user_id"), 1L, Seq(0, 1))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out((1L, 1)) == ((4L, 1.0)))
+    assert(out((1L, 0))._1 == 3L && out((1L, 0))._2 < 1.0)
+    assert(!out.contains((2L, 0)) && !out.contains((2L, 1)),
+      "zero-variance groups must be dropped")
+  }
+
   test("Knn.mipsTopK ranks by raw inner product, not angle") {
     // q = (1,0); c10 points the SAME direction as c1 but 10x longer:
     // cosine would tie them (then id-break to c1), MIPS must put the

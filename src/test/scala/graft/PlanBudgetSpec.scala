@@ -44,6 +44,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_mips_lsh" -> 7,
     // cusum: prefix-sum + running-min over ONE series-key window
     "ts_cusum" -> 1,
+    // cross-corr: rollup agg + the (key, lagged-time) equi-join's two
+    // sides + the (key, lag) corr agg — pair rows only, never events
+    "ts_cross_corr" -> 4,
     // m4: pure partial-aggregable struct min/max — one combined shuffle
     "ts_m4" -> 1,
     // seasonal z: one (user, hour-of-day) window shuffle
