@@ -113,6 +113,54 @@ object Lake {
       .partitionBy("dt")
       .start()
 
+  /** File-level min/max manifest — Iceberg-style data skipping for
+    * columns the directory layout does NOT encode. Partition pruning
+    * only helps the time axis; a key-scoped query (one series, one
+    * tenant) still lists and reads every file of the matching days.
+    * The manifest is one tiny parquet table with a row per data file
+    * carrying (min, max) of the requested columns, stored under
+    * `_graft_manifest/` (the underscore prefix keeps every normal
+    * reader from picking it up as data). Re-run after
+    * [[backfillDaily]] / [[compactDaily]] rewrite files — the
+    * manifest describes files, so replacing files stales it.
+    *
+    * Write-side locality is the caller's lever: range-partition by
+    * the stats column before [[writeDaily]] and each file covers a
+    * narrow value band, so a point/range query skips nearly all of
+    * them; random layout degrades skipping, never correctness.
+    */
+  def writeManifest(spark: SparkSession, path: String,
+                    statsCols: Seq[String]): Unit = {
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(col("_metadata.file_path").as("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_graft_manifest")
+  }
+
+  /** Manifest-pruned read: keep only files whose [min_c, max_c] band
+    * intersects [lo, hi], then scan just those (basePath preserves the
+    * `dt` partition column). The manifest query is metadata-scale —
+    * one row per file — so the driver-side path collect is the same
+    * O(#files) planning cost every table format's pruning pays; the
+    * row-level predicate still applies (and pushes down) inside the
+    * surviving files.
+    */
+  def readManifestPruned(spark: SparkSession, path: String, c: String,
+                         lo: Any, hi: Any): DataFrame = {
+    import spark.implicits._
+    val paths = spark.read.parquet(s"$path/_graft_manifest")
+      .where(col(s"min_$c") <= lit(hi) && col(s"max_$c") >= lit(lo))
+      .select("file_path").as[String].collect().toSeq
+    val pred = col(c) >= lit(lo) && col(c) <= lit(hi)
+    if (paths.isEmpty)
+      spark.read.option("basePath", path).parquet(path).where(lit(false))
+    else
+      spark.read.option("basePath", path).parquet(paths: _*).where(pred)
+  }
+
   /** Range-crop that ALSO constrains the partition column, so the
     * filter prunes directories, then the row-level ts predicate
     * (pushed to parquet) trims the edge partitions.

@@ -110,6 +110,36 @@ class LakeSpec extends AnyFunSuite {
     assert(cropped.df.count() == want)
   }
 
+  test("manifest prunes files for key-range reads (and stays correct)") {
+    val ev = graft.functions.TimeIndex.normalizeUs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+      .select("user_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toString
+    // range-partition by the stats column so each file covers a narrow
+    // user band — the layout lever that makes skipping effective
+    graft.sources.Lake.writeDaily(
+      ev.repartitionByRange(4, col("user_id")), "ts", dir)
+    graft.sources.Lake.writeManifest(spark, dir, Seq("user_id"))
+
+    val full = spark.read.parquet(dir)
+    val pruned = graft.sources.Lake.readManifestPruned(
+      spark, dir, "user_id", 3L, 5L)
+    // strictly fewer files scanned than the full table holds...
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"${pruned.inputFiles.length} vs ${full.inputFiles.length}")
+    assert(pruned.inputFiles.nonEmpty)
+    // ...same answer as the unpruned scan, partition column intact
+    assert(pruned.columns.contains("dt"))
+    val want = full.where(col("user_id").between(3, 5))
+    assert(pruned.count() == want.count() && want.count() > 0)
+    assert(pruned.agg(sum(col("value"))).head.getDouble(0)
+      == want.agg(sum(col("value"))).head.getDouble(0))
+    // an empty band returns an empty frame, schema preserved
+    val none = graft.sources.Lake.readManifestPruned(
+      spark, dir, "user_id", 10000L, 20000L)
+    assert(none.isEmpty && none.columns.contains("user_id"))
+  }
+
   test("streamAppendDaily lands a stream in the partitioned layout") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
