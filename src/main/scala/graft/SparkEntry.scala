@@ -2340,6 +2340,13 @@ object SparkEntry {
       TextOps.tfidf(tbl(s, dir, "documents"), perDoc = 3)
     },
 
+    // Okapi BM25 lexical retrieval: top-10 docs for a fixed query bag
+    // (the topic-slice extraction / lexical-baseline ranker)
+    "doc_bm25" -> { (s, dir) =>
+      TextOps.bm25(tbl(s, dir, "documents"),
+        Seq("spark", "query", "join"))
+    },
+
     // Flagship composite: the end-to-end training-data pipeline shape —
     // quality score -> filter -> langid -> exact-dedup canonicalize ->
     // per-language corpus stats. One fused plan: the scans/filters/
@@ -3871,6 +3878,44 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
          |    ORDER BY score DESC, token) AS INTEGER) AS rank FROM s)
          |SELECT doc_id, rank, token, tf, df_docs, score
-         |FROM r WHERE rank <= 3""".stripMargin
+         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // mirrors TextOps.bm25 exactly: Lucene idf, k1=1.5 / b=0.75 (all
+    // constants exactly double-representable), scan-side per-term tf,
+    // per-term micro-unit snap before the fixed-order long sum; the
+    // expression structure matches the Spark side op-for-op so the
+    // doubles are identical
+    "doc_bm25" -> {
+      val bmTerms = Seq("spark", "query", "join")
+      val tfDefs = bmTerms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")
+      val dfDefs = bmTerms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+        .mkString(",\n    ")
+      val muSum = bmTerms.indices.map { i =>
+        s"""(CASE WHEN tf$i > 0 THEN CAST(round(
+           |      ln((CAST(n - df$i AS DOUBLE) + 0.5)
+           |          / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+           |        * (tf$i * 2.5)
+           |        / (tf$i + 1.5 * (0.25 + 0.75 * blen / avgl))
+           |      * 1000000.0) AS BIGINT) ELSE 0 END)""".stripMargin
+      }.mkString("\n    + ")
+      val ntSum = bmTerms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH btk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |bt AS (SELECT doc_id, len(tk) AS blen,
+         |    $tfDefs
+         |  FROM btk),
+         |bst AS (SELECT count(*) AS n, round(avg(blen), 6) AS avgl,
+         |    $dfDefs
+         |  FROM bt),
+         |bs AS (SELECT doc_id, $ntSum AS n_terms,
+         |    $muSum AS mu
+         |  FROM bt, bst)
+         |SELECT doc_id, n_terms,
+         |  round(CAST(mu AS DOUBLE) / 1000000.0, 6) AS bm25
+         |FROM bs WHERE n_terms > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+    }
   )
 }

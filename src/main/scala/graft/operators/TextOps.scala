@@ -251,6 +251,67 @@ object TextOps {
       .select("rank", "token", "tf", "df_docs")
   }
 
+  /** Okapi BM25 retrieval: top-`topK` documents for a (small,
+    * broadcastable) bag of query terms, the standard lexical ranker a
+    * curation pipeline uses to pull topic-relevant slices out of a
+    * corpus (and the classic baseline ANN retrieval is judged
+    * against). Per matched (doc, term):
+    *
+    *   idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)      (Lucene form)
+    *   w(d,t) = idf · tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen))
+    *
+    * k1 defaults to 1.5 (exactly representable, unlike the textbook
+    * 1.2 — decimal-literal→double conversion is engine-dependent);
+    * b = 0.75 exact. Each w is snapped to integer micro-units before
+    * the per-doc sum ([[lmScore]]'s parity convention), so scores are
+    * order-independent and oracle-exact despite the ln().
+    *
+    * Scale shape: the query bag is tiny, so tf per term is a SCAN-SIDE
+    * array count (no posting explode, no (doc, term) shuffle — the
+    * corpus never shuffles at all). Pass 1 partial-aggs corpus stats
+    * (N, avg length, per-term df) to ONE broadcast row; pass 2
+    * re-scans, scores each doc in a single projection, and the global
+    * top-k is a TakeOrderedAndProject — never a full sort. The same
+    * two-pass stats-then-scan pattern as quantization and the
+    * percentile quality filter.
+    */
+  def bm25(df: DataFrame, terms: Seq[String], topK: Int = 10,
+           k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("__tk"), x => x === lit(t))).as(s"__tf$i")
+    }
+    val withTf = df
+      .select(col("doc_id"), tokens(col("text")).as("__tk"))
+      .withColumn("__len", size(col("__tk")))
+      .select((col("doc_id") +: col("__len") +: tfCols): _*)
+    val statAggs = count(lit(1)).as("__n") +:
+      round(avg(col("__len")), 6).as("__avgl") +:
+      terms.indices.map(i =>
+        sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    def w(i: Int): Column = {
+      val tf = col(s"__tf$i")
+      val dfd = col(s"__df$i")
+      val idf = log((col("__n") - dfd + lit(0.5))
+        / (dfd + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * col("__len") / col("__avgl")))
+    }
+    // fixed term order makes the long adds exact AND order-stable
+    val mu = terms.indices.map(i =>
+      when(col(s"__tf$i") > 0, round(w(i) * lit(1e6)).cast("long"))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val nTerms = terms.indices.map(i =>
+      (col(s"__tf$i") > 0).cast("long")).reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .select(col("doc_id"), nTerms.as("n_terms"),
+        round(mu.cast("double") / lit(1e6), 6).as("bm25"))
+      .where(col("n_terms") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   // --- TF-IDF -----------------------------------------------------------
 
   /** Top-`perDoc` TF-IDF terms per document.

@@ -58,6 +58,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Knn.mipsLshTopK(emptyEmb, emptyEmb, 2, 3).isEmpty)
     assert(Trend.crossCorr(emptyEvents, emptyEvents, "ts", "value",
       Seq("user_id"), 1000L).isEmpty)
+    assert(TextOps.bm25(emptyDocs, Seq("spark")).isEmpty)
   }
 
   test("components of an empty pair list is empty (and converges)") {

@@ -258,6 +258,20 @@ class OperatorSpec extends AnyFunSuite {
       2L -> ((3L, false)), 3L -> ((3L, true))))
   }
 
+  test("TextOps.bm25 rewards tf and penalizes length; non-matches drop") {
+    // d1: two hits in a short doc; d2: one hit in a long doc; d3: no
+    // hits (excluded). d1 must outrank d2 on both tf and length norm
+    val docs = Seq(
+      (1L, "spark spark fast"),
+      (2L, "spark " + Seq.fill(20)("pad").mkString(" ")),
+      (3L, "no match here"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25(docs, Seq("spark"), topK = 10).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out.head.getDouble(2) > out.last.getDouble(2))
+    assert(out.forall(_.getLong(1) == 1L))
+  }
+
   test("Trend.crossCorr finds the lag where y follows x") {
     // y(t) = 2*x(t-1): at lag 1 every pair is on a line (corr 1.0);
     // at lag 0 the alignment is scrambled. user 2's y is constant —

@@ -39,6 +39,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // brute MIPS: query-set broadcast + the top-k rank window's hash
     // exchange — the corpus never shuffles
     "emb_mips" -> 2,
+    // bm25: scan-side per-term tf; stats 1-row agg + its broadcast —
+    // the corpus never shuffles, top-k is TakeOrderedAndProject
+    "doc_bm25" -> 2,
     // augmented-LSH MIPS: M^2 one-row agg+broadcast (x2 sides), band
     // shuffles per side, pair-dedup agg, rank window
     "emb_mips_lsh" -> 7,
