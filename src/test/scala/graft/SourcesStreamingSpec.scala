@@ -86,6 +86,33 @@ class WireSpec extends AnyFunSuite {
   }
 }
 
+class StreamKnnServeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming ANN serving equals the batch index search exactly") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idxDir = Files.createTempDirectory("graft_sknn_idx").toString
+    graft.operators.Knn.writeIvfIndex(emb, 64, idxDir)
+    val queries = emb.where($"vec_id" % 100 === 0)
+
+    val qDir = Files.createTempDirectory("graft_sknn_q").toString
+    val outDir = Files.createTempDirectory("graft_sknn_out").toString
+    queries.write.mode("overwrite").parquet(qDir)
+    val stream = spark.readStream.schema(queries.schema).parquet(qDir)
+
+    val q = graft.streaming.StreamKnnServe(spark, stream, idxDir, 64, 3) {
+      (res, _) => res.write.mode("append").parquet(outDir)
+    }
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.read.parquet(outDir)
+    val want = graft.operators.Knn.searchIvfIndex(spark, idxDir, queries, 64, 3)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
+
 class LakeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
