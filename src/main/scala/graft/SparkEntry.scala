@@ -2006,6 +2006,14 @@ object SparkEntry {
         .select("doc_id", "bucket", "split")
     },
 
+    // exact-k per-stratum deterministic sample ("10k docs per language
+    // for eval"): hash-rank within stratum, keep the first m
+    "doc_reservoir" -> { (s, dir) =>
+      Sampling.strataTopK(
+        tbl(s, dir, "documents").select("doc_id", "lang"), "lang",
+        "doc_id", m = 5)
+    },
+
     "doc_sample_stratified" -> { (s, dir) =>
       Sampling.stratified(tbl(s, dir, "documents"), col("lang"), col("text"),
         Map("en" -> 20), defaultPct = 60)
@@ -3121,6 +3129,15 @@ object SparkEntry {
          |       WHEN ${sqlPoly("CAST(doc_id AS VARCHAR)")} % 100 < 90 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    "doc_reservoir" ->
+      s"""WITH rh AS (SELECT doc_id, lang,
+         |    ${sqlPoly("CAST(doc_id AS VARCHAR)")} AS hh FROM documents),
+         |rr AS (SELECT doc_id, lang, CAST(row_number() OVER (
+         |    PARTITION BY lang ORDER BY hh, doc_id) AS INTEGER)
+         |    AS sample_rank FROM rh)
+         |SELECT doc_id, lang, sample_rank FROM rr
+         |WHERE sample_rank <= 5""".stripMargin,
 
     "doc_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

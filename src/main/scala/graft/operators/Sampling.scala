@@ -32,6 +32,32 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, lit("val"))
           .otherwise(lit("test")))
 
+  /** Exact-k per-stratum deterministic sample — the distributed twin
+    * of per-group reservoir sampling, without its sequential state:
+    * rank a stratum's rows by (rolling hash of the id, id) and keep
+    * the first `m`. The hash order is uniform over the stratum and —
+    * unlike a true reservoir or `rand()` — reproducible across runs,
+    * engines, and repartitioning, so the "same" sample can be re-drawn
+    * against a re-landed copy of the corpus. `doc_sample_stratified`
+    * keeps a hash FRACTION per stratum; this keeps an exact COUNT (the
+    * "give me 10k docs per language for eval" request).
+    *
+    * Scale shape: ONE hash shuffle on the stratum key + a per-stratum
+    * rank window; the shuffle carries (id, stratum, hash) — text stays
+    * in the scan until the final join-free projection (callers select
+    * what they need downstream).
+    */
+  def strataTopK(df: DataFrame, stratumCol: String, idCol: String,
+                 m: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", poly_hash(col(idCol).cast("string")))
+      .withColumn("sample_rank", row_number().over(w))
+      .where(col("sample_rank") <= m)
+      .drop("__h")
+  }
+
   /** Deterministic training-shard packing: hash-bucket for even
     * spread, then pack each bucket's docs (rolling-hash order, id
     * tie-break) into shards of `shardSize`. The two-level (bucket,

@@ -59,6 +59,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Trend.crossCorr(emptyEvents, emptyEvents, "ts", "value",
       Seq("user_id"), 1000L).isEmpty)
     assert(TextOps.bm25(emptyDocs, Seq("spark")).isEmpty)
+    assert(Sampling.strataTopK(
+      emptyDocs.withColumn("lang", lit("en")), "lang", "doc_id", 3).isEmpty)
   }
 
   test("components of an empty pair list is empty (and converges)") {

@@ -42,6 +42,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // bm25: scan-side per-term tf; stats 1-row agg + its broadcast —
     // the corpus never shuffles, top-k is TakeOrderedAndProject
     "doc_bm25" -> 2,
+    // exact-k stratum sample: ONE stratum-keyed rank window
+    "doc_reservoir" -> 1,
     // augmented-LSH MIPS: M^2 one-row agg+broadcast (x2 sides), band
     // shuffles per side, pair-dedup agg, rank window
     "emb_mips_lsh" -> 7,
