@@ -534,6 +534,23 @@ object SparkEntry {
           .as("running_total"))
     },
 
+    // Bollinger bands: trailing-20 mean ± 2σ envelope + breach flag —
+    // the volatility-scaled sibling of ts_crossings' fixed threshold
+    // (value in the ORDER BY pins frame membership under equal-ts ties)
+    "ts_bands" -> { (s, dir) =>
+      val f = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("value")).rowsBetween(-19, 0)
+      events(s, dir).select(col("user_id"), col("ts"), col("value"))
+        .withColumn("mid", round(avg(col("value")).over(f), 6))
+        .withColumn("sigma", round(stddev_pop(col("value")).over(f), 6))
+        .withColumn("band_up", round(col("mid") + lit(2.0) * col("sigma"), 6))
+        .withColumn("band_dn", round(col("mid") - lit(2.0) * col("sigma"), 6))
+        .withColumn("breach",
+          when(col("value") > col("band_up"), lit("up"))
+            .when(col("value") < col("band_dn"), lit("down"))
+            .otherwise(lit("in")))
+    },
+
     // rolling exact median over the trailing 10 rows — the robust twin
     // of ts_rolling's moving average (same one-shuffle window family;
     // value in the ORDER BY pins frame membership under equal-ts ties)
@@ -1250,6 +1267,24 @@ object SparkEntry {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          |    AS DOUBLE) AS running_total
          |FROM events""".stripMargin,
+
+    // bands derive from the ALREADY-6dp-rounded mid/sigma, mirroring
+    // the Spark side's nesting exactly
+    "ts_bands" ->
+      s"""WITH bb AS (SELECT user_id, $EvUs AS tus, value,
+         |    round(avg(value) OVER w, 6) AS mid,
+         |    round(stddev_pop(value) OVER w, 6) AS sigma
+         |  FROM events WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY $EvUs, value
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |b2 AS (SELECT user_id, tus, value, mid, sigma,
+         |    round(mid + 2.0 * sigma, 6) AS band_up,
+         |    round(mid - 2.0 * sigma, 6) AS band_dn FROM bb)
+         |SELECT user_id, tus AS ts, value, mid, sigma, band_up, band_dn,
+         |  CASE WHEN value > band_up THEN 'up'
+         |       WHEN value < band_dn THEN 'down'
+         |       ELSE 'in' END AS breach
+         |FROM b2""".stripMargin,
 
     "ts_rolling_median" ->
       s"""SELECT user_id, $EvUs AS ts, value,

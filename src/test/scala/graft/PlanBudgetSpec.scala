@@ -44,6 +44,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_bm25" -> 2,
     // exact-k stratum sample: ONE stratum-keyed rank window
     "doc_reservoir" -> 1,
+    // bollinger envelope: ONE series-key window, all frames fused
+    "ts_bands" -> 1,
     // augmented-LSH MIPS: M^2 one-row agg+broadcast (x2 sides), band
     // shuffles per side, pair-dedup agg, rank window
     "emb_mips_lsh" -> 7,
