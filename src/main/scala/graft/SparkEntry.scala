@@ -2155,6 +2155,23 @@ object SparkEntry {
       Knn.mipsLshTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
     },
 
+    // the eval that keeps the augmented-LSH MIPS honest: recall@3 of
+    // emb_mips_lsh against the brute raw-dot ground truth
+    "emb_mips_recall" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      val truth = Knn.mipsTopK(emb, q, EmbDim, 3)
+        .select("query_id", "neighbor_id").localCheckpoint(false)
+      truth.join(
+          Knn.mipsLshTopK(emb, q, EmbDim, 3)
+            .select(col("query_id"), col("neighbor_id"))
+            .withColumn("__h", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+          round(count(col("__h")).cast("double") / count(lit(1)), 6)
+            .as("recall"))
+    },
+
     "emb_knn_ivf" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Knn.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
@@ -2759,6 +2776,39 @@ object SparkEntry {
        |    bit_count(xor(a.phash, b2.phash)) AS hamming
        |  FROM bd a JOIN bd b2 ON a.band = b2.band AND a.bk = b2.bk
        |    AND a.doc_id < b2.doc_id)""".stripMargin
+
+  /** Augmented-LSH MIPS chain ending in `mr` = (query_id, neighbor_id,
+    * ip, rank) — shared by emb_mips_lsh and emb_mips_recall so the
+    * eval measures exactly the index the query serves.
+    */
+  private def sqlMipsLshCtes: String =
+    s"""m2 AS (SELECT max(${sqlDot("embedding", "embedding")}) AS m2
+       |  FROM embeddings),
+       |ma AS (SELECT vec_id, embedding,
+       |    list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |      sqrt(greatest(m2.m2
+       |        - ${sqlDot("embedding", "embedding")}, 0.0))) AS aug
+       |  FROM embeddings, m2),
+       |mq0 AS (SELECT vec_id, embedding,
+       |    list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+       |      0.0) AS aug
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |mb AS (${(0 until LshTables).map(t =>
+             s"SELECT vec_id, embedding, $t AS tb,\n    " +
+               s"${sqlBucketN("aug", LshPlanes, t * LshPlanes, EmbDim + 1)} AS bk " +
+               "FROM ma").mkString("\n  UNION ALL ")}),
+       |qb AS (${(0 until LshTables).map(t =>
+             s"SELECT vec_id, embedding, $t AS tb,\n    " +
+               s"${sqlBucketN("aug", LshPlanes, t * LshPlanes, EmbDim + 1)} AS bk " +
+               "FROM mq0").mkString("\n  UNION ALL ")}),
+       |mcand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    max(${sqlDot("q.embedding", "c.embedding")}) AS ip
+       |  FROM mb c JOIN qb q ON c.tb = q.tb AND c.bk = q.bk
+       |    AND c.vec_id <> q.vec_id
+       |  GROUP BY 1, 2),
+       |mr AS (SELECT query_id, neighbor_id, ip,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rank FROM mcand)""".stripMargin
 
   private def sqlLshBandCte: String = {
     val lb = (0 until LshTables).map(t =>
@@ -3389,35 +3439,31 @@ object SparkEntry {
     // padded with sqrt(M^2 - |x|^2), queries with 0, buckets over
     // dim+1 coordinates; candidates scored by the exact dot product
     "emb_mips_lsh" ->
-      s"""WITH m2 AS (SELECT max(${sqlDot("embedding", "embedding")}) AS m2
-         |  FROM embeddings),
-         |ma AS (SELECT vec_id, embedding,
-         |    list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-         |      sqrt(greatest(m2.m2
-         |        - ${sqlDot("embedding", "embedding")}, 0.0))) AS aug
-         |  FROM embeddings, m2),
-         |mq0 AS (SELECT vec_id, embedding,
-         |    list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-         |      0.0) AS aug
-         |  FROM embeddings WHERE vec_id % 100 = 0),
-         |mb AS (${(0 until LshTables).map(t =>
-               s"SELECT vec_id, embedding, $t AS tb,\n    " +
-                 s"${sqlBucketN("aug", LshPlanes, t * LshPlanes, EmbDim + 1)} AS bk " +
-                 "FROM ma").mkString("\n  UNION ALL ")}),
-         |qb AS (${(0 until LshTables).map(t =>
-               s"SELECT vec_id, embedding, $t AS tb,\n    " +
-                 s"${sqlBucketN("aug", LshPlanes, t * LshPlanes, EmbDim + 1)} AS bk " +
-                 "FROM mq0").mkString("\n  UNION ALL ")}),
-         |mcand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    max(${sqlDot("q.embedding", "c.embedding")}) AS ip
-         |  FROM mb c JOIN qb q ON c.tb = q.tb AND c.bk = q.bk
-         |    AND c.vec_id <> q.vec_id
-         |  GROUP BY 1, 2),
-         |mr AS (SELECT query_id, neighbor_id, ip,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rank FROM mcand)
+      s"""WITH $sqlMipsLshCtes
          |SELECT query_id, rank, neighbor_id, round(ip, 6) AS ip
          |FROM mr WHERE rank <= 3""".stripMargin,
+
+    // composes the brute raw-dot chain (truth) and the augmented-LSH
+    // chain verbatim, so the eval cannot drift from the index it
+    // measures
+    "emb_mips_recall" ->
+      s"""WITH $sqlMipsLshCtes,
+         |mbq AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |mbc AS (SELECT vec_id AS neighbor_id, embedding AS nv
+         |  FROM embeddings),
+         |mbj AS (SELECT query_id, neighbor_id, ${sqlDot("qv", "nv")} AS ip
+         |  FROM mbc, mbq WHERE neighbor_id <> query_id),
+         |mbr AS (SELECT query_id, neighbor_id,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ip DESC, neighbor_id) AS rank FROM mbj),
+         |mt AS (SELECT query_id, neighbor_id FROM mbr WHERE rank <= 3),
+         |ml AS (SELECT query_id, neighbor_id FROM mr WHERE rank <= 3)
+         |SELECT count(*) AS n_truth,
+         |  count(ml.query_id) AS n_hits,
+         |  round(CAST(count(ml.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM mt LEFT JOIN ml ON mt.query_id = ml.query_id
+         |  AND mt.neighbor_id = ml.neighbor_id""".stripMargin,
 
     "emb_knn_ivf" ->
       s"""WITH $sqlIvfCtes,

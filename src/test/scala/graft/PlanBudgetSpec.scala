@@ -49,6 +49,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // augmented-LSH MIPS: M^2 one-row agg+broadcast (x2 sides), band
     // shuffles per side, pair-dedup agg, rank window
     "emb_mips_lsh" -> 7,
+    // eval: the checkpointed brute truth + the full LSH chain + the
+    // tiny pair join and 1-row agg
+    "emb_mips_recall" -> 10,
     // cusum: prefix-sum + running-min over ONE series-key window
     "ts_cusum" -> 1,
     // cross-corr: rollup agg + the (key, lagged-time) equi-join's two
