@@ -632,6 +632,26 @@ object SparkEntry {
         .select(col("event_id"), col("begin").as("ts"), col("n_clicks"))
     },
 
+    // TimeRange union at scale: every error opens a 6h outage window;
+    // overlapping/touching windows per user coalesce to maximal
+    // disjoint islands (gaps-and-islands, one window shuffle — the
+    // reference folds TimeRange extents pairwise on the driver)
+    "ts_interval_coalesce" -> { (s, dir) =>
+      val iv = events(s, dir).where(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("b"),
+          (col("ts") + lit(6 * UsHour)).as("e"))
+      RangeJoin.coalesceIntervals(iv, Seq("user_id"), "b", "e")
+    },
+
+    // spectral screen: which integer frequency (cycles per observed
+    // span) dominates each user's daily click activity — the
+    // "is this weekly?" question autocorr only answers one lag at a
+    // time; k runs 1..6 over the daily grid
+    "ts_periodogram" -> { (s, dir) =>
+      Trend.periodogram(events(s, dir).where(col("event_type") === "click"),
+        "ts", "value", Seq("user_id"), UsDay, maxK = 6)
+    },
+
     "ts_align_linear" -> { (s, dir) =>
       val clicks = events(s, dir).where(col("event_type") === "click")
       TimeSeries(clicks, "ts", Seq("user_id"))
@@ -1354,6 +1374,52 @@ object SparkEntry {
          |FROM iv JOIN c ON c.tus >= iv.b AND c.tus < iv.e2
          |GROUP BY 1, 2""".stripMargin,
 
+    // gaps-and-islands: same window algebra as the Spark side
+    "ts_interval_coalesce" ->
+      s"""WITH civ AS (SELECT user_id, $EvUs AS b,
+         |    $EvUs + ${6 * UsHour} AS e
+         |  FROM events WHERE event_type = 'error'),
+         |cp AS (SELECT user_id, b, e,
+         |    max(e) OVER (PARTITION BY user_id ORDER BY b, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM civ),
+         |ci AS (SELECT user_id, b, e,
+         |    sum(CASE WHEN pme IS NULL OR b > pme THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY b, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM cp)
+         |SELECT user_id, min(b) AS begin_ts, max(e) AS end_ts,
+         |  count(*) AS n_merged
+         |FROM ci GROUP BY user_id, isl""".stripMargin,
+
+    // DFT power at k = 1..6 over the daily click grid; cos/sin
+    // round-6, v·c snapped to µ-units before the exact BIGINT sum —
+    // the identical association order as Trend.periodogram
+    "ts_periodogram" ->
+      s"""WITH pg AS (SELECT user_id, $EvUs // 86400000000 AS i,
+         |    round(avg(value), 6) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |px AS (SELECT user_id, v,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY i) - 1 AS idx,
+         |    count(*) OVER (PARTITION BY user_id) AS n
+         |  FROM pg),
+         |pt AS (SELECT user_id, kk.k AS k, n, v,
+         |    round(cos(2.0 * pi() * CAST(kk.k AS DOUBLE)
+         |      * CAST(idx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS c,
+         |    round(sin(2.0 * pi() * CAST(kk.k AS DOUBLE)
+         |      * CAST(idx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS sn
+         |  FROM px CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS k) kk),
+         |ps AS (SELECT user_id, k, n,
+         |    CAST(sum(CAST(round(v * c * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS sc,
+         |    CAST(sum(CAST(round(v * sn * 1000000) AS BIGINT)) AS DOUBLE)
+         |      / 1000000.0 AS ss
+         |  FROM pt GROUP BY 1, 2, 3)
+         |SELECT user_id, k, n AS n_samples,
+         |  round((sc * sc + ss * ss) / CAST(n AS DOUBLE)
+         |    / CAST(n AS DOUBLE), 6) AS power
+         |FROM ps""".stripMargin,
+
     // bucket-of-begin .. bucket-of-end inclusive, floor division —
     // mirrors TimeIndex.indexList
     "ts_index_list" ->
@@ -1919,6 +1985,14 @@ object SparkEntry {
       Dedup.simhashPairs(tbl(s, dir, "documents"))
     },
 
+    // the candidates above, verified by TRUE Levenshtein distance —
+    // the char-level dup criterion token-set methods can't express;
+    // every candidate is emitted with its verdict so the generator's
+    // precision is visible, not just the survivors
+    "doc_dedup_edit" -> { (s, dir) =>
+      Dedup.editVerifiedPairs(tbl(s, dir, "documents"), tau = 0.5)
+    },
+
     "doc_dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(tbl(s, dir, "documents"))
     },
@@ -2463,6 +2537,34 @@ object SparkEntry {
     s"list_transform(range(1, greatest(len($t)-2, 0) + 1), " +
       s"i -> array_to_string(list_slice($t, i, i+2), ' '))"
 
+  /** SimHash banded candidate pairs as a CTE chain ending in
+    * `spairs(id_a, id_b, hamming)` — the exact restatement of
+    * Dedup.simhashPairs, shared by doc_dedup_simhash and the
+    * edit-distance verification built on its candidates.
+    */
+  private def sqlSimhashPairCtes: String = {
+    val bitSums = (0 until Dedup.SimhashBits).map { i =>
+      s"sum(CASE WHEN (th // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS bs$i"
+    }.mkString(",\n  ")
+    val shExpr = (0 until Dedup.SimhashBits).map { i =>
+      s"(CASE WHEN bs$i > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandSelects = (0 until 3).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (b * 8)}) % 256 AS bk FROM sh2"
+    }.mkString("\nUNION ALL\n")
+    s"""shtoks AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+       |th AS (SELECT doc_id, (${sqlPoly("t")} * 2654435761) % 2147483648 AS th
+       |  FROM shtoks),
+       |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
+       |sh2 AS (SELECT doc_id, $shExpr AS simhash FROM bits),
+       |bands AS ($bandSelects),
+       |spairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4)""".stripMargin
+  }
+
   /** doc_id + distinct shingle-hash list, as a CTE body. */
   private val sqlSidsCte =
     s"""toks AS (SELECT doc_id, $sqlToks AS tk FROM documents),
@@ -2909,28 +3011,25 @@ object SparkEntry {
          |    ORDER BY n_chars DESC, doc_id) = 1 AS keep
          |FROM lab""".stripMargin,
 
-    "doc_dedup_simhash" -> {
-      val bitSums = (0 until Dedup.SimhashBits).map { i =>
-        s"sum(CASE WHEN (th // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS bs$i"
-      }.mkString(",\n  ")
-      val shExpr = (0 until Dedup.SimhashBits).map { i =>
-        s"(CASE WHEN bs$i > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString(" + ")
-      val bandSelects = (0 until 3).map { b =>
-        s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (b * 8)}) % 256 AS bk FROM sh2"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
-         |th AS (SELECT doc_id, (${sqlPoly("t")} * 2654435761) % 2147483648 AS th
-         |  FROM toks),
-         |bits AS (SELECT doc_id, $bitSums FROM th GROUP BY doc_id),
-         |sh2 AS (SELECT doc_id, $shExpr AS simhash FROM bits),
-         |bands AS ($bandSelects)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
-         |  AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4""".stripMargin
-    },
+    "doc_dedup_simhash" ->
+      s"""WITH $sqlSimhashPairCtes
+         |SELECT id_a, id_b, hamming FROM spairs""".stripMargin,
+
+    // simhash candidates re-verified by true Levenshtein; identical
+    // candidate chain, then text joined back per side
+    "doc_dedup_edit" ->
+      s"""WITH $sqlSimhashPairCtes
+         |SELECT p.id_a, p.id_b, p.hamming,
+         |  levenshtein(da.text, db.text) AS edit_dist,
+         |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6)
+         |    AS edit_sim,
+         |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6)
+         |    >= 0.5 AS is_dup
+         |FROM spairs p
+         |JOIN documents da ON da.doc_id = p.id_a
+         |JOIN documents db ON db.doc_id = p.id_b""".stripMargin,
 
     "doc_contamination" ->
       s"""WITH $sqlSidsCte,

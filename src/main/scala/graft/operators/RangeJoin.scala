@@ -49,4 +49,46 @@ object RangeJoin {
       .where(col(ptsTsCol) >= col(beginCol) && col(ptsTsCol) < col(endCol))
       .drop("__b")
   }
+
+  /** Coalesce overlapping-or-touching half-open intervals per key into
+    * maximal disjoint islands (the TimeRange union a pypond user builds
+    * by folding `range.py` extents pairwise on the driver): classic
+    * gaps-and-islands — a running max-end over the begin-ordered
+    * intervals marks each interval that starts past everything seen so
+    * far as a new island, a prefix sum numbers the islands, and one
+    * aggregation collapses each island to its envelope.
+    *
+    * Touching intervals ([a,b) then [b,c)) merge: for outage/alert
+    * windows a zero-length gap is no gap. Inverted intervals
+    * (end < begin) contribute their begin as a degenerate instant —
+    * callers should pre-filter if they can carry them.
+    *
+    * Output: keyCols, begin_ts, end_ts (the island envelope), n_merged.
+    *
+    * Scale shape: ONE hash shuffle on the series key for both windows
+    * (same partitioning), then a (key, island)-keyed partial-agg'd
+    * groupBy — state per row is O(1) (the running max), never a
+    * per-key interval list on the driver like the reference.
+    */
+  def coalesceIntervals(intervals: DataFrame, keyCols: Seq[String],
+                        beginCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // end is the ORDER tie-break at equal begins: island numbering is
+    // then independent of physical row order (equal (b,e) rows are
+    // interchangeable; distinct ends at one begin overlap regardless)
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(beginCol), col(endCol))
+    val prevMaxEnd = max(col(endCol))
+      .over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    val newIsland = when(col("__pme").isNull ||
+      col(beginCol) > col("__pme"), 1L).otherwise(0L)
+    intervals
+      .withColumn("__pme", prevMaxEnd)
+      .withColumn("__isl", sum(newIsland)
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(keyCols.map(col) :+ col("__isl"): _*)
+      .agg(min(col(beginCol)).as("begin_ts"), max(col(endCol)).as("end_ts"),
+        count(lit(1)).as("n_merged"))
+      .drop("__isl")
+  }
 }

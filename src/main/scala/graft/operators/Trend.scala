@@ -360,4 +360,55 @@ object Trend {
       .withColumn("cusum", col("__s").cast("double") / lit(1e6))
       .drop("__p", "__m", "__s")
   }
+
+  /** Discrete-Fourier periodogram over a keyed series: spectral power
+    * at integer frequencies k = 1..maxK cycles per series — the
+    * "WHICH period dominates" screen that generalizes [[autocorr]]'s
+    * single-lag probe and feeds [[Rollup]] window choices. The series
+    * is first averaged onto a regular `bucketUs` grid, then indexed by
+    * SAMPLE position (dense rank over observed buckets, so gaps don't
+    * shift the spectrum's domain), and for each k
+    * power_k = (Σ v·cos(2πk·i/n))² + (Σ v·sin(2πk·i/n))², normalized
+    * by n² so amplitudes are scale-free. The series mean needs no
+    * centering: integer-k cosines sum to zero over a full cycle, so a
+    * constant offset contributes nothing to k ≥ 1.
+    *
+    * Cross-engine parity: cos/sin terms are rounded to 6dp (libm may
+    * differ at the last ulp), each v·c product snaps to integer
+    * µ-units before an exact long sum (order-independent), and only
+    * the final power is re-rounded.
+    *
+    * Scale shape: grid pre-agg is a partial-agg'd (key, bucket)
+    * shuffle that collapses raw events to ≤ one row per grid point;
+    * the window indexes on the series key; the k fan-out (a handful)
+    * explodes AFTER the collapse; the final (key, k) agg is
+    * partial-aggregable. Never a per-key collect.
+    *
+    * Output: keyCols, k, n_samples, power.
+    */
+  def periodogram(df: DataFrame, tsCol: String, valCol: String,
+                  keyCols: Seq[String], bucketUs: Long,
+                  maxK: Int = 6): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.fldiv
+    val g = df
+      .groupBy(keyCols.map(col) :+ fldiv(col(tsCol), bucketUs).as("__i"): _*)
+      .agg(round(avg(col(valCol)), 6).as("__v"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__i"))
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+    val angle = lit(2.0) * lit(math.Pi) * col("k").cast("double") *
+      col("__idx").cast("double") / col("__n").cast("double")
+    val c = round(cos(angle), 6)
+    val sn = round(sin(angle), 6)
+    val muSum = (t: org.apache.spark.sql.Column) =>
+      sum(round(t * lit(1e6)).cast("long")).cast("double") / lit(1e6)
+    g.withColumn("__idx", row_number().over(w) - 1)
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("k", explode(sequence(lit(1), lit(maxK))))
+      .groupBy(keyCols.map(col) :+ col("k") :+ col("__n"): _*)
+      .agg(muSum(col("__v") * c).as("__sc"), muSum(col("__v") * sn).as("__ss"))
+      .select(keyCols.map(col) :+ col("k") :+ col("__n").as("n_samples") :+
+        round((col("__sc") * col("__sc") + col("__ss") * col("__ss")) /
+          col("__n").cast("double") / col("__n").cast("double"), 6)
+          .as("power"): _*)
+  }
 }

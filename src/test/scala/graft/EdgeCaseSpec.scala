@@ -61,6 +61,12 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextOps.bm25(emptyDocs, Seq("spark")).isEmpty)
     assert(Sampling.strataTopK(
       emptyDocs.withColumn("lang", lit("en")), "lang", "doc_id", 3).isEmpty)
+    val emptyIv = Seq.empty[(Long, Long, Long)].toDF("user_id", "b", "e")
+    assert(RangeJoin.coalesceIntervals(emptyIv, Seq("user_id"), "b", "e")
+      .isEmpty)
+    assert(Trend.periodogram(emptyEvents, "ts", "value", Seq("user_id"),
+      1000000L).isEmpty)
+    assert(Dedup.editVerifiedPairs(emptyDocs).isEmpty)
   }
 
   test("components of an empty pair list is empty (and converges)") {

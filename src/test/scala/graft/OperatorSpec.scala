@@ -722,4 +722,54 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(0).width != out(2).width || out(0).height != out(2).height)
     assert(out.forall(m => m.width >= 64 && m.width < 576))
   }
+
+  test("RangeJoin.coalesceIntervals merges overlap and touch, keeps gaps") {
+    // u1: [0,10) ∪ [5,15) ∪ [15,20) chain into one island (overlap
+    // then touch); [30,40) stays apart. u2: containment collapses —
+    // the running max-end, not the previous end, drives the merge
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 15L), (1L, 15L, 20L), (1L, 30L, 40L),
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 90L, 95L))
+      .toDF("user_id", "b", "e")
+    val out = RangeJoin.coalesceIntervals(iv, Seq("user_id"), "b", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(out == Seq((1L, 0L, 20L, 3L), (1L, 30L, 40L, 1L),
+      (2L, 0L, 100L, 3L)))
+  }
+
+  test("Trend.periodogram peaks at the planted frequency") {
+    // one user, 32 daily samples of cos(2π·4t/32): all spectral power
+    // must land at k=4, nothing at the other frequencies — and the
+    // series' +10 offset must NOT leak into k>=1 (integer-k cosines
+    // sum to zero over full cycles)
+    val day = 86400000000L
+    val rows = (0 until 32).map { t =>
+      (1L, t * day, 10.0 + math.cos(2.0 * math.Pi * 4 * t / 32))
+    }
+    val out = Trend.periodogram(rows.toDF("user_id", "ts", "value"),
+      "ts", "value", Seq("user_id"), day, maxK = 6)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(4) > 0.2, s"planted k=4 power missing: $out")
+    assert((out - 4).values.forall(_ < 0.01),
+      s"off-frequency leakage (mean offset leaked?): $out")
+  }
+
+  test("Dedup.editVerifiedPairs verdicts match exact Levenshtein") {
+    // 30 repeated tokens dominate every simhash bit's vote margin, so
+    // the one-char token change (d2) and the rotation (d3) both land
+    // at hamming 0 — guaranteed candidates. The verify stage then
+    // separates them: d2 is one edit away (dup), d3's rotation costs
+    // several token rewrites (not a dup at tau)
+    val d1 = Seq.fill(30)("alpha").mkString(" ") + " omega"
+    val d2 = Seq.fill(30)("alpha").mkString(" ") + " omegb"
+    val d3 = d1.split(' ').reverse.mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Dedup.editVerifiedPairs(docs, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(3), r.getBoolean(5)))).toMap
+    assert(out((1L, 2L)) == ((1, true)))
+    val (d13, dup13) = out((1L, 3L))
+    assert(d13 > 1 && !dup13, "rotated twin must fail char-level verify")
+  }
 }

@@ -46,6 +46,16 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_reservoir" -> 1,
     // bollinger envelope: ONE series-key window, all frames fused
     "ts_bands" -> 1,
+    // gaps-and-islands: ONE series-key window shuffle; the island
+    // aggregation's (key, island) grouping is clustering-satisfied by
+    // the window's hash(key) partitioning — no second exchange
+    "ts_interval_coalesce" -> 1,
+    // periodogram: (key, bucket) grid pre-agg + the series-key index
+    // window; the (key, k) power agg reuses hash(key)
+    "ts_periodogram" -> 2,
+    // edit verify: the simhash agg + band self-join sides + the text
+    // join back per side; texts move only for candidate ids
+    "doc_dedup_edit" -> 4,
     // augmented-LSH MIPS: M^2 one-row agg+broadcast (x2 sides), band
     // shuffles per side, pair-dedup agg, rank window
     "emb_mips_lsh" -> 7,
