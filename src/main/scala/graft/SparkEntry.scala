@@ -1985,12 +1985,14 @@ object SparkEntry {
       Dedup.simhashPairs(tbl(s, dir, "documents"))
     },
 
-    // the candidates above, verified by TRUE Levenshtein distance —
-    // the char-level dup criterion token-set methods can't express;
-    // every candidate is emitted with its verdict so the generator's
-    // precision is visible, not just the survivors
+    // simhash candidates at the pigeonhole-complete h<=2 bound,
+    // verified by TRUE Levenshtein distance (banded DP, capped at the
+    // largest distance tau could accept) — the char-level dup
+    // criterion token-set methods can't express; every candidate is
+    // emitted with its verdict so the generator's precision is
+    // visible, not just the survivors
     "doc_dedup_edit" -> { (s, dir) =>
-      Dedup.editVerifiedPairs(tbl(s, dir, "documents"), tau = 0.5)
+      Dedup.editVerifiedPairs(tbl(s, dir, "documents"))
     },
 
     "doc_dedup_ngram_jaccard" -> { (s, dir) =>
@@ -2542,7 +2544,7 @@ object SparkEntry {
     * Dedup.simhashPairs, shared by doc_dedup_simhash and the
     * edit-distance verification built on its candidates.
     */
-  private def sqlSimhashPairCtes: String = {
+  private def sqlSimhashPairCtes(maxHamming: Int): String = {
     val bitSums = (0 until Dedup.SimhashBits).map { i =>
       s"sum(CASE WHEN (th // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS bs$i"
     }.mkString(",\n  ")
@@ -2562,7 +2564,7 @@ object SparkEntry {
        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
        |FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
        |  AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4)""".stripMargin
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)""".stripMargin
   }
 
   /** doc_id + distinct shingle-hash list, as a CTE body. */
@@ -3012,24 +3014,35 @@ object SparkEntry {
          |FROM lab""".stripMargin,
 
     "doc_dedup_simhash" ->
-      s"""WITH $sqlSimhashPairCtes
+      s"""WITH ${sqlSimhashPairCtes(4)}
          |SELECT id_a, id_b, hamming FROM spairs""".stripMargin,
 
-    // simhash candidates re-verified by true Levenshtein; identical
-    // candidate chain, then text joined back per side
+    // simhash candidates (pigeonhole-complete h<=2) re-verified by
+    // true Levenshtein; the cap mirrors the Spark side's per-length-
+    // band DP cap (1-tau)·bandUpper — exact for any pair that could
+    // reach tau, since dist <= (1-0.8)·ml <= cap within each band
     "doc_dedup_edit" ->
-      s"""WITH $sqlSimhashPairCtes
-         |SELECT p.id_a, p.id_b, p.hamming,
-         |  levenshtein(da.text, db.text) AS edit_dist,
-         |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
-         |    CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6)
-         |    AS edit_sim,
-         |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
-         |    CAST(greatest(length(da.text), length(db.text)) AS DOUBLE), 6)
-         |    >= 0.5 AS is_dup
-         |FROM spairs p
-         |JOIN documents da ON da.doc_id = p.id_a
-         |JOIN documents db ON db.doc_id = p.id_b""".stripMargin,
+      s"""WITH ${sqlSimhashPairCtes(2)},
+         |lv0 AS (SELECT p.id_a, p.id_b, p.hamming,
+         |    levenshtein(da.text, db.text) AS lv,
+         |    greatest(length(da.text), length(db.text)) AS ml
+         |  FROM spairs p
+         |  JOIN documents da ON da.doc_id = p.id_a
+         |  JOIN documents db ON db.doc_id = p.id_b),
+         |ed AS (SELECT id_a, id_b, hamming, ml, CASE
+         |    WHEN ml <= 150 THEN CASE WHEN lv <= 30 THEN lv ELSE -1 END
+         |    WHEN ml <= 300 THEN CASE WHEN lv <= 60 THEN lv ELSE -1 END
+         |    WHEN ml <= 450 THEN CASE WHEN lv <= 90 THEN lv ELSE -1 END
+         |    ELSE CASE WHEN lv <= 120 THEN lv ELSE -1 END END AS edit_dist
+         |  FROM lv0),
+         |es AS (SELECT id_a, id_b, hamming, edit_dist,
+         |    CASE WHEN edit_dist >= 0 THEN
+         |      round(1.0 - CAST(edit_dist AS DOUBLE)
+         |        / CAST(ml AS DOUBLE), 6) END AS edit_sim
+         |  FROM ed)
+         |SELECT id_a, id_b, hamming, edit_dist, edit_sim,
+         |  coalesce(edit_sim >= 0.8, false) AS is_dup
+         |FROM es""".stripMargin,
 
     "doc_contamination" ->
       s"""WITH $sqlSidsCte,

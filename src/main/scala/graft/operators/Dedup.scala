@@ -185,26 +185,58 @@ object Dedup {
     * ≥ `tau`. All candidates are emitted with their verdict so the
     * caller sees the generator's precision, not just the survivors.
     *
-    * Scale shape: the O(len²) DP runs ONLY on banded candidates —
-    * corpus cost is candidate volume × text length², with the text
-    * joined back per side (two id-keyed joins carrying text once);
-    * at production scale cap the DP with a distance threshold
-    * (Spark's 3-arg levenshtein is O(len·k)) — here full distances
-    * keep the oracle exactly restatable.
+    * Both cost dials default to their honest settings:
+    *  - `maxHamming = 2` is exactly the 3-byte-band pigeonhole bound —
+    *    candidates beyond it are approximate anyway, and a small-vocab
+    *    corpus's collision floor grows ~6× at h≤4 for signal that a
+    *    CHAR-level verify then rejects (edit-near dups have near-equal
+    *    token bags, i.e. tiny simhash distance).
+    *  - the DP cap: Spark's banded 3-arg levenshtein is
+    *    O(len·cap), returning -1 beyond the cap — and the TIGHTEST
+    *    exact cap is per-pair: a pair whose longer text has ml chars
+    *    can only reach `tau` at dist ≤ (1-tau)·ml. The threshold
+    *    argument is static, so pairs are banded by ml in `bandW`-char
+    *    steps and each band runs the DP capped at its own
+    *    (1-tau)·bandUpper — ≥ every member's exact bound, so tau
+    *    verdicts are identical to the uncapped run (a 300-char pair
+    *    pays a 60-wide band, not the global longest-doc cap). Pairs
+    *    beyond `maxDist` (= the ml > 4·bandW fallback; keep it ≥
+    *    (1-tau)·longest-doc for exactness) surface as edit_dist = -1
+    *    / edit_sim null / is_dup false.
+    *
+    * Scale shape: the DP runs ONLY on banded candidates — corpus cost
+    * is candidate volume × len·(1-tau)·len, with the text joined back
+    * per side (two id-keyed joins carrying text once); the distance
+    * is computed once and reused by projection (Catalyst won't
+    * collapse a non-cheap expression into downstream projects), and
+    * only the matching length-band's DP branch runs per row.
     */
-  def editVerifiedPairs(docs: DataFrame, maxHamming: Int = 4,
-                        tau: Double = 0.5,
-                        idCol: String = "doc_id"): DataFrame = {
+  def editVerifiedPairs(docs: DataFrame, maxHamming: Int = 2,
+                        tau: Double = 0.8, maxDist: Int = 120,
+                        idCol: String = "doc_id",
+                        bandW: Int = 150): DataFrame = {
     val cand = simhashPairs(docs, maxHamming, idCol)
     val ta = docs.select(col(idCol).as("id_a"), col("text").as("__ta"))
     val tb = docs.select(col(idCol).as("id_b"), col("text").as("__tb"))
-    val dist = levenshtein(col("__ta"), col("__tb"))
-    val sim = round(lit(1.0) - dist.cast("double") /
-      greatest(length(col("__ta")), length(col("__tb"))).cast("double"), 6)
+    val ml = greatest(length(col("__ta")), length(col("__tb")))
+    val sim = when(col("edit_dist") >= 0,
+      round(lit(1.0) - col("edit_dist").cast("double") /
+        ml.cast("double"), 6))
+    // native banded DP (bytes, buffer-reused) — same contract as the
+    // builtin 3-arg levenshtein, ~10x cheaper per candidate on ASCII;
+    // ExpressionParitySpec pins equality against the builtin
+    def lev(thr: Int) = org.apache.spark.sql.graft.GraftExpressions
+      .lev_banded(col("__ta"), col("__tb"), thr)
+    def thr(upper: Int) = math.ceil((1.0 - tau) * upper).toInt
+    val capped = (1 to 3).foldLeft(when(lit(false), lit(0))) { (w, i) =>
+      w.when(ml <= i * bandW, lev(thr(i * bandW)))
+    }.otherwise(lev(maxDist))
     cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"), col("hamming"),
-        dist.as("edit_dist"), sim.as("edit_sim"),
-        (sim >= lit(tau)).as("is_dup"))
+      .withColumn("edit_dist", capped)
+      .withColumn("edit_sim", sim)
+      .select(col("id_a"), col("id_b"), col("hamming"), col("edit_dist"),
+        col("edit_sim"),
+        coalesce(col("edit_sim") >= lit(tau), lit(false)).as("is_dup"))
   }
 
   // --- candidate pairs -> dedup clusters -------------------------------

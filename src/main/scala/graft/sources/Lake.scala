@@ -161,6 +161,56 @@ object Lake {
       spark.read.option("basePath", path).parquet(paths: _*).where(pred)
   }
 
+  /** Z-order (Morton-curve) clustered rewrite: interleave the bits of
+    * each clustering column's 16-bit rank code and range-partition +
+    * sort the table by the resulting curve position, so EVERY
+    * clustering column's per-file [min,max] band is narrow at once —
+    * the multi-column file-skipping layout a single-column range
+    * partition can't give (sorting by A leaves B's bands full-width
+    * in every file). Writes the flat clustered layout plus its
+    * [[writeManifest]] stats, so [[readManifestPruned]] on ANY zCol
+    * skips ~(1 - 1/2^(16/d))-grade file fractions instead of scanning
+    * everything. The d-dim curve trades per-column locality: with d
+    * columns each file's band per column is ~|range|/files^(1/d).
+    *
+    * Codes are min/max-scaled (one 1-row stats agg, planning-scale
+    * driver collect): monotone, deterministic, and cheap; heavy skew
+    * degrades skipping (codes crowd one band) but never correctness —
+    * the row-level predicate still applies inside surviving files.
+    * The interleave is pure shift/and/or over longs — whole-stage
+    * codegen keeps it in the scan stage; the only data movement is
+    * the range shuffle every clustered rewrite pays by definition.
+    */
+  def writeZOrdered(df: DataFrame, zCols: Seq[String], path: String,
+                    nFiles: Int): Unit = {
+    require(zCols.nonEmpty && zCols.length <= 4,
+      "z-order supports 1..4 clustering columns (16 bits each)")
+    val d = zCols.length
+    val spark = df.sparkSession
+    val aggExprs = zCols.flatMap(c => Seq(min(col(c).cast("double")),
+      max(col(c).cast("double"))))
+    val stats = df.agg(aggExprs.head, aggExprs.tail: _*).head()
+    val codes = zCols.zipWithIndex.map { case (c, i) =>
+      val empty = stats.isNullAt(2 * i)
+      val lo = if (empty) 0.0 else stats.getDouble(2 * i)
+      val hi = if (empty) 0.0 else stats.getDouble(2 * i + 1)
+      if (hi <= lo) lit(0L)
+      else least(greatest(floor((col(c).cast("double") - lit(lo)) /
+        lit(hi - lo) * lit(65535.0)).cast("long"), lit(0L)), lit(65535L))
+    }
+    val z = (0 until 16).flatMap { j =>
+      codes.zipWithIndex.map { case (code, i) =>
+        shiftleft(shiftright(code, j).bitwiseAND(lit(1L)), j * d + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    writeManifest(spark, path, zCols)
+  }
+
   /** Range-crop that ALSO constrains the partition column, so the
     * filter prunes directories, then the row-level ts predicate
     * (pushed to parquet) trims the edge partitions.

@@ -54,6 +54,26 @@ case class SimHash24(child: Expression)
   override protected def withNewChildInternal(c: Expression): SimHash24 = copy(c)
 }
 
+/** Banded Levenshtein with threshold: exact distance when <= k, else
+  * -1 (the builtin 3-arg `levenshtein` contract) via HashImpl's
+  * byte-level ASCII fast path — ~10x less inner-loop work than the
+  * builtin's per-cell UTF-8 decode; multibyte inputs defer to the
+  * builtin's char-exact path inside HashImpl.
+  */
+case class LevBanded(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = IntegerType
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.HashImpl.levBanded(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashImpl.levBanded($a, $b, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LevBanded =
+    copy(left = l, right = r)
+}
+
 /** Left-fold double dot product of two float vectors. */
 case class VecDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -233,6 +253,8 @@ object GraftExpressions {
       Bridge.toExpr(s), len))
   def simhash24(tokens: Column): Column =
     Bridge.toCol(SimHash24(Bridge.toExpr(tokens)))
+  def lev_banded(a: Column, b: Column, k: Int): Column =
+    Bridge.toCol(LevBanded(Bridge.toExpr(a), Bridge.toExpr(b), k))
 
   /** Builders shared by temp-function and extension registration;
     * integer args (shingle n, subspace len) must be literals.

@@ -138,4 +138,29 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(spark.sql("SELECT poly_hash('abc') AS h").head().getLong(0) ==
       ((('a' * 31 + 'b') % 1000000007L) * 31 + 'c') % 1000000007L)
   }
+
+  test("LevBanded == builtin 3-arg levenshtein on adversarial pairs") {
+    // random word-soup pairs around every threshold regime (equal, one
+    // edit, rotations, disjoint, length gaps, empty, unicode fallback)
+    val rnd = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def doc(n: Int) = Seq.fill(n)(words(rnd.nextInt(words.size))).mkString(" ")
+    val base = (1 to 60).map(_ => doc(3 + rnd.nextInt(25)))
+    val mutated = base.map { s =>
+      val c = s.toCharArray
+      if (c.nonEmpty) c(rnd.nextInt(c.length)) = 'q'
+      new String(c)
+    }
+    val pairs = (base.zip(mutated) ++ base.zip(base.reverse) ++
+      base.zip(base.map(_.split(' ').reverse.mkString(" "))) ++
+      Seq(("", ""), ("", "abc"), ("abc", ""), ("汉字 a", "汉字 b"),
+        ("Ünïcodé", "Unicode"))).toDF("a", "b")
+    for (k <- Seq(0, 1, 3, 10, 120)) {
+      val bad = pairs.select(
+        org.apache.spark.sql.graft.GraftExpressions
+          .lev_banded($"a", $"b", k).as("n"),
+        levenshtein($"a", $"b", k).as("h")).where($"n" =!= $"h")
+      assert(bad.isEmpty, s"k=$k: ${bad.collect().mkString(",")}")
+    }
+  }
 }

@@ -769,7 +769,11 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         ((r.getInt(3), r.getBoolean(5)))).toMap
     assert(out((1L, 2L)) == ((1, true)))
+    // the rotation costs more edits than tau's per-band DP cap allows,
+    // so it surfaces as the capped -1 verdict (or a real distance > 1
+    // if within cap) — either way, NOT a dup
     val (d13, dup13) = out((1L, 3L))
-    assert(d13 > 1 && !dup13, "rotated twin must fail char-level verify")
+    assert((d13 == -1 || d13 > 1) && !dup13,
+      "rotated twin must fail char-level verify")
   }
 }

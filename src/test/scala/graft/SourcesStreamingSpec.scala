@@ -167,6 +167,31 @@ class LakeSpec extends AnyFunSuite {
     assert(none.isEmpty && none.columns.contains("user_id"))
   }
 
+  test("z-ordered layout skips files on BOTH clustering columns") {
+    val ev = graft.functions.TimeIndex.normalizeUs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+      .select("user_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    graft.sources.Lake.writeZOrdered(ev, Seq("user_id", "value"), dir, 16)
+
+    val full = spark.read.parquet(dir)
+    val nFull = full.inputFiles.length
+    assert(nFull > 4, s"expected a multi-file layout, got $nFull")
+    // same bytes, just clustered
+    assert(full.count() == ev.count())
+
+    // a narrow band on EITHER column must skip files — the property a
+    // single-column range sort cannot deliver for the second column
+    for ((c, lo, hi) <- Seq(("user_id", 3.0, 4.0), ("value", 10.0, 30.0))) {
+      val pruned = graft.sources.Lake.readManifestPruned(spark, dir, c, lo, hi)
+      assert(pruned.inputFiles.length < nFull,
+        s"$c band read ${pruned.inputFiles.length}/$nFull files")
+      val want = full.where(col(c) >= lo && col(c) <= hi)
+      assert(pruned.count() == want.count() && want.count() > 0,
+        s"$c band: ${pruned.count()} vs ${want.count()}")
+    }
+  }
+
   test("streamAppendDaily lands a stream in the partitioned layout") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
