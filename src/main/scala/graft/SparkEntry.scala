@@ -76,6 +76,8 @@ object SparkEntry {
   // engines parse bit-identical literals
   private val HoltAlpha = 0.3
   private val HoltBeta = 0.2
+  private val HwGamma = 0.3
+  private val HwPeriod = 7
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -808,6 +810,21 @@ object SparkEntry {
     "ts_holt" -> { (s, dir) =>
       Trend.holt(events(s, dir).select("user_id", "ts", "value"),
         "ts", "value", Seq("user_id"), HoltAlpha, HoltBeta)
+    },
+
+    // Holt-Winters triple smoothing over the daily click grid: level
+    // + trend + the weekly (period-7) seasonal profile — the
+    // season-aware forecast holt can't express; same native
+    // window-fold family (HwAgg), daily pre-agg first so the season
+    // index is calendar-meaningful
+    "ts_holt_winters" -> { (s, dir) =>
+      val b = (org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), UsDay)
+        * UsDay).as("bucket")
+      val r = events(s, dir).where(col("event_type") === "click")
+        .groupBy(col("user_id"), b)
+        .agg(round(avg(col("value")), 6).as("v"))
+      Trend.holtWinters(r, "bucket", "v", Seq("user_id"),
+        HoltAlpha, HoltBeta, HwGamma, HwPeriod, span = 28)
     },
 
     // trapezoidal integral per (series, hour) — the inverse of rate
@@ -1799,6 +1816,48 @@ object SparkEntry {
          |  floor(st[2] * 1000000.0) / 1000000.0 AS trend
          |FROM f""".stripMargin,
 
+    // the Holt-Winters fold restated: state list [lv, tr, cnt,
+    // s1..s7], list_reduce seeding from the first element's
+    // [x, 0, 1, 0..0] (exactly HwAgg's seed); l' inlined verbatim
+    // into b' and s' so the IEEE sequences replay bit-identically
+    "ts_holt_winters" -> {
+      val a = s"CAST($HoltAlpha AS DOUBLE)"
+      val na = s"CAST(${1.0 - HoltAlpha} AS DOUBLE)"
+      val bt = s"CAST($HoltBeta AS DOUBLE)"
+      val nb = s"CAST(${1.0 - HoltBeta} AS DOUBLE)"
+      val g = s"CAST($HwGamma AS DOUBLE)"
+      val ng = s"CAST(${1.0 - HwGamma} AS DOUBLE)"
+      val m = HwPeriod
+      val sp = s"acc[4 + (CAST(acc[3] AS BIGINT) % $m)]"
+      val lNew = s"(e[1] - $sp) * $a + (acc[1] + acc[2]) * $na"
+      val seedZeros = Seq.fill(m)("0.0").mkString(", ")
+      s"""WITH hwg AS (SELECT user_id,
+         |    ($EvUs // 86400000000) * 86400000000 AS bucket,
+         |    round(avg(value), 6) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |hwl AS (SELECT user_id, bucket, v,
+         |    list(v) OVER (PARTITION BY user_id ORDER BY bucket, v
+         |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS lst
+         |  FROM hwg),
+         |hwf AS (SELECT user_id, bucket, v,
+         |  list_reduce(list_transform(lst,
+         |      x -> [CAST(x AS DOUBLE), 0.0, 1.0, $seedZeros]),
+         |    (acc, e) -> list_transform(range(1, ${m + 4}), i -> CASE
+         |      WHEN i = 1 THEN $lNew
+         |      WHEN i = 2 THEN ($lNew - acc[1]) * $bt + acc[2] * $nb
+         |      WHEN i = 3 THEN acc[3] + 1.0
+         |      WHEN i = 4 + (CAST(acc[3] AS BIGINT) % $m) THEN
+         |        (e[1] - ($lNew)) * $g + $sp * $ng
+         |      ELSE acc[i] END)) AS st
+         |  FROM hwl)
+         |SELECT user_id, bucket, v,
+         |  floor(st[1] * 1000000.0) / 1000000.0 AS level,
+         |  floor(st[2] * 1000000.0) / 1000000.0 AS trend,
+         |  floor(st[4 + ((CAST(st[3] AS BIGINT) - 1) % $m)] * 1000000.0)
+         |    / 1000000.0 AS seasonal
+         |FROM hwf""".stripMargin
+    },
+
     // segment areas floored to integer micro-units, summed as BIGINT —
     // mirrors Trend.integral's tie-free determinism contract
     "ts_integral" ->
@@ -2416,6 +2475,22 @@ object SparkEntry {
       Multimodal.phashPairs(s, tbl(s, dir, "documents"))
     },
 
+    // the PRODUCTION phash geometry (64-bit hash, 4 x 16-bit bands):
+    // the random-collision candidate floor drops from n²·bands/2^8 to
+    // n²·bands/2^16 — below corpus size — while pigeonhole still
+    // guarantees recall to hamming 3. The stub decode is exact-copy
+    // perceptual only (a real decoder makes near-copies near), so
+    // re-encoded duplicates are PLANTED as payload copies under fresh
+    // ids and the banding must surface exactly those pairs out of the
+    // 2^16-bucket space
+    "mm_phash_wide" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 50 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(100000000L))
+      Multimodal.phashPairs(s, docs.unionByName(planted),
+        maxHamming = 3, bandBits = 16, nPixels = 64)
+    },
+
     // banding recall vs exact hamming<=3 over the same hashes — the
     // eval that keeps the candidate generator honest (hashes are a
     // long per doc, so the ground-truth self-join is broadcast)
@@ -2861,20 +2936,31 @@ object SparkEntry {
     * HashMod, the squared-mix step).
     */
   private def sqlPhashCtes: String =
-    s"""m AS (SELECT doc_id, ${sqlPoly("text")} AS h FROM documents),
+    sqlPhashCtesN(Multimodal.PhashPixels, 8, "documents")
+
+  /** The aHash chain parameterized by hash width / band width / source
+    * CTE — `1::BIGINT << i` and the BIGINT cast matter at 64 bits
+    * (bit 63's term is negative; the HUGEINT sum restores the same
+    * two's-complement long Spark's bitwise-or builds), and the
+    * arithmetic >> / signed % band keys match Spark's shiftright / %
+    * for negative hashes.
+    */
+  private def sqlPhashCtesN(n: Int, bandBits: Int, src: String): String =
+    s"""m AS (SELECT doc_id, ${sqlPoly("text")} AS h FROM $src),
        |pxi AS (SELECT doc_id, h,
-       |  unnest(range(${Multimodal.PhashPixels})) AS i FROM m),
+       |  unnest(range($n)) AS i FROM m),
        |pxt AS (SELECT doc_id, i,
        |  (h + i * 654664997) % ${TextOps.HashMod} AS t FROM pxi),
        |px AS (SELECT doc_id, i, (t * t) % ${TextOps.HashMod} % 256 AS p
        |  FROM pxt),
        |pt AS (SELECT doc_id, sum(p) AS tot FROM px GROUP BY doc_id),
-       |ph AS (SELECT px.doc_id, sum(CASE WHEN p * ${Multimodal.PhashPixels}
-       |    > tot THEN 1 << i ELSE 0 END) AS phash
+       |ph AS (SELECT px.doc_id, CAST(sum(CASE WHEN p * $n <= tot THEN 0
+       |    WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+       |    ELSE CAST(1 AS BIGINT) << i END) AS BIGINT) AS phash
        |  FROM px JOIN pt ON px.doc_id = pt.doc_id GROUP BY px.doc_id),
        |bd AS (SELECT doc_id, phash, b.band,
-       |    (phash >> (b.band * 8)) % 256 AS bk
-       |  FROM ph, (SELECT unnest(range(${Multimodal.PhashPixels / 8}))
+       |    (phash >> (b.band * $bandBits)) % ${1L << bandBits} AS bk
+       |  FROM ph, (SELECT unnest(range(${n / bandBits}))
        |    AS band) b),
        |pp AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
        |    bit_count(xor(a.phash, b2.phash)) AS hamming
@@ -3978,6 +4064,15 @@ object SparkEntry {
     // mean-threshold bits -> byte banding -> hamming verify
     "mm_phash" ->
       s"""WITH $sqlPhashCtes
+         |SELECT id_a, id_b, hamming FROM pp WHERE hamming <= 3""".stripMargin,
+
+    // the production 64-bit / 16-bit-band geometry over the corpus
+    // plus planted payload copies; identical chain, wider constants
+    "mm_phash_wide" ->
+      s"""WITH pdocs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000000, text FROM documents
+         |  WHERE doc_id % 50 = 0),
+         |${sqlPhashCtesN(64, 16, "pdocs")}
          |SELECT id_a, id_b, hamming FROM pp WHERE hamming <= 3""".stripMargin,
 
     // banding recall vs the exact hamming<=3 ground truth over the

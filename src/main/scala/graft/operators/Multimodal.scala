@@ -201,9 +201,10 @@ object Multimodal {
     */
   final case class PHash(doc_id: Long, phash: Long)
 
-  def phashAll(spark: SparkSession, docs: DataFrame): Dataset[PHash] = {
+  def phashAll(spark: SparkSession, docs: DataFrame,
+               nPixels: Int = PhashPixels): Dataset[PHash] = {
     import spark.implicits._
-    val n = PhashPixels
+    val n = nPixels
     withPayload(docs)
       .select(col("doc_id"), col("payload"))
       .as[MediaRow]
@@ -245,9 +246,10 @@ object Multimodal {
     * bucket-granular.
     */
   def phashPairs(spark: SparkSession, docs: DataFrame,
-                 maxHamming: Int = 3, bandBits: Int = 8): DataFrame = {
-    val bands = PhashPixels / bandBits
-    val ph = phashAll(spark, docs).toDF()
+                 maxHamming: Int = 3, bandBits: Int = 8,
+                 nPixels: Int = PhashPixels): DataFrame = {
+    val bands = nPixels / bandBits
+    val ph = phashAll(spark, docs, nPixels).toDF()
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("phash"), b * bandBits) % (1L << bandBits)).as("bk"))

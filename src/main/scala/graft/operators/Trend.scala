@@ -320,6 +320,38 @@ object Trend {
       .drop("__h")
   }
 
+  /** Additive Holt-Winters triple smoothing (level + trend +
+    * seasonal, period `m`) over a trailing `span`-row window — the
+    * season-aware member of the [[ewma]]/[[holt]] family: level +
+    * trend + next season's component is the classic seasonal
+    * one-step forecast. Seeded (first value, 0 trend, zero seasonal
+    * profile); the fold order is pinned inside the native HwAgg
+    * window aggregate so results are bit-deterministic across engines
+    * (outputs are µ-unit floors, the ewma contract).
+    *
+    * Scale shape: identical to holt — ONE hash shuffle on the series
+    * key; per-frame state is two scalars + the O(period) seasonal
+    * array, never an O(history) collect.
+    *
+    * Output: input columns + `level` + `trend` + `seasonal`.
+    */
+  def holtWinters(df: DataFrame, tsCol: String, valCol: String,
+                  keyCols: Seq[String], alpha: Double = 0.3,
+                  beta: Double = 0.2, gamma: Double = 0.3,
+                  period: Int = 7, span: Int = 28): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valCol))
+      .rowsBetween(-(span - 1), 0)
+    val fold = org.apache.spark.sql.graft.GraftExpressions
+      .hw_fold(col(valCol).cast("double"), alpha, beta, gamma, period).over(w)
+    df.withColumn("__hw", fold)
+      .withColumn("level", floor(col("__hw.level") * lit(1e6)) / lit(1e6))
+      .withColumn("trend", floor(col("__hw.trend") * lit(1e6)) / lit(1e6))
+      .withColumn("seasonal",
+        floor(col("__hw.seasonal") * lit(1e6)) / lit(1e6))
+      .drop("__hw")
+  }
+
   /** CUSUM positive-drift detector (Page's cumulative sum) — the
     * change-point member of the alerting family next to threshold
     * crossings and z-score outliers: S_0 = 0,

@@ -213,6 +213,93 @@ case class HoltAgg(child: Expression, alpha: Double, beta: Double)
       cs: IndexedSeq[Expression]): HoltAgg = copy(child = cs.head)
 }
 
+/** Additive Holt-Winters (level + trend + seasonal) as a window-frame
+  * aggregate — the triple-smoothing member of the [[EwmaAgg]]/
+  * [[HoltAgg]] family:
+  *
+  *   seed (first non-null x):  l = x, b = 0, s[·] = 0, n = 1
+  *   per row (p = n mod period, sp = s[p]):
+  *     l' = α·(x − sp) + (1-α)·(l + b)
+  *     b' = β·(l' − l) + (1-β)·b
+  *     s[p]' = γ·(x − l') + (1-γ)·sp;  n' = n + 1
+  *
+  * Returns struct(level, trend, seasonal) where seasonal is the
+  * just-updated component. The float operation ORDER is pinned
+  * ((x−sp)·α + (l+b)·(1-α); l' inlined verbatim into b' and s')
+  * so the DuckDB list_reduce oracle — whose fold SEEDS from the first
+  * element [x, 0, 1, 0…0], exactly this seed — replays bit-identical
+  * IEEE sequences. Nulls keep the state unchanged. Same frame-only
+  * contract as EwmaAgg: the merge path is poisoned.
+  *
+  * The seasonal buffer is an O(period) array rebuilt per update
+  * (slice ++ new ++ slice) — bounded by the frame contract, same
+  * cost class as the O(span) refold itself.
+  */
+case class HwAgg(child: Expression, alpha: Double, beta: Double,
+                 gamma: Double, period: Int)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions._
+  require(period >= 1)
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("level", DoubleType), StructField("trend", DoubleType),
+    StructField("seasonal", DoubleType)))
+  private lazy val lv = AttributeReference("lv", DoubleType)()
+  private lazy val tr = AttributeReference("tr", DoubleType)()
+  private lazy val cnt = AttributeReference("cnt", IntegerType, nullable = false)()
+  private lazy val sarr = AttributeReference("sarr",
+    ArrayType(DoubleType, containsNull = true), nullable = false)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    Seq(lv, tr, cnt, sarr)
+  private def zeros: Expression =
+    Literal.create(Seq.fill(period)(0.0), ArrayType(DoubleType, true))
+  override lazy val initialValues: Seq[Expression] = Seq(
+    Literal(null, DoubleType), Literal(null, DoubleType),
+    Literal(0), zeros)
+  private def pos: Expression = Remainder(cnt, Literal(period))
+  private def sPrev: Expression = ElementAt(sarr, Add(pos, Literal(1)))
+  // l' duplicated VERBATIM into b' and s[p]' so the arithmetic matches
+  // the oracle's inlined lambda exactly (the HoltAgg convention)
+  private def lNew: Expression =
+    Add(Multiply(Subtract(child, sPrev), Literal(alpha)),
+      Multiply(Add(lv, tr), Literal(1.0 - alpha)))
+  private def sNew: Expression =
+    Add(Multiply(Subtract(child, lNew), Literal(gamma)),
+      Multiply(sPrev, Literal(1.0 - gamma)))
+  private def seeded: Expression = GreaterThan(cnt, Literal(0))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), lv, If(seeded, lNew, child)),
+    If(IsNull(child), tr,
+      If(seeded,
+        Add(Multiply(Subtract(lNew, lv), Literal(beta)),
+          Multiply(tr, Literal(1.0 - beta))),
+        Literal(0.0))),
+    If(IsNull(child), cnt, Add(cnt, Literal(1))),
+    If(IsNull(child), sarr,
+      If(seeded,
+        Concat(Seq(Slice(sarr, Literal(1), pos), CreateArray(Seq(sNew)),
+          Slice(sarr, Add(pos, Literal(2)),
+            Subtract(Literal(period - 1), pos)))),
+        sarr)))
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Literal(null, DoubleType), Literal(null, DoubleType),
+    Literal(0), zeros)
+  override lazy val evaluateExpression: Expression =
+    CreateNamedStruct(Seq(
+      Literal("level"), lv, Literal("trend"), tr,
+      Literal("seasonal"),
+      If(GreaterThan(cnt, Literal(0)),
+        ElementAt(sarr,
+          Add(Remainder(Subtract(cnt, Literal(1)), Literal(period)),
+            Literal(1))),
+        Literal(null, DoubleType))))
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): HwAgg = copy(child = cs.head)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.catalyst.expressions.Literal
   def poly_hash(c: Column): Column = Bridge.toCol(PolyHash(Bridge.toExpr(c)))
@@ -241,6 +328,11 @@ object GraftExpressions {
   /** Window-frame Holt fold (see [[HoltAgg]]); use with `.over(w)`. */
   def holt_fold(c: Column, alpha: Double, beta: Double): Column =
     Bridge.toCol(HoltAgg(Bridge.toExpr(c), alpha, beta)
+      .toAggregateExpression(isDistinct = false))
+  /** Window-frame Holt-Winters fold (see [[HwAgg]]); use with `.over(w)`. */
+  def hw_fold(c: Column, alpha: Double, beta: Double, gamma: Double,
+              period: Int): Column =
+    Bridge.toCol(HwAgg(Bridge.toExpr(c), alpha, beta, gamma, period)
       .toAggregateExpression(isDistinct = false))
   def shingle_hashes(tokens: Column, n: Int): Column =
     Bridge.toCol(ShingleHashes(Bridge.toExpr(tokens), n))
@@ -271,7 +363,9 @@ object GraftExpressions {
     "shingle_hashes" -> (es =>
       ShingleHashes(es.head, litInt(es(1), "shingle size"))),
     "vec_sub_l2" -> (es =>
-      VecSubL2(es.head, es(1), es(2), litInt(es(3), "subspace len"))))
+      VecSubL2(es.head, es(1), es(2), litInt(es(3), "subspace len"))),
+    "lev_banded" -> (es =>
+      LevBanded(es.head, es(1), litInt(es(2), "distance threshold"))))
 
   /** Register SQL names so spark.sql("...") users get them too. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -67,6 +67,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Trend.periodogram(emptyEvents, "ts", "value", Seq("user_id"),
       1000000L).isEmpty)
     assert(Dedup.editVerifiedPairs(emptyDocs).isEmpty)
+    assert(Trend.holtWinters(emptyEvents, "ts", "value", Seq("user_id"))
+      .isEmpty)
   }
 
   test("components of an empty pair list is empty (and converges)") {

@@ -723,6 +723,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.forall(m => m.width >= 64 && m.width < 576))
   }
 
+  test("Trend.holtWinters learns a planted weekly season") {
+    // 4 exact repeats of a period-7 profile with no trend: by the last
+    // cycle the seasonal component must carry the profile's sign and
+    // the level must sit near the series mean, trend near zero
+    val day = 86400000000L
+    val profile = Seq(5.0, -3.0, 0.0, 2.0, -4.0, 1.0, -1.0)
+    val rows = (0 until 28).map(t => (1L, t * day, 10.0 + profile(t % 7)))
+    val out = Trend.holtWinters(rows.toDF("user_id", "ts", "value"),
+      "ts", "value", Seq("user_id"), period = 7, span = 28)
+      .collect().sortBy(_.getLong(1))
+    val last7 = out.takeRight(7)
+    // seasonal tracks the planted profile's sign on every day
+    last7.zipWithIndex.foreach { case (r, i) =>
+      val planted = profile((21 + i) % 7)
+      val s = r.getDouble(5)
+      if (planted > 1.0) assert(s > 0, s"day $i: $s vs planted $planted")
+      if (planted < -1.0) assert(s < 0, s"day $i: $s vs planted $planted")
+    }
+    // level near the mean, trend near zero (no planted trend)
+    val lastRow = out.last
+    assert(math.abs(lastRow.getDouble(3) - 10.0) < 2.0)
+    assert(math.abs(lastRow.getDouble(4)) < 1.0)
+  }
+
   test("RangeJoin.coalesceIntervals merges overlap and touch, keeps gaps") {
     // u1: [0,10) ∪ [5,15) ∪ [15,20) chain into one island (overlap
     // then touch); [30,40) stays apart. u2: containment collapses —

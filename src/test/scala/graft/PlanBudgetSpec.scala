@@ -46,6 +46,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_reservoir" -> 1,
     // bollinger envelope: ONE series-key window, all frames fused
     "ts_bands" -> 1,
+    // holt-winters: daily pre-agg + the series-key fold window
+    "ts_holt_winters" -> 2,
+    // production phash geometry: banded self-join over planted-copy
+    // corpus — hash/band shuffles + the pair-distinct agg
+    "mm_phash_wide" -> 4,
     // gaps-and-islands: ONE series-key window shuffle; the island
     // aggregation's (key, island) grouping is clustering-satisfied by
     // the window's hash(key) partitioning — no second exchange
