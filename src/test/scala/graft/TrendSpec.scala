@@ -366,3 +366,35 @@ class StreamHoltSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 }
+
+class StreamHoltWintersSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming holt-winters equals the batch window aggregate exactly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_shw").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamHoltWinters.Ev]
+
+    val q = graft.streaming.StreamHoltWinters(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("shw_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("shw_test")
+      .select($"user_id", $"ts", $"value", $"level", $"trend", $"seasonal")
+
+    // the stream re-folds the same bounded window with the same float
+    // order as the native HwAgg -> bit-identical level, trend AND the
+    // re-derived seasonal component
+    val want = Trend.holtWinters(batch, "ts", "value", Seq("user_id"))
+      .select($"user_id", $"ts", $"value", $"level", $"trend", $"seasonal")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
