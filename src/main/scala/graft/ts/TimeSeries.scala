@@ -22,6 +22,8 @@ final case class TimeRange(beginUs: Long, endUs: Long) {
     (containsTime(o.beginUs) && !containsTime(o.endUs)) ||
       (containsTime(o.endUs) && !containsTime(o.beginUs))
   def disjoint(o: TimeRange): Boolean = endUs < o.beginUs || beginUs > o.endUs
+  /** True when this range is completely inside `o` (range.py:379). */
+  def within(o: TimeRange): Boolean = o.beginUs <= beginUs && o.endUs >= endUs
   def intersection(o: TimeRange): Option[TimeRange] =
     if (disjoint(o)) None
     else Some(TimeRange(math.max(beginUs, o.beginUs), math.min(endUs, o.endUs)))

@@ -143,4 +143,116 @@ class ReferenceFixtureSpec extends AnyFunSuite {
     assert(jan.select(TimeIndex.dailyIndexTz($"ts", "America/New_York"))
       .head.getString(0) == "2014-01-14")
   }
+
+  // tests/range_test.py:293-455 — the TimeRange algebra semantics,
+  // replayed on the same 2010 instants (parsed as UTC; the fixtures
+  // are zone-relative so only the ordering matters)
+  test("TimeRange algebra reproduces range_test.py:293-455") {
+    import graft.ts.TimeRange
+    def t(s: String): Long =
+      java.time.Instant.parse(s"${s.take(10)}T${s.drop(11)}:00Z")
+        .toEpochMilli * 1000L
+    def r(b: String, e: String) = TimeRange(t(b), t(e))
+
+    // overlap: disjoint ranges no, partially-overlapping yes (both ways)
+    assert(!r("2010-01-01 12:00", "2010-02-01 12:00")
+      .overlaps(r("2010-03-01 12:00", "2010-04-01 12:00")))
+    assert(!r("2010-03-01 12:00", "2010-04-01 12:00")
+      .overlaps(r("2010-01-01 12:00", "2010-02-01 12:00")))
+    assert(r("2010-01-01 12:00", "2010-09-01 12:00")
+      .overlaps(r("2010-08-01 12:00", "2010-11-01 12:00")))
+    assert(r("2010-08-01 12:00", "2010-11-01 12:00")
+      .overlaps(r("2010-01-01 12:00", "2010-09-01 12:00")))
+    // containment: complete yes, partial overlap no
+    assert(r("2010-01-01 12:00", "2010-09-01 12:00")
+      .contains(r("2010-03-01 12:00", "2010-06-01 12:00")))
+    assert(!r("2010-01-01 12:00", "2010-09-01 12:00")
+      .contains(r("2010-06-01 12:00", "2010-12-01 12:00")))
+    // time containment: before / during / after
+    val jun_aug = r("2010-06-01 12:00", "2010-08-01 12:00")
+    assert(!jun_aug.containsTime(t("2010-01-15 12:00")))
+    assert(jun_aug.containsTime(t("2010-07-15 12:00")))
+    assert(!jun_aug.containsTime(t("2010-12-15 12:00")))
+    // within: asymmetric
+    val inner = r("2010-06-01 12:00", "2010-07-01 12:00")
+    val outer = r("2010-05-01 12:00", "2010-08-01 12:00")
+    assert(inner.within(outer) && !outer.within(inner))
+    // extents covers both
+    val ext = r("2010-05-01 12:00", "2010-07-01 12:00")
+      .extents(r("2010-06-01 12:00", "2010-08-01 12:00"))
+    assert(ext == r("2010-05-01 12:00", "2010-08-01 12:00"))
+    // intersection: none when disjoint; clipped when partial;
+    // the smaller range when surrounded (both directions)
+    val jan_jun = r("2010-01-01 12:00", "2010-06-01 12:00")
+    assert(jan_jun
+      .intersection(r("2010-07-15 12:00", "2010-08-15 12:00")).isEmpty)
+    assert(jan_jun.intersection(r("2010-05-01 12:00", "2010-07-01 12:00"))
+      .contains(r("2010-05-01 12:00", "2010-06-01 12:00")))
+    val inside = r("2010-02-01 12:00", "2010-04-01 12:00")
+    assert(jan_jun.intersection(inside).contains(inside))
+    assert(inside.intersection(jan_jun).contains(inside))
+  }
+
+  // tests/series_test.py:707-800 — every percentile interpolation
+  // method's exact published value on the sensor fixture
+  test("percentile methods reproduce series_test.py:707-800 exactly") {
+    import spark.implicits._
+    import graft.functions.Aggs
+    val temps = Seq(22.3, 32.4, 12.1, 76.8, 87.3, 54.6, 45.5, 87.9)
+    val df = temps.toDF("temperature")
+    def pm(p: Double, m: String): Double =
+      df.agg(Aggs.percentileMethod($"temperature", p, m)).head.getDouble(0)
+    def lin(p: Double): Double =
+      df.agg(org.apache.spark.sql.functions
+        .percentile($"temperature", org.apache.spark.sql.functions.lit(p)))
+        .head.getDouble(0)
+    assert(lin(0.5) == 50.05)
+    assert(lin(0.95) == 87.69)
+    assert(math.abs(lin(0.99) - 87.858) < 1e-9) // float repr, ref asserts 87.858
+    assert(pm(0.99, "lower") == 87.3)
+    assert(pm(0.99, "higher") == 87.9)
+    assert(pm(0.99, "nearest") == 87.9)
+    assert(lin(0.0) == 12.1)
+    assert(lin(1.0) == 87.9)
+    // single point: every percentile is that point (series_test.py:750)
+    val one = Seq(22.3).toDF("temperature")
+    for (p <- Seq(0.0, 0.5, 1.0))
+      assert(one.agg(org.apache.spark.sql.functions.percentile(
+        $"temperature", org.apache.spark.sql.functions.lit(p)))
+        .head.getDouble(0) == 22.3)
+    // quantile(4) fixtures, every method (series_test.py:765-800)
+    def quart(m: String): Seq[Double] =
+      Seq(0.25, 0.5, 0.75).map(p => pm(p, m))
+    // 29.875: Spark interpolates lo+(hi-lo)·f, numpy lo·(1-f)+hi·f —
+    // same value to 4e-15; the oracle-facing queries round to 6dp
+    Seq(0.25, 0.5, 0.75).map(lin).zip(Seq(29.875, 50.05, 79.425))
+      .foreach { case (got, want) => assert(math.abs(got - want) < 1e-9) }
+    assert(quart("lower") == Seq(22.3, 45.5, 76.8))
+    assert(quart("higher") == Seq(32.4, 54.6, 87.3))
+    assert(quart("nearest") == Seq(32.4, 54.6, 76.8))
+    assert(Seq(0.25, 0.5, 0.75).map(p =>
+      df.agg(Aggs.percentileMidpoint6($"temperature", p)).head.getDouble(0))
+      == Seq(27.35, 50.05, 82.05))
+  }
+
+  // tests/series_test.py:512-556 TRAFFIC_DATA_IN/OUT — merge aligns
+  // columns at shared instants; list_sum doubles a series added to
+  // itself. Exact published values.
+  test("merge and list_sum reproduce series_test.py:512-556") {
+    import spark.implicits._
+    import graft.operators.Combine
+    val tIn = Seq((1400425947000L, 52.0), (1400425948000L, 18.0),
+      (1400425949000L, 26.0), (1400425950000L, 93.0)).toDF("ts", "in")
+    val tOut = Seq((1400425947000L, 34.0), (1400425948000L, 13.0),
+      (1400425949000L, 67.0), (1400425950000L, 91.0)).toDF("ts", "out")
+    val merged = Combine.merge(Seq(tIn, tOut), Seq("ts"))
+      .orderBy("ts").collect()
+    // at(2): in=26, out=67
+    assert(merged(2).getDouble(1) == 26.0 && merged(2).getDouble(2) == 67.0)
+    assert(merged.length == 4)
+    val summed = Combine.reduceSeries(Seq(tIn, tIn), Seq("ts"),
+      Seq(sum($"in").as("in"))).orderBy("ts").collect()
+    // at(0): 104, at(1): 36
+    assert(summed(0).getDouble(1) == 104.0 && summed(1).getDouble(1) == 36.0)
+  }
 }
