@@ -762,6 +762,29 @@ class OperatorSpec extends AnyFunSuite {
       (2L, 0L, 100L, 3L)))
   }
 
+  test("coalesceIntervals == brute-force fold on random interval soup") {
+    val rnd = new scala.util.Random(11)
+    val iv = Seq.fill(60)((rnd.nextInt(3).toLong,
+      rnd.nextInt(500).toLong, rnd.nextInt(80).toLong + 1))
+      .map { case (k, b, d) => (k, b, b + d) }
+    def ref(xs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] =
+      xs.sorted.foldLeft(Vector.empty[(Long, Long, Long)]) {
+        case (acc, (b, e)) => acc.lastOption match {
+          case Some((pb, pe, n)) if b <= pe =>
+            acc.init :+ ((pb, math.max(pe, e), n + 1))
+          case _ => acc :+ ((b, e, 1L))
+        }
+      }
+    val want = iv.groupBy(_._1).toSeq.flatMap { case (k, xs) =>
+      ref(xs.map(x => (x._2, x._3))).map(t => (k, t._1, t._2, t._3))
+    }.sorted
+    val got = RangeJoin.coalesceIntervals(
+      iv.toDF("user_id", "b", "e"), Seq("user_id"), "b", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    assert(got == want)
+  }
+
   test("Trend.periodogram peaks at the planted frequency") {
     // one user, 32 daily samples of cos(2π·4t/32): all spectral power
     // must land at k=4, nothing at the other frequencies — and the

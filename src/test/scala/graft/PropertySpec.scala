@@ -86,6 +86,29 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("levBanded == classic full DP, any strings, any threshold") {
+    def levRef(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) =
+          if (a(i - 1) == b(j - 1)) d(i - 1)(j - 1)
+          else 1 + math.min(math.min(d(i - 1)(j), d(i)(j - 1)), d(i - 1)(j - 1))
+      d(a.length)(b.length)
+    }
+    val genS = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      // near-dup shape: common prefix + divergent tail
+      Gen.zip(Gen.asciiPrintableStr, Gen.asciiPrintableStr).map(p => p._1 + p._2),
+      Gen.listOf(Gen.oneOf('a', 'b', ' ')).map(_.mkString))
+    check(Prop.forAll(genS, genS, Gen.chooseNum(0, 30)) { (a, b, k) =>
+      val want = { val d = levRef(a, b); if (d <= k) d else -1 }
+      HashImpl.levBanded(
+        UTF8String.fromString(a), UTF8String.fromString(b), k) == want
+    })
+  }
+
   test("vecDot: left fold matches BigDecimal-free sequential sum") {
     val genVec = Gen.listOfN(8, Gen.chooseNum(-100f, 100f))
     check(Prop.forAll(genVec, genVec) { (a, b) =>

@@ -34,6 +34,7 @@ sys.path.insert(0, '/root/reference')
 import pyarrow.parquet as pq  # noqa: E402
 from pypond.series import TimeSeries  # noqa: E402
 from pypond.functions import Functions  # noqa: E402
+from pypond.range import TimeRange  # noqa: E402
 
 
 def load(sf_dir):
@@ -45,7 +46,8 @@ def load(sf_dir):
                     tbl.column('value').to_pylist()))
 
 
-def series_by(rows, key_fn, val_fn=lambda r: r[3], pred=lambda r: True):
+def series_by(rows, key_fn, val_fn=lambda r: r[3], pred=lambda r: True,
+              col='value'):
     groups = {}
     for r in rows:
         if pred(r):
@@ -54,7 +56,7 @@ def series_by(rows, key_fn, val_fn=lambda r: r[3], pred=lambda r: True):
     for k, pts in groups.items():
         pts.sort(key=lambda p: p[0])
         out[k] = TimeSeries(
-            {'name': str(k), 'columns': ['time', 'value'], 'points': pts})
+            {'name': str(k), 'columns': ['time', col], 'points': pts})
     return out
 
 
@@ -109,6 +111,26 @@ def main():
         s.rate('value') for s in built['purchases'].values()])
     timed('ts_fill_linear', lambda: [
         s.fill('value', 'linear') for s in built['masked'].values()])
+    timed('ts_quantile', lambda: [
+        s.quantile(4, 'value') for s in built['by_type'].values()])
+    timed('ts_percentile_methods', lambda: [
+        (s.percentile(90, 'value', 'lower'),
+         s.percentile(90, 'value', 'higher'),
+         s.percentile(90, 'value', 'nearest'),
+         s.percentile(90, 'value', 'midpoint'))
+        for s in built['by_type'].values()])
+    timed('ts_crop', lambda: [
+        s.crop(TimeRange(1704844800000, 1705708800000))  # Jan10..Jan20 ms
+        for s in built['by_user'].values()])
+    # per-user merge of the click/view column series (ts_merge's shape)
+    built['clicks_c'] = series_by(rows, lambda r: r[2],
+                                  pred=lambda r: r[1] == 'click', col='c')
+    built['views_v'] = series_by(rows, lambda r: r[2],
+                                 pred=lambda r: r[1] == 'view', col='v')
+    timed('ts_merge', lambda: [
+        TimeSeries.timeseries_list_merge(
+            dict(name=str(u)), [built['clicks_c'][u], built['views_v'][u]])
+        for u in built['clicks_c'] if u in built['views_v']])
 
     artifact = {
         'note': ('reference (esnet/pypond) single-node wall seconds over '
