@@ -1854,7 +1854,9 @@ object SparkEntry {
          |  floor(st[1] * 1000000.0) / 1000000.0 AS level,
          |  floor(st[2] * 1000000.0) / 1000000.0 AS trend,
          |  floor(st[4 + ((CAST(st[3] AS BIGINT) - 1) % $m)] * 1000000.0)
-         |    / 1000000.0 AS seasonal
+         |    / 1000000.0 AS seasonal,
+         |  floor((st[1] + st[2] + st[4 + (CAST(st[3] AS BIGINT) % $m)])
+         |    * 1000000.0) / 1000000.0 AS forecast
          |FROM hwf""".stripMargin
     },
 

@@ -333,7 +333,10 @@ object Trend {
     * key; per-frame state is two scalars + the O(period) seasonal
     * array, never an O(history) collect.
     *
-    * Output: input columns + `level` + `trend` + `seasonal`.
+    * Output: input columns + `level` + `trend` + `seasonal` +
+    * `forecast` (= level + trend + next slot's seasonal component —
+    * the classic one-step-ahead seasonal forecast, summed on the raw
+    * state before the µ-floor).
     */
   def holtWinters(df: DataFrame, tsCol: String, valCol: String,
                   keyCols: Seq[String], alpha: Double = 0.3,
@@ -349,6 +352,9 @@ object Trend {
       .withColumn("trend", floor(col("__hw.trend") * lit(1e6)) / lit(1e6))
       .withColumn("seasonal",
         floor(col("__hw.seasonal") * lit(1e6)) / lit(1e6))
+      .withColumn("forecast",
+        floor((col("__hw.level") + col("__hw.trend") + col("__hw.ahead"))
+          * lit(1e6)) / lit(1e6))
       .drop("__hw")
   }
 

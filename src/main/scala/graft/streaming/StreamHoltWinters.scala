@@ -22,7 +22,8 @@ object StreamHoltWinters {
   final case class Ev(user_id: Long, ts: Long, value: Double)
   final case class Hist(vals: Seq[Double])
   final case class HwOut(user_id: Long, ts: Long, value: Double,
-                         level: Double, trend: Double, seasonal: Double)
+                         level: Double, trend: Double, seasonal: Double,
+                         forecast: Double)
 
   private def floor6(x: Double): Double = math.floor(x * 1e6) / 1e6
 
@@ -52,7 +53,8 @@ object StreamHoltWinters {
           cnt += 1
         }
         HwOut(user, e.ts, e.value, floor6(l), floor6(b),
-          floor6(s((cnt - 1) % period)))
+          floor6(s((cnt - 1) % period)),
+          floor6(l + b + s(cnt % period)))
       }
       state.update(Hist(hist))
       out.iterator

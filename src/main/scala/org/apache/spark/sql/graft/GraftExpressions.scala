@@ -246,7 +246,7 @@ case class HwAgg(child: Expression, alpha: Double, beta: Double,
   override def nullable: Boolean = true
   override def dataType: DataType = StructType(Seq(
     StructField("level", DoubleType), StructField("trend", DoubleType),
-    StructField("seasonal", DoubleType)))
+    StructField("seasonal", DoubleType), StructField("ahead", DoubleType)))
   private lazy val lv = AttributeReference("lv", DoubleType)()
   private lazy val tr = AttributeReference("tr", DoubleType)()
   private lazy val cnt = AttributeReference("cnt", IntegerType, nullable = false)()
@@ -295,6 +295,12 @@ case class HwAgg(child: Expression, alpha: Double, beta: Double,
         ElementAt(sarr,
           Add(Remainder(Subtract(cnt, Literal(1)), Literal(period)),
             Literal(1))),
+        Literal(null, DoubleType)),
+      // the NEXT slot's seasonal component — what the one-step-ahead
+      // forecast l + b + s_next needs
+      Literal("ahead"),
+      If(GreaterThan(cnt, Literal(0)),
+        ElementAt(sarr, Add(Remainder(cnt, Literal(period)), Literal(1))),
         Literal(null, DoubleType))))
   override protected def withNewChildrenInternal(
       cs: IndexedSeq[Expression]): HwAgg = copy(child = cs.head)

@@ -387,13 +387,15 @@ class StreamHoltWintersSpec extends AnyFunSuite {
       .queryName("shw_test").start()
     try q.processAllAvailable() finally q.stop()
     val got = spark.table("shw_test")
-      .select($"user_id", $"ts", $"value", $"level", $"trend", $"seasonal")
+      .select($"user_id", $"ts", $"value", $"level", $"trend",
+        $"seasonal", $"forecast")
 
     // the stream re-folds the same bounded window with the same float
-    // order as the native HwAgg -> bit-identical level, trend AND the
-    // re-derived seasonal component
+    // order as the native HwAgg -> bit-identical level, trend, the
+    // re-derived seasonal component, and the one-step-ahead forecast
     val want = Trend.holtWinters(batch, "ts", "value", Seq("user_id"))
-      .select($"user_id", $"ts", $"value", $"level", $"trend", $"seasonal")
+      .select($"user_id", $"ts", $"value", $"level", $"trend",
+        $"seasonal", $"forecast")
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
