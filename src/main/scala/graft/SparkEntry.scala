@@ -726,6 +726,14 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts"), col("mv").as("filled"))
     },
 
+    // zero fill with the key_count limit (clean_test.py:590): first 2
+    // misses of each gap -> 0, rest stay null; leading gaps fill
+    "ts_fill_zero_limit" -> { (s, dir) =>
+      val masked_ = events(s, dir).withColumn("mv", masked(col("value")))
+      Fill.zeroLimited(masked_, "ts", Seq("mv"), Seq("user_id"), fillLimit = 2)
+        .select(col("event_id"), col("user_id"), col("ts"), col("mv").as("filled"))
+    },
+
     "ts_fill_linear" -> { (s, dir) =>
       val masked_ = events(s, dir).withColumn("mv", masked(col("value")))
       Fill.linear(masked_, "ts", "mv", Seq("user_id"))
@@ -1551,6 +1559,20 @@ object SparkEntry {
          |SELECT event_id, user_id, tns AS ts,
          |  CASE WHEN mv IS NOT NULL THEN mv
          |       WHEN rn - coalesce(last_good_rn, 0) <= 2 THEN padded END AS filled
+         |FROM p2""".stripMargin,
+
+    "ts_fill_zero_limit" ->
+      s"""WITH s AS (SELECT event_id, user_id, $EvUs AS tns,
+         |  CASE WHEN value < 5.0 THEN NULL ELSE value END AS mv FROM events),
+         |p1 AS (SELECT event_id, user_id, tns, mv,
+         |  row_number() OVER (PARTITION BY user_id ORDER BY tns) AS rn FROM s),
+         |p2 AS (SELECT event_id, user_id, tns, mv, rn,
+         |  max(CASE WHEN mv IS NOT NULL THEN rn END) OVER up_to AS last_good_rn
+         |  FROM p1 WINDOW up_to AS (PARTITION BY user_id ORDER BY tns
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, tns AS ts,
+         |  CASE WHEN mv IS NOT NULL THEN mv
+         |       WHEN rn - coalesce(last_good_rn, 0) <= 2 THEN 0.0 END AS filled
          |FROM p2""".stripMargin,
 
     "ts_fill_linear" ->

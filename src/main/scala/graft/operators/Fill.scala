@@ -31,6 +31,28 @@ object Fill {
     valCols.foldLeft(df)((d, v) =>
       d.withColumn(v, when(valid(col(v)), col(v)).otherwise(lit(0.0))))
 
+  /** Zero fill honoring `fillLimit` (filler.py key_count applies to
+    * zero mode too — clean_test.py:590-616): only the first
+    * `fillLimit` consecutive misses of each gap become 0, the rest
+    * stay null. Unlike pad, a LEADING gap fills (zero needs no
+    * previous good value) — its run length counts from the series
+    * start, exactly the reference's behavior.
+    */
+  def zeroLimited(df: DataFrame, tsCol: String, valCols: Seq[String],
+                  keyCols: Seq[String], fillLimit: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val upTo = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    valCols.foldLeft(df) { (d, v) =>
+      d.withColumn("__rn", row_number().over(w))
+        .withColumn("__last_good_rn", last(
+          when(valid(col(v)), col("__rn")), ignoreNulls = true).over(upTo))
+        .withColumn(v, when(valid(col(v)), col(v)).otherwise(
+          when(col("__rn") - coalesce(col("__last_good_rn"), lit(0))
+            <= fillLimit, lit(0.0))))
+        .drop("__rn", "__last_good_rn")
+    }
+  }
+
   def pad(df: DataFrame, tsCol: String, valCols: Seq[String],
           keyCols: Seq[String], fillLimit: Option[Int] = None): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))

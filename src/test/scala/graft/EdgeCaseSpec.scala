@@ -69,6 +69,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Dedup.editVerifiedPairs(emptyDocs).isEmpty)
     assert(Trend.holtWinters(emptyEvents, "ts", "value", Seq("user_id"))
       .isEmpty)
+    assert(Fill.zeroLimited(emptyEvents, "ts", Seq("value"), Seq("user_id"),
+      2).isEmpty)
   }
 
   test("components of an empty pair list is empty (and converges)") {

@@ -48,6 +48,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_bands" -> 1,
     // holt-winters: daily pre-agg + the series-key fold window
     "ts_holt_winters" -> 2,
+    // zero fill with key_count limit: ONE series-key window
+    "ts_fill_zero_limit" -> 1,
     // production phash geometry: banded self-join over planted-copy
     // corpus — hash/band shuffles + the pair-distinct agg
     "mm_phash_wide" -> 4,

@@ -235,6 +235,44 @@ class ReferenceFixtureSpec extends AnyFunSuite {
       == Seq(27.35, 50.05, 82.05))
   }
 
+  // tests/clean_test.py:567-645 pad/zero fill_limit=2 over BOTH
+  // columns of the canned missing-data series — every published
+  // value, including the asymmetry: zero fills a LEADING gap (no
+  // previous value needed), pad does not
+  test("pad and zero fill limits reproduce clean_test.py:567-645") {
+    import spark.implicits._
+    import graft.operators.Fill
+    val times = Seq(1400425947000L, 1400425948000L, 1400425949000L,
+      1400425950000L, 1400425960000L, 1400425970000L, 1400425980000L,
+      1400425990000L, 1400426000000L, 1400426010000L, 1400426020000L)
+    val ins = Seq[java.lang.Double](1.0, null, null, 3.0, null, null, null,
+      7.0, 8.0, 9.0, 10.0)
+    val outs = Seq[java.lang.Double](null, null, null, 8.0, null, 12.0, 13.0,
+      null, null, null, null)
+    val df = times.indices.map(i => (1L, times(i), ins(i), outs(i)))
+      .toDF("k", "ts", "in", "out")
+
+    def col6(d: org.apache.spark.sql.DataFrame, c: String): Seq[Option[Double]] =
+      d.orderBy("ts").collect().map(r =>
+        if (r.isNullAt(r.fieldIndex(c))) None
+        else Some(r.getDouble(r.fieldIndex(c)))).toSeq
+
+    val zeroed = Fill.zeroLimited(df, "ts", Seq("in", "out"), Seq("k"), 2)
+    assert(col6(zeroed, "in") == Seq(Some(1.0), Some(0.0), Some(0.0),
+      Some(3.0), Some(0.0), Some(0.0), None, Some(7.0), Some(8.0),
+      Some(9.0), Some(10.0)))
+    assert(col6(zeroed, "out") == Seq(Some(0.0), Some(0.0), None, Some(8.0),
+      Some(0.0), Some(12.0), Some(13.0), Some(0.0), Some(0.0), None, None))
+
+    val padded = Fill.pad(df, "ts", Seq("in", "out"), Seq("k"),
+      fillLimit = Some(2))
+    assert(col6(padded, "in") == Seq(Some(1.0), Some(1.0), Some(1.0),
+      Some(3.0), Some(3.0), Some(3.0), None, Some(7.0), Some(8.0),
+      Some(9.0), Some(10.0)))
+    assert(col6(padded, "out") == Seq(None, None, None, Some(8.0), Some(8.0),
+      Some(12.0), Some(13.0), Some(13.0), Some(13.0), None, None))
+  }
+
   // tests/series_test.py:512-556 TRAFFIC_DATA_IN/OUT — merge aligns
   // columns at shared instants; list_sum doubles a series added to
   // itself. Exact published values.
