@@ -367,6 +367,44 @@ class StreamHoltSpec extends AnyFunSuite {
   }
 }
 
+class StreamBandsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming bollinger bands equal the batch window query exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_sbands").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamBands.Ev]
+
+    val q = graft.streaming.StreamBands(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sbands_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sbands_test")
+
+    // the ts_bands window formulation, restated here verbatim
+    val f = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"value").rowsBetween(-19, 0)
+    val want = batch
+      .withColumn("mid", round(avg($"value").over(f), 6))
+      .withColumn("sigma", round(stddev_pop($"value").over(f), 6))
+      .withColumn("band_up", round($"mid" + lit(2.0) * $"sigma", 6))
+      .withColumn("band_dn", round($"mid" - lit(2.0) * $"sigma", 6))
+      .withColumn("breach", when($"value" > $"band_up", lit("up"))
+        .when($"value" < $"band_dn", lit("down")).otherwise(lit("in")))
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
+
 class StreamHoltWintersSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
