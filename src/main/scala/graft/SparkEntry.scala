@@ -654,6 +654,14 @@ object SparkEntry {
         "ts", "value", Seq("user_id"), UsDay, maxK = 6)
     },
 
+    // Theil–Sen robust trend per user: median pairwise slope over the
+    // daily grid — outlier days can't drag it the way they drag
+    // ts_trend_slope's OLS; pair fan-out is calendar-bounded per key
+    "ts_theil_sen" -> { (s, dir) =>
+      Trend.theilSen(events(s, dir), "ts", "value", Seq("user_id"),
+        UsDay, Jan01)
+    },
+
     "ts_align_linear" -> { (s, dir) =>
       val clicks = events(s, dir).where(col("event_type") === "click")
       TimeSeries(clicks, "ts", Seq("user_id"))
@@ -1444,6 +1452,28 @@ object SparkEntry {
          |  round((sc * sc + ss * ss) / CAST(n AS DOUBLE)
          |    / CAST(n AS DOUBLE), 6) AS power
          |FROM ps""".stripMargin,
+
+    // bucket means are exact decimal sums, slopes divide identical
+    // doubles by integer day gaps, medians are linear-interpolation
+    // percentiles — the same parity chain as ts_lttb / ts_agg_stats
+    "ts_theil_sen" ->
+      s"""WITH tsg AS (SELECT user_id,
+         |    ($EvUs - 1704067200000000) // 86400000000 AS d,
+         |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+         |      AS v
+         |  FROM events GROUP BY 1, 2),
+         |tsp AS (SELECT a.user_id,
+         |    (b.v - a.v) / CAST(b.d - a.d AS DOUBLE) AS sl
+         |  FROM tsg a JOIN tsg b ON a.user_id = b.user_id AND a.d < b.d),
+         |tss AS (SELECT user_id, count(*) AS n_pairs,
+         |    round(quantile_cont(sl, 0.5), 6) AS slope_per_day
+         |  FROM tsp GROUP BY 1)
+         |SELECT g.user_id, count(*) AS n_days, s.n_pairs,
+         |  s.slope_per_day,
+         |  round(quantile_cont(g.v - s.slope_per_day * CAST(g.d AS DOUBLE),
+         |    0.5), 6) AS intercept
+         |FROM tsg g JOIN tss s ON g.user_id = s.user_id
+         |GROUP BY 1, 3, 4""".stripMargin,
 
     // bucket-of-begin .. bucket-of-end inclusive, floor division —
     // mirrors TimeIndex.indexList

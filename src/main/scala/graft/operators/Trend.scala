@@ -449,4 +449,59 @@ object Trend {
           col("__n").cast("double") / col("__n").cast("double"), 6)
           .as("power"): _*)
   }
+
+  /** Theil–Sen robust trend per series: the MEDIAN of all pairwise
+    * slopes over the bucketed grid — the estimator that shrugs off the
+    * outliers that drag [[graft.SparkEntry]]'s OLS `ts_trend_slope`
+    * (breakdown point ~29% vs 0%). Intercept is the Sen variant
+    * median(v_i - slope·d_i), so level shifts are robust too.
+    *
+    * Scale shape: the raw series is reduced FIRST by one (key, bucket)
+    * partial-agg'd shuffle — the only stage that touches corpus rows.
+    * The pairwise self-join runs on that grid, whose size per key is
+    * bounded by the CALENDAR (days in range), not the corpus, so the
+    * O(days²) pair fan-out is a fixed constant per key (90 days →
+    * ~4k pairs) no matter how many raw events back each bucket.
+    *
+    * Cross-engine exactness: bucket means are exact decimal sums over
+    * doubles (order-independent), slopes divide those identical
+    * doubles by integer day gaps (same IEEE op both engines), and the
+    * medians are linear-interpolation percentiles — the same parity
+    * chain ts_lttb / ts_agg_stats already pin.
+    *
+    * Keys with a single populated bucket have no pairs and are
+    * dropped (no slope is defined). Output: keyCols, n_days, n_pairs,
+    * slope_per_day, intercept (value at day 0 = originUs).
+    */
+  def theilSen(df: DataFrame, tsCol: String, valCol: String,
+               keyCols: Seq[String], bucketUs: Long,
+               originUs: Long): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.fldiv
+    val grid = df
+      .select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .groupBy(keyCols.map(col) :+
+        fldiv(col(tsCol) - lit(originUs), bucketUs).as("__d"): _*)
+      .agg((sum(col(valCol).cast("decimal(38,6)")).cast("double") /
+        count(lit(1))).as("__v"))
+    val a = grid.as("a")
+    val b = grid.as("b")
+    val pairCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
+      .reduce(_ && _) && col("a.__d") < col("b.__d")
+    val slopes = a.join(b, pairCond)
+      .select(keyCols.map(k => col(s"a.$k").as(k)) :+
+        ((col("b.__v") - col("a.__v")) /
+          (col("b.__d") - col("a.__d")).cast("double")).as("__sl"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(percentile(col("__sl"), lit(0.5)), 6).as("slope_per_day"))
+    grid.join(slopes, keyCols)
+      .groupBy(keyCols.map(col) :+ col("n_pairs") :+
+        col("slope_per_day"): _*)
+      .agg(count(lit(1)).as("n_days"),
+        round(percentile(
+          col("__v") - col("slope_per_day") * col("__d").cast("double"),
+          lit(0.5)), 6).as("intercept"))
+      .select(keyCols.map(col) :+ col("n_days") :+ col("n_pairs") :+
+        col("slope_per_day") :+ col("intercept"): _*)
+  }
 }

@@ -57,6 +57,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // aggregation's (key, island) grouping is clustering-satisfied by
     // the window's hash(key) partitioning — no second exchange
     "ts_interval_coalesce" -> 1,
+    // theil-sen: the (key, day) grid pre-agg is the only stage touching
+    // corpus rows; the 5 downstream exchanges (pair self-join re-keys +
+    // slope join-back) all move the calendar-bounded grid, not events
+    "ts_theil_sen" -> 6,
     // periodogram: (key, bucket) grid pre-agg + the series-key index
     // window; the (key, k) power agg reuses hash(key)
     "ts_periodogram" -> 2,

@@ -180,6 +180,24 @@ class TrendSpec extends AnyFunSuite {
     assert(got(2).getDouble(0) == math.floor((20.0 * 0.3 + 10.0 * 0.7) * 1e6) / 1e6)
   }
 
+  test("theilSen shrugs off the outlier day that drags OLS; 1-bucket keys drop") {
+    import spark.implicits._
+    // v = 2*d exactly, except day 5 spikes to 1000: 36 of 45 pairwise
+    // slopes are exactly 2.0, so the median is untouched by the spike
+    val rows = (0 until 10).map(d =>
+      (1L, us(10L * d), if (d == 5) 1000.0 else 2.0 * d)) :+
+      (2L, us(0), 7.0) // single populated bucket: no pairs, dropped
+    val r = Trend.theilSen(rows.toDF("k", "ts", "v"), "ts", "v",
+      Seq("k"), us(10), 0L).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("k") == 1L)
+    assert(row.getAs[Long]("n_days") == 10)
+    assert(row.getAs[Long]("n_pairs") == 45)
+    assert(row.getAs[Double]("slope_per_day") == 2.0)
+    assert(row.getAs[Double]("intercept") == 0.0)
+  }
+
   test("cusum: prefix-minus-running-min equals the recursive max fold") {
     import spark.implicits._
     // target 10, h 5: S = (0) 3, 7, 0 (dip drains), 8 -> alarms at 7 and 8
