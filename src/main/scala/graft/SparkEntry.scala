@@ -662,6 +662,14 @@ object SparkEntry {
         UsDay, Jan01)
     },
 
+    // value-distribution drift per event_type: PSI between the first
+    // and second half of the month over the ts_hist bucket geometry —
+    // one (key, bin) partial-agg'd shuffle regardless of corpus size
+    "ts_drift_psi" -> { (s, dir) =>
+      Trend.psiDrift(events(s, dir), "ts", "value", Seq("event_type"),
+        Jan15, binWidth = 25.0, nBins = 20)
+    },
+
     "ts_align_linear" -> { (s, dir) =>
       val clicks = events(s, dir).where(col("event_type") === "click")
       TimeSeries(clicks, "ts", Seq("user_id"))
@@ -1474,6 +1482,37 @@ object SparkEntry {
          |    0.5), 6) AS intercept
          |FROM tsg g JOIN tss s ON g.user_id = s.user_id
          |GROUP BY 1, 3, 4""".stripMargin,
+
+    // PSI terms are non-negative (same-sign factors), each ln snapped
+    // to integer micro-nats before the per-key sum — the doc_dsir idiom
+    "ts_drift_psi" ->
+      s"""WITH pd AS (SELECT event_type,
+         |    CAST(least(greatest(floor(value / 25), 0), 19) AS INTEGER)
+         |      AS b,
+         |    CASE WHEN $EvUs < 1705276800000000 THEN 1 ELSE 0 END AS ina
+         |  FROM events),
+         |pc AS (SELECT event_type, b, sum(ina) AS ca, sum(1 - ina) AS cb
+         |  FROM pd GROUP BY 1, 2),
+         |pw AS (SELECT event_type, ca, cb,
+         |    sum(ca) OVER (PARTITION BY event_type) AS na,
+         |    sum(cb) OVER (PARTITION BY event_type) AS nb
+         |  FROM pc),
+         |pt AS (SELECT event_type, na, nb,
+         |    (CAST(ca AS DOUBLE) + 0.5) / (CAST(na AS DOUBLE) + 10.0)
+         |      AS pa,
+         |    (CAST(cb AS DOUBLE) + 0.5) / (CAST(nb AS DOUBLE) + 10.0)
+         |      AS pb
+         |  FROM pw),
+         |pu AS (SELECT event_type, na, nb,
+         |    CAST(round((pa - pb)
+         |      * CAST(CAST(round(ln(pa) * 1000000) AS BIGINT)
+         |        - CAST(round(ln(pb) * 1000000) AS BIGINT) AS DOUBLE))
+         |      AS BIGINT) AS cu
+         |  FROM pt)
+         |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+         |  CAST(max(nb) AS BIGINT) AS n_b,
+         |  round(CAST(sum(cu) AS DOUBLE) / 1000000.0, 6) AS psi
+         |FROM pu GROUP BY 1""".stripMargin,
 
     // bucket-of-begin .. bucket-of-end inclusive, floor division —
     // mirrors TimeIndex.indexList

@@ -473,6 +473,55 @@ object Trend {
     * dropped (no slope is defined). Output: keyCols, n_days, n_pairs,
     * slope_per_day, intercept (value at day 0 = originUs).
     */
+  /** Population Stability Index between two time periods of a keyed
+    * series — the standard drift monitor a training-data pipeline runs
+    * before trusting a feature: PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b)
+    * over a fixed-width value histogram, period A = ts < splitUs,
+    * period B = the rest. Rule of thumb: <0.1 stable, 0.1–0.25 drifting,
+    * >0.25 shifted.
+    *
+    * Bins use the ts_hist geometry (width · nBins, clamped). Add-½
+    * smoothing keeps empty-on-one-side bins finite; both periods share
+    * one scan and ONE (key, bin) partial-agg'd shuffle — reduce rows =
+    * #keys × #bins at any corpus scale.
+    *
+    * Cross-engine exactness: counts are integers, probabilities divide
+    * identical doubles, and each ln lands as integer micro-nats before
+    * the per-key sum (the doc_dsir / doc_lm_score idiom) — PSI terms
+    * are non-negative products of same-sign factors, so the snap has
+    * no signed-rounding hazard.
+    *
+    * Output: keyCols, n_a, n_b, psi.
+    */
+  def psiDrift(df: DataFrame, tsCol: String, valCol: String,
+               keyCols: Seq[String], splitUs: Long,
+               binWidth: Double, nBins: Int): DataFrame = {
+    val b = least(greatest(floor(col(valCol) / lit(binWidth)), lit(0)),
+      lit(nBins - 1)).cast("int")
+    val inA = when(col(tsCol) < lit(splitUs), 1L).otherwise(0L)
+    val counts = df
+      .select((keyCols.map(col) :+ b.as("__b") :+ inA.as("__ina")): _*)
+      .groupBy(keyCols.map(col) :+ col("__b"): _*)
+      .agg(sum(col("__ina")).as("__ca"),
+        sum(lit(1L) - col("__ina")).as("__cb"))
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+    val smooth = lit(0.5 * nBins)
+    val pa = (col("__ca").cast("double") + lit(0.5)) /
+      (col("__na").cast("double") + smooth)
+    val pb = (col("__cb").cast("double") + lit(0.5)) /
+      (col("__nb").cast("double") + smooth)
+    val lnU = (x: org.apache.spark.sql.Column) =>
+      round(log(x) * lit(1e6)).cast("long")
+    counts
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+      .withColumn("__cu", round((pa - pb) *
+        (lnU(pa) - lnU(pb)).cast("double")).cast("long"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        round(sum(col("__cu")).cast("double") / lit(1e6), 6).as("psi"))
+  }
+
   def theilSen(df: DataFrame, tsCol: String, valCol: String,
                keyCols: Seq[String], bucketUs: Long,
                originUs: Long): DataFrame = {

@@ -61,6 +61,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // corpus rows; the 5 downstream exchanges (pair self-join re-keys +
     // slope join-back) all move the calendar-bounded grid, not events
     "ts_theil_sen" -> 6,
+    // psi drift: one (key, bin) partial agg touches corpus rows; the
+    // key-window totals re-key the #keys x #bins frame
+    "ts_drift_psi" -> 2,
     // periodogram: (key, bucket) grid pre-agg + the series-key index
     // window; the (key, k) power agg reuses hash(key)
     "ts_periodogram" -> 2,

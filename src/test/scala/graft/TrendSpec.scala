@@ -198,6 +198,26 @@ class TrendSpec extends AnyFunSuite {
     assert(row.getAs[Double]("intercept") == 0.0)
   }
 
+  test("psiDrift: identical halves score 0, a full bin shift scores large") {
+    import spark.implicits._
+    // key y: same values both periods -> pa == pb in every bin -> 0.
+    // key x: bin 0 (v=1) before the split, bin 1 (v=30) after -> the
+    // textbook ">0.25 = shifted" regime by an order of magnitude
+    val rows =
+      (0 until 4).map(i => ("x", us(i), 1.0)) ++
+      (0 until 4).map(i => ("x", us(100 + i), 30.0)) ++
+      (0 until 4).flatMap(i => Seq(("y", us(i), 1.0), ("y", us(100 + i), 1.0)))
+    val got = Trend.psiDrift(rows.toDF("k", "ts", "v"), "ts", "v",
+      Seq("k"), splitUs = us(50), binWidth = 25.0, nBins = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("y") == ((4L, 4L, 0.0)))
+    val (na, nb, psi) = got("x")
+    assert(na == 4L && nb == 4L)
+    // (2*4.5/14 - 2*0.5/14) * ln(9) twice over = ~1.2556
+    assert(psi > 1.2 && psi < 1.3)
+  }
+
   test("cusum: prefix-minus-running-min equals the recursive max fold") {
     import spark.implicits._
     // target 10, h 5: S = (0) 3, 7, 0 (dip drains), 8 -> alarms at 7 and 8
