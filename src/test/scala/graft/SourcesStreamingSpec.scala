@@ -487,6 +487,28 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming M4 downsample matches batch Trend.m4 exactly") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+      .select("user_id", "ts", "value")
+    val dir = Files.createTempDirectory("graft_m4").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    val m4 = graft.streaming.StreamM4.m4(stream, "ts", "value",
+      Seq("user_id"), "1h", watermark = "1 hour")
+    val q = m4.writeStream.outputMode("complete")
+      .format("memory").queryName("m4_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("m4_test")
+    val want = graft.operators.Trend.m4(batch, "ts", "value",
+      Seq("user_id"), "1h")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("stream-stream interval join matches the batch RangeJoin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
