@@ -2206,6 +2206,13 @@ object SparkEntry {
       Dedup.dupBlockFraction(tbl(s, dir, "documents"))
     },
 
+    // char-level ExactSubstr-style duplicated spans: marks positions
+    // whose 20-char gram repeats corpus-wide, coalesces them into
+    // maximal spans — no pair enumeration, no df² term anywhere
+    "doc_dup_spans" -> { (s, dir) =>
+      Dedup.duplicateSpans(tbl(s, dir, "documents"), k = 20)
+    },
+
     // the destructive counterpart of doc_dup_blocks: repeated blocks
     // keep only their corpus-wide first occurrence and the text is
     // reassembled (C4/RefinedWeb repeated-span removal as a transform)
@@ -3269,6 +3276,42 @@ object SparkEntry {
          |    round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / len(b.bids), 6)
          |  END AS dup_frac
          |FROM b LEFT JOIN nd ON nd.doc_id = b.doc_id""".stripMargin,
+
+    // char 20-gram hashes restate CharGramHashes' rolling recurrence
+    // directly (hash each substring); fixed-length intervals make the
+    // island fold a lag test (ends are monotone in begins)
+    "doc_dup_spans" ->
+      s"""WITH dsg AS (SELECT doc_id, text,
+         |    unnest(range(0, greatest(len(text) - 19, 0))) AS pos
+         |  FROM documents),
+         |dsh AS (SELECT doc_id, pos,
+         |    ${sqlPoly("substr(text, CAST(pos AS INTEGER) + 1, 20)")} AS h
+         |  FROM dsg),
+         |dsd AS (SELECT h FROM dsh GROUP BY h HAVING count(*) >= 2),
+         |dsp AS (SELECT doc_id, pos FROM dsh
+         |  WHERE h IN (SELECT h FROM dsd)),
+         |dsi AS (SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        IS NULL
+         |      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        + 20
+         |      THEN 1 ELSE 0 END AS st
+         |  FROM dsp),
+         |dsl AS (SELECT doc_id, pos,
+         |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM dsi),
+         |dss AS (SELECT doc_id, min(pos) AS b, max(pos) + 20 AS e
+         |  FROM dsl GROUP BY doc_id, isl),
+         |dsa AS (SELECT doc_id, count(*) AS n_spans,
+         |    sum(e - b) AS dup_chars
+         |  FROM dss GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+         |  CASE WHEN len(d.text) > 0 THEN
+         |    round(CAST(coalesce(a.dup_chars, 0) AS DOUBLE)
+         |      / CAST(len(d.text) AS DOUBLE), 6)
+         |  ELSE 0.0 END AS dup_frac
+         |FROM documents d LEFT JOIN dsa a ON d.doc_id = a.doc_id""".stripMargin,
 
     // first occurrence = min (doc_id, pos) per block hash, expressed
     // as a row_number window; reassembly re-slices the token list at

@@ -16,6 +16,37 @@ import org.apache.spark.unsafe.types.UTF8String
 object HashImpl {
   val Mod = 1000000007L
 
+  /** Hashes of every k-code-point substring ("char k-gram") of `s`,
+    * one per start position, rolling in O(n) total: h_{i+1} =
+    * ((h_i − cp_i·31^{k-1})·31 + cp_{i+k-1}) mod p — modular
+    * arithmetic, so bit-identical to hashing each substring directly
+    * (the DuckDB oracle's substr + fold formulation). Strings shorter
+    * than k yield an empty array.
+    */
+  def charGramHashes(s: UTF8String, k: Int): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(new Array[Long](0))
+    val out = new Array[Long](n - k + 1)
+    var pw = 1L // 31^(k-1) mod p
+    var i = 1
+    while (i < k) { pw = pw * 31L % Mod; i += 1 }
+    var acc = 0L
+    i = 0
+    while (i < k) { acc = (acc * 31L + cps(i)) % Mod; i += 1 }
+    out(0) = acc
+    i = 1
+    while (i <= n - k) {
+      // cp < 2^21 and pw < 2^30, so every product stays under 2^52
+      acc = (acc - cps(i - 1) * pw % Mod + Mod) % Mod
+      acc = (acc * 31L + cps(i + k - 1)) % Mod
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Rolling hash over Unicode code points (= DuckDB ord()). ASCII
     * fast path iterates raw bytes without decoding.
     */

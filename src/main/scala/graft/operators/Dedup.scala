@@ -517,6 +517,53 @@ object Dedup {
           s => length(s) > 0), " ").as("new_text"))
   }
 
+  /** Character-level duplicated-span detection — the ExactSubstr-style
+    * signal (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better") at k-code-point granularity: a position is
+    * duplicated when its char k-gram occurs >= 2 times CORPUS-WIDE
+    * (across or within docs); overlapping duplicated grams coalesce
+    * into maximal spans per doc (the gaps-and-islands fold
+    * [[RangeJoin.coalesceIntervals]] already provides).
+    *
+    * Finer-grained than [[blockDedup]]'s non-overlapping token blocks:
+    * spans start and end on exact character boundaries, so a repeated
+    * sentence inside otherwise-unique paragraphs is bounded tightly.
+    *
+    * Scale shape: this MARKS duplicated spans, it never enumerates
+    * duplicate PAIRS — so unlike the pair family there is no df² term
+    * anywhere. Gram hashes roll scan-side in O(chars) (native
+    * CharGramHashes); the shuffles carry (hash, id, pos) — linear in
+    * corpus characters — for one hash-keyed partial agg (dup-hash
+    * set), one semi-join back, and one doc-keyed island window.
+    *
+    * Output: idCol, n_spans, dup_chars, dup_frac (of code points) —
+    * every input doc appears, zero-duplication docs score 0.
+    */
+  def duplicateSpans(docs: DataFrame, k: Int = 20,
+                     idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.char_gram_hashes
+    val grams = docs.select(col(idCol),
+      posexplode(char_gram_hashes(col("text"), k)).as(Seq("pos", "h")))
+    val dupH = grams.groupBy("h").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= 2).select("h")
+    val dupPos = grams.join(dupH, Seq("h"), "left_semi")
+      .select(col(idCol), col("pos").cast("long").as("__b"),
+        (col("pos") + lit(k)).cast("long").as("__e"))
+    val spans = RangeJoin.coalesceIntervals(dupPos, Seq(idCol), "__b", "__e")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("end_ts") - col("begin_ts")).as("dup_chars"))
+    docs.select(col(idCol), length(col("text")).as("__len"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        when(col("__len") > 0,
+          round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+            col("__len").cast("double"), 6)).otherwise(lit(0.0))
+          .as("dup_frac"))
+  }
+
   // --- exact n-gram Jaccard via shingle inverted index ----------------
 
   /** Pairs with word-`shingleN`-gram Jaccard >= `threshold`, computed

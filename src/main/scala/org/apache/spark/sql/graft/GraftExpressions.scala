@@ -42,6 +42,24 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = c)
 }
 
+/** Char k-gram rolling hashes (string -> array<long>): element i is
+  * the poly hash of code points [i, i+k) — one per start position,
+  * O(n) total via the rolling recurrence (HashImpl.charGramHashes),
+  * bit-identical to hashing each substring directly.
+  */
+case class CharGramHashes(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.HashImpl.charGramHashes(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.charGramHashes($c, $k)")
+  override protected def withNewChildInternal(c: Expression): CharGramHashes =
+    copy(child = c)
+}
+
 /** 24-bit SimHash of a token array (see HashImpl.simhash24). */
 case class SimHash24(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -342,6 +360,8 @@ object GraftExpressions {
       .toAggregateExpression(isDistinct = false))
   def shingle_hashes(tokens: Column, n: Int): Column =
     Bridge.toCol(ShingleHashes(Bridge.toExpr(tokens), n))
+  def char_gram_hashes(text: Column, k: Int): Column =
+    Bridge.toCol(CharGramHashes(Bridge.toExpr(text), k))
   def vec_dot(a: Column, b: Column): Column =
     Bridge.toCol(VecDot(Bridge.toExpr(a), Bridge.toExpr(b)))
   def vec_dot_d(a: Column, b: Column): Column =

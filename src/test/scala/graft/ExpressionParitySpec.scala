@@ -34,6 +34,25 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(short.getSeq[Long](0).isEmpty)
   }
 
+  test("CharGramHashes rolling == direct per-substring PolyHash") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("short", "Ünïcodé ﬆring 汉字汉字汉字汉字汉字汉字汉字",
+        "exactly twenty chars").toDF("text"))
+    val k = 20
+    val direct = when(length($"text") >= k,
+      transform(sequence(lit(0), length($"text") - k),
+        i => org.apache.spark.sql.graft.GraftExpressions
+          .poly_hash($"text".substr(i + lit(1), lit(k)))))
+      .otherwise(array().cast("array<bigint>"))
+    val bad = docs.select(
+      org.apache.spark.sql.graft.GraftExpressions
+        .char_gram_hashes($"text", k).as("n"),
+      direct.as("h")).where($"n" =!= $"h")
+    assert(bad.isEmpty)
+  }
+
   test("VecDot == HOF index fold on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = emb.select($"embedding".as("a"))

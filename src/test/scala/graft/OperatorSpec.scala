@@ -243,6 +243,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == ((2L, 1L, "g h")))
   }
 
+  test("Dedup.duplicateSpans coalesces overlapping grams into maximal spans") {
+    val docs = Seq(
+      (0L, "abcdefghij"),   // shares "abcdefgh" with doc 1 -> span [0,8)
+      (1L, "XXabcdefghQQ"), // the shared run sits at [2,10)
+      (2L, "zzzzzzzz"),     // WITHIN-doc repeats: every 5-gram equal
+      (3L, "unique str !")) // nothing repeated
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, k = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(0L) == ((1L, 8L, 0.8)))
+    assert(out(1L) == ((1L, 8L, 0.666667)))
+    assert(out(2L) == ((1L, 8L, 1.0)))
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
   test("Knn.semDedup drops the pair member closer to its centroid") {
     // clusters {0,1} and {2,3} (seeds = every 2nd id); each pair is
     // near-identical (cos ~0.995), and the longer vector of each pair

@@ -64,6 +64,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // psi drift: one (key, bin) partial agg touches corpus rows; the
     // key-window totals re-key the #keys x #bins frame
     "ts_drift_psi" -> 2,
+    // char-gram duplicated spans: hash-keyed dup-set agg + semi-join
+    // back + the doc-keyed island window + the final doc join — every
+    // shuffle carries (hash, id, pos) or per-doc rows, never text,
+    // and nothing is quadratic (spans are marked, pairs never built)
+    "doc_dup_spans" -> 4,
     // periodogram: (key, bucket) grid pre-agg + the series-key index
     // window; the (key, k) power agg reuses hash(key)
     "ts_periodogram" -> 2,
