@@ -509,6 +509,39 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming PSI drift equals the batch formulation; shifts alarm") {
+    import spark.implicits._
+    val m = 60L * 1000000L
+    // hour 0 tracks the 80/20 reference; hour 1 collapses into bin 1
+    val rows =
+      (0 until 8).map(i => (1L, i * m, 1.0)) ++
+      (0 until 2).map(i => (1L, (10 + i) * m, 30.0)) ++
+      (0 until 10).map(i => (1L, (60 + i) * m, 30.0))
+    val batch = rows.toDF("user_id", "ts", "value")
+    val dir = Files.createTempDirectory("graft_drift").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val ref = Seq(0.8, 0.2)
+
+    val drifted = graft.streaming.StreamDrift.psi(stream, "ts", "value",
+      Seq("user_id"), "1h", watermark = "1 hour", ref, binWidth = 25.0)
+    val q = drifted.writeStream.outputMode("complete")
+      .format("memory").queryName("drift_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("drift_test")
+
+    // withWatermark is a no-op on a batch frame: same code path
+    val want = graft.streaming.StreamDrift.psi(batch, "ts", "value",
+      Seq("user_id"), "1h", watermark = "1 hour", ref, binWidth = 25.0)
+    assert(got.count() == 2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    val byWin = got.collect().map(r =>
+      r.getAs[Long]("ts_begin") -> r.getAs[Double]("psi")).toMap
+    assert(byWin(0L) < 0.05)              // tracks the reference
+    assert(byWin(3600L * 1000000L) > 1.0) // full-bin collapse alarms
+  }
+
   test("stream-stream interval join matches the batch RangeJoin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
