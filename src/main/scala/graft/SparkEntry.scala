@@ -2213,6 +2213,12 @@ object SparkEntry {
       Dedup.duplicateSpans(tbl(s, dir, "documents"), k = 20)
     },
 
+    // the destructive ExactSubstr transform: cut every non-first
+    // occurrence of a duplicated 20-char gram, reassemble the text
+    "doc_span_dedup" -> { (s, dir) =>
+      Dedup.spanDedup(tbl(s, dir, "documents"), k = 20)
+    },
+
     // the destructive counterpart of doc_dup_blocks: repeated blocks
     // keep only their corpus-wide first occurrence and the text is
     // reassembled (C4/RefinedWeb repeated-span removal as a transform)
@@ -3312,6 +3318,58 @@ object SparkEntry {
          |      / CAST(len(d.text) AS DOUBLE), 6)
          |  ELSE 0.0 END AS dup_frac
          |FROM documents d LEFT JOIN dsa a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // keep-first = row_number over each hash's posting list (the
+    // doc_block_dedup convention); reassembly stitches the segments
+    // BETWEEN remove-spans plus the tail, ordered by position
+    "doc_span_dedup" ->
+      s"""WITH sdg AS (SELECT doc_id, text,
+         |    unnest(range(0, greatest(len(text) - 19, 0))) AS pos
+         |  FROM documents),
+         |sdh AS (SELECT doc_id, pos,
+         |    ${sqlPoly("substr(text, CAST(pos AS INTEGER) + 1, 20)")} AS h
+         |  FROM sdg),
+         |sdr AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+         |  FROM sdh) WHERE rn > 1),
+         |sdi AS (SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        IS NULL
+         |      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        + 20
+         |      THEN 1 ELSE 0 END AS st
+         |  FROM sdr),
+         |sdl AS (SELECT doc_id, pos,
+         |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM sdi),
+         |sds AS (SELECT doc_id, min(pos) AS b, max(pos) + 20 AS e
+         |  FROM sdl GROUP BY doc_id, isl),
+         |sdseg AS (SELECT doc_id,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY b), 0)
+         |      AS sb,
+         |    b AS se
+         |  FROM sds),
+         |sdnew AS (SELECT doc_id, string_agg(segtxt, '' ORDER BY sb)
+         |    AS newt
+         |  FROM (
+         |    SELECT s.doc_id, s.sb, substr(d.text,
+         |        CAST(s.sb AS INTEGER) + 1, CAST(s.se - s.sb AS INTEGER))
+         |        AS segtxt
+         |      FROM sdseg s JOIN documents d USING (doc_id)
+         |    UNION ALL
+         |    SELECT t.doc_id, t.sb, substr(d.text,
+         |        CAST(t.sb AS INTEGER) + 1) AS segtxt
+         |      FROM (SELECT doc_id, max(e) AS sb FROM sds GROUP BY doc_id)
+         |        t JOIN documents d USING (doc_id))
+         |  GROUP BY doc_id),
+         |sdstat AS (SELECT doc_id, count(*) AS n_cut, sum(e - b) AS cut
+         |  FROM sds GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(st.n_cut, 0) AS BIGINT) AS n_cut,
+         |  CAST(coalesce(st.cut, 0) AS BIGINT) AS removed_chars,
+         |  coalesce(n.newt, d.text) AS new_text
+         |FROM documents d
+         |LEFT JOIN sdstat st USING (doc_id)
+         |LEFT JOIN sdnew n USING (doc_id)""".stripMargin,
 
     // first occurrence = min (doc_id, pos) per block hash, expressed
     // as a row_number window; reassembly re-slices the token list at

@@ -564,6 +564,59 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** The destructive counterpart of [[duplicateSpans]] — Lee et al.'s
+    * ExactSubstr dedup as a TRANSFORM: every non-first occurrence of a
+    * duplicated char k-gram (first = corpus-wide min (doc, pos)) is
+    * cut, overlapping cuts coalesce into maximal spans, and the text
+    * is reassembled from the surviving segments. Finer than
+    * [[blockDedup]] (cuts land on exact character boundaries) at the
+    * cost of k-gram-resolution span edges.
+    *
+    * Scale shape: same as [[duplicateSpans]] — spans are marked, pairs
+    * never enumerated. The first-occurrence rank is a row_number over
+    * each hash's posting list (the hottest gram's df bounds one task's
+    * sort, the usual hot-key caveat); reassembly is a scan-side
+    * aggregate() fold over each doc's own span array.
+    *
+    * Output: idCol, n_cut, removed_chars, new_text — every input doc
+    * appears, untouched docs keep their text verbatim.
+    */
+  def spanDedup(docs: DataFrame, k: Int = 20,
+                idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.char_gram_hashes
+    val grams = docs.select(col(idCol),
+      posexplode(char_gram_hashes(col("text"), k)).as(Seq("pos", "h")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("h").orderBy(col(idCol), col("pos"))
+    val rem = grams.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") > 1)
+      .select(col(idCol), col("pos").cast("long").as("__b"),
+        (col("pos") + lit(k)).cast("long").as("__e"))
+    val spanArr = RangeJoin.coalesceIntervals(rem, Seq(idCol), "__b", "__e")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("begin_ts").as("b"),
+        col("end_ts").as("e")))).as("__sp"),
+        count(lit(1)).as("n_cut"),
+        sum(col("end_ts") - col("begin_ts")).as("removed_chars"))
+    val seg = (from: Column, until: Column) =>
+      col("text").substr((from + 1).cast("int"), (until - from).cast("int"))
+    val reassembled = aggregate(
+      col("__sp"),
+      struct(lit("").as("acc"), lit(0L).as("prev")),
+      (acc, s) => struct(
+        concat(acc.getField("acc"),
+          seg(acc.getField("prev"), s.getField("b"))).as("acc"),
+        s.getField("e").as("prev")),
+      acc => concat(acc.getField("acc"),
+        seg(acc.getField("prev"), length(col("text")).cast("long"))))
+    docs.join(spanArr, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+        when(col("__sp").isNull, col("text")).otherwise(reassembled)
+          .as("new_text"))
+  }
+
   // --- exact n-gram Jaccard via shingle inverted index ----------------
 
   /** Pairs with word-`shingleN`-gram Jaccard >= `threshold`, computed

@@ -259,6 +259,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0.0)))
   }
 
+  test("Dedup.spanDedup cuts non-first duplicated spans, reassembles text") {
+    val docs = Seq(
+      (0L, "abcdefghij"),   // owns the first occurrences: untouched
+      (1L, "XXabcdefghQQ"), // shared run at [2,10) is non-first -> cut
+      (2L, "zzzzzzzz"),     // within-doc: keep pos 0's gram, cut [1,8)
+      (3L, "unique str !")) // nothing repeated
+      .toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, k = 5).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((0L, 0L, "abcdefghij")))
+    assert(out(1L) == ((1L, 8L, "XXQQ")))
+    assert(out(2L) == ((1L, 7L, "z")))
+    assert(out(3L) == ((0L, 0L, "unique str !")))
+  }
+
   test("Knn.semDedup drops the pair member closer to its centroid") {
     // clusters {0,1} and {2,3} (seeds = every 2nd id); each pair is
     // near-identical (cos ~0.995), and the longer vector of each pair

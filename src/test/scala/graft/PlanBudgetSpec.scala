@@ -69,6 +69,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // shuffle carries (hash, id, pos) or per-doc rows, never text,
     // and nothing is quadratic (spans are marked, pairs never built)
     "doc_dup_spans" -> 4,
+    // destructive span cut: hash posting-list rank window + doc-keyed
+    // island window + the final doc join; reassembly is scan-side
+    "doc_span_dedup" -> 3,
     // periodogram: (key, bucket) grid pre-agg + the series-key index
     // window; the (key, k) power agg reuses hash(key)
     "ts_periodogram" -> 2,
