@@ -670,6 +670,13 @@ object SparkEntry {
         Jan15, binWidth = 25.0, nBins = 20)
     },
 
+    // binning-free drift: exact two-sample KS statistic + the α=0.05
+    // decision; ONE key-hash shuffle (ECDF window + fused agg)
+    "ts_drift_ks" -> { (s, dir) =>
+      Trend.ksDrift(events(s, dir), "ts", "value", Seq("event_type"),
+        Jan15)
+    },
+
     "ts_align_linear" -> { (s, dir) =>
       val clicks = events(s, dir).where(col("event_type") === "click")
       TimeSeries(clicks, "ts", Seq("user_id"))
@@ -1513,6 +1520,33 @@ object SparkEntry {
          |  CAST(max(nb) AS BIGINT) AS n_b,
          |  round(CAST(sum(cu) AS DOUBLE) / 1000000.0, 6) AS psi
          |FROM pu GROUP BY 1""".stripMargin,
+
+    // ECDF gaps divide identical doubles; peers-included RANGE frames
+    // make ties contribute identically; only the statistic is rounded
+    "ts_drift_ks" ->
+      s"""WITH kd AS (SELECT event_type, value,
+         |    CASE WHEN $EvUs < 1705276800000000 THEN 1 ELSE 0 END AS ina
+         |  FROM events),
+         |kc AS (SELECT event_type,
+         |    sum(ina) OVER wo AS ca, sum(1 - ina) OVER wo AS cb,
+         |    sum(ina) OVER wk AS na, sum(1 - ina) OVER wk AS nb
+         |  FROM kd WINDOW
+         |    wo AS (PARTITION BY event_type ORDER BY value
+         |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wk AS (PARTITION BY event_type)),
+         |ka AS (SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+         |    CAST(max(nb) AS BIGINT) AS n_b,
+         |    round(max(abs(CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+         |      - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))), 6) AS ks_d
+         |  FROM kc GROUP BY 1),
+         |kf AS (SELECT event_type, n_a, n_b, ks_d,
+         |    round(1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+         |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+         |      AS ks_crit95
+         |  FROM ka)
+         |SELECT event_type, n_a, n_b, ks_d, ks_crit95,
+         |  ks_d > ks_crit95 AS drifted
+         |FROM kf""".stripMargin,
 
     // bucket-of-begin .. bucket-of-end inclusive, floor division —
     // mirrors TimeIndex.indexList

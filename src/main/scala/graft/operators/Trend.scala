@@ -522,6 +522,48 @@ object Trend {
         round(sum(col("__cu")).cast("double") / lit(1e6), 6).as("psi"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift test per key —
+    * [[psiDrift]]'s binning-free sibling: D = max_x |F_A(x) − F_B(x)|
+    * over the pooled sample, period A = ts < splitUs. Reported next to
+    * the α=0.05 critical value 1.358·√((n_a+n_b)/(n_a·n_b)) so the
+    * drifted flag is a decision, not a rule of thumb.
+    *
+    * ONE hash shuffle on the key: the ECDFs are cumulative counts over
+    * a value-ordered RANGE frame (peers included, so ties contribute
+    * identically in any engine), the max folds in the same pass, and
+    * the final per-key agg reuses the window's partitioning.
+    *
+    * Cross-engine exactness: counts are integers, each |ca/na − cb/nb|
+    * divides identical doubles, max is order-independent; only the
+    * reported statistic is rounded.
+    *
+    * Output: keyCols, n_a, n_b, ks_d, ks_crit95, drifted.
+    */
+  def ksDrift(df: DataFrame, tsCol: String, valCol: String,
+              keyCols: Seq[String], splitUs: Long): DataFrame = {
+    val wOrd = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(valCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val inA = when(col(tsCol) < lit(splitUs), 1L).otherwise(0L)
+    val base = df
+      .select((keyCols.map(col) :+ col(valCol) :+ inA.as("__ina")): _*)
+      .withColumn("__ca", sum(col("__ina")).over(wOrd))
+      .withColumn("__cb", sum(lit(1L) - col("__ina")).over(wOrd))
+      .withColumn("__na", sum(col("__ina")).over(wAll))
+      .withColumn("__nb", sum(lit(1L) - col("__ina")).over(wAll))
+    val gap = abs(col("__ca").cast("double") / col("__na").cast("double") -
+      col("__cb").cast("double") / col("__nb").cast("double"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val crit = lit(1.358) * sqrt((naD + nbD) / (naD * nbD))
+    base.groupBy(keyCols.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        round(max(gap), 6).as("ks_d"))
+      .withColumn("ks_crit95", round(crit, 6))
+      .withColumn("drifted", col("ks_d") > col("ks_crit95"))
+  }
+
   def theilSen(df: DataFrame, tsCol: String, valCol: String,
                keyCols: Seq[String], bucketUs: Long,
                originUs: Long): DataFrame = {

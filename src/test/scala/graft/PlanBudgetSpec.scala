@@ -64,6 +64,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // psi drift: one (key, bin) partial agg touches corpus rows; the
     // key-window totals re-key the #keys x #bins frame
     "ts_drift_psi" -> 2,
+    // KS drift: ONE key-hash shuffle — ECDF windows and the per-key
+    // max fold share the same partitioning
+    "ts_drift_ks" -> 1,
     // char-gram duplicated spans: hash-keyed dup-set agg + semi-join
     // back + the doc-keyed island window + the final doc join — every
     // shuffle carries (hash, id, pos) or per-doc rows, never text,

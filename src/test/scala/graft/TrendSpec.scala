@@ -218,6 +218,23 @@ class TrendSpec extends AnyFunSuite {
     assert(psi > 1.2 && psi < 1.3)
   }
 
+  test("ksDrift: identical samples score 0; disjoint supports score 1") {
+    import spark.implicits._
+    val rows =
+      (1 to 5).flatMap(v => Seq(("a", us(0), v.toDouble),
+        ("a", us(100), v.toDouble))) ++
+      // n=10 a side: crit = 1.358*sqrt(20/100) ~ 0.607 < D = 1 ->
+      // the separation IS significant (n=3 would not be: crit ~ 1.109)
+      (1 to 10).map(v => ("b", us(0), v.toDouble)) ++
+      (1 to 10).map(v => ("b", us(100), 100.0 + v))
+    val got = Trend.ksDrift(rows.toDF("k", "ts", "v"), "ts", "v",
+      Seq("k"), splitUs = us(50)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(5)))).toMap
+    assert(got("a") == ((5L, 5L, 0.0, false)))
+    assert(got("b") == ((10L, 10L, 1.0, true)))
+  }
+
   test("cusum: prefix-minus-running-min equals the recursive max fold") {
     import spark.implicits._
     // target 10, h 5: S = (0) 3, 7, 0 (dip drains), 8 -> alarms at 7 and 8
