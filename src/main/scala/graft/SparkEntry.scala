@@ -2253,6 +2253,13 @@ object SparkEntry {
       Dedup.spanDedup(tbl(s, dir, "documents"), k = 20)
     },
 
+    // the full BPE training loop (3 merges): per round, vocab-table
+    // pair counts -> deterministic argmax -> leftmost-non-overlapping
+    // merge fold; the oracle replays ALL rounds incl. the argmaxes
+    "doc_bpe_train" -> { (s, dir) =>
+      TextOps.bpeTrain(tbl(s, dir, "documents"), steps = 3)
+    },
+
     // the destructive counterpart of doc_dup_blocks: repeated blocks
     // keep only their corpus-wide first occurrence and the text is
     // reassembled (C4/RefinedWeb repeated-span removal as a transform)
@@ -2732,6 +2739,30 @@ object SparkEntry {
   /** Rolling hash (fold of acc*31+codepoint mod 1e9+7) — SQL twin of
     * TextOps.polyHash.
     */
+  /** One BPE training round as oracle CTEs (see TextOps.bpeTrain):
+    * pair counts over bt{r-1}, deterministic argmax, and the same
+    * leftmost-non-overlapping merge fold Spark runs (list_reduce with
+    * the string accumulator — verified identical semantics).
+    */
+  private def sqlBpeRound(r: Int): String = {
+    val prev = if (r == 1) "bt0" else s"bt${r - 1}"
+    s"""bp$r AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(wn) AS BIGINT) AS c
+       |  FROM (SELECT wn, unnest(list_transform(
+       |      range(1, len(string_split(seq, ' '))),
+       |      i -> struct_pack(a := string_split(seq, ' ')[i],
+       |        b := string_split(seq, ' ')[i + 1]))) AS pr
+       |    FROM $prev) GROUP BY 1, 2),
+       |bm$r AS (SELECT a, b, c FROM bp$r ORDER BY c DESC, a, b LIMIT 1),
+       |bt$r AS (SELECT wn, trim(list_reduce(
+       |    list_prepend(' ', string_split(seq, ' ')),
+       |    (acc, x) -> CASE WHEN x = m$r.b
+       |        AND ends_with(acc, ' ' || m$r.a || ' ')
+       |      THEN left(acc, length(acc) - length(m$r.a) - 1) ||
+       |        m$r.a || m$r.b || ' '
+       |      ELSE acc || x || ' ' END)) AS seq
+       |  FROM $prev, bm$r m$r)""".stripMargin
+  }
+
   private def sqlPoly(e: String): String =
     "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(string_split($e, ''), c -> ord(c))), " +
@@ -3816,6 +3847,23 @@ object SparkEntry {
          |  FROM bpp GROUP BY pair)
          |SELECT pair, merge_count FROM bpc
          |ORDER BY merge_count DESC, pair LIMIT 50""".stripMargin,
+
+    // replays the ENTIRE 3-round training loop: vocab, then per round
+    // pair counts + argmax + the leftmost-non-overlapping merge fold
+    "doc_bpe_train" ->
+      s"""WITH btk AS (SELECT unnest($sqlToks) AS w FROM documents),
+         |bwc AS (SELECT w, count(*) AS wn FROM btk GROUP BY w),
+         |bt0 AS (SELECT wn, array_to_string(list_transform(
+         |    range(1, len(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)),
+         |    ' ') AS seq
+         |  FROM bwc),
+         |${sqlBpeRound(1)},
+         |${sqlBpeRound(2)},
+         |${sqlBpeRound(3)}
+         |SELECT 1 AS step, a AS sym_a, b AS sym_b, c AS merge_count
+         |  FROM bm1
+         |UNION ALL SELECT 2, a, b, c FROM bm2
+         |UNION ALL SELECT 3, a, b, c FROM bm3""".stripMargin,
 
     "doc_length_quantiles" ->
       s"""WITH d AS (SELECT lang, n_chars, CAST(len($sqlToks) AS BIGINT)

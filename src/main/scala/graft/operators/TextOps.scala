@@ -715,6 +715,68 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Multi-round BPE training — the loop [[bpePairs]] is one
+    * statistics pass of: `steps` times, (1) count adjacent symbol
+    * pairs over the word-frequency table, (2) pick the argmax pair
+    * (count desc, then lexicographic (a, b) — fully deterministic),
+    * (3) merge every LEFTMOST-non-overlapping occurrence in every
+    * word. Output: one row per learned merge (step, sym_a, sym_b,
+    * merge_count) — the ordered merge list a tokenizer ships.
+    *
+    * Merge application is a left fold over each word's symbol
+    * sequence with a string accumulator (" s1 s2 … "): current symbol
+    * == b and accumulator ends with " a " → replace that tail with
+    * "ab" — exactly leftmost-non-overlapping ("aaa" + (a,a) → (aa, a)),
+    * and the identical fold runs as DuckDB's list_reduce, so the whole
+    * iteration (argmax included) is oracle-checkable.
+    *
+    * Scale shape: the corpus reduces ONCE to the vocab table
+    * (localCheckpoint'd — rounds never re-touch text); each round is
+    * one vocab-sized partial-agg'd pair count, a 1-row argmax
+    * (TakeOrderedAndProject, collected — a 1-row training statistic,
+    * the doc_contamination_bloom driver-side precedent), and a
+    * scan-side fold. Per-round cost is the vocab, not the corpus.
+    */
+  def bpeTrain(df: DataFrame, steps: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = transform(sequence(lit(1), length(col("w"))),
+      i => col("w").substr(i, lit(1)))
+    var syms = df.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+      .select(col("wn"), array_join(chars, " ").as("seq"))
+      .localCheckpoint()
+    val learned = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
+    for (step <- 1 to steps) {
+      val sy = split(col("seq"), " ")
+      val prs = when(size(sy) >= 2,
+        transform(sequence(lit(0), size(sy) - 2),
+          i => struct(element_at(sy, (i + 1).cast("int")).as("a"),
+            element_at(sy, (i + 2).cast("int")).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val top = syms.select(col("wn"), explode(prs).as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("wn")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b")).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val (a, b, c) = (top.head.getString(0), top.head.getString(1),
+          top.head.getLong(2))
+        learned += ((step, a, b, c))
+        val aCp = a.codePointCount(0, a.length) // length() counts code points
+        val merged = aggregate(split(col("seq"), " "), lit(" "),
+          (acc, x) => when(x === lit(b) &&
+              acc.endsWith(lit(" " + a + " ")),
+            concat(acc.substr(lit(1),
+              length(acc) - lit(aCp + 1)), lit(a + b + " ")))
+            .otherwise(concat(acc, x, lit(" "))))
+        syms = syms.select(col("wn"), trim(merged).as("seq"))
+          .localCheckpoint()
+      }
+    }
+    learned.toSeq.toDF("step", "sym_a", "sym_b", "merge_count")
+  }
+
   def winnow(df: DataFrame, shingleN: Int = 3, w: Int = 4,
              idCol: String = "doc_id"): DataFrame = {
     // ordered, non-distinct shingle sequence (positions matter here)

@@ -11,6 +11,27 @@ class TextPipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("bpeTrain learns merges in order with deterministic tie-breaks") {
+    import spark.implicits._
+    // l-o and o-w tie at 4; (l,o) wins lexicographically, then the
+    // merged symbols chain: lo+w, then low+e
+    val docs = Seq((1L, "low lower lowest low")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bpeTrain(docs, steps = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "l", "o", 4L), (2, "lo", "w", 4L),
+      (3, "low", "e", 2L)))
+  }
+
+  test("bpeTrain merges leftmost-non-overlapping; stops when no pairs") {
+    import spark.implicits._
+    // "aaaa": (a,a) counts 3 overlapping sites but merges to "aa aa";
+    // round 2 merges (aa,aa); round 3 has no pairs left -> 2 rows
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.bpeTrain(docs, steps = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+  }
+
   test("winnow: shared token runs share a fingerprint; short docs get 1") {
     def h(s: String) = TextOps.polyHashBytes(s.getBytes("UTF-8"))
     // doc 1 and 2 share the 6-token run "c d e f g h" = w + n - 1 tokens
