@@ -2260,6 +2260,12 @@ object SparkEntry {
       TextOps.bpeTrain(tbl(s, dir, "documents"), steps = 3)
     },
 
+    // per-doc compression from applying the 3 learned merges: the
+    // corpus equi-joins the trained vocab, text never re-segmented
+    "doc_bpe_apply" -> { (s, dir) =>
+      TextOps.bpeApply(tbl(s, dir, "documents"), steps = 3)
+    },
+
     // the destructive counterpart of doc_dup_blocks: repeated blocks
     // keep only their corpus-wide first occurrence and the text is
     // reassembled (C4/RefinedWeb repeated-span removal as a transform)
@@ -2753,7 +2759,7 @@ object SparkEntry {
        |        b := string_split(seq, ' ')[i + 1]))) AS pr
        |    FROM $prev) GROUP BY 1, 2),
        |bm$r AS (SELECT a, b, c FROM bp$r ORDER BY c DESC, a, b LIMIT 1),
-       |bt$r AS (SELECT wn, trim(list_reduce(
+       |bt$r AS (SELECT w, wn, trim(list_reduce(
        |    list_prepend(' ', string_split(seq, ' ')),
        |    (acc, x) -> CASE WHEN x = m$r.b
        |        AND ends_with(acc, ' ' || m$r.a || ' ')
@@ -3853,7 +3859,7 @@ object SparkEntry {
     "doc_bpe_train" ->
       s"""WITH btk AS (SELECT unnest($sqlToks) AS w FROM documents),
          |bwc AS (SELECT w, count(*) AS wn FROM btk GROUP BY w),
-         |bt0 AS (SELECT wn, array_to_string(list_transform(
+         |bt0 AS (SELECT w, wn, array_to_string(list_transform(
          |    range(1, len(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)),
          |    ' ') AS seq
          |  FROM bwc),
@@ -3864,6 +3870,29 @@ object SparkEntry {
          |  FROM bm1
          |UNION ALL SELECT 2, a, b, c FROM bm2
          |UNION ALL SELECT 3, a, b, c FROM bm3""".stripMargin,
+
+    // the trained word table applied back to the corpus: per doc, the
+    // post-merge token count and the chars-per-token the merges buy
+    "doc_bpe_apply" ->
+      s"""WITH btk AS (SELECT unnest($sqlToks) AS w FROM documents),
+         |bwc AS (SELECT w, count(*) AS wn FROM btk GROUP BY w),
+         |bt0 AS (SELECT w, wn, array_to_string(list_transform(
+         |    range(1, len(w) + 1), i -> substr(w, CAST(i AS INTEGER), 1)),
+         |    ' ') AS seq
+         |  FROM bwc),
+         |${sqlBpeRound(1)},
+         |${sqlBpeRound(2)},
+         |${sqlBpeRound(3)},
+         |bav AS (SELECT w, CAST(len(w) AS BIGINT) AS wc,
+         |    CAST(len(string_split(seq, ' ')) AS BIGINT) AS ns
+         |  FROM bt3),
+         |bad AS (SELECT doc_id, unnest($sqlToks) AS w FROM documents)
+         |SELECT d.doc_id, count(*) AS n_words,
+         |  CAST(sum(v.wc) AS BIGINT) AS n_chars,
+         |  CAST(sum(v.ns) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(v.wc) AS DOUBLE) / CAST(sum(v.ns) AS DOUBLE), 6)
+         |    AS chars_per_token
+         |FROM bad d JOIN bav v USING (w) GROUP BY 1""".stripMargin,
 
     "doc_length_quantiles" ->
       s"""WITH d AS (SELECT lang, n_chars, CAST(len($sqlToks) AS BIGINT)

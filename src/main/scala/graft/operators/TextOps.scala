@@ -740,11 +740,21 @@ object TextOps {
   def bpeTrain(df: DataFrame, steps: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    bpeTrainFull(df, steps)._1
+      .toDF("step", "sym_a", "sym_b", "merge_count")
+  }
+
+  /** [[bpeTrain]]'s engine, also exposing the trained word table
+    * (w, wn, seq = the word's post-merge symbol sequence) so the
+    * learned tokenizer can be APPLIED (see [[bpeApply]]).
+    */
+  def bpeTrainFull(df: DataFrame, steps: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val chars = transform(sequence(lit(1), length(col("w"))),
       i => col("w").substr(i, lit(1)))
     var syms = df.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wn"))
-      .select(col("wn"), array_join(chars, " ").as("seq"))
+      .select(col("w"), col("wn"), array_join(chars, " ").as("seq"))
       .localCheckpoint()
     val learned = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
     for (step <- 1 to steps) {
@@ -770,11 +780,34 @@ object TextOps {
             concat(acc.substr(lit(1),
               length(acc) - lit(aCp + 1)), lit(a + b + " ")))
             .otherwise(concat(acc, x, lit(" "))))
-        syms = syms.select(col("wn"), trim(merged).as("seq"))
+        syms = syms.select(col("w"), col("wn"), trim(merged).as("seq"))
           .localCheckpoint()
       }
     }
-    learned.toSeq.toDF("step", "sym_a", "sym_b", "merge_count")
+    (learned.toSeq, syms)
+  }
+
+  /** Apply the learned BPE merges back to the corpus: per doc, the
+    * token count AFTER the merges and the chars-per-token compression
+    * the tokenizer buys — the curve a tokenizer-training run reports.
+    * The corpus words equi-join the trained word table (vocab-sized,
+    * usually broadcastable), so the text is never re-segmented.
+    *
+    * Output: idCol, n_words, n_chars (summed word chars), n_tokens,
+    * chars_per_token (round 6).
+    */
+  def bpeApply(df: DataFrame, steps: Int = 3,
+               idCol: String = "doc_id"): DataFrame = {
+    val vocab = bpeTrainFull(df, steps)._2
+      .select(col("w"), length(col("w")).cast("long").as("__wc"),
+        size(split(col("seq"), " ")).cast("long").as("__ns"))
+    df.select(col(idCol), explode(tokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("__wc")).as("n_chars"),
+        sum(col("__ns")).as("n_tokens"),
+        round(sum(col("__wc")).cast("double") /
+          sum(col("__ns")).cast("double"), 6).as("chars_per_token"))
   }
 
   def winnow(df: DataFrame, shingleN: Int = 3, w: Int = 4,

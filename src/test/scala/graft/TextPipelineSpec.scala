@@ -32,6 +32,15 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
   }
 
+  test("bpeApply reports post-merge token counts and compression") {
+    import spark.implicits._
+    // merges (l,o),(lo,w),(low,e): low->1 token, lower->2, lowest->3
+    val docs = Seq((1L, "low lower lowest low")).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.bpeApply(docs, steps = 3).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((4L, 17L, 7L)))
+    assert(math.abs(r.getDouble(4) - 17.0 / 7.0) < 1e-6)
+  }
+
   test("winnow: shared token runs share a fingerprint; short docs get 1") {
     def h(s: String) = TextOps.polyHashBytes(s.getBytes("UTF-8"))
     // doc 1 and 2 share the 6-token run "c d e f g h" = w + n - 1 tokens
