@@ -93,14 +93,23 @@ object ScaleUp {
     // share a perturbation pattern — (i*31 + j) % 7 would repeat with
     // period 7 in the copy index and leave copies 1/8 and 2/9 as
     // bit-identical twins
+    // per-copy deterministic SIGN FLIPS (a diagonal orthogonal
+    // transform): within-copy pair cosines are EXACTLY the original's
+    // (cos(s∘x, s∘y) = cos(x, y) when s ∈ {±1}^d), while cross-copy
+    // cosines collapse toward 0 (the patterns disagree on ~half the
+    // dims), so no cross-copy near-dup pairs leak into the replica —
+    // the earlier small ADDITIVE perturbation left copies nearly
+    // parallel (cos ≈ 0.99), which multiplied the corpus's true pair
+    // density by copies² instead of copies
     replicate("embeddings") { (df, i) =>
       if (i == 0) df
       else df
         .withColumn("vec_id", col("vec_id") + lit(i * KeyOff))
         .withColumn("embedding",
           transform(col("embedding"), (x, j) =>
-            (x + ((lit(i * 31) + j) % 101 % 7 - 3).cast("float") * lit(0.01f))
-              .cast("float")))
+            (x * when(((lit(i * 131L) + j * lit(31L)) * lit(2654435761L))
+              % lit(1000000007L) % 2 === 0, lit(1.0f))
+              .otherwise(lit(-1.0f))).cast("float")))
     }
     spark.stop()
     sys.exit(0)

@@ -50,6 +50,74 @@ object Lake {
     * Implemented with dynamic partition overwrite, scoped to this one
     * write so the session default is preserved.
     */
+  /** Incrementally-maintained rollup table (materialized-view
+    * maintenance): per (key, window) the PARTIAL aggregate state —
+    * cnt, exact decimal sum, min, max — stored partitioned by the
+    * window's UTC day. Because the stored state is the partial, not
+    * the finalized average, merging new or late data is EXACT and
+    * touches only the affected day partitions: partials are
+    * mergeable (sum of sums, min of mins), so maintenance cost is
+    * the new batch + the days it lands in — history is never
+    * re-scanned. [[readRollup]] finalizes (avg = sum/cnt) at read.
+    */
+  def mergeIntoRollup(df: DataFrame, tsCol: String, valCol: String,
+                      keyCols: Seq[String], win: String,
+                      path: String): Unit = {
+    val spark = df.sparkSession
+    val newPart = rollupPartials(df, tsCol, valCol, keyCols, win)
+    val existing =
+      try {
+        val prior = spark.read.parquet(path)
+        // planning-time partition pruning: only the days the new
+        // batch touches are read back for the merge
+        val days = newPart.select("dt").distinct()
+          .collect().map(_.getString(0))
+        prior.where(col("dt").isin(days.toSeq: _*))
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException => // first write
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            newPart.schema)
+      }
+    val merged = existing.unionByName(newPart)
+      .groupBy((keyCols.map(col) :+ col("idx") :+ col("ts_begin") :+
+        col("dt")): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vsum")).as("vsum"),
+        min(col("vmin")).as("vmin"), max(col("vmax")).as("vmax"))
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try merged.write.mode("overwrite").partitionBy("dt").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def rollupPartials(df: DataFrame, tsCol: String, valCol: String,
+                             keyCols: Seq[String], win: String): DataFrame = {
+    val beginUs = TimeIndex.posOf(col(tsCol), win) *
+      lit(TimeIndex.durationMs(win) * 1000L)
+    df.groupBy((keyCols.map(col) :+
+        TimeIndex.indexOf(col(tsCol), win).as("idx")): _*)
+      .agg(count(col(valCol)).as("cnt"),
+        sum(col(valCol).cast("decimal(38,6)")).as("vsum"),
+        min(col(valCol)).as("vmin"), max(col(valCol)).as("vmax"),
+        min(beginUs).as("ts_begin"))
+      .withColumn("dt", TimeIndex.dailyIndex(col("ts_begin")))
+  }
+
+  /** Finalize the stored partials: avg at 6dp (the Aggs.avg6
+    * convention), exact decimal sum, min/max, count.
+    */
+  def readRollup(spark: SparkSession, path: String,
+                 keyCols: Seq[String]): DataFrame =
+    spark.read.parquet(path)
+      .select((keyCols.map(col) :+ col("idx") :+ col("ts_begin") :+
+        col("cnt") :+ col("vsum").cast("double").as("sum_value") :+
+        round(col("vsum").cast("double") / col("cnt"), 6).as("avg_value") :+
+        col("vmin").as("min_value") :+ col("vmax").as("max_value")): _*)
+
   def backfillDaily(df: DataFrame, tsCol: String, path: String): Unit = {
     val spark = df.sparkSession
     val key = "spark.sql.sources.partitionOverwriteMode"

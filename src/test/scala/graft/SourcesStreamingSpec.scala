@@ -250,6 +250,39 @@ class LakeSpec extends AnyFunSuite {
       .agg(count(lit(1)), sum(col("value"))).head == othersBefore)
   }
 
+  test("mergeIntoRollup maintains an exact rollup across late batches") {
+    import graft.functions.TimeIndex
+    val ev = TimeIndex.normalizeUs(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
+      .select("user_id", "ts", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivm").toString
+    val d1 = ev.select(min(TimeIndex.dailyIndex(col("ts")))).head.getString(0)
+    val firstDay = ev.where(TimeIndex.dailyIndex(col("ts")) === d1)
+    // three batches whose union is exactly ev: half of day 1, the
+    // rest of the range, then the LATE other half of day 1
+    graft.sources.Lake.mergeIntoRollup(
+      firstDay.where(col("ts") % 2 === 0), "ts", "value",
+      Seq("user_id"), "1h", dir)
+    graft.sources.Lake.mergeIntoRollup(
+      ev.where(TimeIndex.dailyIndex(col("ts")) =!= d1), "ts", "value",
+      Seq("user_id"), "1h", dir)
+    graft.sources.Lake.mergeIntoRollup(
+      firstDay.where(col("ts") % 2 =!= 0), "ts", "value",
+      Seq("user_id"), "1h", dir)
+
+    val got = graft.sources.Lake.readRollup(spark, dir, Seq("user_id"))
+      .select("user_id", "idx", "cnt", "sum_value", "avg_value",
+        "min_value", "max_value")
+    val sumD = sum(col("value").cast("decimal(38,6)")).cast("double")
+    val want = ev.groupBy(col("user_id"),
+        TimeIndex.indexOf(col("ts"), "1h").as("idx"))
+      .agg(count(col("value")).as("cnt"), sumD.as("sum_value"),
+        round(sumD / count(col("value")), 6).as("avg_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("compactDaily collapses a fragmented day; content and other days intact") {
     val ev = graft.functions.TimeIndex.normalizeUs(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
