@@ -401,7 +401,11 @@ object SparkEntry {
           count(Aggs.keepMissing(lit(1))).as("n_keep"),
           Aggs.countValid(col("mv")).as("n_valid"),
           Aggs.noneIfEmpty(Aggs.countValid(col("mv2")), col("mv2"))
-            .cast("long").as("cnt_none_if_empty"))
+            .cast("long").as("cnt_none_if_empty"),
+          // Functions.keep: constant-per-group survives, varying nulls
+          Aggs.keep(length(col("event_type")).cast("long"))
+            .as("keep_const"),
+          Aggs.keep(col("mv")).as("keep_varied"))
     },
 
     "ts_size_valid" -> { (s, dir) =>
@@ -1182,7 +1186,10 @@ object SparkEntry {
         |  count(*) AS n_keep,
         |  count(mv) AS n_valid,
         |  CASE WHEN count(mv2) = 0 THEN NULL
-        |       ELSE count(mv2) END AS cnt_none_if_empty
+        |       ELSE count(mv2) END AS cnt_none_if_empty,
+        |  CASE WHEN count(DISTINCT CAST(len(event_type) AS BIGINT)) = 1
+        |       THEN min(CAST(len(event_type) AS BIGINT)) END AS keep_const,
+        |  CASE WHEN count(DISTINCT mv) = 1 THEN min(mv) END AS keep_varied
         |FROM s GROUP BY event_type""".stripMargin,
 
     "ts_size_valid" ->

@@ -170,4 +170,13 @@ object Aggs {
     * observable through cardinality (count(*) vs countValid).
     */
   def keepMissing(c: Column): Column = c
+
+  /** Functions.keep (pypond/functions.py:124): the group's single
+    * unique non-null value, or null when values disagree (or none are
+    * valid) — "carry the constant through the rollup". Distributed
+    * form: count(distinct) = 1 gates min(c); partial-aggregable, no
+    * per-group collect.
+    */
+  def keep(c: Column): Column =
+    when(count_distinct(c) === 1, min(c))
 }
