@@ -78,6 +78,11 @@ object SparkEntry {
   private val HoltBeta = 0.2
   private val HwGamma = 0.3
   private val HwPeriod = 7
+  // burst model: base rate ~1/40000s (the per-user mean gap scale),
+  // burst = 5x, up-transition penalty 2 nats; k_i = -ln λ_i
+  private val BurstLam0 = 2.5e-5
+  private val BurstLam1 = 1.25e-4
+  private val BurstGamma = 2.0
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -847,6 +852,13 @@ object SparkEntry {
         "ts", "value", Seq("user_id"), HoltAlpha, HoltBeta)
     },
 
+    // Kleinberg burst state over inter-event gaps: renormalized
+    // forward Viterbi as a native window fold, ONE key-hash shuffle
+    "ts_burst" -> { (s, dir) =>
+      Trend.burst(events(s, dir).select("user_id", "ts"),
+        "ts", Seq("user_id"), BurstLam0, BurstLam1, BurstGamma)
+    },
+
     // Holt-Winters triple smoothing over the daily click grid: level
     // + trend + the weekly (period-7) seasonal profile — the
     // season-aware forecast holt can't express; same native
@@ -1187,9 +1199,10 @@ object SparkEntry {
         |  count(mv) AS n_valid,
         |  CASE WHEN count(mv2) = 0 THEN NULL
         |       ELSE count(mv2) END AS cnt_none_if_empty,
-        |  CASE WHEN count(DISTINCT CAST(len(event_type) AS BIGINT)) = 1
+        |  CASE WHEN min(CAST(len(event_type) AS BIGINT))
+        |         = max(CAST(len(event_type) AS BIGINT))
         |       THEN min(CAST(len(event_type) AS BIGINT)) END AS keep_const,
-        |  CASE WHEN count(DISTINCT mv) = 1 THEN min(mv) END AS keep_varied
+        |  CASE WHEN min(mv) = max(mv) THEN min(mv) END AS keep_varied
         |FROM s GROUP BY event_type""".stripMargin,
 
     "ts_size_valid" ->
@@ -1947,6 +1960,38 @@ object SparkEntry {
          |  floor(st[1] * 1000000.0) / 1000000.0 AS level,
          |  floor(st[2] * 1000000.0) / 1000000.0 AS trend
          |FROM f""".stripMargin,
+
+    // the r0/r1 cost trees appear VERBATIM inside the renormalization
+    // (the HwAgg inlining convention) so both engines replay identical
+    // IEEE sequences; constants are Scala shortest-repr doubles
+    "ts_burst" -> {
+      val (k0, k1) = (-math.log(BurstLam0), -math.log(BurstLam1))
+      val d = "AS DOUBLE"
+      val m0 = s"(e[1] * CAST($BurstLam0 $d) + CAST($k0 $d))"
+      val m1 = s"(e[1] * CAST($BurstLam1 $d) + CAST($k1 $d))"
+      val r0 = s"least(acc[1], acc[2]) + $m0"
+      val r1 = s"least(acc[2], acc[1] + CAST($BurstGamma $d)) + $m1"
+      s"""WITH bsg AS (SELECT user_id, $EvUs AS ts,
+         |    CAST($EvUs - lag($EvUs)
+         |        OVER (PARTITION BY user_id ORDER BY $EvUs) $d)
+         |      / 1000000.0 AS gap
+         |  FROM events),
+         |bsf AS (SELECT user_id, ts, gap,
+         |    list(gap) OVER (PARTITION BY user_id ORDER BY ts
+         |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+         |  FROM bsg WHERE gap IS NOT NULL),
+         |bst AS (SELECT user_id, ts, gap,
+         |    list_reduce(list_prepend(
+         |        [CAST(0.0 $d), CAST($BurstGamma $d)],
+         |        list_transform(lst, x -> [CAST(x $d)])),
+         |      (acc, e) -> [
+         |        $r0 - least($r0, $r1),
+         |        $r1 - least($r0, $r1)]) AS st
+         |  FROM bsf)
+         |SELECT user_id, ts, gap AS gap_s, st[2] < st[1] AS burst,
+         |  floor((st[1] - st[2]) * 1000000.0) / 1000000.0 AS score
+         |FROM bst""".stripMargin
+    },
 
     // the Holt-Winters fold restated: state list [lv, tr, cnt,
     // s1..s7], list_reduce seeding from the first element's

@@ -174,9 +174,10 @@ object Aggs {
   /** Functions.keep (pypond/functions.py:124): the group's single
     * unique non-null value, or null when values disagree (or none are
     * valid) — "carry the constant through the rollup". Distributed
-    * form: count(distinct) = 1 gates min(c); partial-aggregable, no
-    * per-group collect.
+    * form: min = max gates min — plain partial-aggregable min/max, no
+    * distinct-aggregate expand, no per-group collect (empty groups:
+    * null = null is SQL-null, so the whole gate stays null).
     */
   def keep(c: Column): Column =
-    when(count_distinct(c) === 1, min(c))
+    when(min(c) === max(c), min(c))
 }

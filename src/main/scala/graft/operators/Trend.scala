@@ -522,6 +522,41 @@ object Trend {
         round(sum(col("__cu")).cast("double") / lit(1e6), 6).as("psi"))
   }
 
+  /** Kleinberg-style burst detection per series: the online
+    * forward-Viterbi state of the two-state rate model over
+    * inter-event gaps (see [[org.apache.spark.sql.graft.BurstAgg]]) —
+    * WHEN did this series enter/leave a burst, the rate-side sibling
+    * of the value-side alerting family (crossings / cusum / bands).
+    *
+    * Bounded-history refold (trailing `span` gaps per row — the
+    * Holt/EWMA convention), so per-row state is O(span) and the
+    * identical fold streams. Each key's first event has no gap and is
+    * dropped. Output: keyCols, tsCol, gap_s, burst, score (µ-floored
+    * c0−c1 — positive inside a burst).
+    *
+    * ONE hash shuffle on the series key: the gap lag and the fold
+    * window share the same partitioning.
+    */
+  def burst(df: DataFrame, tsCol: String, keyCols: Seq[String],
+            lam0: Double, lam1: Double, gamma: Double,
+            span: Int = 20): DataFrame = {
+    val wLag = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+    val wF = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
+      .rowsBetween(-(span - 1), 0)
+    val gap = (col(tsCol) - lag(col(tsCol), 1).over(wLag)).cast("double") /
+      lit(TimeIndex.UsPerSec.toDouble)
+    val fold = org.apache.spark.sql.graft.GraftExpressions
+      .burst_fold(col("__gap"), lam0, lam1, gamma).over(wF)
+    df.select((keyCols :+ tsCol).map(col): _*)
+      .withColumn("__gap", gap)
+      .where(col("__gap").isNotNull)
+      .withColumn("__st", fold)
+      .select(keyCols.map(col) :+ col(tsCol) :+ col("__gap").as("gap_s") :+
+        (col("__st.c1") < col("__st.c0")).as("burst") :+
+        (floor((col("__st.c0") - col("__st.c1")) * lit(1e6)) / lit(1e6))
+          .as("score"): _*)
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift test per key —
     * [[psiDrift]]'s binning-free sibling: D = max_x |F_A(x) − F_B(x)|
     * over the pooled sample, period A = ts < splitUs. Reported next to

@@ -231,6 +231,58 @@ case class HoltAgg(child: Expression, alpha: Double, beta: Double)
       cs: IndexedSeq[Expression]): HoltAgg = copy(child = cs.head)
 }
 
+/** Kleinberg-style two-state burst detection (Kleinberg, "Bursty and
+  * Hierarchical Structure in Streams", KDD 2002) as a window-frame
+  * aggregate over inter-event GAPS: a renormalized Viterbi forward
+  * pass with states q0 (base rate λ0) and q1 (burst rate λ1 > λ0),
+  * per-gap cost λ_i·x − ln λ_i and an up-transition penalty γ:
+  *
+  *   init: c0 = 0, c1 = γ
+  *   per gap x:  r0 = min(c0, c1) + (x·λ0 + k0)
+  *               r1 = min(c1, c0 + γ) + (x·λ1 + k1)
+  *               c0' = r0 − min(r0, r1);  c1' = r1 − min(r0, r1)
+  *
+  * (k_i = −ln λ_i precomputed — no transcendental runs per row.) The
+  * renormalization keeps costs bounded, so the current state label
+  * (c1 < c0) is the online forward-Viterbi decision. Returns
+  * struct(c0, c1). The r0/r1 trees are duplicated VERBATIM into the
+  * renormalization (the HwAgg convention) so the DuckDB list_reduce
+  * oracle replays bit-identical IEEE sequences. Same frame-only
+  * contract as EwmaAgg: the merge path is poisoned.
+  */
+case class BurstAgg(child: Expression, lam0: Double, lam1: Double,
+                    gamma: Double)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.catalyst.expressions._
+  require(lam1 > lam0 && lam0 > 0, "need burst rate lam1 > base lam0 > 0")
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("c0", DoubleType), StructField("c1", DoubleType)))
+  private lazy val c0 = AttributeReference("c0", DoubleType)()
+  private lazy val c1 = AttributeReference("c1", DoubleType)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(c0, c1)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0.0), Literal(gamma))
+  private def r0: Expression =
+    Add(Least(Seq(c0, c1)),
+      Add(Multiply(child, Literal(lam0)), Literal(-math.log(lam0))))
+  private def r1: Expression =
+    Add(Least(Seq(c1, Add(c0, Literal(gamma)))),
+      Add(Multiply(child, Literal(lam1)), Literal(-math.log(lam1))))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), c0, Subtract(r0, Least(Seq(r0, r1)))),
+    If(IsNull(child), c1, Subtract(r1, Least(Seq(r0, r1)))))
+  override lazy val mergeExpressions: Seq[Expression] =
+    Seq(Literal(null, DoubleType), Literal(null, DoubleType))
+  override lazy val evaluateExpression: Expression =
+    CreateNamedStruct(Seq(Literal("c0"), c0, Literal("c1"), c1))
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): BurstAgg = copy(child = cs.head)
+}
+
 /** Additive Holt-Winters (level + trend + seasonal) as a window-frame
   * aggregate — the triple-smoothing member of the [[EwmaAgg]]/
   * [[HoltAgg]] family:
@@ -352,6 +404,11 @@ object GraftExpressions {
   /** Window-frame Holt fold (see [[HoltAgg]]); use with `.over(w)`. */
   def holt_fold(c: Column, alpha: Double, beta: Double): Column =
     Bridge.toCol(HoltAgg(Bridge.toExpr(c), alpha, beta)
+      .toAggregateExpression(isDistinct = false))
+  /** Window-frame burst-Viterbi fold (see [[BurstAgg]]); use with `.over(w)`. */
+  def burst_fold(gap: Column, lam0: Double, lam1: Double,
+                 gamma: Double): Column =
+    Bridge.toCol(BurstAgg(Bridge.toExpr(gap), lam0, lam1, gamma)
       .toAggregateExpression(isDistinct = false))
   /** Window-frame Holt-Winters fold (see [[HwAgg]]); use with `.over(w)`. */
   def hw_fold(c: Column, alpha: Double, beta: Double, gamma: Double,

@@ -67,6 +67,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // KS drift: ONE key-hash shuffle — ECDF windows and the per-key
     // max fold share the same partitioning
     "ts_drift_ks" -> 1,
+    // burst viterbi: the gap lag and the fold window share one
+    // series-key hash partitioning
+    "ts_burst" -> 1,
     // char-gram duplicated spans: hash-keyed dup-set agg + semi-join
     // back + the doc-keyed island window + the final doc join — every
     // shuffle carries (hash, id, pos) or per-doc rows, never text,

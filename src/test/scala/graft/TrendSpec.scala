@@ -198,6 +198,26 @@ class TrendSpec extends AnyFunSuite {
     assert(row.getAs[Double]("intercept") == 0.0)
   }
 
+  test("burst: steady gaps stay base-state, a rate spike flips to burst") {
+    import spark.implicits._
+    // 10 gaps of 100000s (base rate 1/40000 wins), then 10 gaps of
+    // 2000s (burst rate 1/8000 wins by ~1.4 nats per gap; the gamma=2
+    // up-penalty delays the flip by ~2 gaps)
+    val gaps = Seq.fill(10)(100000L) ++ Seq.fill(10)(2000L)
+    val ts = gaps.scanLeft(0L)(_ + _ * 1000000L)
+    val df = ts.map(t => (1L, t)).toDF("k", "ts")
+    val out = Trend.burst(df, "ts", Seq("k"), 2.5e-5, 1.25e-4, 2.0)
+      .orderBy("ts").collect()
+    assert(out.length == 20) // the first event has no gap
+    val flags = out.map(_.getAs[Boolean]("burst")).toSeq
+    assert(!flags.take(10).exists(identity)) // steady regime: never burst
+    assert(flags.last)                       // spike regime: burst on
+    assert(flags.drop(12).forall(identity))  // and it latches promptly
+    // score is positive exactly when burst
+    assert(out.forall(r => (r.getAs[Double]("score") > 0) ==
+      r.getAs[Boolean]("burst")))
+  }
+
   test("psiDrift: identical halves score 0, a full bin shift scores large") {
     import spark.implicits._
     // key y: same values both periods -> pa == pb in every bin -> 0.
