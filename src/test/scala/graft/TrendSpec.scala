@@ -414,6 +414,33 @@ class StreamCusumSpec extends AnyFunSuite {
 class StreamHoltSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  test("streaming burst alarms equal the batch viterbi fold exactly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+      .select($"user_id", $"ts")
+
+    val dir = Files.createTempDirectory("graft_sburst").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamBurst.Ev]
+
+    val q = graft.streaming.StreamBurst(spark, stream,
+      lam0 = 2.5e-5, lam1 = 1.25e-4, gamma = 2.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sburst_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sburst_test")
+
+    // same float order as BurstAgg's update trees -> identical flips
+    val want = Trend.burst(batch, "ts", Seq("user_id"),
+      lam0 = 2.5e-5, lam1 = 1.25e-4, gamma = 2.0)
+      .select($"user_id", $"ts", $"gap_s", $"burst", $"score")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming holt equals the batch window aggregate exactly") {
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
