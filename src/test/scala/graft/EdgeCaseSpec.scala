@@ -73,6 +73,22 @@ class EdgeCaseSpec extends AnyFunSuite {
       2).isEmpty)
   }
 
+  test("second-session round-6 additions pass empty inputs through") {
+    assert(Trend.theilSen(emptyEvents, "ts", "value", Seq("user_id"),
+      86400000000L, 0L).isEmpty)
+    assert(Trend.psiDrift(emptyEvents, "ts", "value", Seq("user_id"),
+      0L, 25.0, 20).isEmpty)
+    assert(Trend.ksDrift(emptyEvents, "ts", "value", Seq("user_id"), 0L)
+      .isEmpty)
+    assert(Trend.burst(emptyEvents, "ts", Seq("user_id"),
+      2.5e-5, 1.25e-4, 2.0).isEmpty)
+    assert(Dedup.duplicateSpans(emptyDocs).isEmpty)
+    assert(Dedup.spanDedup(emptyDocs).isEmpty)
+    // BPE on an empty corpus learns no merges; applying emits no docs
+    assert(TextOps.bpeTrain(emptyDocs).isEmpty)
+    assert(TextOps.bpeApply(emptyDocs).isEmpty)
+  }
+
   test("components of an empty pair list is empty (and converges)") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val (labels, rounds) = Dedup.componentsWithRounds(pairs)
