@@ -874,6 +874,44 @@ object SparkEntry {
         HoltAlpha, HoltBeta, HwGamma, HwPeriod, span = 28)
     },
 
+    // one-step-ahead BACKTEST of the smoothing family on the daily
+    // grid: MAE of naive (lag) vs Holt (l+b) vs Holt-Winters (l+b+s')
+    // forecasts, per key, errors µ-floored — the eval that says which
+    // smoother a series deserves (the emb_ann_recall of forecasting);
+    // both folds and the lags share ONE series-key window partitioning
+    "ts_forecast_eval" -> { (s, dir) =>
+      import org.apache.spark.sql.graft.GraftExpressions.{holt_fold, hw_fold}
+      val b = (org.apache.spark.sql.graft.Bridge.fldiv(col("ts"), UsDay)
+        * UsDay).as("bucket")
+      val grid = events(s, dir).where(col("event_type") === "click")
+        .groupBy(col("user_id"), b)
+        .agg(round(avg(col("value")), 6).as("v"))
+      val ord = Window.partitionBy("user_id").orderBy(col("bucket"), col("v"))
+      val wf = ord.rowsBetween(-27, 0)
+      val st = grid
+        .withColumn("__h", holt_fold(col("v"), HoltAlpha, HoltBeta).over(wf))
+        .withColumn("__w", hw_fold(col("v"), HoltAlpha, HoltBeta, HwGamma,
+          HwPeriod).over(wf))
+        .withColumn("__fn", lag(col("v"), 1).over(ord))
+        .withColumn("__fh",
+          lag(col("__h.level") + col("__h.trend"), 1).over(ord))
+        .withColumn("__fw", lag(col("__w.level") + col("__w.trend")
+          + col("__w.ahead"), 1).over(ord))
+      def err(f: Column) = floor(abs(col("v") - f) * lit(1e6)).cast("long")
+      def mae(f: Column) =
+        round(sum(err(f)).cast("double") / count(f) / lit(1e6), 6)
+      st.groupBy("user_id")
+        .agg(count(col("__fn")).as("n"),
+          mae(col("__fn")).as("mae_naive"),
+          mae(col("__fh")).as("mae_holt"),
+          mae(col("__fw")).as("mae_hw"))
+        .withColumn("best",
+          when(col("mae_naive") <= col("mae_holt") &&
+            col("mae_naive") <= col("mae_hw"), lit("naive"))
+          .when(col("mae_holt") <= col("mae_hw"), lit("holt"))
+          .otherwise(lit("hw")))
+    },
+
     // trapezoidal integral per (series, hour) — the inverse of rate
     "ts_integral" -> { (s, dir) =>
       Trend.integral(events(s, dir), "ts", "value", Seq("user_id"), "1h")
@@ -2035,6 +2073,67 @@ object SparkEntry {
          |  floor((st[1] + st[2] + st[4 + (CAST(st[3] AS BIGINT) % $m)])
          |    * 1000000.0) / 1000000.0 AS forecast
          |FROM hwf""".stripMargin
+    },
+
+    // backtest: restates the holt and hw folds VERBATIM on the shared
+    // daily grid, lags the raw (un-floored) forecasts, µ-floors each
+    // error, exact-integer MAE; best compares the ROUNDED maes
+    "ts_forecast_eval" -> {
+      val a = s"CAST($HoltAlpha AS DOUBLE)"
+      val na = s"CAST(${1.0 - HoltAlpha} AS DOUBLE)"
+      val bt = s"CAST($HoltBeta AS DOUBLE)"
+      val nb = s"CAST(${1.0 - HoltBeta} AS DOUBLE)"
+      val g = s"CAST($HwGamma AS DOUBLE)"
+      val ng = s"CAST(${1.0 - HwGamma} AS DOUBLE)"
+      val m = HwPeriod
+      val sp = s"acc[4 + (CAST(acc[3] AS BIGINT) % $m)]"
+      val lNewW = s"(e[1] - $sp) * $a + (acc[1] + acc[2]) * $na"
+      val lNewH = s"e[1] * $a + (acc[1] + acc[2]) * $na"
+      val seedZeros = Seq.fill(m)("0.0").mkString(", ")
+      def maeSql(f: String) =
+        s"""round(CAST(sum(CAST(floor(abs(v - $f) * 1000000.0) AS BIGINT))
+           |      AS DOUBLE) / count($f) / 1000000.0, 6)""".stripMargin
+      s"""WITH feg AS (SELECT user_id,
+         |    ($EvUs // 86400000000) * 86400000000 AS bucket,
+         |    round(avg(value), 6) AS v
+         |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         |fel AS (SELECT user_id, bucket, v,
+         |    list(v) OVER (PARTITION BY user_id ORDER BY bucket, v
+         |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW) AS lst
+         |  FROM feg),
+         |feh AS (SELECT user_id, bucket, v,
+         |  list_reduce(list_transform(lst,
+         |      x -> [CAST(x AS DOUBLE), CAST(0.0 AS DOUBLE)]),
+         |    (acc, e) -> [
+         |      $lNewH,
+         |      ($lNewH - acc[1]) * $bt + acc[2] * $nb]) AS hs,
+         |  list_reduce(list_transform(lst,
+         |      x -> [CAST(x AS DOUBLE), 0.0, 1.0, $seedZeros]),
+         |    (acc, e) -> list_transform(range(1, ${m + 4}), i -> CASE
+         |      WHEN i = 1 THEN $lNewW
+         |      WHEN i = 2 THEN ($lNewW - acc[1]) * $bt + acc[2] * $nb
+         |      WHEN i = 3 THEN acc[3] + 1.0
+         |      WHEN i = 4 + (CAST(acc[3] AS BIGINT) % $m) THEN
+         |        (e[1] - ($lNewW)) * $g + $sp * $ng
+         |      ELSE acc[i] END)) AS ws
+         |  FROM fel),
+         |fef AS (SELECT user_id, v,
+         |    lag(v) OVER wl AS fn,
+         |    lag(hs[1] + hs[2]) OVER wl AS fh,
+         |    lag(ws[1] + ws[2]
+         |      + ws[4 + (CAST(ws[3] AS BIGINT) % $m)]) OVER wl AS fw
+         |  FROM feh
+         |  WINDOW wl AS (PARTITION BY user_id ORDER BY bucket, v)),
+         |fee AS (SELECT user_id, count(fn) AS n,
+         |    ${maeSql("fn")} AS mae_naive,
+         |    ${maeSql("fh")} AS mae_holt,
+         |    ${maeSql("fw")} AS mae_hw
+         |  FROM fef GROUP BY 1)
+         |SELECT user_id, n, mae_naive, mae_holt, mae_hw,
+         |  CASE WHEN mae_naive <= mae_holt AND mae_naive <= mae_hw
+         |    THEN 'naive'
+         |    WHEN mae_holt <= mae_hw THEN 'holt' ELSE 'hw' END AS best
+         |FROM fee""".stripMargin
     },
 
     // segment areas floored to integer micro-units, summed as BIGINT —

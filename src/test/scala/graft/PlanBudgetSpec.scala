@@ -70,6 +70,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // burst viterbi: the gap lag and the fold window share one
     // series-key hash partitioning
     "ts_burst" -> 1,
+    // forecast backtest: daily-grid pre-agg + ONE series-key window
+    // partitioning shared by both folds, the lags, and the final agg
+    "ts_forecast_eval" -> 2,
     // char-gram duplicated spans: hash-keyed dup-set agg + semi-join
     // back + the doc-keyed island window + the final doc join — every
     // shuffle carries (hash, id, pos) or per-doc rows, never text,
