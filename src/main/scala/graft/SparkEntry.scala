@@ -2862,6 +2862,28 @@ object SparkEntry {
         Seq("spark", "query", "join"))
     },
 
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    // top-10 and the cosine vector top-10 (rrf = Σ 1/(60+rank)) — the
+    // standard two-leg serving stack; both legs keep their own plans
+    // (corpus never shuffles), fusion joins two 10-row frames
+    "q_hybrid_rrf" -> { (s, dir) =>
+      val lex = TextOps.bm25(tbl(s, dir, "documents"),
+          Seq("spark", "query", "join"), topK = 10)
+        .withColumn("lex_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id"), col("lex_rank"))
+      val emb = tbl(s, dir, "embeddings")
+      val vec = Knn.bruteTopK(emb, emb.where(col("vec_id") === 0),
+          EmbDim, 10)
+        .select(col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60.0) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60.0) + col("vec_rank")), lit(0.0)), 6))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
     // Flagship composite: the end-to-end training-data pipeline shape —
     // quality score -> filter -> langid -> exact-dedup canonicalize ->
     // per-language corpus stats. One fused plan: the scans/filters/
@@ -4646,37 +4668,70 @@ object SparkEntry {
     // per-term micro-unit snap before the fixed-order long sum; the
     // expression structure matches the Spark side op-for-op so the
     // doubles are identical
-    "doc_bm25" -> {
-      val bmTerms = Seq("spark", "query", "join")
-      val tfDefs = bmTerms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")
-      val dfDefs = bmTerms.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
-        .mkString(",\n    ")
-      val muSum = bmTerms.indices.map { i =>
-        s"""(CASE WHEN tf$i > 0 THEN CAST(round(
-           |      ln((CAST(n - df$i AS DOUBLE) + 0.5)
-           |          / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
-           |        * (tf$i * 2.5)
-           |        / (tf$i + 1.5 * (0.25 + 0.75 * blen / avgl))
-           |      * 1000000.0) AS BIGINT) ELSE 0 END)""".stripMargin
-      }.mkString("\n    + ")
-      val ntSum = bmTerms.indices.map(i =>
-        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH btk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
-         |bt AS (SELECT doc_id, len(tk) AS blen,
-         |    $tfDefs
-         |  FROM btk),
-         |bst AS (SELECT count(*) AS n, round(avg(blen), 6) AS avgl,
-         |    $dfDefs
-         |  FROM bt),
-         |bs AS (SELECT doc_id, $ntSum AS n_terms,
-         |    $muSum AS mu
-         |  FROM bt, bst)
+    "doc_bm25" ->
+      s"""WITH $sqlBm25Chain
          |SELECT doc_id, n_terms,
          |  round(CAST(mu AS DOUBLE) / 1000000.0, 6) AS bm25
          |FROM bs WHERE n_terms > 0
-         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
-    }
+         |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    // fusion compares ROUNDED rrf (identical doubles both engines);
+    // ranks come from the verbatim bm25 and brute-cosine chains
+    "q_hybrid_rrf" ->
+      s"""WITH $sqlBm25Chain,
+         |hlex AS (SELECT doc_id, lex_rank FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |        ORDER BY round(CAST(mu AS DOUBLE) / 1000000.0, 6) DESC,
+         |          doc_id) AS INTEGER) AS lex_rank
+         |      FROM bs WHERE n_terms > 0)
+         |  WHERE lex_rank <= 10),
+         |hq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |hj AS (SELECT vec_id AS doc_id, ${sqlCos("qv", "embedding")} AS cos
+         |  FROM embeddings, hq WHERE vec_id <> 0),
+         |hv AS (SELECT doc_id, vec_rank FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (
+         |        ORDER BY cos DESC, doc_id) AS INTEGER) AS vec_rank
+         |      FROM hj)
+         |  WHERE vec_rank <= 10),
+         |hf AS (SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |    l.lex_rank, v.vec_rank,
+         |    round(coalesce(1.0 / (60.0 + l.lex_rank), 0.0)
+         |      + coalesce(1.0 / (60.0 + v.vec_rank), 0.0), 6) AS rrf
+         |  FROM hlex l FULL OUTER JOIN hv v ON l.doc_id = v.doc_id)
+         |SELECT doc_id, lex_rank, vec_rank, rrf FROM hf
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   )
+
+  /** The doc_bm25 oracle chain (btk/bt/bst/bs CTEs ending at per-doc
+    * integer-µ scores) — shared verbatim by q_hybrid_rrf so the two
+    * oracles cannot drift.
+    */
+  private lazy val sqlBm25Chain: String = {
+    val bmTerms = Seq("spark", "query", "join")
+    val tfDefs = bmTerms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")
+    val dfDefs = bmTerms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+      .mkString(",\n    ")
+    val muSum = bmTerms.indices.map { i =>
+      s"""(CASE WHEN tf$i > 0 THEN CAST(round(
+         |      ln((CAST(n - df$i AS DOUBLE) + 0.5)
+         |          / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+         |        * (tf$i * 2.5)
+         |        / (tf$i + 1.5 * (0.25 + 0.75 * blen / avgl))
+         |      * 1000000.0) AS BIGINT) ELSE 0 END)""".stripMargin
+    }.mkString("\n    + ")
+    val ntSum = bmTerms.indices.map(i =>
+      s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""btk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+       |bt AS (SELECT doc_id, len(tk) AS blen,
+       |    $tfDefs
+       |  FROM btk),
+       |bst AS (SELECT count(*) AS n, round(avg(blen), 6) AS avgl,
+       |    $dfDefs
+       |  FROM bt),
+       |bs AS (SELECT doc_id, $ntSum AS n_terms,
+       |    $muSum AS mu
+       |  FROM bt, bst)""".stripMargin
+  }
 }

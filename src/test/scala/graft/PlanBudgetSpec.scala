@@ -42,6 +42,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // bm25: scan-side per-term tf; stats 1-row agg + its broadcast —
     // the corpus never shuffles, top-k is TakeOrderedAndProject
     "doc_bm25" -> 2,
+    // hybrid fusion: the bm25 leg's 2 + the brute leg's query
+    // broadcast and rank window + the two-10-row-frame outer join;
+    // neither corpus ever shuffles
+    "q_hybrid_rrf" -> 6,
     // exact-k stratum sample: ONE stratum-keyed rank window
     "doc_reservoir" -> 1,
     // bollinger envelope: ONE series-key window, all frames fused
