@@ -2670,6 +2670,28 @@ object SparkEntry {
         .unionByName(evalOf(Knn.sqSearchTopK(emb, q, EmbDim, 3), "sq"))
     },
 
+    // the nProbe dial MEASURED: IVF recall@3 at 1/2/4 probed cells —
+    // SURVEY §5 claims the dial, this query is its evidence; the
+    // oracle reuses the shared IVF CTEs so index and eval can't drift
+    "emb_ivf_probe_curve" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 100 === 0)
+      val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
+        .select("query_id", "neighbor_id").localCheckpoint(false)
+      def leg(p: Int): DataFrame =
+        truth.join(
+            Knn.ivfTopK(emb, q, EmbDim, 3, nProbe = p)
+              .select(col("query_id"), col("neighbor_id"))
+              .withColumn("__h", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+            round(count(col("__h")).cast("double") / count(lit(1)), 6)
+              .as("recall"))
+          .select(lit(s"probe_$p").as("method"), col("n_truth"),
+            col("n_hits"), col("recall"))
+      leg(1).unionByName(leg(2)).unionByName(leg(4))
+    },
+
     // embedding-compression eval: how much of the full-dim neighbor
     // structure survives truncating vectors to the first d dims
     // (Matryoshka-style storage/compute dial) — recall@3 of dim-32 and
@@ -4306,6 +4328,49 @@ object SparkEntry {
          |FROM brute b LEFT JOIN sq3 sq
          |  ON b.query_id = sq.query_id AND b.neighbor_id = sq.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    // the probe legs reuse the shared IVF CTEs; qcell (crk<=2) IS the
+    // probe_2 leg, the others re-slice the same assignment ranking
+    "emb_ivf_probe_curve" -> {
+      def legSql(p: Int, qc: String) =
+        s"""pj$p AS (SELECT query_id, neighbor_id,
+           |    ${sqlDot("qv", "nv")} / (qn * nn) AS cos
+           |  FROM ccell JOIN $qc USING (cid) WHERE neighbor_id <> query_id),
+           |pr$p AS (SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM pj$p),
+           |pt$p AS (SELECT query_id, neighbor_id FROM pr$p
+           |  WHERE rk <= 3)""".stripMargin
+      def recSql(p: Int) =
+        s"""SELECT 'probe_$p' AS method, count(*) AS n_truth,
+           |  count(t$p.query_id) AS n_hits,
+           |  round(CAST(count(t$p.query_id) AS DOUBLE) / count(*), 6)
+           |    AS recall
+           |FROM brute b LEFT JOIN pt$p t$p
+           |  ON b.query_id = t$p.query_id
+           |  AND b.neighbor_id = t$p.neighbor_id""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv
+         |  FROM embeddings),
+         |bj AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |br AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM bj),
+         |brute AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 3),
+         |$sqlIvfCtes,
+         |pq1 AS (SELECT query_id, qv, qn, cid FROM qa WHERE crk <= 1),
+         |pq4 AS (SELECT query_id, qv, qn, cid FROM qa WHERE crk <= 4),
+         |${legSql(1, "pq1")},
+         |${legSql(2, "qcell")},
+         |${legSql(4, "pq4")}
+         |${recSql(1)}
+         |UNION ALL
+         |${recSql(2)}
+         |UNION ALL
+         |${recSql(4)}""".stripMargin
+    },
 
     "emb_label_centroid" ->
       s"""WITH e AS (SELECT label,
