@@ -2575,6 +2575,14 @@ object SparkEntry {
       Knn.bruteTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 5)
     },
 
+    // MMR diversified rerank of the brute top-20: relevant AND
+    // mutually diverse; the greedy loop runs scan-side on a bounded
+    // 20-element array per query — never a corpus operation
+    "emb_mmr" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.mmrTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim)
+    },
+
     "emb_knn_lsh" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Knn.lshTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
@@ -4328,6 +4336,60 @@ object SparkEntry {
          |FROM brute b LEFT JOIN sq3 sq
          |  ON b.query_id = sq.query_id AND b.neighbor_id = sq.neighbor_id
          |GROUP BY 1""".stripMargin,
+
+    // greedy MMR unrolled: 5 chained selects, each appending the FIRST
+    // index attaining the max score; weights are decimal literals both
+    // engines parse to the same doubles (never 1-lambda arithmetic)
+    "emb_mmr" -> {
+      def score(sel: String) =
+        s"""list_transform(range(1, len(cands) + 1), ii ->
+           |  CASE WHEN list_contains($sel, ii) THEN NULL ELSE
+           |    0.7 * cands[ii].rel - 0.3 * (CASE WHEN len($sel) = 0
+           |      THEN 0.0 ELSE list_max(list_transform($sel, jj ->
+           |        ${sqlDot("cands[ii].cvec", "cands[jj].cvec")}
+           |          / (cands[ii].cn * cands[jj].cn))) END)
+           |  END)""".stripMargin
+      def stepSql(n: Int): String = {
+        val prev = if (n == 1) "mm0" else s"mm${n - 1}"
+        s"""mm$n AS (SELECT query_id, cands, list_append(sel,
+           |    list_position(${score("sel")}, list_max(${score("sel")})))
+           |    AS sel
+           |  FROM $prev)""".stripMargin
+      }
+      s"""WITH mq AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |mc0 AS (SELECT vec_id AS cid, embedding AS cvec,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
+         |  FROM embeddings),
+         |mj AS (SELECT query_id, cid, cvec, cn,
+         |    ${sqlDot("qv", "cvec")} / (qn * cn) AS rel
+         |  FROM mc0, mq WHERE cid <> query_id),
+         |mr AS (SELECT query_id, cid, cvec, cn, rel,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC, cid) AS rk
+         |  FROM mj),
+         |ma AS (SELECT query_id, list(struct_pack(rk := rk, cid := cid,
+         |      cvec := cvec, cn := cn, rel := rel) ORDER BY rk) AS cands
+         |  FROM mr WHERE rk <= 20 GROUP BY query_id),
+         |mm0 AS (SELECT query_id, cands, CAST([] AS BIGINT[]) AS sel
+         |  FROM ma),
+         |${stepSql(1)},
+         |${stepSql(2)},
+         |${stepSql(3)},
+         |${stepSql(4)},
+         |${stepSql(5)},
+         |mo AS (SELECT query_id, unnest(list_transform(range(1, 6), r ->
+         |    struct_pack(sel_rank := r,
+         |      neighbor_id := cands[CAST(sel[CAST(r AS INTEGER)]
+         |        AS INTEGER)].cid,
+         |      rel := round(cands[CAST(sel[CAST(r AS INTEGER)]
+         |        AS INTEGER)].rel, 6)))) AS o
+         |  FROM mm5)
+         |SELECT query_id, o.sel_rank AS sel_rank,
+         |  o.neighbor_id AS neighbor_id, o.rel AS rel
+         |FROM mo""".stripMargin
+    },
 
     // the probe legs reuse the shared IVF CTEs; qcell (crk<=2) IS the
     // probe_2 leg, the others re-slice the same assignment ranking

@@ -996,4 +996,70 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cos"), 6).as("cos"))
   }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR
+    * 1998): from each query's brute top-`pool` candidates, greedily
+    * select `k` maximizing wRel·rel(c) − wDiv·max_{s∈sel} cos(c, s) —
+    * relevant AND mutually diverse, the standard post-ANN rerank for
+    * retrieval-augmented pipelines. First pick is pure relevance
+    * (empty-selection similarity term = 0); ties keep the
+    * better-ranked candidate (argmax scans in rank order).
+    *
+    * Scale shape: candidate generation is the brute/ANN leg (zero
+    * corpus shuffle); the greedy loop runs scan-side per query over a
+    * collected `pool`-element array — O(k·pool·|sel|) dot products on
+    * a bounded frame, never a corpus operation. Weights are passed
+    * EXPLICITLY (never derived as 1−λ: 1.0−0.7 is not the double 0.3,
+    * and the oracle parses decimal literals).
+    *
+    * Output: query_id, sel_rank (1..k), neighbor_id, rel (round 6).
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
+              k: Int = 5, pool: Int = 20,
+              wRel: Double = 0.7, wDiv: Double = 0.3,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val cand = corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("cn"))
+      .crossJoin(broadcast(q))
+      .where(col("cid") =!= col("query_id"))
+      .withColumn("rel",
+        dot(col("qvec"), col("cvec"), dim) / (col("qn") * col("cn")))
+      .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("rel").desc, col("cid"))))
+      .where(col("rk") <= pool)
+    val arr = cand.groupBy("query_id")
+      .agg(sort_array(collect_list(struct(col("rk"), col("cid"),
+        col("cvec"), col("cn"), col("rel")))).as("cands"))
+    // one greedy round: scores over all candidates (selected -> null),
+    // then append the FIRST index attaining the max
+    def scores(sel: Column): Column =
+      transform(sequence(lit(1), size(col("cands"))), ii => {
+        val c = element_at(col("cands"), ii)
+        val maxSim = array_max(transform(sel, jj => {
+          val s = element_at(col("cands"), jj)
+          dot(c.getField("cvec"), s.getField("cvec"), dim) /
+            (c.getField("cn") * s.getField("cn"))
+        }))
+        when(array_contains(sel, ii), lit(null).cast("double"))
+          .otherwise(lit(wRel) * c.getField("rel") -
+            lit(wDiv) * when(size(sel) === 0, lit(0.0)).otherwise(maxSim))
+      })
+    // the k greedy rounds fold at RUNTIME over a lambda variable —
+    // unrolling them as nested column expressions duplicates the
+    // growing selection subtree exponentially and stalls the optimizer
+    val selected = aggregate(
+      sequence(lit(1), lit(k)),
+      array().cast("array<int>"),
+      (sel, _) => concat(sel, array(
+        array_position(scores(sel), array_max(scores(sel))).cast("int"))))
+    arr.select(col("query_id"), col("cands"),
+        posexplode(selected).as(Seq("__p", "__idx")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("sel_rank"),
+        element_at(col("cands"), col("__idx")).getField("cid")
+          .as("neighbor_id"),
+        round(element_at(col("cands"), col("__idx")).getField("rel"), 6)
+          .as("rel"))
+  }
 }

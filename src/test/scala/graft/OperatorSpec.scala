@@ -275,6 +275,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, "unique str !")))
   }
 
+  test("Knn.mmrTopK trades relevance for diversity in greedy order") {
+    import spark.implicits._
+    // query (1,0); a and b are the same direction (mutual cos 1), c is
+    // at cos 0.9 — with diversity weighted 0.7, round 2 skips the
+    // near-duplicate b for the diverse c (pure relevance would pick b)
+    val rows = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(9.0f, 4.358899f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Knn.mmrTopK(emb, emb.where($"vec_id" === 100), dim = 2,
+      k = 2, pool = 3, wRel = 0.3, wDiv = 0.7).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L))
+  }
+
   test("Knn.semDedup drops the pair member closer to its centroid") {
     // clusters {0,1} and {2,3} (seeds = every 2nd id); each pair is
     // near-identical (cos ~0.995), and the longer vector of each pair

@@ -46,6 +46,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // broadcast and rank window + the two-10-row-frame outer join;
     // neither corpus ever shuffles
     "q_hybrid_rrf" -> 6,
+    // MMR rerank: query broadcast + rank window + per-query collect —
+    // the greedy loop itself is scan-side over a 20-element array
+    "emb_mmr" -> 2,
     // exact-k stratum sample: ONE stratum-keyed rank window
     "doc_reservoir" -> 1,
     // bollinger envelope: ONE series-key window, all frames fused
