@@ -686,6 +686,13 @@ object SparkEntry {
         Jan15)
     },
 
+    // categorical drift: per-user event-type MIX shift as a 2×C
+    // chi-square with the observed-dof critical value
+    "ts_drift_chi2" -> { (s, dir) =>
+      Trend.chi2Drift(events(s, dir), "ts", "event_type", Seq("user_id"),
+        Jan15)
+    },
+
     "ts_align_linear" -> { (s, dir) =>
       val clicks = events(s, dir).where(col("event_type") === "click")
       TimeSeries(clicks, "ts", Seq("user_id"))
@@ -1605,6 +1612,49 @@ object SparkEntry {
          |SELECT event_type, n_a, n_b, ks_d, ks_crit95,
          |  ks_d > ks_crit95 AS drifted
          |FROM kf""".stripMargin,
+
+    // each 2xC cell snaps to integer micro-units before the per-key
+    // sum; empty-margin cells are defined 0 (not NaN) on both engines
+    "ts_drift_chi2" ->
+      s"""WITH xd AS (SELECT user_id, event_type,
+         |    CASE WHEN $EvUs < 1705276800000000 THEN 1 ELSE 0 END AS ina
+         |  FROM events),
+         |xc AS (SELECT user_id, event_type, sum(ina) AS ca,
+         |    sum(1 - ina) AS cb
+         |  FROM xd GROUP BY 1, 2),
+         |xw AS (SELECT user_id, ca, cb,
+         |    sum(ca) OVER (PARTITION BY user_id) AS na,
+         |    sum(cb) OVER (PARTITION BY user_id) AS nb
+         |  FROM xc),
+         |xe AS (SELECT user_id, na, nb,
+         |    CAST(na AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+         |      / CAST(na + nb AS DOUBLE) AS ea,
+         |    CAST(nb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+         |      / CAST(na + nb AS DOUBLE) AS eb,
+         |    ca, cb
+         |  FROM xw),
+         |xu AS (SELECT user_id, na, nb,
+         |    CAST(round(((CASE WHEN ea = 0.0 THEN 0.0
+         |        ELSE (CAST(ca AS DOUBLE) - ea) * (CAST(ca AS DOUBLE) - ea)
+         |          / ea END)
+         |      + (CASE WHEN eb = 0.0 THEN 0.0
+         |        ELSE (CAST(cb AS DOUBLE) - eb) * (CAST(cb AS DOUBLE) - eb)
+         |          / eb END)) * 1000000.0) AS BIGINT) AS cu
+         |  FROM xe),
+         |xa AS (SELECT user_id, CAST(max(na) AS BIGINT) AS n_a,
+         |    CAST(max(nb) AS BIGINT) AS n_b,
+         |    count(*) - 1 AS dof,
+         |    round(CAST(sum(cu) AS DOUBLE) / 1000000.0, 6) AS chi2
+         |  FROM xu GROUP BY 1)
+         |SELECT user_id, n_a, n_b, dof, chi2,
+         |  CASE WHEN dof = 1 THEN 3.841 WHEN dof = 2 THEN 5.991
+         |    WHEN dof = 3 THEN 7.815 WHEN dof = 4 THEN 9.488
+         |    WHEN dof >= 5 THEN 11.07 ELSE 0.0 END AS chi2_crit95,
+         |  dof >= 1 AND chi2 >
+         |    CASE WHEN dof = 1 THEN 3.841 WHEN dof = 2 THEN 5.991
+         |      WHEN dof = 3 THEN 7.815 WHEN dof = 4 THEN 9.488
+         |      WHEN dof >= 5 THEN 11.07 ELSE 0.0 END AS drifted
+         |FROM xa""".stripMargin,
 
     // bucket-of-begin .. bucket-of-end inclusive, floor division —
     // mirrors TimeIndex.indexList

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TimeIndex
@@ -555,6 +555,59 @@ object Trend {
         (col("__st.c1") < col("__st.c0")).as("burst") :+
         (floor((col("__st.c0") - col("__st.c1")) * lit(1e6)) / lit(1e6))
           .as("score"): _*)
+  }
+
+  /** Chi-square drift test for a CATEGORICAL column per key — the
+    * third member of the drift trio ([[psiDrift]] binned-numeric,
+    * [[ksDrift]] continuous): did the category MIX shift between the
+    * two periods? χ² over the 2×C contingency table (periods ×
+    * categories), expected counts from the margins, with the α=0.05
+    * critical value for the observed dof so `drifted` is a decision.
+    *
+    * Cross-engine exactness: counts are integers, each cell
+    * (o−e)²/e divides identical doubles, and every cell snaps to
+    * integer micro-units BEFORE the per-key sum (double summation
+    * order never matters). ONE (key, category) partial-agg'd shuffle
+    * touches events; the margins re-key the #keys×#categories frame.
+    *
+    * Output: keyCols, n_a, n_b, dof, chi2, chi2_crit95, drifted
+    * (keys with a single observed category have dof 0 and never
+    * drift).
+    */
+  def chi2Drift(df: DataFrame, tsCol: String, catCol: String,
+                keyCols: Seq[String], splitUs: Long): DataFrame = {
+    val inA = when(col(tsCol) < lit(splitUs), 1L).otherwise(0L)
+    val counts = df
+      .select((keyCols.map(col) :+ col(catCol) :+ inA.as("__ina")): _*)
+      .groupBy(keyCols.map(col) :+ col(catCol): _*)
+      .agg(sum(col("__ina")).as("__ca"),
+        sum(lit(1L) - col("__ina")).as("__cb"))
+    val wk = Window.partitionBy(keyCols.map(col): _*)
+    val na = col("__na").cast("double")
+    val nb = col("__nb").cast("double")
+    val nc = (col("__ca") + col("__cb")).cast("double")
+    val n = (col("__na") + col("__nb")).cast("double")
+    def cell(o: Column, margin: Column): Column = {
+      val e = margin * nc / n
+      // an empty period margin degenerates the table: define 0, not NaN
+      when(e === 0.0, lit(0.0))
+        .otherwise((o.cast("double") - e) * (o.cast("double") - e) / e)
+    }
+    val cellU = round((cell(col("__ca"), na) + cell(col("__cb"), nb)) *
+      lit(1e6)).cast("long")
+    val crit = when(col("dof") === 1, 3.841).when(col("dof") === 2, 5.991)
+      .when(col("dof") === 3, 7.815).when(col("dof") === 4, 9.488)
+      .when(col("dof") >= 5, lit(11.07)).otherwise(lit(0.0))
+    counts
+      .withColumn("__na", sum(col("__ca")).over(wk))
+      .withColumn("__nb", sum(col("__cb")).over(wk))
+      .withColumn("__cu", cellU)
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        (count(lit(1)) - 1).as("dof"),
+        round(sum(col("__cu")).cast("double") / lit(1e6), 6).as("chi2"))
+      .withColumn("chi2_crit95", crit)
+      .withColumn("drifted", col("dof") >= 1 && col("chi2") > col("chi2_crit95"))
   }
 
   /** Exact two-sample Kolmogorov–Smirnov drift test per key —

@@ -74,6 +74,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // KS drift: ONE key-hash shuffle — ECDF windows and the per-key
     // max fold share the same partitioning
     "ts_drift_ks" -> 1,
+    // chi-square drift: one (key, category) partial agg touches
+    // events; the margin window re-keys the tiny counts frame
+    "ts_drift_chi2" -> 2,
     // burst viterbi: the gap lag and the fold window share one
     // series-key hash partitioning
     "ts_burst" -> 1,

@@ -238,6 +238,23 @@ class TrendSpec extends AnyFunSuite {
     assert(psi > 1.2 && psi < 1.3)
   }
 
+  test("chi2Drift: stable mix scores 0, a category flip scores 20") {
+    import spark.implicits._
+    val rows =
+      // x: all 'a' before, all 'b' after -> e=5 per cell, chi2 = 4*5
+      (0 until 10).map(i => ("x", us(i), "a")) ++
+      (0 until 10).map(i => ("x", us(100 + i), "b")) ++
+      // y: 50/50 both halves -> observed == expected everywhere
+      (0 until 5).flatMap(i => Seq(("y", us(i), "a"), ("y", us(i), "b"),
+        ("y", us(100 + i), "a"), ("y", us(100 + i), "b")))
+    val got = Trend.chi2Drift(rows.toDF("k", "ts", "c"), "ts", "c",
+      Seq("k"), splitUs = us(50)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(4),
+        r.getBoolean(6)))).toMap
+    assert(got("x") == ((1L, 20.0, true)))
+    assert(got("y") == ((1L, 0.0, false)))
+  }
+
   test("ksDrift: identical samples score 0; disjoint supports score 1") {
     import spark.implicits._
     val rows =
