@@ -2484,6 +2484,20 @@ object SparkEntry {
           col("pred_lang"))
     },
 
+    // the eval that scores the heuristic against the label: per-cell
+    // confusion matrix with row-normalized fractions — the langid
+    // chain is shared verbatim with doc_langid's oracle
+    "doc_langid_eval" -> { (s, dir) =>
+      TextOps.langId(tbl(s, dir, "documents"))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .withColumn("n_lang",
+          sum(col("n")).over(Window.partitionBy("lang")))
+        .select(col("lang"), col("pred_lang"), col("n"), col("n_lang"),
+          round(col("n").cast("double") / col("n_lang").cast("double"), 6)
+            .as("frac"),
+          (col("lang") === col("pred_lang")).as("correct"))
+    },
+
     "doc_quality" -> { (s, dir) =>
       TextOps.quality(tbl(s, dir, "documents"))
         .select("doc_id", "n_tokens", "avg_token_len", "punct_ratio",
@@ -3806,26 +3820,24 @@ object SparkEntry {
          |WHERE CAST(n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - n_shared)
          |  >= 0.5""".stripMargin,
 
-    "doc_langid" -> {
-      def stop(name: String, words: Seq[String]): String = {
-        val lst = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(tk, t -> list_contains([$lst], t))) AS $name"
-      }
-      s"""WITH toks AS (SELECT doc_id, lang, $sqlToks AS tk FROM documents),
-         |sc AS (SELECT doc_id, lang,
-         |  ${stop("s_en", TextOps.StopEn)},
-         |  ${stop("s_de", TextOps.StopDe)},
-         |  ${stop("s_fr", TextOps.StopFr)},
-         |  ${stop("s_es", TextOps.StopEs)}
-         |  FROM toks)
-         |SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
-         |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
-         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-         |       WHEN s_fr >= s_es THEN 'fr'
-         |       ELSE 'es' END AS pred_lang
-         |FROM sc""".stripMargin
-    },
+    "doc_langid" ->
+      s"""WITH $sqlLangidChain
+         |SELECT doc_id, lang, s_en, s_de, s_fr, s_es, pred_lang
+         |FROM lid""".stripMargin,
+
+    // the eval reuses the langid chain verbatim: per-(label, pred)
+    // confusion cell with row-normalized fraction
+    "doc_langid_eval" ->
+      s"""WITH $sqlLangidChain,
+         |lec AS (SELECT lang, pred_lang, count(*) AS n FROM lid
+         |  GROUP BY 1, 2),
+         |lew AS (SELECT lang, pred_lang, n,
+         |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+         |  FROM lec)
+         |SELECT lang, pred_lang, n, n_lang,
+         |  round(CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE), 6) AS frac,
+         |  lang = pred_lang AS correct
+         |FROM lew""".stripMargin,
 
     "doc_quality" ->
       s"""WITH $sqlQualityCtes
@@ -4878,6 +4890,31 @@ object SparkEntry {
          |SELECT doc_id, lex_rank, vec_rank, rrf FROM hf
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
   )
+
+  /** The doc_langid oracle chain (toks/sc/lid CTEs ending at per-doc
+    * stopword scores + pred_lang) — shared verbatim by
+    * doc_langid_eval so the heuristic and its eval cannot drift.
+    */
+  private lazy val sqlLangidChain: String = {
+    def stop(name: String, words: Seq[String]): String = {
+      val lst = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(tk, t -> list_contains([$lst], t))) AS $name"
+    }
+    s"""toks AS (SELECT doc_id, lang, $sqlToks AS tk FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  ${stop("s_en", TextOps.StopEn)},
+       |  ${stop("s_de", TextOps.StopDe)},
+       |  ${stop("s_fr", TextOps.StopFr)},
+       |  ${stop("s_es", TextOps.StopEs)}
+       |  FROM toks),
+       |lid AS (SELECT doc_id, lang, s_en, s_de, s_fr, s_es,
+       |  CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+       |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |       WHEN s_fr >= s_es THEN 'fr'
+       |       ELSE 'es' END AS pred_lang
+       |  FROM sc)""".stripMargin
+  }
 
   /** The doc_bm25 oracle chain (btk/bt/bst/bs CTEs ending at per-doc
     * integer-µ scores) — shared verbatim by q_hybrid_rrf so the two

@@ -77,6 +77,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // chi-square drift: one (key, category) partial agg touches
     // events; the margin window re-keys the tiny counts frame
     "ts_drift_chi2" -> 2,
+    // langid eval: scan-side scoring + one (label, pred) partial agg;
+    // the row-total window re-keys the tiny confusion frame
+    "doc_langid_eval" -> 2,
     // burst viterbi: the gap lag and the fold window share one
     // series-key hash partitioning
     "ts_burst" -> 1,
