@@ -2372,6 +2372,13 @@ object SparkEntry {
       Dedup.simhashPairs(tbl(s, dir, "documents"))
     },
 
+    // the production simhash geometry (60-bit / 4×15-bit bands) run
+    // end-to-end: random collisions vanish, candidates are true
+    // near-dups — the width dial demonstrated, not just documented
+    "doc_dedup_simhash_wide" -> { (s, dir) =>
+      Dedup.simhashPairsWide(tbl(s, dir, "documents"))
+    },
+
     // simhash candidates at the pigeonhole-complete h<=2 bound,
     // verified by TRUE Levenshtein distance (banded DP, capped at the
     // largest distance tau could accept) — the char-level dup
@@ -3063,6 +3070,38 @@ object SparkEntry {
     * Dedup.simhashPairs, shared by doc_dedup_simhash and the
     * edit-distance verification built on its candidates.
     */
+  /** The 60-bit / 4×15-band simhash chain (Dedup.simhashPairsWide):
+    * two 30-bit mixes per token vote the low/high bit halves; every
+    * product stays under 2^62 so the arithmetic is plain BIGINT.
+    */
+  private def sqlSimhashWideCtes(maxHamming: Int): String = {
+    val bitSums = (0 until 60).map { i =>
+      val (src, sh) = if (i < 30) ("th1", i) else ("th2", i - 30)
+      s"sum(CASE WHEN ($src // ${1L << sh}) % 2 = 1 THEN 1 ELSE -1 END)" +
+        s" AS ws$i"
+    }.mkString(",\n  ")
+    val shExpr = (0 until 60).map { i =>
+      s"(CASE WHEN ws$i > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, simhash, $b AS band, " +
+        s"(simhash // ${1L << (b * 15)}) % 32768 AS bk FROM wsh2"
+    }.mkString("\nUNION ALL\n")
+    s"""wstoks AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+       |wth AS (SELECT doc_id,
+       |    (${sqlPoly("t")} * 2654435761) % 1073741824 AS th1,
+       |    (${sqlPoly("t")} * 2246822519 + 1013904223) % 1073741824 AS th2
+       |  FROM wstoks),
+       |wbits AS (SELECT doc_id, $bitSums FROM wth GROUP BY doc_id),
+       |wsh2 AS (SELECT doc_id, $shExpr AS simhash FROM wbits),
+       |wbands AS ($bandSelects),
+       |wpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM wbands a JOIN wbands b ON a.band = b.band AND a.bk = b.bk
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $maxHamming)""".stripMargin
+  }
+
   private def sqlSimhashPairCtes(maxHamming: Int): String = {
     val bitSums = (0 until Dedup.SimhashBits).map { i =>
       s"sum(CASE WHEN (th // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS bs$i"
@@ -3546,6 +3585,10 @@ object SparkEntry {
     "doc_dedup_simhash" ->
       s"""WITH ${sqlSimhashPairCtes(4)}
          |SELECT id_a, id_b, hamming FROM spairs""".stripMargin,
+
+    "doc_dedup_simhash_wide" ->
+      s"""WITH ${sqlSimhashWideCtes(3)}
+         |SELECT id_a, id_b, hamming FROM wpairs""".stripMargin,
 
     // simhash candidates (pigeonhole-complete h<=2) re-verified by
     // true Levenshtein; the cap mirrors the Spark side's per-length-

@@ -130,6 +130,38 @@ object HashImpl {
     * per bit; bit set when the vote sum is positive. Single pass per
     * document — replaces an explode + 24 aggregates.
     */
+  /** 60-bit SimHash — the production-width twin of [[simhash24]] (24
+    * bits is a TEST geometry: its random collision floor n²·bands/2^8
+    * goes super-linear at corpus scale, exactly like the 16-bit stub
+    * phash). Two independent 30-bit mixes of the token's poly hash
+    * vote bits 0..29 and 30..59; every product stays under 2^62, so
+    * the identical arithmetic runs as DuckDB BIGINT without overflow.
+    */
+  def simhashWide(tokens: ArrayData): Long = {
+    val votes = new Array[Long](60)
+    val nTok = tokens.numElements()
+    var t = 0
+    while (t < nTok) {
+      val p = polyHash(tokens.getUTF8String(t))
+      val h1 = (p * 2654435761L) % 1073741824L
+      val h2 = (p * 2246822519L + 1013904223L) % 1073741824L
+      var i = 0
+      while (i < 30) {
+        if (((h1 >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        if (((h2 >> i) & 1L) == 1L) votes(30 + i) += 1 else votes(30 + i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var sh = 0L
+    var i = 0
+    while (i < 60) {
+      if (votes(i) > 0) sh |= (1L << i)
+      i += 1
+    }
+    sh
+  }
+
   def simhash24(tokens: ArrayData): Long = {
     val votes = new Array[Long](24)
     val nTok = tokens.numElements()

@@ -147,6 +147,46 @@ object Dedup {
         org.apache.spark.sql.graft.GraftExpressions.simhash24(col("__toks"))
           .as("simhash"))
 
+  /** The PRODUCTION simhash geometry (the mm_phash_wide treatment):
+    * 60-bit signature, 4 bands × 15 bits. The 24-bit test geometry's
+    * random candidate floor is n²·bands/2^8 — super-linear at corpus
+    * scale; at 60/15 the floor is n²·4/2^15 and, more importantly,
+    * RANDOM 60-bit signatures essentially never collide, so candidates
+    * are true near-dups. Pigeonhole-complete to hamming ≤ 3.
+    */
+  val SimhashWideBits = 60
+
+  def simhashWide(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .select(col(idCol), tokens(col("text")).as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        org.apache.spark.sql.graft.GraftExpressions
+          .simhash_wide(col("__toks")).as("simhash"))
+
+  def simhashPairsWide(docs: DataFrame, maxHamming: Int = 3,
+                       idCol: String = "doc_id"): DataFrame = {
+    val sh = simhashWide(docs, idCol)
+    val bands = 4 // 4 bands of 15 bits over 60
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), b * 15) % 32768).as("bk"))
+    }
+    val banded = sh
+      .select(col(idCol), col("simhash"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("bb.band").as("band"),
+        col("bb.bk").as("bk"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("bk"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("bk"))
+    a.join(b, Seq("band", "bk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs: band the signature into 3 byte-wide
     * blocks; candidates collide in >= 1 block, then the true hamming
     * distance is verified. Banding guarantees full recall only for

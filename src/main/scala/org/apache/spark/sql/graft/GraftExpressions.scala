@@ -60,6 +60,19 @@ case class CharGramHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** 60-bit production-width SimHash (see HashImpl.simhashWide). */
+case class SimHashWide(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.HashImpl.simhashWide(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.simhashWide($c)")
+  override protected def withNewChildInternal(c: Expression): SimHashWide =
+    copy(child = c)
+}
+
 /** 24-bit SimHash of a token array (see HashImpl.simhash24). */
 case class SimHash24(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
@@ -428,6 +441,8 @@ object GraftExpressions {
       Bridge.toExpr(s), len))
   def simhash24(tokens: Column): Column =
     Bridge.toCol(SimHash24(Bridge.toExpr(tokens)))
+  def simhash_wide(tokens: Column): Column =
+    Bridge.toCol(SimHashWide(Bridge.toExpr(tokens)))
   def lev_banded(a: Column, b: Column, k: Int): Column =
     Bridge.toCol(LevBanded(Bridge.toExpr(a), Bridge.toExpr(b), k))
 

@@ -243,6 +243,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(4L) == ((2L, 1L, "g h")))
   }
 
+  test("Dedup.simhashPairsWide pairs identical docs, ignores unrelated") {
+    // at 60 bits random signatures essentially never collide — only a
+    // genuinely shared token distribution pairs (a short doc with one
+    // word swapped already flips > 3 of 60 bits: the wide geometry is
+    // STRICT, which is exactly why its candidates are true near-dups)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river"),
+      (3L, "completely different content about distributed query engines"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairsWide(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 0)))
+  }
+
   test("Dedup.duplicateSpans coalesces overlapping grams into maximal spans") {
     val docs = Seq(
       (0L, "abcdefghij"),   // shares "abcdefgh" with doc 1 -> span [0,8)

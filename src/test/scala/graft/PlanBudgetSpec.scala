@@ -94,6 +94,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // destructive span cut: hash posting-list rank window + doc-keyed
     // island window + the final doc join; reassembly is scan-side
     "doc_span_dedup" -> 3,
+    // production simhash geometry: scan-side signatures, band
+    // self-join + the pair-distinct agg
+    "doc_dedup_simhash_wide" -> 2,
     // periodogram: (key, bucket) grid pre-agg + the series-key index
     // window; the (key, k) power agg reuses hash(key)
     "ts_periodogram" -> 2,
