@@ -389,9 +389,43 @@ case class HwAgg(child: Expression, alpha: Double, beta: Double,
       cs: IndexedSeq[Expression]): HwAgg = copy(child = cs.head)
 }
 
+/** Identity wrapper that pins a predicate where the user wrote it.
+  *
+  * Declares `deterministic = false`, which every relocation rule
+  * (PushPredicateThroughJoin, PushPredicateThroughNonJoin, …) treats
+  * as "do not move" — while evaluation and codegen are a pure
+  * passthrough of the child, so the VALUE is still deterministic.
+  *
+  * Needed by StreamRangeJoin: its exact `[begin, end)` containment
+  * must run as a post-join filter, because if Catalyst folds it back
+  * into the stream-stream join condition, the raw (non-watermarked)
+  * long conjuncts make `StreamingJoinHelper.getStateValueWatermark`
+  * throw while solving each conjunct (WARN "Error trying to extract
+  * state constraint" per batch). Use ONLY where pinning evaluation
+  * order is the point — it also (intentionally) blocks pushdown into
+  * scans.
+  */
+case class PushdownBarrier(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override lazy val deterministic: Boolean = false
+  override def nullable: Boolean = child.nullable
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression): PushdownBarrier =
+    copy(c)
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.catalyst.expressions.Literal
   def poly_hash(c: Column): Column = Bridge.toCol(PolyHash(Bridge.toExpr(c)))
+
+  /** See [[PushdownBarrier]]. */
+  def no_pushdown(c: Column): Column =
+    Bridge.toCol(PushdownBarrier(Bridge.toExpr(c)))
 
   /** Catalyst's BloomFilterAggregate (the sketch behind Spark's own
     * runtime row-level filtering, not SQL-registered): folds a LONG

@@ -1,0 +1,203 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryProgress
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multi-batch state-store telemetry harness.
+  *
+  * The class of bug this guards against: a stateful streaming operator
+  * whose watermark/eviction plumbing silently fails, so
+  * `stateOperators.numRowsTotal` grows without bound on an unbounded
+  * stream even though every single-batch parity test stays green
+  * (found in round 6 on StreamRangeJoin, whose exact-containment
+  * conjuncts poisoned `StreamingJoinHelper.getStateWatermark`).
+  *
+  * `feedBatches` replays a sequence of micro-batches through a file
+  * source — one parquet write + `processAllAvailable()` per batch, so
+  * batch boundaries (and therefore watermark advancement, which Spark
+  * applies at batch N+1 from batch N's max event time) are exact — and
+  * returns every `StreamingQueryProgress` for assertions.
+  */
+object StreamHarness {
+
+  /** Replay `batches` as separate micro-batches through `build`.
+    * Returns (result rows table, one progress per non-empty batch).
+    */
+  def feedBatches(spark: SparkSession, batches: Seq[DataFrame],
+                  build: DataFrame => DataFrame, outputMode: String,
+                  name: String): (DataFrame, Seq[StreamingQueryProgress]) = {
+    require(batches.nonEmpty)
+    val dir = Files.createTempDirectory(s"graft_sb_$name").toString
+    val schema = batches.head.schema
+    // seed the source dir so the stream can start
+    batches.head.write.mode("overwrite").parquet(s"$dir/b0")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", Int.MaxValue)
+      .parquet(s"$dir/*")
+    val q = build(stream).writeStream.outputMode(outputMode)
+      .format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      batches.zipWithIndex.drop(1).foreach { case (b, i) =>
+        b.write.mode("overwrite").parquet(s"$dir/b$i")
+        q.processAllAvailable()
+      }
+      (spark.table(name), q.recentProgress.toSeq.filter(_.numInputRows > 0))
+    } finally q.stop()
+  }
+
+  /** numRowsTotal of the (single) stateful operator in each progress. */
+  def stateRows(ps: Seq[StreamingQueryProgress]): Seq[Long] =
+    ps.filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+
+  /** Total late rows dropped by watermark across the run — zero
+    * whenever an operator claims batch-exact results under ordered
+    * replay. */
+  def lateDrops(ps: Seq[StreamingQueryProgress]): Long =
+    ps.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+}
+
+class StreamStateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val H = 3600L * 1000000L // one hour in µs
+  private val M = 60L * 1000000L   // one minute in µs
+
+  /** Batches of keyed events whose event time advances ~a day per
+    * batch, so a 1-hour watermark passes far beyond batch N while
+    * batch N+2 runs. Spark evicts with the watermark computed from the
+    * PREVIOUS batch's max event time, so steady state holds the most
+    * recent TWO batches; the bug class being guarded against holds all
+    * of them. */
+  private def advancingBatches(nKeys: Int, perKey: Int, nBatches: Int = 4): Seq[DataFrame] = {
+    import spark.implicits._
+    (0 until nBatches).map { b =>
+      val base = b.toLong * 24 * H
+      (0 until nKeys).flatMap { k =>
+        (0 until perKey).map(i => (k.toLong, base + i * M, (k + i).toDouble))
+      }.toDF("user_id", "ts", "value")
+    }
+  }
+
+  test("stream-stream range join evicts state once the watermark passes") {
+    import spark.implicits._
+    // batch b's intervals [t, t+30m) and points land a day apart from
+    // batch b+1's, so with a 1h watermark every batch's join state is
+    // evictable two batches later.
+    val span = 30L * M
+    def iv(df: DataFrame) = df.select(col("user_id"),
+      col("ts").as("begin"), (col("ts") + lit(span)).as("end"))
+    def pt(df: DataFrame) = df.select(col("user_id"),
+      col("ts"), col("value"))
+    val batches = advancingBatches(nKeys = 4, perKey = 30)
+
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => StreamRangeJoinUnder.pairs(iv(s), pt(s), span), "append", "ssj_state")
+
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    assert(rows.nonEmpty, "join reported no state telemetry")
+    val fedPerSide = 4 * 30
+    // If getStateWatermark extraction failed (the round-6 bug), NOTHING
+    // is ever evicted and final state == all rows fed on both sides
+    // (4 batches × 120 × 2 = 960). With eviction working, steady state
+    // holds the most recent two batches per side (480) — growth stops.
+    val totalFed = batches.map(_.count()).sum * 2
+    assert(rows.last < totalFed,
+      s"state never evicted: ${rows.last} rows == all $totalFed fed")
+    // steady state oscillates between two batches' worth (pre-cleanup)
+    // and one (post-cleanup) — bounded by 2 batches/side at every point
+    assert(rows.max <= 2L * 2 * fedPerSide + 8,
+      s"state exceeds two batches per side — eviction broken: $rows")
+  }
+
+  test("dropDuplicatesWithinWatermark state ages out (StreamDedup)") {
+    val batches = advancingBatches(nKeys = 4, perKey = 25)
+      .map(_.withColumn("k", concat_ws("_", col("user_id"), col("value"))))
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamDedup(s, "ts", Seq("k"), "1 hour"),
+      "append", "dedup_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    val totalKeys = 4L * 4 * 25
+    assert(rows.last < totalKeys,
+      s"dedup state never evicted: ${rows.last} == all $totalKeys keys")
+    assert(rows.max <= 2 * 4 * 25 + 8,
+      s"dedup state exceeds two batches of keys: $rows")
+  }
+
+  test("windowed rollup closes and evicts past windows (StreamRollup)") {
+    import spark.implicits._
+    val batches = advancingBatches(nKeys = 3, perKey = 40)
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamRollup.fixedWindow(s, "ts", Seq("user_id"),
+        "5m", watermark = "1 hour",
+        aggs = Seq(count(lit(1)).as("n"))),
+      "append", "rollup_state")
+    // 40 one-minute-spaced events per key per batch → 8 windows/key/batch,
+    // of which all but the last hour's worth close and EMIT by the end.
+    assert(out.count() > 0)
+    assert(StreamHarness.lateDrops(ps) == 0, "exact rollup dropped late rows")
+    val rows = StreamHarness.stateRows(ps)
+    // steady state holds at most the last two batches' windows (48);
+    // unbounded growth would be 4 batches × 3 keys × 8 windows = 96.
+    assert(rows.max < 96, s"rollup windows never evicted: $rows")
+    assert(rows.max <= 2 * 3 * 8 + 6,
+      s"open-window state exceeds two batches' windows: $rows")
+  }
+
+  test("flatMapGroupsWithState components hold exactly one state row per key") {
+    import spark.implicits._
+    // The per-key NoTimeout components (Ewma, Holt, Cusum, Rate, Fill,
+    // Bands, Crossings, Burst, Sessionize, Align, AsOf, HoltWinters)
+    // share one state geometry: numRowsTotal == |keys|, independent of
+    // row count and batch count — THAT is their documented bound.
+    // Audited here across 3 batches on the Ewma representative; the
+    // per-component single-batch specs assert the same bound inline.
+    val batches = advancingBatches(nKeys = 5, perKey = 50)
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamEwma(spark,
+        s.as[graft.streaming.StreamEwma.Ev], alpha = 0.3).toDF(),
+      "append", "ewma_state")
+    assert(out.count() == 4L * 5 * 50)
+    val rows = StreamHarness.stateRows(ps)
+    assert(rows.nonEmpty && rows.forall(_ <= 5),
+      s"per-key state exceeded |keys|=5: $rows")
+    assert(rows.last == 5)
+  }
+
+  test("near-dedup banded state ages out (StreamNearDedup)") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox jumps over the lazy dog again",
+      "pack my box with five dozen liquor jugs right now",
+      "how vexingly quick daft zebras jump over fences",
+      "sphinx of black quartz judge my vow tonight")
+    val batches = (0 until 4).map { b =>
+      val base = b.toLong * 24 * H
+      texts.zipWithIndex.map { case (t, i) =>
+        (s"d${b}_$i", base + i * M, s"$t batch $b")
+      }.toDF("doc_id", "ts", "text")
+    }
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamNearDedup.minhash(s, "ts", "1h",
+        watermark = "1 hour"),
+      "append", "ndd_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    // band-key dedup rows + open window-agg rows: steady state holds
+    // the most recent two batches' worth; broken eviction accumulates
+    // every batch's bands forever (state ≈ rows.head × nBatches).
+    assert(rows.max <= 2 * rows.head + 8,
+      s"banded state grew across batches: $rows")
+  }
+}
+
+/** Local seam so the range-join state test reads clearly. */
+private object StreamRangeJoinUnder {
+  def pairs(iv: DataFrame, pt: DataFrame, span: Long): DataFrame =
+    graft.streaming.StreamRangeJoin.pairs(iv, pt, Seq("user_id"),
+      "begin", "end", "ts", span, watermark = "1 hour")
+}
