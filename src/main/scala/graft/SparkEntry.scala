@@ -1646,15 +1646,23 @@ object SparkEntry {
          |    count(*) - 1 AS dof,
          |    round(CAST(sum(cu) AS DOUBLE) / 1000000.0, 6) AS chi2
          |  FROM xu GROUP BY 1)
-         |SELECT user_id, n_a, n_b, dof, chi2,
-         |  CASE WHEN dof = 1 THEN 3.841 WHEN dof = 2 THEN 5.991
-         |    WHEN dof = 3 THEN 7.815 WHEN dof = 4 THEN 9.488
-         |    WHEN dof >= 5 THEN 11.07 ELSE 0.0 END AS chi2_crit95,
-         |  dof >= 1 AND chi2 >
-         |    CASE WHEN dof = 1 THEN 3.841 WHEN dof = 2 THEN 5.991
+         |xt AS (SELECT *, 1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE))
+         |    + ${Trend.Chi2Z95} * sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE)))
+         |    AS wht
+         |  FROM xa),
+         |xk AS (SELECT user_id, n_a, n_b, dof, chi2,
+         |    CASE WHEN dof <= 0 THEN 0.0
+         |      WHEN dof = 1 THEN 3.841 WHEN dof = 2 THEN 5.991
          |      WHEN dof = 3 THEN 7.815 WHEN dof = 4 THEN 9.488
-         |      WHEN dof >= 5 THEN 11.07 ELSE 0.0 END AS drifted
-         |FROM xa""".stripMargin,
+         |      WHEN dof = 5 THEN 11.07 WHEN dof = 6 THEN 12.592
+         |      WHEN dof = 7 THEN 14.067 WHEN dof = 8 THEN 15.507
+         |      WHEN dof = 9 THEN 16.919 WHEN dof = 10 THEN 18.307
+         |      ELSE round(CAST(dof AS DOUBLE) * wht * wht * wht, 3)
+         |    END AS chi2_crit95
+         |  FROM xt)
+         |SELECT user_id, n_a, n_b, dof, chi2, chi2_crit95,
+         |  dof >= 1 AND chi2 > chi2_crit95 AS drifted
+         |FROM xk""".stripMargin,
 
     // bucket-of-begin .. bucket-of-end inclusive, floor division —
     // mirrors TimeIndex.indexList
@@ -2875,9 +2883,20 @@ object SparkEntry {
     },
 
     // perceptual near-dup pairs off the stub decode's mean-threshold
-    // aHash: byte-banded candidates, exact hamming verify
+    // aHash, at the PRODUCTION geometry (64-bit hash, 4 x 16-bit
+    // bands): random-candidate floor n²·bands/2^16 sits below corpus
+    // size, so candidate volume grows ~linearly with the corpus
     "mm_phash" -> { (s, dir) =>
       Multimodal.phashPairs(s, tbl(s, dir, "documents"))
+    },
+
+    // the narrow TEST geometry (16-bit hash, 8-bit bands): dense
+    // buckets guarantee the hamming-verify stage sees real collision
+    // traffic even on a few hundred docs; its n²·2/2^8 candidate
+    // floor is super-linear, so it is for small-corpus testing only
+    "mm_phash_narrow" -> { (s, dir) =>
+      Multimodal.phashPairs(s, tbl(s, dir, "documents"),
+        maxHamming = 3, bandBits = 8, nPixels = 16)
     },
 
     // the PRODUCTION phash geometry (64-bit hash, 4 x 16-bit bands):
@@ -3304,7 +3323,7 @@ object SparkEntry {
     */
   private def sqlIvfPqAdcCtes: String =
     s"""pc AS (SELECT vec_id AS pcid, embedding AS pcvec
-       |  FROM embeddings WHERE vec_id % 67 = 1),
+       |  FROM embeddings WHERE vec_id % $sqlPqEvery = 1),
        |sub AS (SELECT unnest(range(4)) AS s),
        |codes0 AS (SELECT e.vec_id AS neighbor_id, sub.s, pc.pcid,
        |    ${sqlSubL2("e.embedding", "pc.pcvec", "sub.s")} AS dist
@@ -3373,16 +3392,28 @@ object SparkEntry {
       s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
       "(x, y) -> x + y)"
 
+  /** DuckDB mirror of Knn.autoCoarseEvery: the √n coarse-codebook
+    * stride, derived from the same corpus count so both engines pick
+    * the identical centroid set. */
+  private val sqlCoarseEvery: String =
+    "(SELECT greatest(1, CAST(ceil(sqrt(count(*))) AS BIGINT), " +
+      "CAST(ceil(count(*) / 65536.0) AS BIGINT)) FROM embeddings)"
+
+  /** DuckDB mirror of Knn.autoPqEvery: the fixed-256-codebook stride. */
+  private val sqlPqEvery: String =
+    "(SELECT greatest(1, CAST(ceil(count(*) / 256.0) AS BIGINT)) " +
+      "FROM embeddings)"
+
   /** IVF coarse-quantizer CTEs (cents/c0/ca/ccell/q0/qa/qcell) —
     * shared VERBATIM by the emb_knn_ivf oracle, emb_ann_recall's ivf
     * leg and emb_ivf_pq, so the index and every consumer of its cell
     * assignment cannot drift. Mirrors Knn.ivfTopK / coarseCents
-    * (every-37th centroids, top-1 corpus cell, 2-probe queries).
+    * (√n-strided centroids, top-1 corpus cell, 2-probe queries).
     */
   private def sqlIvfCtes: String =
     s"""cents AS (SELECT vec_id AS cid, embedding AS cvec,
        |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
-       |  FROM embeddings WHERE vec_id % 37 = 1),
+       |  FROM embeddings WHERE vec_id % $sqlCoarseEvery = 1),
        |c0 AS (SELECT vec_id AS neighbor_id, embedding AS nv,
        |    sqrt(${sqlDot("embedding", "embedding")}) AS nn FROM embeddings),
        |ca AS (SELECT neighbor_id, nv, nn, cid,
@@ -3419,7 +3450,8 @@ object SparkEntry {
     * HashMod, the squared-mix step).
     */
   private def sqlPhashCtes: String =
-    sqlPhashCtesN(Multimodal.PhashPixels, 8, "documents")
+    sqlPhashCtesN(Multimodal.PhashPixels, Multimodal.PhashBandBits,
+      "documents")
 
   /** The aHash chain parameterized by hash width / band width / source
     * CTE — `1::BIGINT << i` and the BIGINT cast matter at 64 bits
@@ -4661,7 +4693,7 @@ object SparkEntry {
     // fold runs in subspace order on both sides
     "emb_pq" ->
       s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-         |    FROM embeddings WHERE vec_id % 67 = 1),
+         |    FROM embeddings WHERE vec_id % $sqlPqEvery = 1),
          |p AS (SELECT e.vec_id, s.s, c.cid,
          |    ${sqlSubL2("e.embedding", "c.cvec", "s.s")} AS dist
          |  FROM embeddings e, cents c,
@@ -4770,10 +4802,15 @@ object SparkEntry {
         |FROM documents""".stripMargin,
 
     // the aHash pipeline restated from the SAME constants
-    // (PhashPixels, HashMul/HashMod): pixels -> exact integer
-    // mean-threshold bits -> byte banding -> hamming verify
+    // (PhashPixels/PhashBandBits, HashMul/HashMod): pixels -> exact
+    // integer mean-threshold bits -> banding -> hamming verify
     "mm_phash" ->
       s"""WITH $sqlPhashCtes
+         |SELECT id_a, id_b, hamming FROM pp WHERE hamming <= 3""".stripMargin,
+
+    // the narrow 16-bit/8-bit-band test geometry, same chain
+    "mm_phash_narrow" ->
+      s"""WITH ${sqlPhashCtesN(16, 8, "documents")}
          |SELECT id_a, id_b, hamming FROM pp WHERE hamming <= 3""".stripMargin,
 
     // the production 64-bit / 16-bit-band geometry over the corpus

@@ -380,11 +380,12 @@ object Knn {
     * the nearest codebook centroid and its squared distance — the
     * shared core of [[pqCodes]] and [[ivfPqTopK]].
     */
-  def pqAssign(emb: DataFrame, dim: Int, m: Int = 4, centroidEvery: Int = 67,
+  def pqAssign(emb: DataFrame, dim: Int, m: Int = 4, centroidEvery: Int = 0,
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val cents = emb.where(col(idCol) % centroidEvery === 1)
+    val every = resolvePq(emb, centroidEvery)
+    val cents = emb.where(col(idCol) % every === 1)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     // native subspace distance (graft VecSubL2): one tight loop per
     // (vector, centroid, subspace) instead of a lambda per element;
@@ -399,7 +400,7 @@ object Knn {
       .agg(min(struct(col("dist"), col("cid"))).as("best"))
   }
 
-  def pqCodes(emb: DataFrame, dim: Int, m: Int = 4, centroidEvery: Int = 67,
+  def pqCodes(emb: DataFrame, dim: Int, m: Int = 4, centroidEvery: Int = 0,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     pqAssign(emb, dim, m, centroidEvery, idCol, vecCol)
       .groupBy(col(idCol))
@@ -427,6 +428,42 @@ object Knn {
     * frame; sampled centroids keep the whole operator deterministic
     * and engine-mirrorable.)
     */
+  /** Hard cap on the coarse codebook: 2^16 centroids × (dim floats +
+    * id + norm) stays a few tens of MB broadcast even at dim 768. */
+  val MaxCoarseCells = 65536
+
+  /** Target PQ codebook size per subspace (the classic 8-bit code). */
+  val PqCodebookSize = 256
+
+  /** √n coarse-codebook sizing: stride so that nCells ≈ √n (capped at
+    * [[MaxCoarseCells]]). Balances the two linear-in-stride costs —
+    * assignment compares n vectors × n/stride centroids, probing scans
+    * nProbe cells of ~stride vectors — giving O(n·√n) assignment
+    * compute and O(√n) probed-cell population, instead of the fixed
+    * stride's O(n²)/O(1). The formula is mirrored verbatim in the
+    * DuckDB oracles (greatest(ceil(sqrt(n)), ceil(n/65536))), so both
+    * engines derive the identical centroid set from the corpus count.
+    */
+  def autoCoarseEvery(n: Long): Int = math.max(1L, math.max(
+    math.ceil(math.sqrt(n.toDouble)).toLong,
+    math.ceil(n.toDouble / MaxCoarseCells).toLong)).toInt
+
+  /** Fixed-size PQ codebook sizing: stride so the per-subspace
+    * codebook holds ≈ [[PqCodebookSize]] codewords no matter how big
+    * the corpus — assignment stays O(n·256·dim) instead of the fixed
+    * stride's O(n²·dim/67). Mirrored in the oracles as
+    * greatest(1, ceil(n/256)). */
+  def autoPqEvery(n: Long): Int =
+    math.max(1L, math.ceil(n.toDouble / PqCodebookSize).toLong).toInt
+
+  /** `every <= 0` means auto-size from the corpus count (one cheap
+    * count job at build/plan time — index-build semantics). */
+  private def resolveCoarse(corpus: DataFrame, every: Int): Int =
+    if (every > 0) every else autoCoarseEvery(corpus.count())
+
+  private def resolvePq(corpus: DataFrame, every: Int): Int =
+    if (every > 0) every else autoPqEvery(corpus.count())
+
   /** Deterministic every-Nth coarse centroids with norms. */
   private def coarseCents(corpus: DataFrame, dim: Int, centroidEvery: Int,
                           idCol: String, vecCol: String): DataFrame =
@@ -451,9 +488,10 @@ object Knn {
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              centroidEvery: Int = 37, nProbe: Int = 2,
+              centroidEvery: Int = 0, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = coarseCents(corpus, dim, centroidEvery, idCol, vecCol)
+    val cents = coarseCents(corpus, dim, resolveCoarse(corpus, centroidEvery),
+      idCol, vecCol)
     val cells = nearestCells(cents, dim) _
 
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
@@ -487,9 +525,10 @@ object Knn {
     * [[searchIvfIndex]] reads only the probed cells.
     */
   def writeIvfIndex(corpus: DataFrame, dim: Int, path: String,
-                    centroidEvery: Int = 37, idCol: String = "vec_id",
+                    centroidEvery: Int = 0, idCol: String = "vec_id",
                     vecCol: String = "embedding"): Unit = {
-    val cents = coarseCents(corpus, dim, centroidEvery, idCol, vecCol)
+    val cents = coarseCents(corpus, dim, resolveCoarse(corpus, centroidEvery),
+      idCol, vecCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
     nearestCells(cents, dim)(c, "neighbor_id", "nvec", 1, "nn")
@@ -573,12 +612,14 @@ object Knn {
     * fold (bit-identical across engines), adist surfaced at 6dp.
     */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-                m: Int = 4, coarseEvery: Int = 37, pqEvery: Int = 67,
+                m: Int = 4, coarseEvery: Int = 0, pqEvery: Int = 0,
                 nProbe: Int = 2, idCol: String = "vec_id",
                 vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
-    val cents = coarseCents(corpus, dim, coarseEvery, idCol, vecCol)
+    val pqEv = resolvePq(corpus, pqEvery)
+    val cents = coarseCents(corpus, dim, resolveCoarse(corpus, coarseEvery),
+      idCol, vecCol)
     val cells = nearestCells(cents, dim) _
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
@@ -589,10 +630,10 @@ object Knn {
     val qCells = cells(q, "query_id", "qvec", nProbe, "qn")
       .select("query_id", "cid")
 
-    val codes = pqAssign(corpus, dim, m, pqEvery, idCol, vecCol)
+    val codes = pqAssign(corpus, dim, m, pqEv, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("s"),
         col("best.cid").as("pcid"))
-    val pcents = corpus.where(col(idCol) % pqEvery === 1)
+    val pcents = corpus.where(col(idCol) % pqEv === 1)
       .select(col(idCol).as("pcid"), col(vecCol).as("pcvec"))
     val dtab = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
@@ -631,8 +672,8 @@ object Knn {
     * corpus never shuffles; the rerank window partitions on query_id.
     */
   def ivfPqRerankTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-                      rerank: Int = 15, m: Int = 4, coarseEvery: Int = 37,
-                      pqEvery: Int = 67, nProbe: Int = 2,
+                      rerank: Int = 15, m: Int = 4, coarseEvery: Int = 0,
+                      pqEvery: Int = 0, nProbe: Int = 2,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     val approx = ivfPqTopK(corpus, queries, dim, rerank, m, coarseEvery,

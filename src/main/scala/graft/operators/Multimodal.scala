@@ -182,14 +182,18 @@ object Multimodal {
     * ALSO the hash width (1 bit/pixel) and therefore the scale dial:
     * random (non-dup) pairs collide in a band with probability
     * bands/2^bandBits, so a 16-bit hash has a n²·2/2^8 candidate
-    * floor — visible as mm_phash's super-linear leg on the sf1 curve.
-    * A production run uses pixels=64 with `bandBits`=16 (real phash
-    * dimensions): 4 bands × 2^16 buckets pushes the random floor
-    * below corpus size while pigeonhole still guarantees recall for
-    * hamming <= 3. 16 is kept for the registered query so its output
-    * is non-degenerate on the 500-doc test corpus.
+    * floor — measured as a 4.8× super-linear leg on the sf1 curve
+    * back when it was the registered mm_phash geometry.
+    * The production geometry — and the DEFAULT — is pixels=64 with
+    * `bandBits`=16 (real phash dimensions): 4 bands × 2^16 buckets
+    * pushes the random-candidate floor n²·bands/2^bandBits below
+    * corpus size while pigeonhole still guarantees recall for
+    * hamming <= 3. The narrow 16-pixel/8-bit-band geometry remains
+    * available by parameter (registered as mm_phash_narrow) because
+    * its dense buckets exercise the verify stage on tiny corpora.
     */
-  val PhashPixels = 16
+  val PhashPixels = 64
+  val PhashBandBits = 16
 
   /** Perceptual hash of a media row (aHash shape: mean-threshold the
     * grayscale thumbnail): the decode stub derives [[PhashPixels]]
@@ -246,7 +250,7 @@ object Multimodal {
     * bucket-granular.
     */
   def phashPairs(spark: SparkSession, docs: DataFrame,
-                 maxHamming: Int = 3, bandBits: Int = 8,
+                 maxHamming: Int = 3, bandBits: Int = PhashBandBits,
                  nPixels: Int = PhashPixels): DataFrame = {
     val bands = nPixels / bandBits
     val ph = phashAll(spark, docs, nPixels).toDF()
