@@ -1580,11 +1580,23 @@ object SparkEntry {
          |      * CAST(CAST(round(ln(pa) * 1000000) AS BIGINT)
          |        - CAST(round(ln(pb) * 1000000) AS BIGINT) AS DOUBLE))
          |      AS BIGINT) AS cu
-         |  FROM pt)
-         |SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
-         |  CAST(max(nb) AS BIGINT) AS n_b,
-         |  round(CAST(sum(cu) AS DOUBLE) / 1000000.0, 6) AS psi
-         |FROM pu GROUP BY 1""".stripMargin,
+         |  FROM pt),
+         |pz AS (SELECT event_type, CAST(max(na) AS BIGINT) AS n_a,
+         |    CAST(max(nb) AS BIGINT) AS n_b,
+         |    count(*) AS nobs, sum(cu) AS scu
+         |  FROM pu GROUP BY 1),
+         |pe AS (SELECT *,
+         |    0.5 / (CAST(n_a AS DOUBLE) + 10.0) AS pa0,
+         |    0.5 / (CAST(n_b AS DOUBLE) + 10.0) AS pb0
+         |  FROM pz)
+         |SELECT event_type, n_a, n_b,
+         |  round(CAST(scu + (20 - nobs)
+         |      * CAST(round((pa0 - pb0)
+         |        * CAST(CAST(round(ln(pa0) * 1000000) AS BIGINT)
+         |          - CAST(round(ln(pb0) * 1000000) AS BIGINT) AS DOUBLE))
+         |        AS BIGINT)
+         |    AS DOUBLE) / 1000000.0, 6) AS psi
+         |FROM pe""".stripMargin,
 
     // ECDF gaps divide identical doubles; peers-included RANGE frames
     // make ties contribute identically; only the statistic is rounded
@@ -1645,7 +1657,7 @@ object SparkEntry {
          |    CAST(max(nb) AS BIGINT) AS n_b,
          |    count(*) - 1 AS dof,
          |    round(CAST(sum(cu) AS DOUBLE) / 1000000.0, 6) AS chi2
-         |  FROM xu GROUP BY 1)
+         |  FROM xu GROUP BY 1),
          |xt AS (SELECT *, 1.0 - 2.0 / (9.0 * CAST(dof AS DOUBLE))
          |    + ${Trend.Chi2Z95} * sqrt(2.0 / (9.0 * CAST(dof AS DOUBLE)))
          |    AS wht
@@ -3107,10 +3119,13 @@ object SparkEntry {
         s"(simhash // ${1L << (b * 15)}) % 32768 AS bk FROM wsh2"
     }.mkString("\nUNION ALL\n")
     s"""wstoks AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+       |wth0 AS (SELECT doc_id, ${sqlPoly("t")} AS p FROM wstoks),
        |wth AS (SELECT doc_id,
-       |    (${sqlPoly("t")} * 2654435761) % 1073741824 AS th1,
-       |    (${sqlPoly("t")} * 2246822519 + 1013904223) % 1073741824 AS th2
-       |  FROM wstoks),
+       |    (p * 2654435761) % 1073741824 AS th1,
+       |    (((p * 2246822519 + 1013904223) % 1000000007)
+       |      * ((p * 2246822519 + 1013904223) % 1000000007))
+       |      % 1000000007 AS th2
+       |  FROM wth0),
        |wbits AS (SELECT doc_id, $bitSums FROM wth GROUP BY doc_id),
        |wsh2 AS (SELECT doc_id, $shExpr AS simhash FROM wbits),
        |wbands AS ($bandSelects),

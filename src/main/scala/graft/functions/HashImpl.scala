@@ -133,9 +133,16 @@ object HashImpl {
   /** 60-bit SimHash — the production-width twin of [[simhash24]] (24
     * bits is a TEST geometry: its random collision floor n²·bands/2^8
     * goes super-linear at corpus scale, exactly like the 16-bit stub
-    * phash). Two independent 30-bit mixes of the token's poly hash
-    * vote bits 0..29 and 30..59; every product stays under 2^62, so
-    * the identical arithmetic runs as DuckDB BIGINT without overflow.
+    * phash). Two 30-bit mixes of the token's poly hash vote bits
+    * 0..29 and 30..59: h1 is the Knuth multiplicative mix mod 2^30;
+    * h2 SQUARES an affine transform mod the prime [[Mod]] (the stub
+    * phash's squared-mix idiom) — squaring mod a prime is non-affine
+    * in p, so no h2 bit is a linear function of h1's bits (a purely
+    * affine h2 would make votes(30) == -votes(0) for every token,
+    * welding signature bits 0 and 30 together and charging near-dup
+    * pairs hamming 2 for one effective bit). Every product stays
+    * under 2^62, so the identical arithmetic runs as DuckDB BIGINT
+    * without overflow.
     */
   def simhashWide(tokens: ArrayData): Long = {
     val votes = new Array[Long](60)
@@ -144,7 +151,8 @@ object HashImpl {
     while (t < nTok) {
       val p = polyHash(tokens.getUTF8String(t))
       val h1 = (p * 2654435761L) % 1073741824L
-      val h2 = (p * 2246822519L + 1013904223L) % 1073741824L
+      val t2 = (p * 2246822519L + 1013904223L) % Mod
+      val h2 = (t2 * t2) % Mod // < Mod < 2^30: 30 usable vote bits
       var i = 0
       while (i < 30) {
         if (((h1 >> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

@@ -1089,9 +1089,13 @@ object Knn {
       })
     // the k greedy rounds fold at RUNTIME over a lambda variable —
     // unrolling them as nested column expressions duplicates the
-    // growing selection subtree exponentially and stalls the optimizer
+    // growing selection subtree exponentially and stalls the optimizer.
+    // Rounds clamp to the candidate count: once every candidate is
+    // selected, scores are all null and array_max(..) would append a
+    // null index, leaking null neighbor rows for the excess ranks on
+    // a corpus (or pool) smaller than k.
     val selected = aggregate(
-      sequence(lit(1), lit(k)),
+      sequence(lit(1), least(lit(k), size(col("cands")))),
       array().cast("array<int>"),
       (sel, _) => concat(sel, array(
         array_position(scores(sel), array_max(scores(sel))).cast("int"))))

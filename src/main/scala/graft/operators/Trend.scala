@@ -17,6 +17,11 @@ import graft.functions.TimeIndex
   */
 object Trend {
 
+  /** One-sided standard-normal 95th percentile, for the
+    * Wilson–Hilferty χ² critical-value approximation in [[chi2Drift]]
+    * (interpolated verbatim into its DuckDB oracle). */
+  val Chi2Z95 = 1.6448536269514722
+
   /** Exponentially weighted moving average, recursive form
     * `s := (1-alpha)*s + alpha*x` folded oldest→newest over a trailing
     * window of `span` rows, seeded with the window's first value.
@@ -483,7 +488,12 @@ object Trend {
     * Bins use the ts_hist geometry (width · nBins, clamped). Add-½
     * smoothing keeps empty-on-one-side bins finite; both periods share
     * one scan and ONE (key, bin) partial-agg'd shuffle — reduce rows =
-    * #keys × #bins at any corpus scale.
+    * #keys × #bins at any corpus scale. Bins empty in BOTH periods
+    * still carry a term under the smoothing whenever n_a ≠ n_b
+    * (pa = ½/(n_a+½·nBins) ≠ pb); since every such bin contributes
+    * the SAME term, it is added in closed form as
+    * (nBins − observedBins) · term₀ after the aggregate — the full
+    * smoothed-histogram PSI without materializing empty bins.
     *
     * Cross-engine exactness: counts are integers, probabilities divide
     * identical doubles, and each ln lands as integer micro-nats before
@@ -512,14 +522,24 @@ object Trend {
       (col("__nb").cast("double") + smooth)
     val lnU = (x: org.apache.spark.sql.Column) =>
       round(log(x) * lit(1e6)).cast("long")
-    counts
+    val aggd = counts
       .withColumn("__na", sum(col("__ca")).over(wk))
       .withColumn("__nb", sum(col("__cb")).over(wk))
       .withColumn("__cu", round((pa - pb) *
         (lnU(pa) - lnU(pb)).cast("double")).cast("long"))
       .groupBy(keyCols.map(col): _*)
       .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
-        round(sum(col("__cu")).cast("double") / lit(1e6), 6).as("psi"))
+        count(lit(1)).as("__nobs"), sum(col("__cu")).as("__scu"))
+    // the shared term of every bin empty in both periods (ca=cb=0)
+    val pa0 = lit(0.5) / (col("n_a").cast("double") + smooth)
+    val pb0 = lit(0.5) / (col("n_b").cast("double") + smooth)
+    val cu0 = round((pa0 - pb0) *
+      (lnU(pa0) - lnU(pb0)).cast("double")).cast("long")
+    aggd
+      .withColumn("psi", round(
+        (col("__scu") + (lit(nBins.toLong) - col("__nobs")) * cu0)
+          .cast("double") / lit(1e6), 6))
+      .select(keyCols.map(col) :+ col("n_a") :+ col("n_b") :+ col("psi"): _*)
   }
 
   /** Kleinberg-style burst detection per series: the online
@@ -563,6 +583,12 @@ object Trend {
     * two periods? χ² over the 2×C contingency table (periods ×
     * categories), expected counts from the margins, with the α=0.05
     * critical value for the observed dof so `drifted` is a decision.
+    * The critical value is exact (to 3dp) for dof ≤ 10 and the
+    * Wilson–Hilferty cube approximation k·(1 − 2/(9k) + z·√(2/(9k)))³
+    * beyond — within ~0.2% of exact — so high-cardinality categorical
+    * columns don't over-fire `drifted` (the cube is expanded as plain
+    * left-associated multiplies on both engines: identical IEEE ops,
+    * no libm pow divergence).
     *
     * Cross-engine exactness: counts are integers, each cell
     * (o−e)²/e divides identical doubles, and every cell snaps to
@@ -595,9 +621,16 @@ object Trend {
     }
     val cellU = round((cell(col("__ca"), na) + cell(col("__cb"), nb)) *
       lit(1e6)).cast("long")
-    val crit = when(col("dof") === 1, 3.841).when(col("dof") === 2, 5.991)
+    val kd = col("dof").cast("double")
+    val whT = lit(1.0) - lit(2.0) / (lit(9.0) * kd) +
+      lit(Chi2Z95) * sqrt(lit(2.0) / (lit(9.0) * kd))
+    val crit = when(col("dof") <= 0, lit(0.0))
+      .when(col("dof") === 1, 3.841).when(col("dof") === 2, 5.991)
       .when(col("dof") === 3, 7.815).when(col("dof") === 4, 9.488)
-      .when(col("dof") >= 5, lit(11.07)).otherwise(lit(0.0))
+      .when(col("dof") === 5, 11.07).when(col("dof") === 6, 12.592)
+      .when(col("dof") === 7, 14.067).when(col("dof") === 8, 15.507)
+      .when(col("dof") === 9, 16.919).when(col("dof") === 10, 18.307)
+      .otherwise(round(kd * whT * whT * whT, 3))
     counts
       .withColumn("__na", sum(col("__ca")).over(wk))
       .withColumn("__nb", sum(col("__cb")).over(wk))

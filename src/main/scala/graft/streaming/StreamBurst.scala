@@ -12,7 +12,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * bounded regardless of stream length. Re-folding per event (the
   * StreamHolt convention) with the same float order as BurstAgg's
   * update trees makes the stream's alarms IDENTICAL to the batch
-  * operator, so backfill and live monitoring agree on every flip.
+  * operator UNDER IN-ORDER ARRIVAL ACROSS BATCHES (within a batch,
+  * events sort by ts first). An event landing in a later batch with
+  * ts older than the stored lastTs would produce a negative gap — a
+  * negative Viterbi cost, a state the batch operator (which orders
+  * the whole series) can never reach — so such stragglers are
+  * DROPPED: parity holds exactly under ordered replay and degrades
+  * by omission, never by state corruption, under disorder.
   * Each key's first-ever event has no gap and emits nothing (the
   * batch operator drops it too).
   */
@@ -33,9 +39,12 @@ object StreamBurst {
 
     def step(user: Long, batch: Iterator[Ev],
              state: GroupState[Hist]): Iterator[BurstOut] = {
-      val sorted = batch.toVector.sortBy(_.ts)
       var lastTs = state.getOption.map(_.lastTs)
       var gaps = state.getOption.map(_.gaps.toVector).getOrElse(Vector.empty)
+      // cross-batch stragglers (ts older than the stored lastTs) are
+      // dropped before the fold — see the class doc
+      val sorted = batch.toVector.sortBy(_.ts)
+        .dropWhile(e => lastTs.exists(e.ts < _))
       val out = Vector.newBuilder[BurstOut]
       sorted.foreach { e =>
         lastTs.foreach { p =>

@@ -307,6 +307,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 3L))
   }
 
+  test("Knn.mmrTopK clamps k to the candidate count (no null ranks)") {
+    import spark.implicits._
+    // 3 candidates, k = 5: the greedy fold must stop at 3 selections
+    // instead of appending null indices for the excess ranks
+    val rows = Seq(
+      (100L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(0.9f, 0.0f)),
+      (3L, Array(0.5f, 0.5f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Knn.mmrTopK(emb, emb.where($"vec_id" === 100), dim = 2,
+      k = 5, pool = 20, wRel = 0.7, wDiv = 0.3).collect()
+    assert(out.length == 3)
+    assert(out.forall(r => !r.isNullAt(2) && !r.isNullAt(3)))
+    assert(out.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("Knn.semDedup drops the pair member closer to its centroid") {
     // clusters {0,1} and {2,3} (seeds = every 2nd id); each pair is
     // near-identical (cos ~0.995), and the longer vector of each pair

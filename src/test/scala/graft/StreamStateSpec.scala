@@ -169,6 +169,33 @@ class StreamStateSpec extends AnyFunSuite {
     assert(rows.last == 5)
   }
 
+  test("StreamBurst drops cross-batch stragglers instead of folding negative gaps") {
+    import spark.implicits._
+    val S = 1000000L // one second in µs
+    val b1 = Seq((1L, 0L), (1L, 60 * S), (1L, 120 * S)).toDF("user_id", "ts")
+    // 30s arrives AFTER the stored lastTs=120s — a negative gap the
+    // batch operator (whole-series order) can never produce
+    val b2 = Seq((1L, 30 * S), (1L, 180 * S)).toDF("user_id", "ts")
+    val (out, _) = StreamHarness.feedBatches(spark, Seq(b1, b2),
+      s => graft.streaming.StreamBurst(spark,
+        s.as[graft.streaming.StreamBurst.Ev],
+        lam0 = 2.5e-5, lam1 = 1.25e-4, gamma = 2.0).toDF(),
+      "append", "burst_straggler")
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Double]("gap_s") > 0.0),
+      "a negative gap leaked into the Viterbi fold")
+    // the straggler emits nothing; the in-order events match the
+    // batch operator run on the in-order subset
+    val inOrder = Seq((1L, 0L), (1L, 60 * S), (1L, 120 * S), (1L, 180 * S))
+      .toDF("user_id", "ts")
+    val want = graft.operators.Trend.burst(inOrder, "ts", Seq("user_id"),
+      lam0 = 2.5e-5, lam1 = 1.25e-4, gamma = 2.0)
+      .select($"user_id", $"ts", $"gap_s", $"burst", $"score")
+    val got = out.select($"user_id", $"ts", $"gap_s", $"burst", $"score")
+    assert(got.count() == 3 && want.count() == 3)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("near-dedup banded state ages out (StreamNearDedup)") {
     import spark.implicits._
     val texts = Seq("the quick brown fox jumps over the lazy dog again",

@@ -255,6 +255,35 @@ class TrendSpec extends AnyFunSuite {
     assert(got("y") == ((1L, 0.0, false)))
   }
 
+  test("chi2Drift: crit follows the exact table to dof 10, Wilson-Hilferty past it") {
+    import spark.implicits._
+    // 7 categories stable across the split -> dof 6; the old >=5 cap
+    // would report 11.07 and over-fire on any chi2 in (11.07, 12.592]
+    def mix(key: String, cats: Int) = (0 until cats).flatMap(c =>
+      Seq((key, us(c), s"c$c"), (key, us(100 + c), s"c$c")))
+    val rows = mix("six", 7) ++ mix("tail", 13)
+    val got = Trend.chi2Drift(rows.toDF("k", "ts", "c"), "ts", "c",
+      Seq("k"), splitUs = us(50)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(3), r.getDouble(5)))).toMap
+    assert(got("six") == ((6L, 12.592)))
+    // dof 12: Wilson-Hilferty cube = 21.013 (exact table: 21.026)
+    assert(got("tail") == ((12L, 21.013)))
+  }
+
+  test("psiDrift counts bins empty in both periods when n_a != n_b") {
+    import spark.implicits._
+    // 8 A-events in bin 0, 2 B-events in bin 1: under add-1/2
+    // smoothing the 18 bins empty in BOTH periods each still carry
+    // (pa0-pb0)*ln(pa0/pb0) = 5631 micro-nats because n_a != n_b;
+    // dropping them (the old behavior) read 1.409082
+    val rows = (0 until 8).map(i => ("k", us(i), 10.0)) ++
+      (0 until 2).map(i => ("k", us(100 + i), 30.0))
+    val got = Trend.psiDrift(rows.toDF("k", "ts", "v"), "ts", "v",
+      Seq("k"), splitUs = us(50), binWidth = 25.0, nBins = 20)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((8L, 2L, 1.51044)))
+  }
+
   test("ksDrift: identical samples score 0; disjoint supports score 1") {
     import spark.implicits._
     val rows =
