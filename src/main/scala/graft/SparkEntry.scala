@@ -298,12 +298,39 @@ object SparkEntry {
     // mergeable state where the exact forms need a full sort /
     // distinct shuffle — at 100 TB these are the aggregations you
     // actually run interactively
+    // GK percentile + HLL++ sketches wrapped in their own error
+    // contracts so the oracle asserts VALUES, not just row counts:
+    // each sketch output is checked in-plan against exact bounds (GK
+    // rank error <= n/accuracy puts the approx between the "lower"
+    // element at p-10/acc and the "higher" element at p+10/acc; HLL
+    // rsd 0.02 bounds relative error by 5*rsd w.h.p.), and the query
+    // emits the exactly-reproducible stats plus the verdicts. A
+    // sketch regression flips a verdict to false and hash-fails
+    // against the oracle's literal TRUEs.
     "ts_agg_approx" -> { (s, dir) =>
+      val eps = 0.001 // 10 / accuracy(10000)
       events(s, dir).groupBy("event_type")
-        .agg(Aggs.percentileApprox(col("value"), 0.5).as("p50_approx"),
-          Aggs.percentileApprox(col("value"), 0.99).as("p99_approx"),
-          Aggs.countDistinctApprox(col("user_id")).as("n_users_approx"),
-          count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users_exact"),
+          Aggs.percentileLin6(col("value"), 0.5).as("p50_exact"),
+          Aggs.percentileLin6(col("value"), 0.99).as("p99_exact"),
+          Aggs.percentileApprox(col("value"), 0.5).as("__p50a"),
+          Aggs.percentileApprox(col("value"), 0.99).as("__p99a"),
+          Aggs.countDistinctApprox(col("user_id")).as("__nua"),
+          Aggs.percentileMethod(col("value"), 0.5 - eps, "lower").as("__p50lo"),
+          Aggs.percentileMethod(col("value"), 0.5 + eps, "higher").as("__p50hi"),
+          Aggs.percentileMethod(col("value"), 0.99 - eps, "lower").as("__p99lo"),
+          Aggs.percentileMethod(col("value"), 0.99 + eps, "higher").as("__p99hi"))
+        .select(col("event_type"), col("n"), col("n_users_exact"),
+          col("p50_exact"), col("p99_exact"),
+          (col("__p50a") >= col("__p50lo") &&
+            col("__p50a") <= col("__p50hi")).as("p50_in_tol"),
+          (col("__p99a") >= col("__p99lo") &&
+            col("__p99a") <= col("__p99hi")).as("p99_in_tol"),
+          (abs(col("__nua").cast("double") -
+            col("n_users_exact").cast("double")) <=
+            lit(0.1) * col("n_users_exact").cast("double")).as("nd_in_tol"))
     },
 
     // --- §2.1 aggregation ------------------------------------------
@@ -1013,6 +1040,22 @@ object SparkEntry {
         .atTime(Jan10, tieBreak = Seq("event_id"))
     },
 
+    // Collection.at_key (collection.py:238) + event_list_as_map
+    // (collection.py:414): ALL events at an exact timestamp key — the
+    // key here is the corpus's earliest ts, derived IN-PLAN and
+    // broadcast against the scan (no driver round-trip) — grouped per
+    // (series, ts) with the deterministically ordered id list
+    "ts_at_key" -> { (s, dir) =>
+      val ev = events(s, dir).select("user_id", "ts", "event_id", "value")
+      graft.ts.TimeSeries(ev, "ts", Seq("user_id"))
+        .atKeyOf(ev.agg(min(col("ts")).as("__key")))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(count(lit(1)).as("n"),
+          concat_ws(",", transform(sort_array(collect_list(col("event_id"))),
+            _.cast("string"))).as("event_ids"),
+          Aggs.sumExactD(col("value")).as("sum_value"))
+    },
+
     "ts_rename" -> { (s, dir) =>
       Shape.rename(
         events(s, dir).select("event_id", "ts", "event_type", "value"),
@@ -1187,6 +1230,17 @@ object SparkEntry {
          |  max(tns) AS session_end, count(*) AS n_events,
          |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value
          |FROM g GROUP BY user_id, session_id""".stripMargin,
+
+    // sketch internals are engine-specific, so the oracle pins the
+    // EXACT columns and literal-TRUE tolerance verdicts: a GK/HLL
+    // regression flips a Spark-side verdict and hash-fails here
+    "ts_agg_approx" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  count(DISTINCT user_id) AS n_users_exact,
+         |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+         |  round(quantile_cont(value, 0.99), 6) AS p99_exact,
+         |  TRUE AS p50_in_tol, TRUE AS p99_in_tol, TRUE AS nd_in_tol
+         |FROM events GROUP BY event_type""".stripMargin,
 
     "ts_agg_basic" ->
       s"""SELECT event_type, CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value,
@@ -1893,6 +1947,18 @@ object SparkEntry {
          |  FROM events WHERE $EvUs <= 1704844800000000)
          |WHERE rn = 1""".stripMargin,
 
+    // exact-key lookup at the corpus's earliest ts, then the
+    // event_list_as_map grouping (numeric-ordered id list)
+    "ts_at_key" ->
+      s"""WITH k AS (SELECT min($EvUs) AS key FROM events),
+         |h AS (SELECT user_id, $EvUs AS ts, event_id, value
+         |  FROM events, k WHERE $EvUs = k.key)
+         |SELECT user_id, ts, count(*) AS n,
+         |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+         |    AS event_ids,
+         |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value
+         |FROM h GROUP BY 1, 2""".stripMargin,
+
     "ts_rename" ->
       s"""SELECT event_id, $EvUs AS ts, event_type AS kind, value AS reading
          |FROM events""".stripMargin,
@@ -2453,11 +2519,26 @@ object SparkEntry {
       Dedup.contamination(tbl(s, dir, "documents"), col("doc_id") % 97 === 0)
     },
 
-    // fixed-size-sketch scale path (no oracle: Bloom bit layout is
-    // engine-specific, like ts_agg_approx; the no-false-negative
-    // containment vs the exact operator is spec-pinned)
+    // fixed-size-sketch scale path, wrapped in its own contract so
+    // the oracle asserts values: Bloom bit layouts are engine-
+    // specific, but "no false negatives" is not — the query joins the
+    // sketch result to the exact operator and emits the exact
+    // contamination plus per-doc verdicts (sketch count >= exact
+    // count; every exactly-contaminated doc flagged). The oracle pins
+    // the exact columns and literal-TRUE verdicts, so a Bloom
+    // regression hash-fails.
     "doc_contamination_bloom" -> { (s, dir) =>
-      Dedup.contaminationBloom(tbl(s, dir, "documents"), col("doc_id") % 97 === 0)
+      val docs = tbl(s, dir, "documents")
+      val bench = col("doc_id") % 97 === 0
+      val bloom = Dedup.contaminationBloom(docs, bench)
+        .select(col("doc_id"), col("n_shared_maybe").as("__nb"),
+          col("contaminated").as("__cb"))
+      Dedup.contamination(docs, bench)
+        .join(bloom, Seq("doc_id"))
+        .select(col("doc_id"), col("n_shared"), col("contaminated"),
+          (col("__nb") >= col("n_shared")).as("bloom_no_false_neg"),
+          (col("__cb") || !col("contaminated"))
+            .as("bloom_flags_all_contaminated"))
     },
 
     "doc_dup_ngram_frac" -> { (s, dir) =>
@@ -3674,6 +3755,23 @@ object SparkEntry {
          |  WHERE sid IN (SELECT sid FROM bench) GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
          |  coalesce(h.n_shared, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+
+    // Bloom internals are engine-specific; the exact columns and the
+    // contract verdicts are not (see the query comment)
+    "doc_contamination_bloom" ->
+      s"""WITH $sqlSidsCte,
+         |bench AS (SELECT DISTINCT unnest(sids) AS sid FROM sids
+         |  WHERE doc_id % 97 = 0),
+         |corpus AS (SELECT doc_id, unnest(sids) AS sid FROM sids
+         |  WHERE doc_id % 97 <> 0),
+         |hits AS (SELECT doc_id, count(*) AS n_shared FROM corpus
+         |  WHERE sid IN (SELECT sid FROM bench) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
+         |  coalesce(h.n_shared, 0) > 0 AS contaminated,
+         |  TRUE AS bloom_no_false_neg,
+         |  TRUE AS bloom_flags_all_contaminated
          |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
          |WHERE d.doc_id % 97 <> 0""".stripMargin,
 

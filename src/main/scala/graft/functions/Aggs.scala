@@ -180,4 +180,47 @@ object Aggs {
     */
   def keep(c: Column): Column =
     when(min(c) === max(c), min(c))
+
+  /** The `Collection.aggregate(func)` / `Event.map_reduce` escape
+    * hatch (collection.py:706, event.py:1134): pypond accepts ANY
+    * Python callable over the collected field values; the
+    * Spark-native equivalent is a typed `Aggregator`, which runs
+    * DISTRIBUTED — so instead of one opaque list→scalar callable the
+    * user supplies the three structured pieces (zero / per-value step
+    * / partial-state merge, plus a finisher), and `merge` MUST be
+    * associative and commutative because partitions fold
+    * independently. Any reducer expressible over a running state fits
+    * (and anything order-dependent should use a window fold instead).
+    *
+    * Returns a reusable Column builder:
+    * {{{
+    * // e.g. an L4 norm — no named Aggs reducer covers it
+    * val l4 = Aggs.customReducer[(Double, Long)]((0.0, 0L),
+    *   (b, x) => (b._1 + x * x * x * x, b._2 + 1),
+    *   (a, b) => (a._1 + b._1, a._2 + b._2),
+    *   b => math.pow(b._1 / b._2, 0.25))
+    * df.groupBy("k").agg(l4(col("value")).as("l4"))
+    * }}}
+    * Named reducers stay preferable when one fits: a Catalyst column
+    * expression is codegen'd, an Aggregator round-trips through the
+    * encoder per row.
+    */
+  def customReducer[B](zeroB: B,
+                       step: (B, Double) => B,
+                       mergeB: (B, B) => B,
+                       finishB: B => Double)(
+      implicit be: org.apache.spark.sql.Encoder[B]): Column => Column = {
+    val agg = new org.apache.spark.sql.expressions.Aggregator[
+        Double, B, Double] {
+      override def zero: B = zeroB
+      override def reduce(b: B, a: Double): B = step(b, a)
+      override def merge(x: B, y: B): B = mergeB(x, y)
+      override def finish(b: B): Double = finishB(b)
+      override def bufferEncoder: org.apache.spark.sql.Encoder[B] = be
+      override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+        org.apache.spark.sql.Encoders.scalaDouble
+    }
+    val f = udaf(agg)
+    (c: Column) => f(c.cast("double"))
+  }
 }

@@ -147,6 +147,37 @@ final case class TimeSeries(
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** Collection.at_key (collection.py:238): ALL events at exactly the
+    * given timestamp key — the multi-event sibling of [[atTime]]'s
+    * latest-at-or-before lookup. A pushed-down equality filter: at
+    * any corpus scale this is a parquet scan with `ts = key` in
+    * PushedFilters — no shuffle at all.
+    */
+  def atKey(tUs: Long): DataFrame =
+    df.where(col(tsCol) === org.apache.spark.sql.functions.lit(tUs))
+
+  /** [[atKey]] for a FRAME of keys — the distributed lookup: the key
+    * list (small by construction) broadcasts against the corpus scan,
+    * so many exact-timestamp lookups run in one pass with zero corpus
+    * shuffle. `keys`'s single column may be an aggregate of the corpus
+    * itself (e.g. min(ts)), keeping the key derivation in-plan.
+    */
+  def atKeyOf(keys: DataFrame): DataFrame = {
+    val kc = keys.columns.head
+    df.join(org.apache.spark.sql.functions.broadcast(keys),
+      col(tsCol) === col(kc)).drop(kc)
+  }
+
+  /** Collection.event_list_as_map (collection.py:414): events grouped
+    * by exact timestamp key — per (series, ts), the deterministically
+    * ordered list of a field's values. ONE partial-agg'd shuffle.
+    */
+  def eventListAsMap(valCol: String): DataFrame =
+    df.groupBy(keyCols.map(col) :+ col(tsCol): _*)
+      .agg(org.apache.spark.sql.functions.sort_array(
+        org.apache.spark.sql.functions.collect_list(col(valCol)))
+        .as(s"${valCol}_list"))
+
   def atFirst(): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*).orderBy(col(tsCol))
