@@ -36,7 +36,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run — the scaling
+    // spot-runs (SURVEY par.5) time just the families under study
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .map(only => names0.filter(only.contains)).getOrElse(names0)
     names.foreach(runOnce) // warmup pass
     // two timed passes, keep the min: single-JVM local mode has GC/JIT
     // noise spikes that a one-shot reading attributes to random queries

@@ -18,11 +18,19 @@ import org.apache.spark.sql.functions._
   * the curve measures).
   *
   *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"
+  *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf10 100 documents,embeddings"
+  *
+  * The optional 4th arg restricts which tables are materialized — the
+  * sf10 spot-run only times the documents/embeddings families, so
+  * replicating 60M lineitem rows for it would be pure write cost.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val (src, out) = (args(0), args(1))
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val tables: Option[Set[String]] =
+      args.lift(3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(t: String) = tables.forall(_.contains(t))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,19 +44,21 @@ object ScaleUp {
     val KeyOff = 100000000L // beyond every sf0.1 key range
     val UserOff = 10000000L
 
-    def replicate(table: String)(copy: (DataFrame, Int) => DataFrame): Unit = {
-      val base = spark.read.parquet(s"$src/$table.parquet")
-      (0 until copies).map(i => copy(base, i)).reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$table.parquet")
-      println(s"[scaleup] $table x$copies")
-    }
+    def replicate(table: String)(copy: (DataFrame, Int) => DataFrame): Unit =
+      if (wanted(table)) {
+        val base = spark.read.parquet(s"$src/$table.parquet")
+        (0 until copies).map(i => copy(base, i)).reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$table.parquet")
+        println(s"[scaleup] $table x$copies")
+      }
 
     // dims: broadcast side, kept fixed
-    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
-      spark.read.parquet(s"$src/$t.parquet")
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[scaleup] $t (dim, copied)")
-    }
+    Seq("region", "nation", "customer", "supplier", "part")
+      .filter(wanted).foreach { t =>
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+        println(s"[scaleup] $t (dim, copied)")
+      }
 
     replicate("orders") { (df, i) =>
       df.withColumn("o_orderkey", col("o_orderkey") + lit(i * KeyOff))
@@ -72,6 +82,13 @@ object ScaleUp {
     // unavoidable cost of making shingles disjoint); empty tokens are
     // dropped like TextOps.tokens does (salting '' would mint tokens
     // the base copy lacks).
+    // copy salt: base-26 letters so it stays alphabetic at ANY copy
+    // count (the old 'a'+i single char walked into punctuation past
+    // i=25, perturbing digit/alpha token stats for 100-copy runs);
+    // one letter for <=26 copies preserves the original +1-char shift
+    def saltOf(i: Int): String =
+      if (copies <= 26) ('a' + i).toChar.toString
+      else "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
     val stopAll = (graft.operators.TextOps.StopEn ++
       graft.operators.TextOps.StopDe ++ graft.operators.TextOps.StopFr ++
       graft.operators.TextOps.StopEs).distinct
@@ -84,7 +101,7 @@ object ScaleUp {
             filter(split(col("text"), " "), t => length(t) > 0),
             t => when(array_contains(
                 lit(stopAll.toArray), t), t)
-              .otherwise(concat(t, lit(('a' + i).toChar.toString)))), " "))
+              .otherwise(concat(t, lit(saltOf(i))))), " "))
         .withColumn("n_chars", length(col("text")))
     }
     // embeddings: deterministic per-(copy, dim) perturbation keeps the

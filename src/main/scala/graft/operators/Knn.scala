@@ -456,6 +456,17 @@ object Knn {
   def autoPqEvery(n: Long): Int =
     math.max(1L, math.ceil(n.toDouble / PqCodebookSize).toLong).toInt
 
+  /** LSH hyperplane-count sizing: planes so that expected cell
+    * population n/2^planes ≈ `targetCell` — the dial that keeps
+    * [[cosineDupPairsLsh]]'s per-cell self-join bounded as the corpus
+    * grows (fixed planes → cell population ∝ n → O(n²) pair space).
+    * More planes cost recall per table (p^planes); compensate with
+    * `nTables`, paid linearly in shuffle volume. Floor of 4 keeps the
+    * tiny-corpus geometries identical to the registered test queries.
+    */
+  def autoPlanes(n: Long, targetCell: Int = 125): Int = math.max(4,
+    math.ceil(math.log(n.toDouble / targetCell) / math.log(2.0)).toInt)
+
   /** `every <= 0` means auto-size from the corpus count (one cheap
     * count job at build/plan time — index-build semantics). */
   private def resolveCoarse(corpus: DataFrame, every: Int): Int =
