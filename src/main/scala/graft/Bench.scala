@@ -37,11 +37,20 @@ object Bench {
     }
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run — the scaling
-    // spot-runs (SURVEY par.5) time just the families under study
+    // spot-runs (SURVEY par.5) time just the families under study.
+    // Unknown names fail fast: a typo would otherwise be silently
+    // dropped by the filter and yield a partial run that still prints
+    // a plausible-looking total
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-      .map(only => names0.filter(only.contains)).getOrElse(names0)
+      .map { only =>
+        val unknown = only -- names0.toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_ONLY names not registered: " +
+            unknown.toSeq.sorted.mkString(", "))
+        names0.filter(only.contains)
+      }.getOrElse(names0)
     names.foreach(runOnce) // warmup pass
     // two timed passes, keep the min: single-JVM local mode has GC/JIT
     // noise spikes that a one-shot reading attributes to random queries

@@ -8,22 +8,15 @@ import org.apache.spark.sql.functions._
   * whatever SPARK_GRAFT_SF_DIR points to, printing the same one-line
   * JSON shape as [[Bench]].
   *
-  * Two kinds of legs:
-  *  - registered-query call-throughs (phash, IVF, PQ, edit-dedup):
-  *    their dials auto-size from the corpus count (√n coarse
-  *    codebook, fixed-256 PQ codebook, 64/16 phash geometry), so the
-  *    registered plan IS the production plan at every scale;
-  *  - dial-turned operator calls where the dial cannot live inside a
-  *    fixed zero-arg registration:
-  *      · emb_dedup_cosine_scaled — `Knn.autoPlanes(n)` hyperplanes
-  *        (cell population pinned near 125 instead of growing ∝ n;
-  *        the registered 4-plane geometry stays the small-corpus
-  *        test shape its DuckDB oracle mirrors);
-  *      · emb_mmr_fixedq — MMR rerank with the CONSTANT base-copy
-  *        query batch: a serving rerank's |Q| is an operational
-  *        constant, while the registered query's %100 sampling grows
-  *        |Q| ∝ n and would charge the curve O(n²/100) candidate
-  *        generation no rerank deployment pays.
+  * Every leg is a registered-query call-through: since r8 the last
+  * two dial-turned shapes graduated into the registered defaults —
+  * emb_dedup_cosine auto-sizes its plane count from the corpus count
+  * (`Knn.autoPlanes`, cell population pinned near 125 instead of
+  * growing ∝ n) and emb_mmr queries the CONSTANT base-copy batch
+  * (vec_id < 1e8 under ScaleUp's +1e8-per-replica id shift) — so the
+  * registered plan IS the production plan at every scale, exactly
+  * like the √n coarse codebook, fixed-256 PQ codebook and 64/16
+  * phash geometry already were.
   */
 object BenchScale {
   def main(args: Array[String]): Unit = {
@@ -39,25 +32,15 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val EmbDim = 16
     def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nEmb = emb.count()
     val planes = graft.operators.Knn.autoPlanes(nEmb)
-    // the base-copy query batch: identical vectors at every scale
-    // factor (ScaleUp shifts replica ids by +1e8 per copy)
-    def baseQ = emb.where(col("vec_id") % 100 === 0 &&
-      col("vec_id") < 100000000L)
 
     val registered = Seq("mm_phash", "mm_phash_eval", "emb_knn_ivf",
-      "emb_ivf_pq", "emb_ivf_probe_curve", "emb_pq", "doc_dedup_edit")
-    val dialed: Seq[(String, () => DataFrame)] = Seq(
-      "emb_dedup_cosine_scaled" -> (() => graft.operators.Knn
-        .cosineDupPairsLsh(emb, EmbDim, 0.3, nPlanes = planes)),
-      "emb_mmr_fixedq" -> (() => graft.operators.Knn
-        .mmrTopK(emb, baseQ, EmbDim)))
+      "emb_ivf_pq", "emb_ivf_probe_curve", "emb_pq", "doc_dedup_edit",
+      "emb_dedup_cosine", "emb_mmr")
     val legs: Seq[(String, () => DataFrame)] =
-      registered.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir))) ++
-        dialed
+      registered.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 
     def runOnce(name: String, mk: () => DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -76,16 +76,16 @@ object ScaleUp {
     // content token are disjoint across copies while within-copy dup
     // structure stays identical to sf0.1. Stopwords are left UNsalted
     // so langid/stop-ratio selectivities match the base copy (salting
-    // them would zero every stop-ratio for 9/10 of the corpus); the
-    // salt is ONE LETTER ('b'..'j'), so digit_ratio is exactly
-    // preserved and avg_token_len shifts only +~1 (the residual,
-    // unavoidable cost of making shingles disjoint); empty tokens are
-    // dropped like TextOps.tokens does (salting '' would mint tokens
-    // the base copy lacks).
-    // copy salt: base-26 letters so it stays alphabetic at ANY copy
-    // count (the old 'a'+i single char walked into punctuation past
-    // i=25, perturbing digit/alpha token stats for 100-copy runs);
-    // one letter for <=26 copies preserves the original +1-char shift
+    // them would zero every stop-ratio for (copies-1)/copies of the
+    // corpus); the salt is alphabetic base-26 — ONE letter ('b'..'z')
+    // for runs of <=26 copies, TWO letters past that (the old 'a'+i
+    // single char walked into punctuation at i>25 and perturbed
+    // digit/alpha token stats for 100-copy runs) — so digit_ratio is
+    // exactly preserved at any copy count and avg_token_len shifts
+    // only by the salt length (+~1 for <=26 copies, +~2 beyond: the
+    // residual, unavoidable cost of making shingles disjoint); empty
+    // tokens are dropped like TextOps.tokens does (salting '' would
+    // mint tokens the base copy lacks).
     def saltOf(i: Int): String =
       if (copies <= 26) ('a' + i).toChar.toString
       else "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar

@@ -307,27 +307,35 @@ object SparkEntry {
     // emits the exactly-reproducible stats plus the verdicts. A
     // sketch regression flips a verdict to false and hash-fails
     // against the oracle's literal TRUEs.
+    // the audit buffers each group's values ONCE (one sorted-array
+    // aggregate feeds the 2 exact percentiles + 4 tolerance-bound
+    // probes) and takes the exact distinct count from collect_set
+    // instead of countDistinct (whose rewrite adds an Expand + a 2nd
+    // exchange) — 1 shuffle, 2 buffers, vs the previous 6 percentile
+    // buffers + an expand
     "ts_agg_approx" -> { (s, dir) =>
       val eps = 0.001 // 10 / accuracy(10000)
       events(s, dir).groupBy("event_type")
         .agg(
           count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users_exact"),
-          Aggs.percentileLin6(col("value"), 0.5).as("p50_exact"),
-          Aggs.percentileLin6(col("value"), 0.99).as("p99_exact"),
+          size(collect_set(col("user_id"))).cast("long").as("n_users_exact"),
+          sort_array(collect_list(col("value"))).as("__vs"),
           Aggs.percentileApprox(col("value"), 0.5).as("__p50a"),
           Aggs.percentileApprox(col("value"), 0.99).as("__p99a"),
-          Aggs.countDistinctApprox(col("user_id")).as("__nua"),
-          Aggs.percentileMethod(col("value"), 0.5 - eps, "lower").as("__p50lo"),
-          Aggs.percentileMethod(col("value"), 0.5 + eps, "higher").as("__p50hi"),
-          Aggs.percentileMethod(col("value"), 0.99 - eps, "lower").as("__p99lo"),
-          Aggs.percentileMethod(col("value"), 0.99 + eps, "higher").as("__p99hi"))
+          Aggs.countDistinctApprox(col("user_id")).as("__nua"))
         .select(col("event_type"), col("n"), col("n_users_exact"),
-          col("p50_exact"), col("p99_exact"),
-          (col("__p50a") >= col("__p50lo") &&
-            col("__p50a") <= col("__p50hi")).as("p50_in_tol"),
-          (col("__p99a") >= col("__p99lo") &&
-            col("__p99a") <= col("__p99hi")).as("p99_in_tol"),
+          Aggs.percentileLinOf6(col("__vs"), 0.5).as("p50_exact"),
+          Aggs.percentileLinOf6(col("__vs"), 0.99).as("p99_exact"),
+          (col("__p50a") >=
+            Aggs.percentileMethodOf(col("__vs"), 0.5 - eps, "lower") &&
+            col("__p50a") <=
+              Aggs.percentileMethodOf(col("__vs"), 0.5 + eps, "higher"))
+            .as("p50_in_tol"),
+          (col("__p99a") >=
+            Aggs.percentileMethodOf(col("__vs"), 0.99 - eps, "lower") &&
+            col("__p99a") <=
+              Aggs.percentileMethodOf(col("__vs"), 0.99 + eps, "higher"))
+            .as("p99_in_tol"),
           (abs(col("__nua").cast("double") -
             col("n_users_exact").cast("double")) <=
             lit(0.1) * col("n_users_exact").cast("double")).as("nd_in_tol"))
@@ -2521,24 +2529,16 @@ object SparkEntry {
 
     // fixed-size-sketch scale path, wrapped in its own contract so
     // the oracle asserts values: Bloom bit layouts are engine-
-    // specific, but "no false negatives" is not — the query joins the
-    // sketch result to the exact operator and emits the exact
-    // contamination plus per-doc verdicts (sketch count >= exact
-    // count; every exactly-contaminated doc flagged). The oracle pins
-    // the exact columns and literal-TRUE verdicts, so a Bloom
-    // regression hash-fails.
+    // specific, but "no false negatives" is not — the audit emits the
+    // exact contamination plus per-doc verdicts (sketch count >=
+    // exact count; every exactly-contaminated doc flagged). The
+    // oracle pins the exact columns and literal-TRUE verdicts, so a
+    // Bloom regression hash-fails. The shingle explode is computed
+    // once and shared by the exact and sketch legs (Dedup
+    // .contaminationAudit), not re-derived per leg.
     "doc_contamination_bloom" -> { (s, dir) =>
-      val docs = tbl(s, dir, "documents")
-      val bench = col("doc_id") % 97 === 0
-      val bloom = Dedup.contaminationBloom(docs, bench)
-        .select(col("doc_id"), col("n_shared_maybe").as("__nb"),
-          col("contaminated").as("__cb"))
-      Dedup.contamination(docs, bench)
-        .join(bloom, Seq("doc_id"))
-        .select(col("doc_id"), col("n_shared"), col("contaminated"),
-          (col("__nb") >= col("n_shared")).as("bloom_no_false_neg"),
-          (col("__cb") || !col("contaminated"))
-            .as("bloom_flags_all_contaminated"))
+      Dedup.contaminationAudit(tbl(s, dir, "documents"),
+        col("doc_id") % 97 === 0)
     },
 
     "doc_dup_ngram_frac" -> { (s, dir) =>
@@ -2749,10 +2749,16 @@ object SparkEntry {
 
     // MMR diversified rerank of the brute top-20: relevant AND
     // mutually diverse; the greedy loop runs scan-side on a bounded
-    // 20-element array per query — never a corpus operation
+    // 20-element array per query — never a corpus operation. The
+    // query batch is the CONSTANT base-copy set (vec_id < 1e8 pins it
+    // to the original rows under ScaleUp's +1e8-per-replica id
+    // shift): a serving rerank's |Q| is an operational constant, so
+    // the registered plan's candidate generation stays O(n·|Q|), not
+    // the O(n²/100) a corpus-growing sample would charge
     "emb_mmr" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.mmrTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim)
+      Knn.mmrTopK(emb, emb.where(col("vec_id") % 100 === 0 &&
+        col("vec_id") < 100000000L), EmbDim)
     },
 
     "emb_knn_lsh" -> { (s, dir) =>
@@ -2910,9 +2916,21 @@ object SparkEntry {
     // LSH-cell blocking (not label blocking): a label block is
     // O(block^2) pairs at corpus scale; the (table, bucket) cells the
     // ANN index already computes bound the self-join instead, with
-    // exact-cosine verification after the bucket match
+    // exact-cosine verification after the bucket match. The plane
+    // count AUTO-SIZES from the corpus count (Knn.autoPlanes: smallest
+    // p with n >> p <= 125, floor 4) so cell populations stay ~bounded
+    // as the corpus grows — the oracle derives the identical count
+    // from count(*) in pure integer arithmetic
     "emb_dedup_cosine" -> { (s, dir) =>
       Knn.cosineDupPairsLsh(tbl(s, dir, "embeddings"), EmbDim, 0.3)
+    },
+
+    // the fixed small-corpus geometry (4 planes x 4 tables), kept as
+    // its own entry: matches the ANN index's registered cells exactly
+    // and pins the auto path's floor-geometry behavior
+    "emb_dedup_cosine_fixed" -> { (s, dir) =>
+      Knn.cosineDupPairsLsh(tbl(s, dir, "embeddings"), EmbDim, 0.3,
+        nPlanes = 4)
     },
 
     // SemDeDup: near-dup pairs found only within learned k-means
@@ -3618,6 +3636,34 @@ object SparkEntry {
         "FROM embeddings").mkString("\n  UNION ALL ")
     s"lb AS ($lb)"
   }
+
+  /** AUTO-plane LSH band CTE `alb(vec_id, tb, bk)`: derives the plane
+    * count from count(*) with Knn.autoPlanes' exact integer formula
+    * (greatest(4, smallest p with n >> p <= 125)) and builds each
+    * table's bucket code from a dynamic plane range — the oracle twin
+    * of the auto-sized emb_dedup_cosine geometry, where the plane
+    * count must come out identical in both engines at any corpus
+    * size. Same deterministic plane family as sqlPlaneDotN (absolute
+    * plane index tb*np + j, 1-based dimension), with all hash
+    * arithmetic in BIGINT (plane indices from range() are BIGINT, so
+    * the (plane+1)*73856093 product can't overflow INT32 at deep
+    * plane counts the way an interpolated literal would).
+    */
+  private def sqlAutoLshBandCte: String =
+    s"""acnt AS (SELECT count(*) AS n FROM embeddings),
+       |anp AS (SELECT greatest(4, min(p)) AS np FROM acnt,
+       |  range(0, 41) t(p) WHERE (n >> p) <= 125),
+       |apl AS (SELECT tb, np, unnest(range(np)) AS j
+       |  FROM anp, range($LshTables) tt(tb)),
+       |adp AS (SELECT e.vec_id, p.tb, p.j,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbDim + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE)
+       |        * CAST(((p.tb * p.np + p.j + 1) * 73856093 + i * 19349663)
+       |          % 2000001 - 1000000 AS DOUBLE))), (x, y) -> x + y) AS d
+       |  FROM embeddings e, apl p),
+       |alb AS (SELECT vec_id, tb,
+       |    sum(CASE WHEN d > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS bk
+       |  FROM adp GROUP BY 1, 2)""".stripMargin
 
   private def sqlLshCtes: String = {
     s"""$sqlLshBandCte,
@@ -4608,7 +4654,8 @@ object SparkEntry {
       }
       s"""WITH mq AS (SELECT vec_id AS query_id, embedding AS qv,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
-         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |  FROM embeddings WHERE vec_id % 100 = 0
+         |    AND vec_id < 100000000),
          |mc0 AS (SELECT vec_id AS cid, embedding AS cvec,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
          |  FROM embeddings),
@@ -4736,10 +4783,25 @@ object SparkEntry {
          |SELECT vid AS vec_id, cid AS cluster_id, ccos AS centroid_cos, rk
          |FROM rs WHERE rk <= 8""".stripMargin,
 
-    // blocks are the shared lb cells (sqlLshBandCte) — the oracle
-    // mirrors the LSH blocking exactly, then dedups multi-table
-    // collisions with max() like the Spark side
+    // blocks are the AUTO-sized LSH cells (sqlAutoLshBandCte): the
+    // oracle re-derives the plane count from count(*) with the exact
+    // integer formula Knn.autoPlanes uses, mirrors the blocking, then
+    // dedups multi-table collisions with max() like the Spark side
     "emb_dedup_cosine" ->
+      s"""WITH $sqlAutoLshBandCte,
+         |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM alb a JOIN alb b ON a.tb = b.tb AND a.bk = b.bk
+         |    AND a.vec_id < b.vec_id),
+         |pc AS (SELECT id_a, id_b,
+         |    ${sqlCos("ea.embedding", "eb.embedding")} AS cos
+         |  FROM p0 JOIN embeddings ea ON ea.vec_id = p0.id_a
+         |    JOIN embeddings eb ON eb.vec_id = p0.id_b)
+         |SELECT id_a, id_b, round(max(cos), 6) AS cos
+         |FROM pc WHERE cos >= 0.3 GROUP BY 1, 2""".stripMargin,
+
+    // the fixed 4-plane geometry pinned against the shared lb cells
+    // (sqlLshBandCte) — exactly the ANN index's registered cells
+    "emb_dedup_cosine_fixed" ->
       s"""WITH $sqlLshBandCte,
          |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${sqlCos("a.embedding", "b.embedding")} AS cos

@@ -107,6 +107,48 @@ object Aggs {
       .otherwise(element_at(arr, idx.cast("int") + 1))
   }
 
+  /** [[percentileLin6]]'s probe applied to an ALREADY-AGGREGATED
+    * sorted-array column: lets an audit query that needs several
+    * percentile probes per group buffer each group's values ONCE
+    * (one `sort_array(collect_list(..))` aggregate) instead of once
+    * per probe — six independent `percentile` buffers on a 100 TB
+    * group is exactly the memory blowup the sketches being audited
+    * exist to avoid. The interpolation mirrors Spark's exact
+    * `percentile` bit-for-bit (lower*(ceil(h)-h) + higher*(h-floor(h)),
+    * lower short-circuit when floor==ceil), so swapping the six
+    * aggregates for six probes over one array is value-identical.
+    */
+  def percentileLinOf6(arr: Column, p: Double): Column = {
+    val h = (size(arr) - lit(1)).cast("double") * lit(p)
+    val lo = floor(h)
+    val hi = ceil(h)
+    val vlo = element_at(arr, lo.cast("int") + 1)
+    val vhi = element_at(arr, hi.cast("int") + 1)
+    when(size(arr) === 0, lit(null))
+      .otherwise(round(
+        when(lo === hi, vlo).otherwise(vlo * (hi - h) + vhi * (h - lo)), 6))
+  }
+
+  /** [[percentileMethod]]'s index arithmetic over an already-
+    * aggregated sorted array (same single-buffer rationale as
+    * [[percentileLinOf6]]).
+    */
+  def percentileMethodOf(arr: Column, p: Double, method: String): Column = {
+    val h = (size(arr) - lit(1)).cast("double") * lit(p)
+    val lo = floor(h)
+    val idx = method match {
+      case "lower"  => lo
+      case "higher" => ceil(h)
+      case "nearest" =>
+        when(h - lo === 0.5,
+          when(pmod(lo.cast("long"), lit(2L)) === 0, lo).otherwise(lo + 1))
+          .otherwise(floor(h + lit(0.5)))
+      case m => throw new IllegalArgumentException(s"bad method: $m")
+    }
+    when(size(arr) === 0, lit(null))
+      .otherwise(element_at(arr, idx.cast("int") + 1))
+  }
+
   def percentileMidpoint6(c: Column, p: Double): Column = {
     val arr = sort_array(collect_list(c))
     val h = (size(arr) - lit(1)).cast("double") * lit(p)
@@ -210,10 +252,16 @@ object Aggs {
                        mergeB: (B, B) => B,
                        finishB: B => Double)(
       implicit be: org.apache.spark.sql.Encoder[B]): Column => Column = {
+    // boxed input + explicit null skip: SQL aggregates (and pypond's
+    // Filters.ignore_missing default) never feed missing values to
+    // the reducer, and a bare Double input encoder would either throw
+    // or silently coerce a NULL row to 0.0 — the boxed type makes the
+    // skip explicit instead
     val agg = new org.apache.spark.sql.expressions.Aggregator[
-        Double, B, Double] {
+        java.lang.Double, B, Double] {
       override def zero: B = zeroB
-      override def reduce(b: B, a: Double): B = step(b, a)
+      override def reduce(b: B, a: java.lang.Double): B =
+        if (a == null) b else step(b, a.doubleValue())
       override def merge(x: B, y: B): B = mergeB(x, y)
       override def finish(b: B): Double = finishB(b)
       override def bufferEncoder: org.apache.spark.sql.Encoder[B] = be

@@ -446,6 +446,50 @@ object Dedup {
         (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Audit harness joining [[contamination]]'s exact result to
+    * [[contaminationBloom]]'s sketch CONTRACT — with the shingle
+    * explode computed ONCE and shared by every leg (the naive
+    * exact-join-sketch formulation re-explodes the corpus three times
+    * and pays 7 exchanges; this shape pays 3). The shared frame is
+    * lazily local-checkpointed so the bloom build (a driver-side
+    * `head`), the exact broadcast semi-join and the sketch probe all
+    * read the same materialized (id, bench?, sid) rows, and the exact
+    * + sketch per-doc counts fold in ONE aggregation pass.
+    *
+    * Output matches the exact operator's columns plus the two bloom
+    * verdicts (`bloom_no_false_neg`, `bloom_flags_all_contaminated`)
+    * that pin the sketch's only engine-independent guarantees.
+    */
+  def contaminationAudit(docs: DataFrame, benchPred: Column,
+                         shingleN: Int = 3, idCol: String = "doc_id",
+                         estimatedItems: Long = 1L << 17,
+                         numBits: Long = 1L << 21): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions._
+    val sh = docs.select(col(idCol), benchPred.as("__bench"),
+        explode(shingleIds(col("text"), shingleN)).as("sid"))
+      .localCheckpoint(false)
+    val bench = sh.where(col("__bench")).select("sid").distinct()
+    val blob = bench
+      .agg(bloom_filter_agg(col("sid"), estimatedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val hits = sh.where(!col("__bench"))
+      .join(broadcast(bench.withColumn("__inb", lit(1))), Seq("sid"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__inb")).as("__n"),
+        count(when(bloom_might_contain(blob, col("sid")), lit(1)))
+          .as("__nb"))
+    docs.where(!benchPred).select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_shared"),
+        (coalesce(col("__n"), lit(0L)) > 0).as("contaminated"),
+        (coalesce(col("__nb"), lit(0L)) >= coalesce(col("__n"), lit(0L)))
+          .as("bloom_no_false_neg"),
+        (coalesce(col("__nb"), lit(0L)) > 0 ||
+          coalesce(col("__n"), lit(0L)) === 0)
+          .as("bloom_flags_all_contaminated"))
+  }
+
   /** Duplicated n-gram fraction per document (the RefinedWeb-style
     * repetition-across-corpus signal): of this doc's DISTINCT shingles,
     * the fraction that also occur in at least one other document. Null

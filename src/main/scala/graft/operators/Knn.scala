@@ -456,24 +456,66 @@ object Knn {
   def autoPqEvery(n: Long): Int =
     math.max(1L, math.ceil(n.toDouble / PqCodebookSize).toLong).toInt
 
-  /** LSH hyperplane-count sizing: planes so that expected cell
-    * population n/2^planes ≈ `targetCell` — the dial that keeps
-    * [[cosineDupPairsLsh]]'s per-cell self-join bounded as the corpus
-    * grows (fixed planes → cell population ∝ n → O(n²) pair space).
-    * More planes cost recall per table (p^planes); compensate with
-    * `nTables`, paid linearly in shuffle volume. Floor of 4 keeps the
-    * tiny-corpus geometries identical to the registered test queries.
+  /** LSH hyperplane-count sizing: the smallest plane count with
+    * expected cell population n/2^planes <= `targetCell` — the dial
+    * that keeps [[cosineDupPairsLsh]]'s per-cell self-join bounded as
+    * the corpus grows (fixed planes → cell population ∝ n → O(n²)
+    * pair space). More planes cost recall per table (p^planes);
+    * compensate with `nTables`, paid linearly in shuffle volume.
+    * Floor of 4 keeps tiny-corpus geometries identical to the
+    * registered test queries.
+    *
+    * PURE INTEGER arithmetic (smallest p with n >> p <= target), not
+    * ceil(log2(n/target)): the fp log ratio can land a hair above or
+    * below an exact power of two and flip the ceil, and this formula
+    * is mirrored verbatim in the DuckDB oracle (greatest(4, min p:
+    * n >> p <= 125)) where both engines must derive the identical
+    * plane count from the corpus count.
     */
-  def autoPlanes(n: Long, targetCell: Int = 125): Int = math.max(4,
-    math.ceil(math.log(n.toDouble / targetCell) / math.log(2.0)).toInt)
+  def autoPlanes(n: Long, targetCell: Int = 125): Int = {
+    var p = 0
+    while ((n >> p) > targetCell) p += 1
+    math.max(4, p)
+  }
+
+  /** Bounded per-plan corpus-count cache behind the auto-sizing
+    * resolvers: keyed on the CANONICALIZED analyzed plan (exprIds
+    * normalized; parquet relations compare by root path), so repeated
+    * auto-sizes over the same corpus — [[ivfPqTopK]] resolving both
+    * its coarse and PQ strides, a bench suite running the pq /
+    * ivf_pq / rerank legs over one table — pay ONE count job total
+    * instead of one per resolver call. LRU-bounded at 64 plans so a
+    * long-lived session never accumulates stale keys; counts are
+    * stable for the cache's purpose because auto-sizing is
+    * index-BUILD semantics (the codebook is derived from the corpus
+    * snapshot being indexed).
+    */
+  private val countCache =
+    new java.util.LinkedHashMap[AnyRef, java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, java.lang.Long]): Boolean =
+        size() > 64
+    }
+
+  private def cachedCount(df: DataFrame): Long = {
+    val key = df.queryExecution.analyzed.canonicalized
+    val hit = countCache.synchronized(countCache.get(key))
+    if (hit != null) hit.longValue()
+    else {
+      val n = df.count()
+      countCache.synchronized(countCache.put(key, java.lang.Long.valueOf(n)))
+      n
+    }
+  }
 
   /** `every <= 0` means auto-size from the corpus count (one cheap
-    * count job at build/plan time — index-build semantics). */
+    * count job at build/plan time — index-build semantics; cached per
+    * corpus plan, see [[countCache]]). */
   private def resolveCoarse(corpus: DataFrame, every: Int): Int =
-    if (every > 0) every else autoCoarseEvery(corpus.count())
+    if (every > 0) every else autoCoarseEvery(cachedCount(corpus))
 
   private def resolvePq(corpus: DataFrame, every: Int): Int =
-    if (every > 0) every else autoPqEvery(corpus.count())
+    if (every > 0) every else autoPqEvery(cachedCount(corpus))
 
   /** Deterministic every-Nth coarse centroids with norms. */
   private def coarseCents(corpus: DataFrame, dim: Int, centroidEvery: Int,
@@ -908,13 +950,19 @@ object Knn {
     * Recall bound: a true pair at cosine c (angle θ = arccos c)
     * surfaces with probability 1-(1-p^nPlanes)^nTables, p = 1-θ/π —
     * `nTables` is the recall dial, paid linearly in shuffle volume.
+    *
+    * `nPlanes <= 0` auto-sizes from the corpus count via
+    * [[autoPlanes]] (one cached count job — same build-time posture
+    * as the IVF/PQ codebook strides), so the default geometry keeps
+    * cell populations ~constant instead of ∝ n as the corpus grows.
     */
   def cosineDupPairsLsh(emb: DataFrame, dim: Int, threshold: Double,
-                        nPlanes: Int = 4, nTables: Int = 4,
+                        nPlanes: Int = 0, nTables: Int = 4,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame = {
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(cachedCount(emb))
     def cells(v: Column): Column = array((0 until nTables).map { t =>
-      struct(lit(t).as("tb"), bucketCode(v, dim, nPlanes, t * nPlanes).as("bk"))
+      struct(lit(t).as("tb"), bucketCode(v, dim, np, t * np).as("bk"))
     }: _*)
     val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(dot(col(vecCol), col(vecCol), dim)).as("n"),

@@ -17,8 +17,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ts older than the stored lastTs would produce a negative gap — a
   * negative Viterbi cost, a state the batch operator (which orders
   * the whole series) can never reach — so such stragglers are
-  * DROPPED: parity holds exactly under ordered replay and degrades
-  * by omission, never by state corruption, under disorder.
+  * DROPPED. Parity is therefore exact ONLY under ordered replay;
+  * under disorder the divergence is wider than the dropped row
+  * itself — a batch backfill over the full data would route the
+  * series' gap chain through the straggler, so events after it get
+  * different gap values (and possibly different alarms) than the
+  * stream emitted. The stream never corrupts its state, but its
+  * post-straggler outputs are those of the straggler-free series,
+  * not of the full one.
   * Each key's first-ever event has no gap and emits nothing (the
   * batch operator drops it too).
   */

@@ -163,8 +163,13 @@ final case class TimeSeries(
     * itself (e.g. min(ts)), keeping the key derivation in-plan.
     */
   def atKeyOf(keys: DataFrame): DataFrame = {
-    val kc = keys.columns.head
-    df.join(org.apache.spark.sql.functions.broadcast(keys),
+    // the key column is renamed to a reserved internal name before the
+    // join: a caller-supplied keys frame naturally names its column
+    // "ts" (or whatever tsCol is), and joining on the raw name would
+    // make col(tsCol) ambiguous and throw
+    val kc = "__at_key"
+    val k = keys.toDF(kc)
+    df.join(org.apache.spark.sql.functions.broadcast(k),
       col(tsCol) === col(kc)).drop(kc)
   }
 

@@ -105,9 +105,11 @@ class QuerySmokeSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle (or is a declared rows-only sketch)") {
-    // approximate sketches have engine-specific internals, so the
-    // driver records their weaker rows-only check by design
-    val rowsOnly = Set("ts_agg_approx", "doc_contamination_bloom")
+    // empty since r7: the two former rows-only sketches
+    // (ts_agg_approx, doc_contamination_bloom) now wrap their
+    // engine-specific internals in value-asserting contracts, so
+    // every registered query carries a full DuckDB oracle
+    val rowsOnly = Set.empty[String]
     val missing =
       SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle: $missing")

@@ -195,11 +195,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     // sid shuffle — same budget as the unpruned chain
     "doc_dedup_ngram_jaccard_pruned" -> 5,
     // LSH-cell blocked dedup: ReuseExchange shares the banded side
-    // between the self-join's two inputs + pair-dedup agg
-    "emb_dedup_cosine" -> 2,
-    // bloom probe rides the scan (the sketch is a literal); per-doc
-    // count agg + the left join back are the only exchanges
-    "doc_contamination_bloom" -> 2,
+    // between the self-join's two inputs + pair-dedup agg (the
+    // auto-plane count is structural — resolved before planning from
+    // the cached corpus count — so it adds no exchange)
+    "emb_dedup_cosine" -> 2, "emb_dedup_cosine_fixed" -> 2,
+    // exact+sketch audit over ONE shared (localCheckpoint'd) shingle
+    // explode: bench-shingle distinct + its broadcast back over the
+    // corpus leg, the fused exact/bloom per-doc count agg, and the
+    // doc-id join-back's left-side shuffle (the agg side reuses its
+    // own partitioning) — the bloom probe itself is a scan-side
+    // literal and adds nothing
+    "doc_contamination_bloom" -> 4,
     // block inverted index: same chain as doc_dup_ngram_frac
     "doc_dup_blocks" -> 5,
     // first-occurrence selection (groupBy h) + join-back + per-doc

@@ -105,6 +105,11 @@ class StreamKnnServeSpec extends AnyFunSuite {
       (res, _) => res.write.mode("append").parquet(outDir)
     }
     try q.processAllAvailable() finally q.stop()
+    // serving carries NO stream-side state: the index is the only
+    // persisted structure, so an unbounded query stream can run
+    // forever — assert the query reports zero stateful operators
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      "knn serving unexpectedly registered stateful operators")
 
     val got = spark.read.parquet(outDir)
     val want = graft.operators.Knn.searchIvfIndex(spark, idxDir, queries, 64, 3)

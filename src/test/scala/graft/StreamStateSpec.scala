@@ -169,6 +169,138 @@ class StreamStateSpec extends AnyFunSuite {
     assert(rows.last == 5)
   }
 
+  test("EVERY per-key fMGWS component holds <= |keys| state rows across batches") {
+    import spark.implicits._
+    import graft.streaming._
+    // The full NoTimeout per-key family, each audited individually
+    // (not via one representative): numRowsTotal == |keys| is the
+    // documented bound for all of them, independent of row and batch
+    // count. A component that accidentally switched to per-event
+    // state (e.g. buffering a batch in its Hist) blows past nKeys on
+    // the very first progress.
+    val nKeys = 4
+    val batches = advancingBatches(nKeys, perKey = 12, nBatches = 3)
+    val comps: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "holt" -> (s => StreamHolt(spark, s.as[StreamHolt.Ev]).toDF()),
+      "holt_winters" -> (s =>
+        StreamHoltWinters(spark, s.as[StreamHoltWinters.Ev]).toDF()),
+      "bands" -> (s => StreamBands(spark, s.as[StreamBands.Ev]).toDF()),
+      "cusum" -> (s =>
+        StreamCusum(spark, s.as[StreamCusum.Ev], 5.0, 20.0).toDF()),
+      "crossings" -> (s =>
+        StreamCrossings(spark, s.as[StreamCrossings.Ev], 5.0).toDF()),
+      "rate" -> (s => StreamRate(spark, s.as[StreamRate.Ev]).toDF()),
+      "fill" -> (s => StreamFill(spark, s.select(col("user_id"), col("ts"),
+          when(pmod(col("value"), lit(3.0)) =!= 0.0, col("value"))
+            .as("value")).as[StreamFill.Ev]).toDF()),
+      "align" -> (s =>
+        StreamAlign(spark, s.as[StreamAlign.Ev], "5m", "linear").toDF()),
+      "sessionize" -> (s =>
+        StreamSessionize(spark, s.as[StreamSessionize.Ev], 30 * M).toDF()),
+      "burst" -> (s => StreamBurst(spark,
+        s.select("user_id", "ts").as[StreamBurst.Ev],
+        lam0 = 2.5e-5, lam1 = 1.25e-4, gamma = 2.0).toDF()),
+      "asof" -> (s => StreamAsOf(spark,
+        s.select(col("user_id"), col("ts"), col("user_id").as("event_id"))
+          .as[StreamAsOf.Lookup],
+        s.select(col("user_id"), col("ts"), col("value"))
+          .as[StreamAsOf.Ref]).toDF()))
+    comps.foreach { case (nm, build) =>
+      val (out, ps) = StreamHarness.feedBatches(spark, batches, build,
+        "append", s"fmgws_$nm")
+      assert(out.count() > 0, s"$nm emitted nothing")
+      val rows = StreamHarness.stateRows(ps)
+      assert(rows.nonEmpty && rows.forall(_ <= nKeys),
+        s"$nm state exceeded |keys|=$nKeys: $rows")
+    }
+  }
+
+  test("sliding-window rollup closes and evicts past windows") {
+    val batches = advancingBatches(nKeys = 3, perKey = 40)
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamRollup.slidingWindow(s, "ts",
+        Seq("user_id"), size = "10m", slide = "5m", watermark = "1 hour",
+        aggs = Seq(count(lit(1)).as("n"))),
+      "append", "slide_state")
+    assert(out.count() > 0)
+    assert(StreamHarness.lateDrops(ps) == 0, "exact rollup dropped late rows")
+    val rows = StreamHarness.stateRows(ps)
+    // 40 one-minute events/key/batch overlap 9 10m/5m windows → 27
+    // open rows per batch; steady state holds at most the most recent
+    // two batches' windows, unbounded growth reaches 4 × 27 = 108.
+    assert(rows.max <= 2 * 27 + 8,
+      s"sliding windows never evicted: $rows")
+  }
+
+  test("M4 downsample windows close and evict") {
+    val batches = advancingBatches(nKeys = 3, perKey = 40)
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamM4.m4(s, "ts", "value", Seq("user_id"),
+        "5m", watermark = "1 hour"),
+      "append", "m4_state")
+    assert(out.count() > 0)
+    assert(StreamHarness.lateDrops(ps) == 0, "exact M4 dropped late rows")
+    val rows = StreamHarness.stateRows(ps)
+    // 8 5-minute windows per key per batch (24 rows); unbounded = 96
+    assert(rows.max <= 2 * 24 + 8, s"M4 windows never evicted: $rows")
+  }
+
+  test("PSI drift windows close and evict") {
+    val batches = advancingBatches(nKeys = 3, perKey = 40)
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamDrift.psi(s, "ts", "value",
+        Seq("user_id"), "5m", watermark = "1 hour",
+        refProbs = Seq(0.8, 0.2), binWidth = 25.0),
+      "append", "drift_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    // same window geometry as M4: 24 open aggregate rows per batch
+    assert(rows.max <= 2 * 24 + 8, s"drift windows never evicted: $rows")
+  }
+
+  test("doc-ingest dedup + window state ages out") {
+    import spark.implicits._
+    val words = Seq("the", "quick", "brown", "fox", "jumps", "over",
+      "lazy", "dog", "with", "many", "more", "words")
+    val batches = (0 until 4).map { b =>
+      val base = b.toLong * 24 * H
+      (0 until 12).map { i =>
+        val body = (0 until 30).map(j => words((i + j) % words.size))
+          .mkString(" ")
+        (s"doc $b $i $body.", "web", base + i * M)
+      }.toDF("text", "source", "ts")
+    }
+    val blob = graft.streaming.StreamDocIngest.benchSketch(
+      Seq("entirely separate benchmark suite sentence").toDF("text"))
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamDocIngest(s, blob, "ts",
+        minQuality = 0.0, win = "1h", watermark = "1 hour"),
+      "append", "ingest_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    // state = per-doc dedup hashes + open (source, window) aggregates;
+    // steady state holds the most recent two batches' worth, broken
+    // eviction accumulates every batch's hashes forever.
+    assert(rows.max <= 2 * rows.head + 8,
+      s"ingest state grew across batches: $rows")
+  }
+
+  test("per-window top-k map state flushes once the watermark closes the window") {
+    val batches = advancingBatches(nKeys = 4, perKey = 30)
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamTopK(spark, s, winUs = 10 * M, k = 3,
+        watermark = "1 hour").toDF(),
+      "append", "topk_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    // the grouping key is the WINDOW: 30 one-minute events cover 3
+    // ten-minute windows per batch regardless of key count; flushed
+    // windows drop their whole map row, so steady state is at most
+    // two batches' windows (6) and unbounded growth reaches 12.
+    assert(rows.max <= 2 * 3 + 2,
+      s"top-k window state never flushed: $rows")
+  }
+
   test("StreamBurst drops cross-batch stragglers instead of folding negative gaps") {
     import spark.implicits._
     val S = 1000000L // one second in µs
