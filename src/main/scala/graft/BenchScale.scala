@@ -36,8 +36,9 @@ object BenchScale {
     val nEmb = emb.count()
     val planes = graft.operators.Knn.autoPlanes(nEmb)
 
-    val registered = Seq("mm_phash", "mm_phash_eval", "emb_knn_ivf",
-      "emb_ivf_pq", "emb_ivf_probe_curve", "emb_pq", "doc_dedup_edit",
+    val registered = Seq("mm_phash", "mm_phash_eval",
+      "mm_phash_eval_sampled", "emb_knn_ivf", "emb_ivf_pq",
+      "emb_ivf_probe_curve", "emb_pq", "doc_dedup_edit",
       "emb_dedup_cosine", "emb_mmr")
     val legs: Seq[(String, () => DataFrame)] =
       registered.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))

@@ -3018,10 +3018,12 @@ object SparkEntry {
     // re-encoded duplicates are PLANTED as payload copies under fresh
     // ids and the banding must surface exactly those pairs out of the
     // 2^16-bucket space
+    // (planted ids live at +1e11, clear of every ScaleUp replica
+    // range — +1e8 would collide with replica 1's ids)
     "mm_phash_wide" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents").select("doc_id", "text")
       val planted = docs.where(col("doc_id") % 50 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(100000000L))
+        .withColumn("doc_id", col("doc_id") + lit(100000000000L))
       Multimodal.phashPairs(s, docs.unionByName(planted),
         maxHamming = 3, bandBits = 16, nPixels = 64)
     },
@@ -3043,6 +3045,42 @@ object SparkEntry {
           when(col("n_true") === 0, lit(null).cast("double"))
             .otherwise(round(col("n_found").cast("double") / col("n_true"), 6))
             .as("recall"))
+    },
+
+    // the production-scale eval geometry: banding recall measured
+    // against a FIXED probe set instead of all O(n²) hash pairs. The
+    // probes are planted re-encodes of the base-copy docs (doc_id %
+    // 50, pinned < 1e8 so the set is CONSTANT under ScaleUp's
+    // +1e8-per-replica id shift; planted ids at +1e11 stay clear of
+    // every replica range), so truth = probes × corpus costs
+    // O(n·|P|), is guaranteed non-empty (each plant sits at hamming 0
+    // from its source), and the recall estimate covers exactly the
+    // pairs a production spot-audit would sample. mm_phash_eval keeps
+    // the exhaustive truth at test scale; this leg is the shape that
+    // replaces it beyond ~1M docs (see BENCH_sf10_r08.json findings).
+    "mm_phash_eval_sampled" -> { (s, dir) =>
+      val docs0 = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = docs0.where(col("doc_id") % 50 === 0 &&
+          col("doc_id") < 100000000L)
+        .withColumn("doc_id", col("doc_id") + lit(100000000000L))
+      val all = docs0.unionByName(planted)
+      val ph = Multimodal.phashAll(s, all).toDF()
+      val probes = ph.where(col("doc_id") >= 100000000000L)
+        .select(col("doc_id").as("id_p"), col("phash").as("ph_p"))
+      val truth = ph
+        .select(col("doc_id").as("id_c"), col("phash").as("ph_c"))
+        .join(broadcast(probes), col("id_p") =!= col("id_c"))
+        .where(bit_count(col("ph_p").bitwiseXOR(col("ph_c"))) <= 3)
+        .select(least(col("id_p"), col("id_c")).as("id_a"),
+          greatest(col("id_p"), col("id_c")).as("id_b"))
+        .distinct()
+      val cand = Multimodal.phashPairs(s, all)
+        .select(col("id_a"), col("id_b")).withColumn("__h", lit(1))
+      truth.join(cand, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_true"), count(col("__h")).as("n_hits"),
+          when(count(lit(1)) === 0, lit(null).cast("double"))
+            .otherwise(round(count(col("__h")).cast("double") /
+              count(lit(1)), 6)).as("recall"))
     },
 
     // Gopher top-n-gram repetition: per-doc mode found scan-side via
@@ -4992,7 +5030,7 @@ object SparkEntry {
     // plus planted payload copies; identical chain, wider constants
     "mm_phash_wide" ->
       s"""WITH pdocs AS (SELECT doc_id, text FROM documents
-         |  UNION ALL SELECT doc_id + 100000000, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000000000, text FROM documents
          |  WHERE doc_id % 50 = 0),
          |${sqlPhashCtesN(64, 16, "pdocs")}
          |SELECT id_a, id_b, hamming FROM pp WHERE hamming <= 3""".stripMargin,
@@ -5009,6 +5047,28 @@ object SparkEntry {
          |SELECT n_true, n_found,
          |  round(CAST(n_found AS DOUBLE) / nullif(n_true, 0), 6) AS recall
          |FROM ex, fo""".stripMargin,
+
+    // fixed-probe recall: planted base-copy re-encodes are the probe
+    // set, truth = probes x corpus only (never all pairs) — the
+    // production eval geometry, same CTE chain over the planted frame
+    "mm_phash_eval_sampled" ->
+      s"""WITH pdocs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000000000, text FROM documents
+         |  WHERE doc_id % 50 = 0 AND doc_id < 100000000),
+         |${sqlPhashCtesN(64, 16, "pdocs")},
+         |probes AS (SELECT doc_id AS id_p, phash AS ph_p FROM ph
+         |  WHERE doc_id >= 100000000000),
+         |tr AS (SELECT DISTINCT least(p.id_p, c.doc_id) AS id_a,
+         |    greatest(p.id_p, c.doc_id) AS id_b
+         |  FROM ph c JOIN probes p ON c.doc_id <> p.id_p
+         |  WHERE bit_count(xor(p.ph_p, c.phash)) <= 3),
+         |ca AS (SELECT DISTINCT id_a, id_b FROM pp WHERE hamming <= 3)
+         |SELECT count(*) AS n_true, count(ca.id_a) AS n_hits,
+         |  CASE WHEN count(*) = 0 THEN NULL
+         |    ELSE round(CAST(count(ca.id_a) AS DOUBLE) / count(*), 6) END
+         |    AS recall
+         |FROM tr LEFT JOIN ca ON tr.id_a = ca.id_a AND tr.id_b = ca.id_b"""
+        .stripMargin,
 
     // per-doc most frequent bigram counted per shingle HASH (the
     // MinHash/Jaccard unit — mirrors the Spark side's long-array

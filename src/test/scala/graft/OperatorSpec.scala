@@ -201,6 +201,52 @@ class OperatorSpec extends AnyFunSuite {
       s"fp inflation too large: $maybeHits vs $exactHits")
   }
 
+  test("contaminationAudit: exact columns match the exact operator; verdicts hold") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pred = col("doc_id") % 97 === 0
+    val audit = Dedup.contaminationAudit(docs, pred)
+    val exact = Dedup.contamination(docs, pred)
+    val a3 = audit.select("doc_id", "n_shared", "contaminated")
+    assert(a3.exceptAll(exact).isEmpty && exact.exceptAll(a3).isEmpty,
+      "audit's exact leg diverged from Dedup.contamination")
+    assert(audit.where(!col("bloom_no_false_neg") ||
+      !col("bloom_flags_all_contaminated")).count() == 0,
+      "bloom contract verdict flipped false")
+  }
+
+  test("percentileLinOf6/percentileMethodOf == the aggregate forms on shared groups") {
+    import spark.implicits._
+    import graft.functions.Aggs
+    val rnd = new scala.util.Random(42)
+    // group sizes 1, 2, 3 and a few hundred; values with ties and 6dp noise
+    val rows = (0 until 700).map { i =>
+      val k = if (i < 1) 100 else if (i < 3) 101 else if (i < 6) 102 else i % 5
+      (k, math.floor(rnd.nextDouble() * 1e9) / 1e3)
+    }
+    val df = rows.toDF("k", "v")
+    val ps = Seq(0.0, 0.25, 0.499, 0.5, 0.867, 0.99, 1.0)
+    val aggCols =
+      ps.zipWithIndex.map { case (p, i) =>
+        Aggs.percentileLin6(col("v"), p).as(s"lin_$i") } ++
+      ps.zipWithIndex.map { case (p, i) =>
+        Aggs.percentileMethod(col("v"), p, "lower").as(s"lo_$i") } ++
+      ps.zipWithIndex.map { case (p, i) =>
+        Aggs.percentileMethod(col("v"), p, "higher").as(s"hi_$i") } ++
+      ps.zipWithIndex.map { case (p, i) =>
+        Aggs.percentileMethod(col("v"), p, "nearest").as(s"nr_$i") } :+
+      sort_array(collect_list(col("v"))).as("vs")
+    val agg = df.groupBy("k").agg(aggCols.head, aggCols.tail: _*)
+    val mismatches = ps.zipWithIndex.flatMap { case (p, i) => Seq(
+      !(col(s"lin_$i") <=> Aggs.percentileLinOf6(col("vs"), p)),
+      !(col(s"lo_$i") <=> Aggs.percentileMethodOf(col("vs"), p, "lower")),
+      !(col(s"hi_$i") <=> Aggs.percentileMethodOf(col("vs"), p, "higher")),
+      !(col(s"nr_$i") <=> Aggs.percentileMethodOf(col("vs"), p, "nearest")))
+    }.reduce(_ || _)
+    assert(agg.where(mismatches).count() == 0,
+      "array-probe percentile diverged from the aggregate form")
+  }
+
   test("Dedup.components converges in O(log diameter) rounds on a chain") {
     // adversarial worst case: ONE chain component of diameter 255
     // (heavily templated crawls where LSH pairs drift). Plain min-label

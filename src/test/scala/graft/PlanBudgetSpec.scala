@@ -126,6 +126,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // eval: broadcast ground-truth self-join over (id, long) hashes +
     // the banded chain + two 1-row aggs
     "mm_phash_eval" -> 6,
+    // fixed-probe eval: probe broadcast + truth distinct + the banded
+    // chain + the truth-candidate join and 1-row agg — same budget
+    // as the exhaustive eval, but the truth side is O(n·|P|)
+    "mm_phash_eval_sampled" -> 6,
     // single-shuffle stateful / agg family
     "q1_agg" -> 1, "ts_agg_basic" -> 1,
     // cube: finest-grain partial agg + the subtotal re-combine over the

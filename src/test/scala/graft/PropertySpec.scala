@@ -109,6 +109,20 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("autoPlanes: smallest p with n >> p <= target, floored at 4") {
+    import graft.operators.Knn
+    check(Prop.forAll(Gen.chooseNum(1L, 1L << 40)) { n =>
+      val p = Knn.autoPlanes(n)
+      p >= 4 && (n >> p) <= 125 && (p == 4 || (n >> (p - 1)) > 125)
+    })
+    // exact boundaries the fp-log formulation could have missed:
+    // n = 125·2^k sits exactly on the cell target at p = k
+    assert(Knn.autoPlanes(125L << 4) == 4)
+    assert(Knn.autoPlanes((125L << 4) + 16) == 5) // one cell over (>>4 gives 126)
+    assert(Knn.autoPlanes(2000) == 4)   // sf0.1 corpus
+    assert(Knn.autoPlanes(200000) == 11) // sf10 corpus (measured leg)
+  }
+
   test("vecDot: left fold matches BigDecimal-free sequential sum") {
     val genVec = Gen.listOfN(8, Gen.chooseNum(-100f, 100f))
     check(Prop.forAll(genVec, genVec) { (a, b) =>
