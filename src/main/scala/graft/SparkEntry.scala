@@ -2742,9 +2742,18 @@ object SparkEntry {
         count(lit(1)).as("n_docs"))
     },
 
+    // EVERY ANN/retrieval query batch below is the CONSTANT base-copy
+    // set (% 100 sampling AND vec_id < 1e8, which pins it to the
+    // original rows under ScaleUp's +1e8-per-replica id shift): a
+    // serving batch's |Q| is an operational constant, so no
+    // registered plan — search, recall eval, probe curve, rerank —
+    // charges O(n·|Q|) = O(n²/100) work that no deployment pays. The
+    // pin is mirrored verbatim in every oracle (it is a no-op on the
+    // driver-generated test tables, whose ids all sit below 1e8).
     "emb_knn_brute" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.bruteTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 5)
+      Knn.bruteTopK(emb, emb.where(col("vec_id") % 100 === 0 &&
+        col("vec_id") < 100000000L), EmbDim, 5)
     },
 
     // MMR diversified rerank of the brute top-20: relevant AND
@@ -2757,34 +2766,33 @@ object SparkEntry {
     // the O(n²/100) a corpus-growing sample would charge
     "emb_mmr" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.mmrTopK(emb, emb.where(col("vec_id") % 100 === 0 &&
-        col("vec_id") < 100000000L), EmbDim)
+      Knn.mmrTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim)
     },
 
     "emb_knn_lsh" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.lshTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+      Knn.lshTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
     },
 
     // max-inner-product retrieval, exact baseline: raw-dot top-5 per
     // query (norm-sensitive scoring — the operator cosine can't express)
     "emb_mips" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.mipsTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 5)
+      Knn.mipsTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 5)
     },
 
     // MIPS scale path: norm-augmentation reduction to hyperplane LSH
     // banding over dim+1 coordinates, exact-dot verification
     "emb_mips_lsh" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.mipsLshTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+      Knn.mipsLshTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
     },
 
     // the eval that keeps the augmented-LSH MIPS honest: recall@3 of
     // emb_mips_lsh against the brute raw-dot ground truth
     "emb_mips_recall" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") % 100 === 0)
+      val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
       val truth = Knn.mipsTopK(emb, q, EmbDim, 3)
         .select("query_id", "neighbor_id").localCheckpoint(false)
       truth.join(
@@ -2799,7 +2807,7 @@ object SparkEntry {
 
     "emb_knn_ivf" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+      Knn.ivfTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
     },
 
     // the PERSISTED index: build the cell-partitioned layout ONCE per
@@ -2811,7 +2819,7 @@ object SparkEntry {
     "emb_knn_ivf_indexed" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       val path = ivfIndexFor(s, dir, emb)
-      Knn.searchIvfIndex(s, path, emb.where(col("vec_id") % 100 === 0),
+      Knn.searchIvfIndex(s, path, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L),
         EmbDim, 3)
     },
 
@@ -2820,7 +2828,7 @@ object SparkEntry {
     // measured side by side in emb_ann_recall
     "emb_knn_ivf_learned" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.ivfTopKLearned(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+      Knn.ivfTopKLearned(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
     },
 
     // ANN index quality evaluation: recall@3 of the LSH and IVF scale
@@ -2831,7 +2839,7 @@ object SparkEntry {
     // + one global agg
     "emb_ann_recall" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") % 100 === 0)
+      val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
       // lazy checkpoint: the tiny ground-truth set materializes once
       // and both method legs read it (no second brute-force pass)
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
@@ -2861,7 +2869,7 @@ object SparkEntry {
     // oracle reuses the shared IVF CTEs so index and eval can't drift
     "emb_ivf_probe_curve" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") % 100 === 0)
+      val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
         .select("query_id", "neighbor_id").localCheckpoint(false)
       def leg(p: Int): DataFrame =
@@ -2886,7 +2894,7 @@ object SparkEntry {
     // arrays, so candidate cost shrinks with d
     "emb_dim_tradeoff" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      val q = emb.where(col("vec_id") % 100 === 0)
+      val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
         .select("query_id", "neighbor_id").localCheckpoint(false)
       def cut(df: DataFrame, d: Int): DataFrame =
@@ -2964,7 +2972,7 @@ object SparkEntry {
 
     "emb_ivf_pq" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.ivfPqTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+      Knn.ivfPqTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
     },
 
     // int8 scalar-quantized flat search + exact rerank: serving
@@ -2972,7 +2980,7 @@ object SparkEntry {
     // counterpart of emb_ivf_pq_rerank's two-stage pattern
     "emb_sq_search" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.sqSearchTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+      Knn.sqSearchTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
     },
 
     // ADC top-15 then exact-cosine rerank to top-3: the two-stage
@@ -2980,7 +2988,7 @@ object SparkEntry {
     // |Q|*15 true vectors (candidate list broadcast over the scan)
     "emb_ivf_pq_rerank" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.ivfPqRerankTopK(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 3)
+      Knn.ivfPqRerankTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
     },
 
     "mm_meta" -> { (s, dir) =>
@@ -3094,7 +3102,7 @@ object SparkEntry {
     // rank window — the dedup-mining sibling of emb_knn_brute
     "emb_range_search" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.rangeSearch(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 0.2)
+      Knn.rangeSearch(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 0.2)
     },
 
     // the radius query's scale path: candidates from the shared LSH
@@ -3102,7 +3110,7 @@ object SparkEntry {
     // recall dial = tables, like the top-k path
     "emb_range_search_lsh" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
-      Knn.lshRangeSearch(emb, emb.where(col("vec_id") % 100 === 0), EmbDim, 0.2)
+      Knn.lshRangeSearch(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 0.2)
     },
 
     "mm_frames" -> { (s, dir) =>
@@ -3400,7 +3408,7 @@ object SparkEntry {
        |        END AS DOUBLE) / 255.0 * (mxs[i] - mns[i])) AS dv
        |  FROM embeddings, sqar),
        |sqq AS (SELECT vec_id AS query_id, embedding AS qv
-       |    FROM embeddings WHERE vec_id % 100 = 0),
+       |    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
        |sqj AS (SELECT query_id, neighbor_id, qv, nv,
        |    ${sqlDot("qv", "dv")}
        |      / (sqrt(${sqlDot("qv", "qv")}) * sqrt(${sqlDot("dv", "dv")}))
@@ -3460,7 +3468,7 @@ object SparkEntry {
        |klcell AS (SELECT neighbor_id, nv, nn, cid FROM kla WHERE crk <= 1),
        |klq0 AS (SELECT vec_id AS query_id, embedding AS qv,
        |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
-       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
        |klqa AS (SELECT query_id, qv, qn, cid,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY ${sqlDot("qv", "cvec")} / (qn * cn) DESC, cid) AS crk
@@ -3575,7 +3583,7 @@ object SparkEntry {
        |ccell AS (SELECT neighbor_id, nv, nn, cid FROM ca WHERE crk <= 1),
        |q0 AS (SELECT vec_id AS query_id, embedding AS qv,
        |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
-       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
        |qa AS (SELECT query_id, qv, qn, cid,
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY ${sqlDot("qv", "cvec")} / (qn * cn) DESC, cid) AS crk
@@ -3649,7 +3657,7 @@ object SparkEntry {
        |mq0 AS (SELECT vec_id, embedding,
        |    list_append(list_transform(embedding, x -> CAST(x AS DOUBLE)),
        |      0.0) AS aug
-       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
        |mb AS (${(0 until LshTables).map(t =>
              s"SELECT vec_id, embedding, $t AS tb,\n    " +
                s"${sqlBucketN("aug", LshPlanes, t * LshPlanes, EmbDim + 1)} AS bk " +
@@ -3706,7 +3714,7 @@ object SparkEntry {
   private def sqlLshCtes: String = {
     s"""$sqlLshBandCte,
        |lq AS (SELECT vec_id AS query_id, embedding AS qv, tb, bk FROM lb
-       |  WHERE vec_id % 100 = 0),
+       |  WHERE vec_id % 100 = 0 AND vec_id < 100000000),
        |lc AS (SELECT vec_id AS neighbor_id, embedding AS nv, tb, bk FROM lb),
        |lj0 AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
        |  FROM lc JOIN lq USING (tb, bk) WHERE neighbor_id <> query_id),
@@ -4445,7 +4453,7 @@ object SparkEntry {
 
     "emb_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
          |j AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
          |  FROM c, q WHERE neighbor_id <> query_id),
@@ -4465,7 +4473,7 @@ object SparkEntry {
 
     "emb_mips" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
          |j AS (SELECT query_id, neighbor_id, ${sqlDot("qv", "nv")} AS ip
          |  FROM c, q WHERE neighbor_id <> query_id),
@@ -4489,7 +4497,7 @@ object SparkEntry {
     "emb_mips_recall" ->
       s"""WITH $sqlMipsLshCtes,
          |mbq AS (SELECT vec_id AS query_id, embedding AS qv
-         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
          |mbc AS (SELECT vec_id AS neighbor_id, embedding AS nv
          |  FROM embeddings),
          |mbj AS (SELECT query_id, neighbor_id, ${sqlDot("qv", "nv")} AS ip
@@ -4549,7 +4557,7 @@ object SparkEntry {
     // measures
     "emb_dim_tradeoff" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
          |bj AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
          |  FROM c, q WHERE neighbor_id <> query_id),
@@ -4587,7 +4595,7 @@ object SparkEntry {
 
     "emb_ann_recall" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
          |bj AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
          |  FROM c, q WHERE neighbor_id <> query_id),
@@ -4692,8 +4700,7 @@ object SparkEntry {
       }
       s"""WITH mq AS (SELECT vec_id AS query_id, embedding AS qv,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
-         |  FROM embeddings WHERE vec_id % 100 = 0
-         |    AND vec_id < 100000000),
+         |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
          |mc0 AS (SELECT vec_id AS cid, embedding AS cvec,
          |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
          |  FROM embeddings),
@@ -4747,7 +4754,7 @@ object SparkEntry {
            |  ON b.query_id = t$p.query_id
            |  AND b.neighbor_id = t$p.neighbor_id""".stripMargin
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
-         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS nv
          |  FROM embeddings),
          |bj AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
@@ -5096,7 +5103,7 @@ object SparkEntry {
       s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          |  round(${sqlCos("q.embedding", "c.embedding")}, 6) AS cos
          |FROM embeddings c,
-         |  (SELECT * FROM embeddings WHERE vec_id % 100 = 0) q
+         |  (SELECT * FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000) q
          |WHERE c.vec_id <> q.vec_id
          |  AND ${sqlCos("q.embedding", "c.embedding")} >= 0.2""".stripMargin,
 
