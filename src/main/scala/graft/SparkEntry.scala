@@ -2523,8 +2523,13 @@ object SparkEntry {
         .unionByName(evalOf(Dedup.simhashPairs(docs), "simhash"))
     },
 
+    // the benchmark set is pinned to the BASE-COPY docs (doc_id < 1e8
+    // under ScaleUp's replica shift): an eval suite is operationally
+    // constant, so the broadcast/bloom side stays fixed while only
+    // the corpus side scales — same policy as the ANN query batches
     "doc_contamination" -> { (s, dir) =>
-      Dedup.contamination(tbl(s, dir, "documents"), col("doc_id") % 97 === 0)
+      Dedup.contamination(tbl(s, dir, "documents"),
+        col("doc_id") % 97 === 0 && col("doc_id") < 100000000L)
     },
 
     // fixed-size-sketch scale path, wrapped in its own contract so
@@ -2538,7 +2543,7 @@ object SparkEntry {
     // .contaminationAudit), not re-derived per leg.
     "doc_contamination_bloom" -> { (s, dir) =>
       Dedup.contaminationAudit(tbl(s, dir, "documents"),
-        col("doc_id") % 97 === 0)
+        col("doc_id") % 97 === 0 && col("doc_id") < 100000000L)
     },
 
     "doc_dup_ngram_frac" -> { (s, dir) =>
@@ -3840,24 +3845,24 @@ object SparkEntry {
     "doc_contamination" ->
       s"""WITH $sqlSidsCte,
          |bench AS (SELECT DISTINCT unnest(sids) AS sid FROM sids
-         |  WHERE doc_id % 97 = 0),
+         |  WHERE doc_id % 97 = 0 AND doc_id < 100000000),
          |corpus AS (SELECT doc_id, unnest(sids) AS sid FROM sids
-         |  WHERE doc_id % 97 <> 0),
+         |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 100000000)),
          |hits AS (SELECT doc_id, count(*) AS n_shared FROM corpus
          |  WHERE sid IN (SELECT sid FROM bench) GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
          |  coalesce(h.n_shared, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+         |WHERE NOT (d.doc_id % 97 = 0 AND d.doc_id < 100000000)""".stripMargin,
 
     // Bloom internals are engine-specific; the exact columns and the
     // contract verdicts are not (see the query comment)
     "doc_contamination_bloom" ->
       s"""WITH $sqlSidsCte,
          |bench AS (SELECT DISTINCT unnest(sids) AS sid FROM sids
-         |  WHERE doc_id % 97 = 0),
+         |  WHERE doc_id % 97 = 0 AND doc_id < 100000000),
          |corpus AS (SELECT doc_id, unnest(sids) AS sid FROM sids
-         |  WHERE doc_id % 97 <> 0),
+         |  WHERE NOT (doc_id % 97 = 0 AND doc_id < 100000000)),
          |hits AS (SELECT doc_id, count(*) AS n_shared FROM corpus
          |  WHERE sid IN (SELECT sid FROM bench) GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
@@ -3865,7 +3870,7 @@ object SparkEntry {
          |  TRUE AS bloom_no_false_neg,
          |  TRUE AS bloom_flags_all_contaminated
          |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-         |WHERE d.doc_id % 97 <> 0""".stripMargin,
+         |WHERE NOT (d.doc_id % 97 = 0 AND d.doc_id < 100000000)""".stripMargin,
 
     "doc_dup_ngram_frac" ->
       s"""WITH $sqlSidsCte,
