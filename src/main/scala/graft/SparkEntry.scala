@@ -2665,6 +2665,25 @@ object SparkEntry {
         "doc_id", m = 5)
     },
 
+    // weighted sampling without replacement, weight = token count
+    // capped at 16 ("sample docs proportional to length"): the
+    // min-of-w-hashes race — integer arithmetic only (no pow/ln),
+    // scan-side draws, TakeOrderedAndProject top-k
+    "doc_sample_weighted" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      Sampling.weightedTopK(
+        docs.select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("__w0")),
+        "doc_id", col("__w0"), k = 25)
+    },
+
+    // count-min heavy hitters: exact top-20 tokens audited against
+    // the fixed 4x256 counter grid — the frequency sketch next to
+    // GK/HLL/Bloom; the grid is the ONLY state a 100 TB run keeps
+    "doc_heavy_hitters" -> { (s, dir) =>
+      Freq.cmsHeavyHitters(tbl(s, dir, "documents"))
+    },
+
     "doc_sample_stratified" -> { (s, dir) =>
       Sampling.stratified(tbl(s, dir, "documents"), col("lang"), col("text"),
         Map("en" -> 20), defaultPct = 60)
@@ -4236,6 +4255,43 @@ object SparkEntry {
          |    AS sample_rank FROM rh)
          |SELECT doc_id, lang, sample_rank FROM rr
          |WHERE sample_rank <= 5""".stripMargin,
+
+    // min-of-w-hashes weighted sample: same rolling hash over
+    // "id#draw", integer weights from the capped token count
+    "doc_sample_weighted" ->
+      s"""WITH wt AS (SELECT doc_id, CAST(greatest(1, least(16,
+         |    len($sqlToks))) AS INTEGER) AS weight FROM documents),
+         |pr AS (SELECT doc_id, weight,
+         |    list_min(list_transform(range(1, weight + 1), j ->
+         |      ${sqlPoly("CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)")}))
+         |    AS priority FROM wt)
+         |SELECT doc_id, weight, priority FROM pr
+         |ORDER BY priority, doc_id LIMIT 25""".stripMargin,
+
+    // count-min grid replayed in full (d=4 rows of width 256, each
+    // row re-hashing with its OWN multiplier so pair collisions are
+    // row-independent) — the estimates themselves are compared, no
+    // literal-TRUE pins; bound arithmetic stays in integers
+    // ((est-exact)*width <= depth*N)
+    "doc_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($sqlToks) AS tok FROM documents),
+         |h AS (SELECT tok, ${sqlPoly("tok")} AS hh FROM t),
+         |cnt AS (SELECT tok, hh, count(*) AS n_exact FROM h GROUP BY 1, 2),
+         |top AS (SELECT tok, hh, n_exact FROM cnt
+         |  ORDER BY n_exact DESC, tok LIMIT 20),
+         |tot AS (SELECT count(*) AS n FROM h),
+         |sk AS (SELECT r.r, ((hh * (654664997 + r.r * 97)) % 1000000007) % 256
+         |    AS bk, count(*) AS c
+         |  FROM h, range(4) r(r) GROUP BY 1, 2),
+         |est AS (SELECT top.tok, top.n_exact, min(sk.c) AS n_est
+         |  FROM top, range(4) r(r) JOIN sk ON sk.r = r.r
+         |    AND sk.bk = ((top.hh * (654664997 + r.r * 97)) % 1000000007) % 256
+         |  GROUP BY 1, 2)
+         |SELECT CAST(row_number() OVER (ORDER BY n_exact DESC, tok)
+         |    AS INTEGER) AS rank,
+         |  tok, n_exact, n_est, n_est >= n_exact AS no_underestimate,
+         |  (n_est - n_exact) * 256 <= 4 * tot.n AS within_bound
+         |FROM est, tot""".stripMargin,
 
     "doc_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

@@ -58,6 +58,33 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (the
+    * min-hash race): each row draws `w` deterministic uniform hashes
+    * (w = its integer weight, capped at `maxW`) and its priority is
+    * their MINIMUM — so pairwise P(a outranks b) = w_a/(w_a+w_b),
+    * the discrete Efraimidis–Spirakis order — and the sample is the
+    * global top-`k` by (priority, id).
+    *
+    * Integer arithmetic end-to-end: the usual u^(1/w) / −ln(u)/w
+    * keys need pow/ln, which are NOT correctly rounded in either
+    * engine (the same reason sourceMix weights by sqrt); the min of
+    * w rolling hashes is bit-identical everywhere. Scale shape: the
+    * draws are a scan-side bounded array fold (≤ maxW hashes/row,
+    * fused into codegen), the only plan feature is the top-k —
+    * TakeOrderedAndProject, per-partition heaps, no global sort.
+    */
+  def weightedTopK(df: DataFrame, idCol: String, weight: Column, k: Int,
+                   maxW: Int = 16): DataFrame = {
+    val w = greatest(lit(1), least(lit(maxW), weight)).cast("int")
+    val priority = array_min(transform(sequence(lit(1), w), j =>
+      poly_hash(concat(col(idCol).cast("string"), lit("#"),
+        j.cast("string")))))
+    df.withColumn("weight", w)
+      .withColumn("priority", priority)
+      .orderBy(col("priority"), col(idCol)).limit(k)
+      .select(col(idCol), col("weight"), col("priority"))
+  }
+
   /** Deterministic training-shard packing: hash-bucket for even
     * spread, then pack each bucket's docs (rolling-hash order, id
     * tie-break) into shards of `shardSize`. The two-level (bucket,

@@ -201,6 +201,38 @@ class OperatorSpec extends AnyFunSuite {
       s"fp inflation too large: $maybeHits vs $exactHits")
   }
 
+  test("weightedTopK: priorities are the exact min-of-w rolling hashes; k smallest kept") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, (i % 23 + 1).toInt)).toDF("doc_id", "w0")
+    val got = Sampling.weightedTopK(df, "doc_id", col("w0"), k = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // brute-force recomputation with the same hash kernel
+    def prio(id: Long, w: Int): Long = (1 to w).map { j =>
+      graft.functions.HashImpl.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$id#$j"))
+    }.min
+    val want = (1L to 200L).map { i =>
+      val w = math.max(1, math.min(16, (i % 23 + 1).toInt))
+      (i, w, prio(i, w))
+    }.sortBy(t => (t._3, t._1)).take(12)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("cmsHeavyHitters: both sketch contracts hold; ranks are 1..k") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hh = Freq.cmsHeavyHitters(docs).collect()
+    assert(hh.length == 20)
+    assert(hh.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 20))
+    hh.foreach { r =>
+      assert(r.getAs[Boolean]("no_underestimate"),
+        s"CMS undercounted ${r.getAs[String]("tok")}")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"CMS estimate for ${r.getAs[String]("tok")} exceeds depth*N/width")
+      assert(r.getAs[Long]("n_est") >= r.getAs[Long]("n_exact"))
+    }
+  }
+
   test("contaminationAudit: exact columns match the exact operator; verdicts hold") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

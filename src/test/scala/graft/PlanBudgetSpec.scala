@@ -51,6 +51,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_mmr" -> 2,
     // exact-k stratum sample: ONE stratum-keyed rank window
     "doc_reservoir" -> 1,
+    // min-hash-race weighted sample: scan-side draws + top-k via
+    // TakeOrderedAndProject — NO exchange at all
+    "doc_sample_weighted" -> 0,
+    // CMS audit: exact token agg (the leg being audited) + its
+    // top-k, the fixed-grid agg + broadcast, the 1-row total +
+    // broadcast — the grid and total are the only production state
+    "doc_heavy_hitters" -> 5,
     // bollinger envelope: ONE series-key window, all frames fused
     "ts_bands" -> 1,
     // holt-winters: daily pre-agg + the series-key fold window
