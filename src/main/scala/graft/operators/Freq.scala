@@ -43,14 +43,21 @@ object Freq {
     * row-dependent multiplier scatters each pair independently. No
     * second pass over text is ever needed.
     */
+  /** Row-`r` CMS bucket of a rolling hash: per-row multiplier re-hash
+    * (see the class doc), shared by the batch audit and the windowed
+    * streaming grid so their cells are identical by construction.
+    */
+  def bucket(h: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+             width: Int): org.apache.spark.sql.Column =
+    ((h * (lit(654664997L) + r * lit(97L))) % lit(TextOps.HashMod)) %
+      lit(width.toLong)
+
   def cmsHeavyHitters(docs: DataFrame, k: Int = 20, depth: Int = 4,
                       width: Int = 256): DataFrame = {
     val toks = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
       .withColumn("__h", poly_hash(col("tok")))
     def bucket(h: org.apache.spark.sql.Column,
-               r: org.apache.spark.sql.Column) =
-      ((h * (lit(654664997L) + r * lit(97L))) % lit(TextOps.HashMod)) %
-        lit(width.toLong)
+               r: org.apache.spark.sql.Column) = Freq.bucket(h, r, width)
 
     val top = toks.groupBy("tok", "__h")
       .agg(count(lit(1)).as("n_exact"))

@@ -580,6 +580,41 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(byWin(3600L * 1000000L) > 1.0) // full-bin collapse alarms
   }
 
+  test("streaming CMS grid equals the batch grid; probes never undercount") {
+    import spark.implicits._
+    val base = 1704067200000000L
+    val texts = Seq("a b c a b a", "d e a b", "c c c d", "a f g h")
+    val batch = texts.zipWithIndex
+      .map { case (t, i) => (base + i * 60L * 1000000L, t) }
+      .toDF("ts", "text")
+    val dir = Files.createTempDirectory("graft_scms").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    val grid = graft.streaming.StreamFreq.cmsGrid(stream, "ts", "text",
+      "1h", watermark = "10 minutes")
+    val q = grid.writeStream.outputMode("complete")
+      .format("memory").queryName("cms_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("cms_test")
+
+    // withWatermark is a no-op on a batch frame: same code path
+    val want = graft.streaming.StreamFreq.cmsGrid(batch, "ts", "text",
+      "1h", watermark = "10 minutes")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // probe the single window's grid: estimates never undercount
+    val cells = got.collect()
+      .map(r => (r.getAs[Int]("r"), r.getAs[Long]("bk")) -> r.getAs[Long]("c"))
+      .toMap
+    val exact = Map("a" -> 5L, "c" -> 4L, "b" -> 3L, "h" -> 1L, "z" -> 0L)
+    exact.foreach { case (tok, n) =>
+      assert(graft.streaming.StreamFreq.estimate(cells, tok) >= n,
+        s"CMS probe undercounted '$tok'")
+    }
+  }
+
   test("stream-stream interval join matches the batch RangeJoin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -285,6 +285,31 @@ class StreamStateSpec extends AnyFunSuite {
       s"ingest state grew across batches: $rows")
   }
 
+  test("CMS grid state is bounded by open windows x grid cells, not vocabulary") {
+    import spark.implicits._
+    val words = "alpha beta gamma delta epsilon zeta eta theta".split(' ')
+    val batches = (0 until 4).map { b =>
+      val base = b.toLong * 24 * H
+      (0 until 12).map { i =>
+        // vocabulary grows per batch — state must NOT
+        val body = (0 until 20)
+          .map(j => words((i + j) % words.length) + s"x$b").mkString(" ")
+        (base + i * M, body)
+      }.toDF("ts", "text")
+    }
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamFreq.cmsGrid(s, "ts", "text", "1h",
+        watermark = "1 hour"),
+      "append", "cms_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    // each batch's events fit one 1h window; its grid holds <= d x
+    // distinct-bucket cells. Steady state = the most recent two
+    // batches' windows; unbounded growth accumulates all four.
+    assert(rows.max <= 2 * rows.head + 8,
+      s"grid state grew across batches: $rows")
+  }
+
   test("per-window top-k map state flushes once the watermark closes the window") {
     val batches = advancingBatches(nKeys = 4, perKey = 30)
     val (out, ps) = StreamHarness.feedBatches(spark, batches,
