@@ -75,7 +75,11 @@ object Sampling {
     */
   def weightedTopK(df: DataFrame, idCol: String, weight: Column, k: Int,
                    maxW: Int = 16): DataFrame = {
-    val w = greatest(lit(1), least(lit(maxW), weight)).cast("int")
+    // null weight → 1 draw, not a null priority (nulls sort FIRST in
+    // an ascending order-by, so an unguarded null row would win the
+    // race unconditionally)
+    val w = greatest(lit(1), least(lit(maxW), coalesce(weight, lit(1))))
+      .cast("int")
     val priority = array_min(transform(sequence(lit(1), w), j =>
       poly_hash(concat(col(idCol).cast("string"), lit("#"),
         j.cast("string")))))
