@@ -3142,6 +3142,22 @@ object SparkEntry {
         everyKth = MmFramesEveryKth).toDF()
     },
 
+    // sampled-keyframe video near-dup: inverted index on the frame
+    // content signature (df-capped like the n-gram chain), overlap =
+    // containment so clips inside longer videos still score 1.0. The
+    // stub decode is exact-copy perceptual only (like mm_phash), so
+    // re-encoded duplicates are PLANTED as payload copies under fresh
+    // ids (+1e11, clear of ScaleUp replica ranges) — the signatures
+    // must surface exactly those pairs
+    "mm_frame_dedup" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 50 === 0 &&
+          col("doc_id") < 100000000L)
+        .withColumn("doc_id", col("doc_id") + lit(100000000000L))
+      Multimodal.frameDupPairs(s, docs.unionByName(planted),
+        everyKth = MmFramesEveryKth)
+    },
+
     "mm_resize" -> { (s, dir) =>
       Multimodal.resizePlan(s, tbl(s, dir, "documents"))
     },
@@ -5206,6 +5222,32 @@ object SparkEntry {
          |  (fp * ${TextOps.HashMul} + frame_idx) % ${TextOps.HashMod}
          |    AS frame_ref
          |FROM x""".stripMargin,
+
+    // frame-ref inverted index over the SAME sampled-frame chain as
+    // mm_frames (shared constants), df-capped 2..16 like the n-gram
+    // chain; overlap = containment vs the smaller sampled set
+    "mm_frame_dedup" ->
+      s"""WITH fdocs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000000000, text FROM documents
+         |  WHERE doc_id % 50 = 0 AND doc_id < 100000000),
+         |m AS (SELECT doc_id, ${sqlPoly("text")} AS fp FROM fdocs),
+         |f AS (SELECT doc_id, fp, 1 + fp % 8 AS n_frames FROM m),
+         |x AS (SELECT doc_id, fp,
+         |  unnest(range(0, n_frames, $MmFramesEveryKth)) AS frame_idx FROM f),
+         |fr AS (SELECT doc_id,
+         |  (fp * ${TextOps.HashMul} + frame_idx) % ${TextOps.HashMod}
+         |    AS ref FROM x),
+         |pd AS (SELECT doc_id, count(*) AS n FROM fr GROUP BY 1),
+         |dfc AS (SELECT ref FROM fr GROUP BY ref
+         |  HAVING count(*) >= 2 AND count(*) <= 16),
+         |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS n_shared
+         |  FROM fr a JOIN fr b ON a.ref = b.ref AND a.doc_id < b.doc_id
+         |  WHERE a.ref IN (SELECT ref FROM dfc) GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / least(pa.n, pb.n), 6) AS overlap
+         |FROM sh JOIN pd pa ON pa.doc_id = sh.id_a
+         |  JOIN pd pb ON pb.doc_id = sh.id_b""".stripMargin,
 
     // the CASE mirrors resizePlan's no-upscale rule; dims are positive
     // so DuckDB's // == Spark's div here

@@ -273,6 +273,55 @@ object Multimodal {
       .distinct()
   }
 
+  /** Frame-signature video near-dup: two videos are candidate
+    * duplicates when their SAMPLED frames share content signatures —
+    * the standard sampled-keyframe video-dedup shape, here over
+    * [[sampleFrames]]'s stub refs (a real decoder swaps in a
+    * perceptual frame hash; every plan feature below is unchanged).
+    * Output per pair: (id_a, id_b, n_shared, overlap) with overlap =
+    * shared / min(sampled_a, sampled_b) — containment, so a clip
+    * embedded in a longer video still scores 1.0.
+    *
+    * Scale shape: an inverted index on the frame signature — the
+    * shuffle carries (ref, doc_id) pairs only, never frames or
+    * payload — with the posting-list df-cap (`maxRefDf`) bounding the
+    * hottest signature exactly like the n-gram Jaccard chain; the
+    * pair agg is map-side combinable.
+    */
+  def frameDupPairs(spark: SparkSession, docs: DataFrame,
+                    everyKth: Int = 2, maxRefDf: Int = 16): DataFrame = {
+    // the sampled-frame table feeds four consumers (per-doc counts,
+    // the df cap, both self-join sides); lazily checkpoint it so the
+    // decode pass runs ONCE and the consumers share the materialized
+    // (doc_id, ref) rows — the minhash-estimate convention
+    val fr = sampleFrames(spark, docs, everyKth).toDF()
+      .select(col("doc_id"), col("frame_ref"))
+      .localCheckpoint(false)
+    // both derived frames are doc-count-sized and feed TWO consumers
+    // each (the join-back sides / the self-join sides) — checkpoint
+    // so each aggregate runs once instead of once per consumer
+    val perDoc = fr.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val dupRefs = fr.groupBy("frame_ref")
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxRefDf)
+      .select("frame_ref")
+      .localCheckpoint(false)
+    val pruned = fr.hint("shuffle_hash")
+      .join(dupRefs, Seq("frame_ref"), "left_semi")
+    val a = pruned.select(col("frame_ref"), col("doc_id").as("id_a"))
+    val b = pruned.select(col("frame_ref"), col("doc_id").as("id_b"))
+    a.join(b, Seq("frame_ref")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .join(perDoc.select(col("doc_id").as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(perDoc.select(col("doc_id").as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("__na"), col("__nb")), 6).as("overlap"))
+  }
+
   def sampleFrames(spark: SparkSession, docs: DataFrame,
                    everyKth: Int = 2): Dataset[MediaFrame] = {
     import spark.implicits._

@@ -137,6 +137,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // chain + the truth-candidate join and 1-row agg — same budget
     // as the exhaustive eval, but the truth side is O(n·|P|)
     "mm_phash_eval_sampled" -> 6,
+    // frame-signature video dedup: the decode pass and both
+    // doc-count-sized derived frames (df cap, per-doc counts) are
+    // checkpointed — visible plan = their broadcasts + the semi-join,
+    // pair agg and join-backs over (ref, id) rows only
+    "mm_frame_dedup" -> 6,
     // single-shuffle stateful / agg family
     "q1_agg" -> 1, "ts_agg_basic" -> 1,
     // cube: finest-grain partial agg + the subtotal re-combine over the
