@@ -2945,6 +2945,13 @@ object SparkEntry {
       Knn.kmeans(tbl(s, dir, "embeddings"), EmbDim)
     },
 
+    // centroid-distance outlier flags: bottom-decile assignment
+    // cosines — the curation FILTER next to semdedup's dedup; exact
+    // lower-element percentile over 6dp cosines, broadcast back
+    "emb_outliers" -> { (s, dir) =>
+      Knn.centroidOutliers(tbl(s, dir, "embeddings"), EmbDim)
+    },
+
     // LSH-cell blocking (not label blocking): a label block is
     // O(block^2) pairs at corpus scale; the (table, bucket) cells the
     // ANN index already computes bound the self-join instead, with
@@ -4869,6 +4876,20 @@ object SparkEntry {
          |ka2 AS (${sqlKmeansAssign("kc1")})
          |SELECT vid AS vec_id, cid AS cluster_id, round(cos, 6) AS cos
          |FROM ka2""".stripMargin,
+
+    // bottom-decile assignment cosines via the same kmeans CTEs; the
+    // threshold is the exact lower element at floor((n-1)·0.1) of the
+    // sorted 6dp cosines — percentileMethod('lower') index arithmetic
+    "emb_outliers" ->
+      s"""WITH $sqlKmeansCtes,
+         |ka2 AS (${sqlKmeansAssign("kc1")}),
+         |aa AS (SELECT vid, cid, round(cos, 6) AS cos FROM ka2),
+         |th AS (SELECT (list_sort(list(cos)))[
+         |    CAST(floor((count(*) - 1) * 0.1) AS INTEGER) + 1] AS thr
+         |  FROM aa)
+         |SELECT vid AS vec_id, cid AS cluster_id, cos,
+         |  cos <= th.thr AS is_outlier
+         |FROM aa, th""".stripMargin,
 
     // SemDeDup via the shared kmeans CTEs: intra-cluster pairs at
     // cosine >= 0.3; each pair drops the member with the HIGHER

@@ -838,6 +838,35 @@ object Knn {
       .select(col("vid").as(idCol), col("cid").as("cluster_id"),
         round(col("cos"), 6).as("cos"))
 
+  /** Centroid-distance embedding outliers — the FILTER counterpart of
+    * [[semDedup]]'s prototype dropping: vectors whose cosine to their
+    * learned-cluster centroid sits in the bottom `frac` of the corpus
+    * are flagged (embeddings far from every prototype are the usual
+    * suspects for mojibake, truncation, or off-distribution content
+    * in a curation pipeline). The threshold is the exact
+    * lower-element percentile of the 6dp-rounded assignment cosines,
+    * so the flag set is engine-exact.
+    *
+    * Scale shape: the Lloyd assignment (broadcast centroids + per-key
+    * window) plus ONE corpus-wide percentile agg whose 1-row result
+    * broadcasts back over the assignment — the doc_quality_filter
+    * posture. At 100 TB swap the exact percentile for
+    * [[graft.functions.Aggs.percentileApprox]]; nothing else changes.
+    */
+  def centroidOutliers(emb: DataFrame, dim: Int, frac: Double = 0.1,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    // one Lloyd materialization shared by the threshold agg and the
+    // flag projection (the semDedup convention)
+    val a = kmeans(emb, dim, idCol = idCol, vecCol = vecCol)
+      .localCheckpoint(false)
+    val thr = a.agg(graft.functions.Aggs
+      .percentileMethod(col("cos"), frac, "lower").as("__thr"))
+    a.crossJoin(broadcast(thr))
+      .select(col(idCol), col("cluster_id"), col("cos"),
+        (col("cos") <= col("__thr")).as("is_outlier"))
+  }
+
   /** The learned coarse codebook: centroids after `iters-1` Lloyd
     * updates — exactly the frame [[kmeans]] runs its final assignment
     * against, shaped (cid, cvec: array<double>) so it plugs into

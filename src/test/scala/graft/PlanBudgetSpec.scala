@@ -253,7 +253,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_ccnet_bucket" -> 2,
     // kmeans Lloyd round (assignment window + k*dim centroid partial
     // aggs) + the per-cluster top-m window keyed by cluster_id
-    "emb_cluster_sample" -> 8)
+    "emb_cluster_sample" -> 8,
+    // checkpointed Lloyd assignment + the 1-row threshold agg and its
+    // broadcast back — the doc_quality_filter posture
+    "emb_outliers" -> 2)
 
   test("no query exceeds its exchange budget") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
