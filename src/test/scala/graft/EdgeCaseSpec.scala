@@ -89,6 +89,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(TextOps.bpeApply(emptyDocs).isEmpty)
   }
 
+  test("round-8 additions pass empty inputs through") {
+    assert(Freq.cmsHeavyHitters(emptyDocs).isEmpty)
+    assert(Sampling.weightedTopK(
+      emptyDocs.withColumnRenamed("text", "w0"), "doc_id",
+      org.apache.spark.sql.functions.col("w0").cast("int"), 5).isEmpty)
+    assert(Multimodal.frameDupPairs(spark, emptyDocs).isEmpty)
+    val emptyEmb8 = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Knn.centroidOutliers(emptyEmb8, 2).isEmpty)
+    // contaminationAudit on an all-benchmark corpus: no corpus docs
+    val benchOnly = Seq((97L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.contaminationAudit(benchOnly,
+      org.apache.spark.sql.functions.col("doc_id") % 97 === 0).isEmpty)
+  }
+
   test("components of an empty pair list is empty (and converges)") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val (labels, rounds) = Dedup.componentsWithRounds(pairs)
