@@ -2748,6 +2748,25 @@ object SparkEntry {
       TextOps.vocab(tbl(s, dir, "documents"), topK = 50)
     },
 
+    // corpus distinct-n diversity per source: low distinct-2/3 ratios
+    // flag template-generated slices per-doc filters miss
+    "doc_distinct_ngrams" -> { (s, dir) =>
+      TextOps.distinctNgrams(tbl(s, dir, "documents"), col("source"))
+    },
+
+    // Zipf rank-frequency OLS fit over the vocabulary head — the
+    // corpus-health scalar (natural text ~ -1)
+    "doc_zipf" -> { (s, dir) =>
+      TextOps.zipf(tbl(s, dir, "documents"), topK = 1000)
+    },
+
+    // PMI collocations: top adjacent pairs by pointwise mutual
+    // information among pairs seen >= 5 times
+    "doc_pmi" -> { (s, dir) =>
+      TextOps.pmiCollocations(tbl(s, dir, "documents"), minCount = 5,
+        topK = 50)
+    },
+
     // tokenizer training's inner loop: corpus-weighted adjacent
     // character-pair counts (the argmax IS the next BPE merge)
     "doc_bpe_step" -> { (s, dir) =>
@@ -2939,6 +2958,12 @@ object SparkEntry {
 
     "emb_label_centroid" -> { (s, dir) =>
       Knn.centroids(tbl(s, dir, "embeddings"), "label")
+    },
+
+    // snapshot-to-snapshot embedding drift per label (vec_id parity
+    // stands in for the two ingest snapshots): centroid cosine + shift
+    "emb_drift" -> { (s, dir) =>
+      Knn.labelDrift(tbl(s, dir, "embeddings"), col("vec_id") % 2 === 0)
     },
 
     "emb_kmeans" -> { (s, dir) =>
@@ -3167,6 +3192,14 @@ object SparkEntry {
 
     "mm_resize" -> { (s, dir) =>
       Multimodal.resizePlan(s, tbl(s, dir, "documents"))
+    },
+
+    // shot segmentation over the sampled keyframes: cut where the
+    // frame content signature changes, scene_id = running cut count
+    // (per-video window, <= 4 sampled rows per partition key)
+    "mm_scene_cut" -> { (s, dir) =>
+      Multimodal.sceneCuts(s, tbl(s, dir, "documents"),
+        everyKth = MmFramesEveryKth)
     },
 
     // audio-modality plumbing: stub PCM decode -> fixed-size analysis
@@ -4469,6 +4502,77 @@ object SparkEntry {
          |    AS INTEGER) AS rank, token, tf, df_docs FROM v)
          |SELECT rank, token, tf, df_docs FROM r WHERE rank <= 50""".stripMargin,
 
+    // distinct-n diversity: shingle strings joined by one space then
+    // poly-hashed — mirrors the native shingle hasher bit-for-bit
+    "doc_distinct_ngrams" ->
+      s"""WITH dtk AS (SELECT source, $sqlToks AS tk FROM documents),
+         |sg AS (
+         |  SELECT source, 1 AS n, unnest(tk) AS s FROM dtk
+         |  UNION ALL
+         |  SELECT source, 2, unnest(list_transform(range(1, len(tk)),
+         |    i -> array_to_string(list_slice(tk, i, i + 1), ' '))) FROM dtk
+         |  UNION ALL
+         |  SELECT source, 3, unnest(list_transform(range(1, len(tk) - 1),
+         |    i -> array_to_string(list_slice(tk, i, i + 2), ' '))) FROM dtk),
+         |sh AS (SELECT source AS grp, n, ${sqlPoly("s")} AS h FROM sg)
+         |SELECT grp, n, count(*) AS total_ngrams,
+         |  count(DISTINCT h) AS distinct_ngrams,
+         |  round(CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6)
+         |    AS distinct_ratio
+         |FROM sh GROUP BY grp, n""".stripMargin,
+
+    // Zipf fit: ln-quantized integer moment sums (the dsir convention)
+    // then one double division — sum order cannot move the result
+    "doc_zipf" ->
+      s"""WITH ztk AS (SELECT unnest($sqlToks) AS token FROM documents),
+         |zv AS (SELECT token, count(*) AS tf FROM ztk GROUP BY token),
+         |zr AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, token)
+         |    AS rank FROM zv ORDER BY tf DESC, token LIMIT 1000),
+         |zq AS (SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS x6,
+         |    CAST(round(ln(tf) * 1000000) AS BIGINT) AS y6 FROM zr),
+         |za AS (SELECT count(*) AS n, sum(x6) AS sx, sum(y6) AS sy,
+         |    sum(x6 * y6) AS sxy, sum(x6 * x6) AS sxx, sum(y6 * y6) AS syy
+         |  FROM zq),
+         |zf AS (SELECT n, sx, sy,
+         |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+         |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+         |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+         |  FROM za)
+         |SELECT n, round(cov / vx, 6) AS zipf_slope,
+         |  round((CAST(sy AS DOUBLE) - cov / vx * CAST(sx AS DOUBLE))
+         |    / CAST(n AS DOUBLE) / 1000000.0, 6) AS intercept,
+         |  round(cov * cov / (vx * vy), 6) AS r2
+         |FROM zf""".stripMargin,
+
+    // PMI from ln-quantized integer terms: pmi6 = l(c_ab) + 2 l(N_tok)
+    // - l(N_big) - l(c_a) - l(c_b); integer combination is exact
+    "doc_pmi" ->
+      s"""WITH ptk AS (SELECT $sqlToks AS tk FROM documents),
+         |pbp AS (SELECT unnest(list_transform(range(1, len(tk)),
+         |    i -> struct_pack(a := tk[i], b := tk[i + 1]))) AS p FROM ptk),
+         |ppc AS (SELECT p.a AS tok_a, p.b AS tok_b, count(*) AS n_pair
+         |  FROM pbp GROUP BY 1, 2 HAVING count(*) >= 5),
+         |puc AS (SELECT t, count(*) AS cnt FROM
+         |  (SELECT unnest(tk) AS t FROM ptk) GROUP BY t),
+         |ptot AS (SELECT CAST(sum(len(tk)) AS BIGINT) AS n_tok,
+         |    CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) AS n_big
+         |  FROM ptk),
+         |pj AS (SELECT tok_a, tok_b, n_pair, ua.cnt AS n_a, ub.cnt AS n_b,
+         |    n_tok, n_big
+         |  FROM ppc JOIN puc ua ON ua.t = ppc.tok_a
+         |    JOIN puc ub ON ub.t = ppc.tok_b, ptot)
+         |SELECT tok_a, tok_b, n_pair, n_a, n_b,
+         |  round((CAST(round(ln(n_pair) * 1000000) AS BIGINT)
+         |    + 2 * CAST(round(ln(n_tok) * 1000000) AS BIGINT)
+         |    - CAST(round(ln(n_big) * 1000000) AS BIGINT)
+         |    - CAST(round(ln(n_a) * 1000000) AS BIGINT)
+         |    - CAST(round(ln(n_b) * 1000000) AS BIGINT)) / 1000000.0, 6)
+         |    AS pmi
+         |FROM pj ORDER BY pmi DESC, tok_a, tok_b LIMIT 50""".stripMargin,
+
     // BPE merge statistics: word-frequency table first, char pairs
     // over the word table (substr is char-based 1-indexed in both
     // engines), count-desc/pair-asc top-k — mirrors TextOps.bpePairs
@@ -4867,6 +4971,34 @@ object SparkEntry {
          |  FROM embeddings)
          |SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 6) AS c
          |FROM e GROUP BY label, dim""".stripMargin,
+
+    // centroid components quantize to 6dp-scaled ints first; the
+    // dot/norm/shift sums are exact integer arithmetic, one double
+    // division/sqrt at the end — sum order cannot move the hash
+    "emb_drift" ->
+      s"""WITH e AS (SELECT label, vec_id % 2 = 0 AS ref,
+         |    unnest(range(1, len(embedding) + 1)) AS dim,
+         |    unnest(embedding) AS v
+         |  FROM embeddings),
+         |p AS (SELECT label, dim,
+         |    CAST(round(avg(CASE WHEN ref THEN CAST(v AS DOUBLE) END)
+         |      * 1000000) AS BIGINT) AS ca6,
+         |    CAST(round(avg(CASE WHEN NOT ref THEN CAST(v AS DOUBLE) END)
+         |      * 1000000) AS BIGINT) AS cb6,
+         |    count(CASE WHEN ref THEN 1 END) AS na,
+         |    count(CASE WHEN NOT ref THEN 1 END) AS nb
+         |  FROM e GROUP BY label, dim),
+         |a AS (SELECT label, max(na) AS n_ref, max(nb) AS n_cur,
+         |    sum(ca6 * cb6) AS dot, sum(ca6 * ca6) AS ssa,
+         |    sum(cb6 * cb6) AS ssb,
+         |    sum((ca6 - cb6) * (ca6 - cb6)) AS sd
+         |  FROM p GROUP BY label)
+         |SELECT label, n_ref, n_cur,
+         |  round(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(ssa AS DOUBLE)) * sqrt(CAST(ssb AS DOUBLE))), 6)
+         |    AS centroid_cos,
+         |  round(sqrt(CAST(sd AS DOUBLE)) / 1000000.0, 6) AS shift_l2
+         |FROM a""".stripMargin,
 
     // two unrolled Lloyd rounds via the shared kmeans CTEs (centroids
     // rounded to 6dp between rounds exactly like Knn.kmeans, ties
@@ -5269,6 +5401,32 @@ object SparkEntry {
          |  round(CAST(n_shared AS DOUBLE) / least(pa.n, pb.n), 6) AS overlap
          |FROM sh JOIN pd pa ON pa.doc_id = sh.id_a
          |  JOIN pd pb ON pb.doc_id = sh.id_b""".stripMargin,
+
+    // shot segmentation: per-video scene length 1..3 from the decode
+    // fingerprint, signature keyed on frame_idx // scene_len; cut =
+    // signature change between consecutive SAMPLED frames, scene_id =
+    // running cut count (frame_idx unique per doc, so DuckDB's default
+    // RANGE frame equals Spark's)
+    "mm_scene_cut" ->
+      s"""WITH m AS (SELECT doc_id, ${sqlPoly("text")} AS fp FROM documents),
+         |f AS (SELECT doc_id, fp, 1 + fp % 8 AS n_frames,
+         |    1 + (fp // 8) % 3 AS slen FROM m),
+         |x AS (SELECT doc_id, fp, slen,
+         |    unnest(range(0, n_frames, $MmFramesEveryKth)) AS frame_idx
+         |  FROM f),
+         |s AS (SELECT doc_id, frame_idx,
+         |    (fp * ${TextOps.HashMul} + frame_idx // slen)
+         |      % ${TextOps.HashMod} AS scene_sig FROM x),
+         |c AS (SELECT doc_id, frame_idx, scene_sig,
+         |    lag(scene_sig) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+         |      AS prev FROM s)
+         |SELECT doc_id, frame_idx, scene_sig,
+         |  (prev IS NOT NULL AND prev <> scene_sig) AS is_cut,
+         |  CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> scene_sig
+         |      THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY frame_idx) AS BIGINT)
+         |    AS scene_id
+         |FROM c""".stripMargin,
 
     // the CASE mirrors resizePlan's no-upscale rule; dims are positive
     // so DuckDB's // == Spark's div here

@@ -259,6 +259,54 @@ object Knn {
       .groupBy(col(groupCol), (col("pos") + 1).cast("long").as("dim"))
       .agg(round(avg(col("v").cast("double")), 6).as("c"))
 
+  /** Embedding-distribution drift between two corpus snapshots (the
+    * monitoring op a continuously-ingested training set needs: a new
+    * crawl/encoder version shifts the embedding distribution before any
+    * scalar stat moves): per group, the cosine between the two
+    * snapshots' centroids and the centroid shift's L2 norm. Near-1
+    * cosine + near-0 shift = stable; a drop localizes WHICH label/slice
+    * moved.
+    *
+    * Cross-engine exactness: centroid components quantize to 6dp-scaled
+    * integers FIRST (one avg each), so the dot/norm/shift sums are
+    * exact 64-bit integer arithmetic — no float-sum ordering anywhere —
+    * and the final cos/L2 are one double division/sqrt off exact ints
+    * (components ~1e6, squared·dim ~1e14: well inside the long range).
+    *
+    * Scale shape: ONE (group, dim) partial-agg'd shuffle computes both
+    * snapshots' centroids (conditional aggregates — the snapshots are
+    * never joined), then a #groups×dim-row re-combine. 100 TB of
+    * embeddings reduces map-side; groups with an empty side emit null
+    * drift (incomparable, not zero).
+    *
+    * Output: label, n_ref, n_cur, centroid_cos, shift_l2.
+    */
+  def labelDrift(emb: DataFrame, refPred: Column,
+                 groupCol: String = "label",
+                 vecCol: String = "embedding"): DataFrame = {
+    val d = emb.select(col(groupCol).as("label"), refPred.as("__ref"),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val per = d.groupBy(col("label"), col("pos"))
+      .agg(
+        round(avg(when(col("__ref"), col("v").cast("double"))) * lit(1e6))
+          .cast("long").as("ca6"),
+        round(avg(when(!col("__ref"), col("v").cast("double"))) * lit(1e6))
+          .cast("long").as("cb6"),
+        count(when(col("__ref"), lit(1))).as("na"),
+        count(when(!col("__ref"), lit(1))).as("nb"))
+    per.groupBy("label")
+      .agg(max(col("na")).as("n_ref"), max(col("nb")).as("n_cur"),
+        sum(col("ca6") * col("cb6")).as("__dot"),
+        sum(col("ca6") * col("ca6")).as("__ssa"),
+        sum(col("cb6") * col("cb6")).as("__ssb"),
+        sum((col("ca6") - col("cb6")) * (col("ca6") - col("cb6"))).as("__sd"))
+      .select(col("label"), col("n_ref"), col("n_cur"),
+        round(col("__dot").cast("double")
+          / (sqrt(col("__ssa").cast("double"))
+            * sqrt(col("__ssb").cast("double"))), 6).as("centroid_cos"),
+        round(sqrt(col("__sd").cast("double")) / lit(1e6), 6).as("shift_l2"))
+  }
+
   /** Int8 scalar quantization: per-dimension corpus min/max → code
     * floor((x-mn)/(mx-mn)·255) per element (4× storage cut before ANN
     * serving). Two stages: the stats pass posexplodes and partial-aggs

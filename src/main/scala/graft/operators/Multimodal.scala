@@ -322,6 +322,68 @@ object Multimodal {
           least(col("__na"), col("__nb")), 6).as("overlap"))
   }
 
+  /** One sampled frame carrying a CONTENT signature that persists
+    * across a scene: the stub derives a per-video scene length (1..3
+    * frames) from the payload fingerprint and keys the signature on
+    * `frame_idx / scene_len`, so consecutive frames inside a scene
+    * share a signature and the signature jumps at scene boundaries —
+    * the structure a real perceptual frame hash exhibits (near-equal
+    * within a shot, far across cuts). A real decoder replaces the
+    * signature with a frame phash and the cut test with
+    * hamming > threshold; nothing downstream changes.
+    */
+  final case class SceneFrame(doc_id: Long, n_frames: Long, frame_idx: Long,
+                              scene_sig: Long)
+
+  def sceneFrames(spark: SparkSession, docs: DataFrame,
+                  everyKth: Int = 2): Dataset[SceneFrame] = {
+    import spark.implicits._
+    val step = everyKth.toLong
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val h = graft.functions.HashImpl.polyHash(
+            org.apache.spark.unsafe.types.UTF8String.fromBytes(r.payload))
+          val nFrames = 1L + h % 8L
+          val sceneLen = 1L + (h / 8L) % 3L
+          (0L until nFrames by step).iterator.map { i =>
+            SceneFrame(r.doc_id, nFrames, i,
+              (h * TextOps.HashMul + i / sceneLen) % TextOps.HashMod)
+          }
+        }
+      }
+  }
+
+  /** Scene-cut detection over the sampled keyframes: a cut is flagged
+    * where consecutive sampled frames' content signatures differ, and
+    * `scene_id` numbers the resulting shots per video (running count
+    * of cuts — gaps-and-islands). This is the shot-segmentation step a
+    * video curation pipeline runs between frame sampling and per-shot
+    * feature extraction (dedup within a shot is redundant; sampling
+    * one keyframe PER SHOT is the standard reduction).
+    *
+    * Scale shape: the decode pass emits (doc, idx, sig) scan-side; the
+    * only shuffle is the per-video window partition — bounded at ≤
+    * n_frames/everyKth rows per video no matter the corpus size, so no
+    * partition ever exceeds one video's sampled frames.
+    *
+    * Output: doc_id, frame_idx, scene_sig, is_cut, scene_id.
+    */
+  def sceneCuts(spark: SparkSession, docs: DataFrame,
+                everyKth: Int = 2): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    sceneFrames(spark, docs, everyKth).toDF()
+      .withColumn("__prev", lag(col("scene_sig"), 1).over(w))
+      .withColumn("is_cut",
+        col("__prev").isNotNull && col("__prev") =!= col("scene_sig"))
+      .withColumn("scene_id",
+        sum(when(col("is_cut"), 1L).otherwise(0L)).over(w).cast("long"))
+      .select("doc_id", "frame_idx", "scene_sig", "is_cut", "scene_id")
+  }
+
   def sampleFrames(spark: SparkSession, docs: DataFrame,
                    everyKth: Int = 2): Dataset[MediaFrame] = {
     import spark.implicits._

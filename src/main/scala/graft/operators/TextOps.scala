@@ -882,4 +882,158 @@ object TextOps {
         round(col("__mc").cast("double") * length(col("__g"))
           / col("__nc").cast("double"), 6).as("top_frac"))
   }
+
+  // --- corpus-level diversity / collocation statistics -----------------
+
+  /** Distinct-n n-gram diversity per group — the corpus DIVERSITY
+    * counterpart of the per-doc repetition score ([[repetition]]
+    * measures one doc against itself; this measures a whole slice):
+    * low distinct-2/distinct-3 ratios flag template-generated or
+    * boilerplate-heavy sources that per-doc filters miss because every
+    * individual doc looks fine. The standard distinct-n statistic from
+    * the text-generation-diversity literature, computed per source.
+    *
+    * Scale shape: ONE corpus scan — all requested n fan out scan-side
+    * from the same token array (the native shingle hasher emits hash
+    * ids, so the shuffle carries (group, n, hash), never n-gram
+    * strings), then one partial-agg'd count + one distinct-agg per
+    * (group, n). The distinct count is exact here because the gate
+    * audits exact values; the 100 TB variant swaps countDistinct for
+    * approx_count_distinct (HLL++, one pass, no expand) — same plan
+    * otherwise.
+    *
+    * Output: grp, n, total_ngrams, distinct_ngrams, distinct_ratio.
+    */
+  def distinctNgrams(df: DataFrame, grp: Column,
+                     ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val toks = tokens(col("text"))
+    // one struct array per n, concatenated scan-side: docs shorter than
+    // n tokens contribute an empty array (native hasher contract)
+    val legs = ns.map { n =>
+      transform(
+        org.apache.spark.sql.graft.GraftExpressions.shingle_hashes(toks, n),
+        h => struct(lit(n).as("n"), h.as("h")))
+    }
+    df.select(grp.as("grp"), explode(concat(legs: _*)).as("nh"))
+      .select(col("grp"), col("nh.n").as("n"), col("nh.h").as("h"))
+      .groupBy("grp", "n")
+      .agg(count(lit(1)).as("total_ngrams"),
+        countDistinct(col("h")).as("distinct_ngrams"))
+      .select(col("grp"), col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double")
+          / col("total_ngrams").cast("double"), 6).as("distinct_ratio"))
+  }
+
+  /** ln quantized to a 6dp-scaled integer — the cross-engine
+    * transcendental convention (established by dsir/bm25): both engines
+    * compute one double ln, round at 1e-6, and every DOWNSTREAM
+    * combination is exact integer arithmetic, so sum order can't move
+    * the result.
+    */
+  private def ln6(c: Column): Column =
+    round(log(c.cast("double")) * lit(1e6)).cast("long")
+
+  /** Zipf rank-frequency fit over the top-`topK` vocabulary: OLS slope
+    * of ln(tf) against ln(rank) — the corpus-health scalar (natural
+    * text sits near −1; machine-generated/boilerplate corpora flatten,
+    * OCR noise steepens the tail). One row: n, zipf_slope, intercept,
+    * r2.
+    *
+    * Scale shape: token-keyed partial agg → TakeOrderedAndProject to
+    * the k-row head → rank via the broadcast self-join on the k rows
+    * (the [[vocab]] pattern — no global window) → ln-quantized integer
+    * moment sums (exact at any partitioning) → one double division at
+    * the end. The corpus is scanned once; everything after the top-k is
+    * k-row-sized.
+    */
+  def zipf(df: DataFrame, topK: Int = 1000): DataFrame = {
+    val tf = df.select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val top = tf.orderBy(col("tf").desc, col("token")).limit(topK)
+      .localCheckpoint(false)
+    val better = top.select(col("tf").as("__btf"), col("token").as("__btok"))
+    val ranked = top.join(broadcast(better),
+        col("__btf") > col("tf")
+          || (col("__btf") === col("tf") && col("__btok") < col("token")),
+        "left")
+      .groupBy("token", "tf")
+      .agg((count(col("__btok")) + 1).as("rank"))
+    // x6/y6 <= ln(1e13)*1e6 ~ 3e7, so the x*y moment sums stay well
+    // inside 64 bits for any feasible topK
+    val m = ranked
+      .select(ln6(col("rank")).as("x6"), ln6(col("tf")).as("y6"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("y6") * col("y6")).as("syy"))
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    val slope = cov / vx
+    m.select(col("n"),
+      round(slope, 6).as("zipf_slope"),
+      round((col("sy").cast("double") - slope * col("sx").cast("double"))
+        / nD / lit(1e6), 6).as("intercept"),
+      round(cov * cov / (vx * vy), 6).as("r2"))
+  }
+
+  /** PMI collocation mining: the top-`topK` adjacent token pairs by
+    * pointwise mutual information among pairs seen >= `minCount` times —
+    * the classic multiword-expression extractor (tokenizer-vocab and
+    * data-inspection tooling both want it). PMI = ln(p(ab) / (p(a)p(b)))
+    * with p(ab) over the bigram population and p(a) over tokens,
+    * assembled from ln-quantized integers so the oracle replays it
+    * exactly: pmi6 = ln6(c_ab) + 2·ln6(N_tok) − ln6(N_big) − ln6(c_a)
+    * − ln6(c_b) (NOT one ln of a big ratio — c_ab·N_tok² overflows
+    * 64-bit integer arithmetic at petabyte scale; the quantized-term
+    * sum never does).
+    *
+    * Scale shape: pair counts are one (a,b)-keyed partial agg (shuffle
+    * carries token pairs, count-combined map-side); the min-count
+    * filter prunes BEFORE the marginal joins; marginals are the
+    * vocab-sized unigram agg, checkpointed so its scan runs once and
+    * joined twice (AQE broadcasts when the vocab allows, shuffles
+    * otherwise); corpus totals are one scan-side agg broadcast to all.
+    * Final top-k is a TakeOrderedAndProject on the filtered pair set.
+    */
+  def pmiCollocations(df: DataFrame, minCount: Int = 5,
+                      topK: Int = 50): DataFrame = {
+    val toks = tokens(col("text"))
+    val pairT = "array<struct<a:string,b:string>>"
+    val pairs = df.select(explode(
+        when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("a"),
+              element_at(toks, i + lit(1)).as("b"))))
+          .otherwise(array().cast(pairT))).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+    val cand = pairs.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    // the unigram table feeds BOTH marginal joins — checkpoint so the
+    // corpus token agg runs once (the minhash-estimate convention)
+    val uni = df.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    // population totals from one scan-side agg (never from the
+    // materialized pair table — at scale that table is pruned early)
+    val tot = df.agg(
+      sum(size(toks)).cast("long").as("n_tok"),
+      sum(greatest(size(toks) - 1, lit(0))).cast("long").as("n_big"))
+    val pmi6 = ln6(col("n_pair")) + lit(2L) * ln6(col("n_tok")) -
+      ln6(col("n_big")) - ln6(col("n_a")) - ln6(col("n_b"))
+    cand
+      .join(uni.select(col("t").as("tok_a"), col("cnt").as("n_a")), Seq("tok_a"))
+      .join(uni.select(col("t").as("tok_b"), col("cnt").as("n_b")), Seq("tok_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("tok_a"), col("tok_b"), col("n_pair"), col("n_a"), col("n_b"),
+        round(pmi6.cast("double") / lit(1e6), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
+      .limit(topK)
+  }
 }

@@ -707,6 +707,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("Knn.labelDrift: identical snapshots cos 1 / shift 0; a rotated one drops") {
+    // label 0: both snapshots sit on the x-axis -> cos 1, shift 0.
+    // label 1: ref on x, cur on y -> orthogonal centroids, cos 0 and
+    // shift sqrt(2). vec_id parity selects the snapshot.
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 1), (3L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Knn.labelDrift(e, col("vec_id") % 2 === 0).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0) == ((1L, 1L, 1.0, 0.0)))
+    assert(got(1) == ((1L, 1L, 0.0, math.rint(math.sqrt(2.0) * 1e6) / 1e6)))
+  }
+
+  test("Knn.labelDrift: a one-sided label reports null drift, not zero") {
+    val e = Seq((0L, Array(1.0f, 0.0f), 7), (2L, Array(1.0f, 0.0f), 7))
+      .toDF("vec_id", "embedding", "label")  // only even ids -> ref side
+    val r = Knn.labelDrift(e, col("vec_id") % 2 === 0).collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 0L)
+    assert(r.isNullAt(3) && r.isNullAt(4))
+  }
+
   test("persisted IVF index prunes to probed cells and equals ivfTopK") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.where(col("vec_id") % 100 === 0)

@@ -256,7 +256,26 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_cluster_sample" -> 8,
     // checkpointed Lloyd assignment + the 1-row threshold agg and its
     // broadcast back — the doc_quality_filter posture
-    "emb_outliers" -> 2)
+    "emb_outliers" -> 2,
+    // distinct-n diversity: ONE corpus-scale (grp, n, h) shuffle
+    // (countDistinct's expand rides it) + the tiny (grp, n) re-combine
+    "doc_distinct_ngrams" -> 2,
+    // zipf: the corpus token agg + top-k live behind the checkpoint
+    // (the doc_vocab posture); visible = the k-row rank self-join's
+    // broadcast, its re-group, and the final 1-row moment agg
+    "doc_zipf" -> 3,
+    // pmi: the (a, b) pair agg is the only corpus-scale shuffle (the
+    // unigram agg is checkpointed); + its broadcast into the marginal
+    // joins, the second marginal broadcast, and the 1-row totals agg +
+    // broadcast — top-k is TakeOrderedAndProject
+    "doc_pmi" -> 5,
+    // shot segmentation: the per-video window partition is the only
+    // exchange; frames come scan-side off the decode pass
+    "mm_scene_cut" -> 1,
+    // drift: one (label, dim) partial agg computes BOTH snapshots'
+    // centroids (conditional aggs, never a join) + the label re-combine
+    // over the #labels x dim frame
+    "emb_drift" -> 2)
 
   test("no query exceeds its exchange budget") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -232,6 +232,41 @@ class StreamStateSpec extends AnyFunSuite {
       s"sliding windows never evicted: $rows")
   }
 
+  test("windowed quantile sketch: exact-regime batch parity, bounded state") {
+    val batches = advancingBatches(nKeys = 3, perKey = 40)
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamQuantile.windowed(s, "ts", Seq("user_id"),
+        "5m", watermark = "1 hour", "value", Seq(0.5, 0.99)),
+      "append", "quantile_state")
+    assert(out.count() > 0)
+    assert(StreamHarness.lateDrops(ps) == 0, "quantile dropped late rows")
+    // every 5m window holds 5 one-minute events << accuracy, so the GK
+    // sketch never compresses and streaming == batch EXACTLY, whatever
+    // the batch/merge order — the documented exact regime
+    val all = batches.reduce(_ unionByName _)
+    val want = all
+      .withColumn("__event_time", timestamp_micros(col("ts")))
+      .groupBy(col("user_id"),
+        window(col("__event_time"), "300 seconds").as("w"))
+      .agg(percentile_approx(col("value"), array(lit(0.5), lit(0.99)),
+        lit(10000)).as("quantiles"))
+      .withColumn("ts_begin", unix_micros(col("w.start")))
+      .withColumn("ts_end", unix_micros(col("w.end")))
+      .drop("w")
+    // append emits only watermark-closed windows: everything emitted
+    // must match the batch twin, and all but the final batch's open
+    // tail must have emitted
+    assert(out.exceptAll(want).isEmpty,
+      "streaming emitted a row the batch twin disagrees with")
+    assert(out.count() >= 3L * 3 * 8,
+      s"fewer closed windows than the first 3 batches should yield: ${out.count()}")
+    // state = one sketch row per open (key, window) inside the
+    // watermark horizon — the most recent two batches' 24 windows
+    val rows = StreamHarness.stateRows(ps)
+    assert(rows.max <= 2 * 3 * 8 + 6,
+      s"open sketch state exceeds two batches' windows: $rows")
+  }
+
   test("M4 downsample windows close and evict") {
     val batches = advancingBatches(nKeys = 3, perKey = 40)
     val (out, ps) = StreamHarness.feedBatches(spark, batches,

@@ -159,4 +159,82 @@ class TextPipelineSpec extends AnyFunSuite {
       (2L, Some(tieWinner), 2L, math.rint(2.0 * 3 / 11 * 1e6) / 1e6),
       (3L, None, -1L, -1.0)))
   }
+
+  test("sceneCuts: cuts exactly at signature changes, running shot ids") {
+    // fixtures chosen to cover: a multi-scene video (slen 1 -> every
+    // sampled frame cuts), a one-scene video (slen 3 spans both sampled
+    // frames -> zero cuts), and a single-frame video (never a cut)
+    val docs = Seq(
+      (1L, "video two with more frames"), // n=5, slen=1: cuts at idx 2,4
+      (2L, "some payload text"),          // n=3, slen=3: no cut
+      (3L, "x")                           // n=1: single frame
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Multimodal.sceneCuts(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3), r.getLong(4)))
+      .toSet
+    assert(got == Set(
+      (1L, 0L, false, 0L), (1L, 2L, true, 1L), (1L, 4L, true, 2L),
+      (2L, 0L, false, 0L), (2L, 2L, false, 0L),
+      (3L, 0L, false, 0L)))
+    // signatures themselves mirror the stub arithmetic
+    val sigs = graft.operators.Multimodal.sceneCuts(spark, docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def h(s: String) = TextOps.polyHashBytes(s.getBytes("UTF-8"))
+    assert(sigs((2L, 2L)) ==
+      (h("some payload text") * 31L + 2L / 3L) % TextOps.HashMod)
+  }
+
+  test("distinctNgrams: hand-counted ratios; short docs skip higher n") {
+    // src A: "a b a b" -> 4 unigrams (2 distinct), 3 bigrams "a b","b a",
+    // "a b" (2 distinct), 2 trigrams "a b a","b a b" (2 distinct)
+    // src B: one 2-token doc + one 1-token doc -> 3 uni (2 distinct:
+    // c, d, c), 1 bigram, NO trigrams at all (rows absent, not zero)
+    val docs = Seq(
+      (1L, "A", "a b a b"),
+      (2L, "B", "c d"),
+      (3L, "B", "c")).toDF("doc_id", "source", "text")
+    val got = TextOps.distinctNgrams(docs, col("source")).collect()
+      .map(r => ((r.getString(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      ("A", 1) -> ((4L, 2L, 0.5)),
+      ("A", 2) -> ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6)),
+      ("A", 3) -> ((2L, 2L, 1.0)),
+      ("B", 1) -> ((3L, 2L, math.rint(2.0 / 3 * 1e6) / 1e6)),
+      ("B", 2) -> ((1L, 1L, 1.0))))
+  }
+
+  test("zipf: a planted 1/rank corpus fits slope ~ -1 with high r2") {
+    // token t_r appears floor(1000/r) times, r = 1..20 — exact Zipf
+    val text = (1 to 20).flatMap(r => Seq.fill(1000 / r)(s"t$r"))
+      .mkString(" ")
+    val got = TextOps.zipf(Seq((1L, text)).toDF("doc_id", "text"), topK = 20)
+      .collect().head
+    assert(got.getLong(0) == 20L)
+    val slope = got.getDouble(1)
+    val r2 = got.getDouble(3)
+    // floor() quantization perturbs the fit slightly; the law must
+    // still dominate
+    assert(slope > -1.05 && slope < -0.95, s"slope $slope not ~ -1")
+    assert(r2 > 0.99, s"r2 $r2")
+  }
+
+  test("pmiCollocations: a welded pair outranks frequent-but-independent") {
+    // "new york" always adjacent (8x); "the" is everywhere so any
+    // "the X" pair has low PMI; pairs under minCount are dropped
+    val doc = (Seq.fill(8)("new york") ++ Seq.fill(12)("the x") ++
+      Seq.fill(12)("the y")).mkString(" ")
+    val got = TextOps.pmiCollocations(
+      Seq((1L, doc)).toDF("doc_id", "text"), minCount = 5, topK = 10)
+      .collect()
+    val top = got.head
+    assert((top.getString(0), top.getString(1)) == ("new", "york"))
+    assert(top.getLong(2) == 8L)   // n_pair
+    assert(top.getLong(3) == 8L && top.getLong(4) == 8L)  // marginals
+    // every returned pair met the count floor
+    assert(got.forall(_.getLong(2) >= 5L))
+    // "new york" PMI must clearly exceed any "the *" pair's
+    val theBest = got.filter(_.getString(0) == "the").map(_.getDouble(5))
+    assert(theBest.nonEmpty && theBest.max < top.getDouble(5))
+  }
 }
