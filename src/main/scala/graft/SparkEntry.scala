@@ -706,6 +706,31 @@ object SparkEntry {
         UsDay, Jan01)
     },
 
+    // WHEN did the level change: binary segmentation's first split
+    // (max between-segment sum-of-squares gain) per user over the
+    // daily grid — the localization step after ts_cusum's alarm;
+    // exact µ-unit prefix sums, argmax tie-broken on the earlier day
+    "ts_changepoint" -> { (s, dir) =>
+      Trend.changepoint(events(s, dir), "ts", "value", Seq("user_id"),
+        UsDay, Jan01)
+    },
+
+    // classical additive decomposition per user on the daily grid:
+    // value = centered-MA(7) trend + day-of-week seasonal + residual,
+    // every mean an exact µ-unit floor (no half-tie anywhere)
+    "ts_stl" -> { (s, dir) =>
+      Trend.stlDecompose(events(s, dir), "ts", "value", Seq("user_id"),
+        UsDay, Jan01, period = 7)
+    },
+
+    // SAX symbolization: z-normalized weekly PAA means mapped to a
+    // 4-letter alphabet via standard-normal quartile breakpoints —
+    // the symbolic series representation motif mining indexes on
+    "ts_sax" -> { (s, dir) =>
+      Trend.sax(events(s, dir), "ts", "value", Seq("user_id"),
+        UsDay, Jan01, paaLen = 7)
+    },
+
     // value-distribution drift per event_type: PSI between the first
     // and second half of the month over the ts_hist bucket geometry —
     // one (key, bin) partial-agg'd shuffle regardless of corpus size
@@ -1616,6 +1641,130 @@ object SparkEntry {
          |    0.5), 6) AS intercept
          |FROM tsg g JOIN tss s ON g.user_id = s.user_id
          |GROUP BY 1, 3, 4""".stripMargin,
+
+    // changepoint: every mean is an exact µ-unit FLOOR (pmod trick —
+    // DuckDB's // truncates toward zero on negatives), the gain is one
+    // fixed IEEE formula over exact BIGINT prefix sums, and the argmax
+    // tie-breaks on the earlier day — bit-parity with Trend.changepoint
+    "ts_changepoint" ->
+      s"""WITH cg AS (SELECT user_id,
+         |    ($EvUs - 1704067200000000) // 86400000000 AS d,
+         |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6,
+         |    count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |cv AS (SELECT user_id, d,
+         |    (s6 - ((s6 % c) + c) % c) // c AS v FROM cg),
+         |cs AS (SELECT user_id, d, v,
+         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+         |      AS BIGINT) AS i,
+         |    sum(v) OVER (PARTITION BY user_id ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pl,
+         |    count(*) OVER (PARTITION BY user_id) AS n,
+         |    sum(v) OVER (PARTITION BY user_id) AS tot
+         |  FROM cv),
+         |cgain AS (SELECT user_id, d, i, pl, n, tot,
+         |    round(CAST(pl * (n - i) - (tot - pl) * i AS DOUBLE)
+         |      * CAST(pl * (n - i) - (tot - pl) * i AS DOUBLE)
+         |      / CAST(i * (n - i) * n AS DOUBLE) / 1e12, 6) AS gain
+         |  FROM cs WHERE i < n),
+         |cpick AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY gain DESC, d) AS rk FROM cgain)
+         |SELECT user_id, n AS n_days, d AS cp_day,
+         |  CAST((pl - ((pl % i) + i) % i) // i AS DOUBLE) / 1000000.0
+         |    AS mean_before,
+         |  CAST(((tot - pl) - (((tot - pl) % (n - i)) + (n - i))
+         |      % (n - i)) // (n - i) AS DOUBLE) / 1000000.0
+         |    AS mean_after,
+         |  gain
+         |FROM cpick WHERE rk = 1""".stripMargin,
+
+    // classical decomposition: trend/seasonal/normalization means are
+    // all exact µ-unit integer FLOORS (pmod trick), so value = trend +
+    // seasonal + resid holds bit-for-bit on both engines
+    "ts_stl" ->
+      s"""WITH dg AS (SELECT user_id,
+         |    ($EvUs - 1704067200000000) // 86400000000 AS d,
+         |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6,
+         |    count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |dv AS (SELECT user_id, d,
+         |    (s6 - ((s6 % c) + c) % c) // c AS v FROM dg),
+         |dt AS (SELECT user_id, d, v,
+         |    CASE WHEN count(*) OVER w7 = 7 THEN
+         |      (sum(v) OVER w7 - ((sum(v) OVER w7 % 7) + 7) % 7) // 7
+         |    END AS tr
+         |  FROM dv WINDOW w7 AS (PARTITION BY user_id ORDER BY d
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |dd AS (SELECT *, v - tr AS det, ((d % 7) + 7) % 7 AS dow
+         |  FROM dt),
+         |dr AS (SELECT *,
+         |    CASE WHEN count(det) OVER wd > 0 THEN
+         |      (sum(det) OVER wd - ((sum(det) OVER wd
+         |          % count(det) OVER wd) + count(det) OVER wd)
+         |        % count(det) OVER wd) // count(det) OVER wd
+         |    END AS raw,
+         |    CASE WHEN row_number() OVER (PARTITION BY user_id, dow
+         |      ORDER BY d) = 1 THEN 1 ELSE 0 END AS f
+         |  FROM dd WINDOW wd AS (PARTITION BY user_id, dow)),
+         |dm AS (SELECT *,
+         |    CASE WHEN sum(CASE WHEN f = 1 AND raw IS NOT NULL
+         |        THEN 1 ELSE 0 END) OVER wk > 0 THEN
+         |      (sum(CASE WHEN f = 1 THEN raw END) OVER wk
+         |        - ((sum(CASE WHEN f = 1 THEN raw END) OVER wk
+         |            % sum(CASE WHEN f = 1 AND raw IS NOT NULL
+         |              THEN 1 ELSE 0 END) OVER wk)
+         |          + sum(CASE WHEN f = 1 AND raw IS NOT NULL
+         |              THEN 1 ELSE 0 END) OVER wk)
+         |          % sum(CASE WHEN f = 1 AND raw IS NOT NULL
+         |              THEN 1 ELSE 0 END) OVER wk)
+         |      // sum(CASE WHEN f = 1 AND raw IS NOT NULL
+         |          THEN 1 ELSE 0 END) OVER wk
+         |    END AS m
+         |  FROM dr WINDOW wk AS (PARTITION BY user_id))
+         |SELECT user_id, d AS day,
+         |  CAST(v AS DOUBLE) / 1000000.0 AS value,
+         |  CAST(tr AS DOUBLE) / 1000000.0 AS trend,
+         |  CAST(raw - m AS DOUBLE) / 1000000.0 AS seasonal,
+         |  CAST(v - tr - (raw - m) AS DOUBLE) / 1000000.0 AS resid
+         |FROM dm""".stripMargin,
+
+    // SAX: PAA means are exact µ-unit floors; per-key mean/σ come from
+    // exact HUGEINT sums through ONE fixed IEEE formula (matching the
+    // Spark decimal casts), so z and the symbol are bit-deterministic
+    "ts_sax" ->
+      s"""WITH xg AS (SELECT user_id,
+         |    ($EvUs - 1704067200000000) // 86400000000 AS d,
+         |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6,
+         |    count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |xv AS (SELECT user_id, d,
+         |    (s6 - ((s6 % c) + c) % c) // c AS v FROM xg),
+         |xs AS (SELECT user_id, sum(CAST(v AS HUGEINT)) AS s,
+         |    sum(CAST(v AS HUGEINT) * v) AS ssq, count(*) AS n
+         |  FROM xv GROUP BY 1),
+         |xm AS (SELECT user_id,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+         |    sqrt(greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+         |      / 1000000.0 AS sigma
+         |  FROM xs),
+         |xp AS (SELECT user_id, d // 7 AS w, sum(v) AS ps,
+         |    count(*) AS n_days
+         |  FROM xv GROUP BY 1, 2),
+         |xz AS (SELECT p.user_id, p.w, p.n_days,
+         |    CAST((ps - ((ps % n_days) + n_days) % n_days) // n_days
+         |      AS DOUBLE) / 1000000.0 AS paa,
+         |    m.mean, m.sigma
+         |  FROM xp p JOIN xm m ON p.user_id = m.user_id),
+         |xq AS (SELECT user_id, w, n_days, paa,
+         |    CASE WHEN sigma = 0.0 THEN 0.0
+         |      ELSE (paa - mean) / sigma END AS z
+         |  FROM xz)
+         |SELECT user_id, w, n_days, paa, round(z, 6) AS z,
+         |  CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+         |    WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+         |FROM xq""".stripMargin,
 
     // PSI terms are non-negative (same-sign factors), each ln snapped
     // to integer micro-nats before the per-key sum — the doc_dsir idiom

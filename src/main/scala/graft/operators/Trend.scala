@@ -716,4 +716,213 @@ object Trend {
       .select(keyCols.map(col) :+ col("n_days") :+ col("n_pairs") :+
         col("slope_per_day") :+ col("intercept"): _*)
   }
+
+  /** FLOOR division with a COLUMN divisor (Bridge.fldiv takes a
+    * literal): (c - pmod(c, d)) div d — the numerator is an exact
+    * multiple of d, so the truncating IntegralDivide is exact floor
+    * for negative numerators too. Null when d = 0 (IntegralDivide's
+    * SQL semantics), which callers use as their empty-group guard.
+    */
+  private def fldivC(c: Column, d: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge.ldiv
+    ldiv(c - pmod(c, d), d)
+  }
+
+  /** Single most-likely MEAN-SHIFT changepoint per series — binary
+    * segmentation's first split (the CUSUM-likelihood statistic; cf.
+    * Scott & Knott 1974, and the first iteration of PELT/BinSeg).
+    * [[cusum]] ALARMS when drift accumulates past a threshold; this op
+    * answers the follow-up question "WHEN did the level change, and by
+    * how much" — the localization step a monitoring pipeline runs
+    * after the alarm fires.
+    *
+    * Runs on the bucketed grid (one µ-floored mean per (key, bucket)),
+    * so the O(#buckets) split scan is calendar-bounded per key, never
+    * O(events) — the exact posture of [[theilSen]]. For each interior
+    * split i the gain is the between-segment sum-of-squares reduction
+    *   gain(i) = (S_l·n_r − S_r·n_l)² / (n_l·n_r·n)   [µ²-units]
+    * computed in double from EXACT integer prefix sums (grid means are
+    * exact µ-unit floors, prefix/total sums are BIGINTs), so both
+    * engines replay identical IEEE sequences; the argmax tie-breaks on
+    * the earlier day. Keys with a single bucket have no interior split
+    * and emit nothing.
+    *
+    * Scale: one (key, bucket) partial-agg'd shuffle touches events;
+    * the split-scan windows re-key the #buckets-per-key grid frame.
+    * Output: keyCols, n_days, cp_day (last bucket of the left
+    * segment), mean_before, mean_after, gain.
+    */
+  def changepoint(df: DataFrame, tsCol: String, valCol: String,
+                  keyCols: Seq[String], bucketUs: Long,
+                  originUs: Long): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.fldiv
+    val grid = df
+      .select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .groupBy(keyCols.map(col) :+
+        fldiv(col(tsCol) - lit(originUs), bucketUs).as("__d"): _*)
+      .agg(sum(floor(col(valCol) * lit(1e6)).cast("long")).as("__s6"),
+        count(lit(1)).as("__c"))
+      .withColumn("__v", fldivC(col("__s6"), col("__c")))
+    val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__d"))
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    val st = grid
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__pl", sum(col("__v")).over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__tot", sum(col("__v")).over(wAll))
+      .where(col("__i") < col("__n"))
+    val nl = col("__i")
+    val nr = col("__n") - col("__i")
+    val diff = (col("__pl") * nr - (col("__tot") - col("__pl")) * nl)
+      .cast("double")
+    val gain = round(diff * diff /
+      (nl * nr * col("__n")).cast("double") / lit(1e12), 6)
+    val wPick = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__gain").desc, col("__d").asc)
+    st.withColumn("__gain", gain)
+      .withColumn("__rk", row_number().over(wPick))
+      .where(col("__rk") === 1)
+      .select(keyCols.map(col) ++ Seq(
+        col("__n").as("n_days"), col("__d").as("cp_day"),
+        (fldivC(col("__pl"), nl).cast("double") / lit(1e6))
+          .as("mean_before"),
+        (fldivC(col("__tot") - col("__pl"), nr).cast("double") / lit(1e6))
+          .as("mean_after"),
+        col("__gain").as("gain")): _*)
+  }
+
+  /** Classical additive seasonal decomposition (the moving-average
+    * "decompose" every stats package ships; STL's non-iterative
+    * ancestor): value = trend + seasonal + residual over the bucketed
+    * grid with a fixed period (default 7 — day-of-week structure on a
+    * daily grid).
+    *
+    * trend = centered `period`-row moving average (null at the edges
+    * where the frame is short — the classical convention); seasonal =
+    * per-(key, bucket mod period) mean of the detrended values,
+    * normalized to sum to ~zero across the period; residual = value −
+    * trend − seasonal. Every mean is an exact integer µ-unit FLOOR
+    * (floor-div of exact BIGINT sums), so both engines agree bit-
+    * for-bit with no half-tie hazard anywhere.
+    *
+    * Scale: the (key, bucket) grid agg is the only stage touching
+    * events; the trend window (key), season window (key, dow) and
+    * normalization window (key) re-key the calendar-bounded grid
+    * frame (≤366 rows per key per year) — 4 slim exchanges total.
+    * Output: keyCols, day, value, trend, seasonal, resid (doubles;
+    * trend/seasonal/resid null where the trend frame is short).
+    */
+  def stlDecompose(df: DataFrame, tsCol: String, valCol: String,
+                   keyCols: Seq[String], bucketUs: Long, originUs: Long,
+                   period: Int = 7): DataFrame = {
+    require(period % 2 == 1, s"period must be odd for a centered MA: $period")
+    import org.apache.spark.sql.graft.Bridge.fldiv
+    val half = period / 2
+    val grid = df
+      .select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .groupBy(keyCols.map(col) :+
+        fldiv(col(tsCol) - lit(originUs), bucketUs).as("__d"): _*)
+      .agg(sum(floor(col(valCol) * lit(1e6)).cast("long")).as("__s6"),
+        count(lit(1)).as("__c"))
+      .withColumn("__v", fldivC(col("__s6"), col("__c")))
+    val wMa = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__d"))
+      .rowsBetween(-half, half)
+    val wDow = Window.partitionBy(
+      (keyCols.map(col) :+ pmod(col("__d"), lit(period.toLong))): _*)
+    val wDowOrd = Window.partitionBy(
+        (keyCols.map(col) :+ pmod(col("__d"), lit(period.toLong))): _*)
+      .orderBy(col("__d"))
+    val wKey = Window.partitionBy(keyCols.map(col): _*)
+    val det = grid
+      .withColumn("__tr", when(count(lit(1)).over(wMa) === period,
+        fldivC(sum(col("__v")).over(wMa), lit(period.toLong))))
+      .withColumn("__det", col("__v") - col("__tr"))
+    // per-(key, dow) raw seasonal mean over the non-null detrended
+    // rows (zero-count guard: keys shorter than the period have no
+    // detrended rows at all — ANSI div-by-zero must not fire)
+    val nDet = count(col("__det")).over(wDow)
+    val raw = det
+      .withColumn("__raw", when(nDet > 0,
+        fldivC(sum(col("__det")).over(wDow), nDet)))
+      .withColumn("__f",
+        (row_number().over(wDowOrd) === 1).cast("long"))
+    // normalize: subtract the mean of the (≤ period) distinct raw
+    // values, counted ONCE per dow via the first-row flag
+    val nRaw = sum(when(col("__f") === 1 && col("__raw").isNotNull,
+      lit(1L))).over(wKey)
+    val seas = raw
+      .withColumn("__m", when(nRaw > 0, fldivC(
+        sum(when(col("__f") === 1, col("__raw"))).over(wKey), nRaw)))
+      .withColumn("__seas", col("__raw") - col("__m"))
+    seas.select(keyCols.map(col) ++ Seq(
+      col("__d").as("day"),
+      (col("__v").cast("double") / lit(1e6)).as("value"),
+      (col("__tr").cast("double") / lit(1e6)).as("trend"),
+      (col("__seas").cast("double") / lit(1e6)).as("seasonal"),
+      ((col("__v") - col("__tr") - col("__seas")).cast("double") / lit(1e6))
+        .as("resid")): _*)
+  }
+
+  /** SAX — Symbolic Aggregate approXimation (Lin, Keogh et al., DMKD
+    * 2007): z-normalize the series, Piecewise-Aggregate-Approximate it
+    * into fixed-width buckets, then map each PAA mean to a letter via
+    * equiprobable standard-normal breakpoints. The symbolic string is
+    * the series representation motif/novelty mining and cross-series
+    * indexing run on — the text-side counterpart of [[lttb]]/[[m4]]
+    * downsampling.
+    *
+    * Alphabet fixed at 4 (breakpoints −0.6745 / 0 / +0.6745 — the
+    * standard-normal quartiles). PAA means are exact µ-unit floors of
+    * the bucketed-grid means; per-key mean/σ come from exact decimal
+    * sums surfaced into one fixed IEEE formula, so z (and therefore
+    * the symbol) is bit-deterministic across engines. σ = 0 (constant
+    * series) pins z to 0 → symbol 'c'.
+    *
+    * Scale: the (key, bucket) grid agg touches events once; the PAA
+    * agg and per-key stats agg re-key the grid frame, and the stats
+    * join carries #keys rows. Output: keyCols, w (PAA bucket), n_days,
+    * paa, z, symbol.
+    */
+  def sax(df: DataFrame, tsCol: String, valCol: String,
+          keyCols: Seq[String], bucketUs: Long, originUs: Long,
+          paaLen: Int = 7): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.fldiv
+    val grid = df
+      .select((keyCols :+ tsCol :+ valCol).map(col): _*)
+      .groupBy(keyCols.map(col) :+
+        fldiv(col(tsCol) - lit(originUs), bucketUs).as("__d"): _*)
+      .agg(sum(floor(col(valCol) * lit(1e6)).cast("long")).as("__s6"),
+        count(lit(1)).as("__c"))
+      .withColumn("__v", fldivC(col("__s6"), col("__c")))
+    // per-key stats from exact integer sums: one fixed IEEE formula
+    val stats = grid.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__v").cast("decimal(38,0)")).as("__s"),
+        sum((col("__v").cast("decimal(38,0)") * col("__v"))).as("__ssq"),
+        count(lit(1)).as("__n"))
+      .withColumn("__mean", col("__s").cast("double") /
+        col("__n").cast("double") / lit(1e6))
+      .withColumn("__var",
+        col("__ssq").cast("double") / col("__n").cast("double") -
+          (col("__s").cast("double") / col("__n").cast("double")) *
+          (col("__s").cast("double") / col("__n").cast("double")))
+      .withColumn("__sigma",
+        sqrt(greatest(col("__var"), lit(0.0))) / lit(1e6))
+      .select(keyCols.map(col) ++ Seq(col("__mean"), col("__sigma")): _*)
+    val paa = grid
+      .groupBy(keyCols.map(col) :+
+        fldiv(col("__d"), paaLen.toLong).as("w"): _*)
+      .agg(sum(col("__v")).as("__ps"), count(lit(1)).as("n_days"))
+      .withColumn("__paa",
+        fldivC(col("__ps"), col("n_days")).cast("double") / lit(1e6))
+    val z = when(col("__sigma") === 0.0, lit(0.0))
+      .otherwise((col("__paa") - col("__mean")) / col("__sigma"))
+    paa.join(stats, keyCols)
+      .withColumn("__z", z)
+      .withColumn("symbol",
+        when(col("__z") < -0.6745, "a").when(col("__z") < 0.0, "b")
+          .when(col("__z") < 0.6745, "c").otherwise("d"))
+      .select(keyCols.map(col) ++ Seq(col("w"), col("n_days"),
+        col("__paa").as("paa"), round(col("__z"), 6).as("z"),
+        col("symbol")): _*)
+  }
 }

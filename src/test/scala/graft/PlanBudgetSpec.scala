@@ -75,6 +75,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     // corpus rows; the 5 downstream exchanges (pair self-join re-keys +
     // slope join-back) all move the calendar-bounded grid, not events
     "ts_theil_sen" -> 6,
+    // changepoint: the (key, day) grid pre-agg + ONE key-hash re-key
+    // shared by the prefix-sum, total, and argmax windows (hash(key)
+    // satisfies every partition spec; the picks differ only in sort)
+    "ts_changepoint" -> 2,
+    // classical decomposition: grid pre-agg + ONE key-hash re-key —
+    // the (key), (key, dow), (key) window chain is all clustering-
+    // satisfied by hash(key), so only sorts separate the four passes
+    "ts_stl" -> 2,
+    // sax: the two-scan ts_mad posture — the (key, day) grid agg feeds
+    // BOTH the per-key stats pass (grid + stats re-key) and the PAA
+    // pass (grid + week re-key), + the stats broadcast; every exchange
+    // past the two grid aggs carries calendar-bounded frames
+    "ts_sax" -> 5,
     // psi drift: one (key, bin) partial agg touches corpus rows; the
     // key-window totals re-key the #keys x #bins frame
     "ts_drift_psi" -> 2,
