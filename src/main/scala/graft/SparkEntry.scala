@@ -2897,6 +2897,19 @@ object SparkEntry {
       TextOps.vocab(tbl(s, dir, "documents"), topK = 50)
     },
 
+    // Kneser-Ney bigram scoring: the production smoothing upgrade of
+    // doc_lm_score (continuation-count backoff, absolute discounting)
+    "doc_lm_kn" -> { (s, dir) =>
+      TextOps.lmScoreKN(tbl(s, dir, "documents"))
+    },
+
+    // first-occurrence n-gram novelty: each doc's marginal
+    // contribution under a dedup-aware ingest order — what greedy
+    // data-selection ranks by; (hash, id) shuffles, nothing pairwise
+    "doc_novelty" -> { (s, dir) =>
+      TextOps.novelty(tbl(s, dir, "documents"))
+    },
+
     // corpus distinct-n diversity per source: low distinct-2/3 ratios
     // flag template-generated slices per-doc filters miss
     "doc_distinct_ngrams" -> { (s, dir) =>
@@ -4533,6 +4546,49 @@ object SparkEntry {
     "doc_lm_score" ->
       s"""WITH $sqlLmCtes
          |SELECT doc_id, n_bigrams, lm_nll FROM lnll""".stripMargin,
+
+    // Kneser-Ney: every model table derives from the one bigram-type
+    // agg; the P formula is one fixed left-associative IEEE expression
+    // and each ln P snaps to micro-nats before the per-doc sum
+    "doc_lm_kn" ->
+      s"""WITH ktk AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |kbg AS (SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1,
+         |    unnest(tk[2:len(tk)]) AS w2 FROM ktk WHERE len(tk) >= 2),
+         |kc2 AS (SELECT w1, w2, count(*) AS c2 FROM kbg GROUP BY 1, 2),
+         |kl AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+         |    count(*) AS t1 FROM kc2 GROUP BY 1),
+         |kr AS (SELECT w2, count(*) AS cont FROM kc2 GROUP BY 1),
+         |kb AS (SELECT count(*) AS bt FROM kc2),
+         |kterm AS (SELECT doc_id, CAST(round(ln(
+         |    greatest(CAST(c2 AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE)
+         |    + 0.75 * CAST(t1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+         |      * CAST(cont AS DOUBLE) / CAST(bt AS DOUBLE))
+         |    * 1000000) AS BIGINT) AS tu
+         |  FROM kbg JOIN kc2 USING (w1, w2) JOIN kl USING (w1)
+         |    JOIN kr USING (w2), kb),
+         |ksc AS (SELECT doc_id, count(*) AS nb, sum(tu) AS su
+         |  FROM kterm GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(ksc.nb, 0) AS BIGINT) AS n_bigrams,
+         |  round(-(CAST(su AS DOUBLE)) / 1000000.0 / nb, 6) AS kn_nll
+         |FROM documents d LEFT JOIN ksc ON ksc.doc_id = d.doc_id""".stripMargin,
+
+    // novelty: per-doc distinct shingle hashes (the sids convention),
+    // first occurrence = min doc_id per hash
+    "doc_novelty" ->
+      s"""WITH $sqlSidsCte,
+         |nh AS (SELECT doc_id, unnest(sids) AS h FROM sids),
+         |nf AS (SELECT h, min(doc_id) AS fd FROM nh GROUP BY 1),
+         |np AS (SELECT nh.doc_id, count(*) AS n_ngrams,
+         |    CAST(sum(CASE WHEN fd = nh.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
+         |  FROM nh JOIN nf USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(np.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+         |  CAST(coalesce(np.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CASE WHEN np.n_ngrams IS NULL THEN NULL
+         |    ELSE round(CAST(np.n_novel AS DOUBLE)
+         |      / CAST(np.n_ngrams AS DOUBLE), 6) END AS novelty
+         |FROM documents d LEFT JOIN np ON np.doc_id = d.doc_id""".stripMargin,
 
     // run lengths over the sorted token list = per-type counts; each
     // entropy term snaps to micro-nats before the in-list exact sum

@@ -423,6 +423,102 @@ object TextOps {
           .as("lm_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * benchmark winner of Chen & Goodman 1999) — the production upgrade
+    * of [[lmScore]]'s add-½ smoothing: a context's backoff weight
+    * scales with how many DISTINCT continuations it has, and the
+    * unigram backoff uses continuation counts (how many contexts a
+    * word completes) instead of raw frequency — the classic fix that
+    * stops "Francisco" (frequent, but only ever after "San") stealing
+    * probability mass from genuinely versatile words.
+    *
+    *   P(w2|w1) = max(c(w1,w2) − D, 0) / c(w1)
+    *            + D·T(w1)/c(w1) · N1+(·w2)/B
+    *
+    * with discount D = 0.75, T(w1) = distinct continuations of w1,
+    * N1+(·w2) = distinct left contexts of w2, B = total distinct
+    * bigram types. The LM trains on the scored corpus itself, so
+    * every doc bigram has c ≥ 1 and P > 0. Each ln P snaps to integer
+    * micro-nats before the per-doc sum (the [[lmScore]]/[[dsir]]
+    * cross-engine parity convention); the P formula is ONE fixed
+    * left-associative IEEE expression mirrored verbatim in the oracle.
+    * Docs with < 2 tokens score null. Output: (idCol, n_bigrams,
+    * kn_nll).
+    *
+    * Scale shape: every model table derives from the ONE bigram-type
+    * aggregate (localCheckpoint'd — c1/T fold over its (w1) groups,
+    * continuation counts over (w2), B is a 1-row broadcast); scoring
+    * joins are token-keyed and carry ids + counts, never text — the
+    * [[lmScore]] posture plus one tiny extra join.
+    */
+  def lmScoreKN(df: DataFrame, idCol: String = "doc_id",
+                discount: Double = 0.75): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col("text")).as("__tk"))
+    val bg = toks.where(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+      .localCheckpoint(false)
+    val left = c2.groupBy("w1")
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__t1"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("__cont"))
+    val btot = c2.agg(count(lit(1)).as("__B"))
+    val p = greatest(col("__c2").cast("double") - lit(discount), lit(0.0)) /
+      col("__c1").cast("double") +
+      lit(discount) * col("__t1").cast("double") / col("__c1").cast("double") *
+        col("__cont").cast("double") / col("__B").cast("double")
+    val term = bg.join(c2, Seq("w1", "w2")).join(left, Seq("w1"))
+      .join(cont, Seq("w2")).crossJoin(broadcast(btot))
+      .select(col(idCol), round(log(p) * lit(1e6)).cast("long").as("__tu"))
+    val s = term.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__tu")).as("__su"))
+    df.select(col(idCol)).join(s, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-(col("__su").cast("double")) / lit(1e6) / col("n_bigrams"), 6)
+          .as("kn_nll"))
+  }
+
+  /** First-occurrence n-gram novelty: the fraction of a doc's DISTINCT
+    * word n-gram hashes whose corpus-wide FIRST occurrence (minimal
+    * doc id) is this doc — each doc's MARGINAL contribution under a
+    * dedup-aware ingest order. The corpus-level complement of
+    * [[TextOps.distinctNgrams]]'s slice diversity: novelty ~0 flags a
+    * doc as pure recombination of earlier material even when no single
+    * pair passes a near-dup threshold, and the score is what greedy
+    * data-selection loops (select the doc adding the most unseen
+    * n-grams) rank by. Output: (idCol, n_ngrams, n_novel, novelty;
+    * docs with < n tokens score 0/0/null).
+    *
+    * Scale shape: per-doc distinct shingle hashes come off the scan
+    * (native ShingleHashes + in-array distinct); the first-occurrence
+    * agg and the join back both move (hash, id) pairs only — text
+    * never shuffles, and nothing is pairwise (the doc_dup_spans
+    * mark-don't-enumerate posture at n-gram granularity).
+    */
+  def novelty(df: DataFrame, n: Int = 3,
+              idCol: String = "doc_id"): DataFrame = {
+    // shingleIds is per-doc distinct already -> (id, h) pairs unique
+    val sh = df.select(col(idCol),
+      explode(shingleIds(col("text"), n)).as("__h"))
+    val first = sh.groupBy("__h").agg(min(col(idCol)).as("__first"))
+    val per = sh.join(first, Seq("__h"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_ngrams").isNull, lit(null)).otherwise(
+          round(col("n_novel").cast("double") /
+            col("n_ngrams").cast("double"), 6)).as("novelty"))
+  }
+
   /** Per-document token-distribution Shannon entropy (nats) — the
     * lexical-diversity quality signal (low entropy = repetitive /
     * boilerplate text): H = -Σ_w (c_w/n)·ln(c_w/n) over the doc's own

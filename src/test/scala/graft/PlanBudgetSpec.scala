@@ -264,6 +264,15 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the lm chain is lazily checkpointed once; the visible plan is
     // the tertile agg broadcast + the labeling scan
     "doc_ccnet_bucket" -> 2,
+    // kneser-ney: the lm_score posture (token-keyed model joins +
+    // per-doc micro-nat reduce + the final doc-id join) with the
+    // bigram-type agg checkpointed once feeding c1/T, continuation,
+    // and B — same budget as doc_lm_score
+    "doc_lm_kn" -> 9,
+    // novelty: scan-side distinct shingle hashes; the first-occurrence
+    // agg, the (hash, id) join back, the per-doc agg, and the doc-id
+    // left join — nothing pairwise, text never shuffles
+    "doc_novelty" -> 4,
     // kmeans Lloyd round (assignment window + k*dim centroid partial
     // aggs) + the per-cluster top-m window keyed by cluster_id
     "emb_cluster_sample" -> 8,

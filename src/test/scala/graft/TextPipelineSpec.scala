@@ -237,4 +237,42 @@ class TextPipelineSpec extends AnyFunSuite {
     val theBest = got.filter(_.getString(0) == "the").map(_.getDouble(5))
     assert(theBest.nonEmpty && theBest.max < top.getDouble(5))
   }
+
+  test("lmScoreKN: hand-computed KN probabilities; mass sums to 1 per context") {
+    // corpus: "a b", "a b", "a c" -> c2(a,b)=2, c2(a,c)=1, c1(a)=3,
+    // T(a)=2, cont(b)=cont(c)=1, B=2
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.lmScoreKN(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    // the same fixed left-associative double formula the operator uses
+    def p(c2: Double, c1: Double, t1: Double, cont: Double, b: Double) =
+      math.max(c2 - 0.75, 0.0) / c1 + 0.75 * t1 / c1 * cont / b
+    val pb = p(2, 3, 2, 1, 2)
+    val pc = p(1, 3, 2, 1, 2)
+    assert(math.abs(pb + pc - 1.0) < 1e-12) // KN sums to 1 per context
+    // micro-nat snap then negate: nb = 1 here, so the final round-6 is
+    // the identity on the already-6dp quotient
+    def nll(x: Double) = -Math.round(math.log(x) * 1e6).toDouble / 1e6
+    assert(got(1L) == (1L, nll(pb)) && got(2L) == (1L, nll(pb)))
+    assert(got(3L) == (1L, nll(pc)))
+    assert(got(4L)._1 == 0L && got(4L)._2.isNaN)
+  }
+
+  test("novelty: first occurrence owns the gram, copies score zero") {
+    val docs = Seq(
+      (1L, "x y z w"),  // grams xyz, yzw -> both novel
+      (2L, "x y z w"),  // exact copy -> 0 novel
+      (3L, "x y z q"),  // xyz seen (doc 1), yzq novel -> 0.5
+      (4L, "a b")       // < 3 tokens -> no grams, null ratio
+    ).toDF("doc_id", "text")
+    val got = TextOps.novelty(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got(1L) == (2L, 2L, 1.0))
+    assert(got(2L) == (2L, 0L, 0.0))
+    assert(got(3L) == (2L, 1L, 0.5))
+    assert(got(4L)._1 == 0L && got(4L)._2 == 0L && got(4L)._3.isNaN)
+  }
 }
