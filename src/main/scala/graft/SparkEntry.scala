@@ -3091,6 +3091,31 @@ object SparkEntry {
       leg(1).unionByName(leg(2)).unionByName(leg(4))
     },
 
+    // the nTables dial MEASURED — the LSH counterpart of the IVF probe
+    // curve (recall@3 at 1/2/4 tables): a pair with per-plane agreement
+    // p collides with prob 1-(1-p^nPlanes)^nTables, so tables buy
+    // recall linearly in shuffle volume; the oracle reuses the SAME
+    // absolute-plane-index band family as emb_knn_lsh so the curve and
+    // the index cannot drift apart
+    "emb_lsh_table_curve" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
+      val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
+        .select("query_id", "neighbor_id").localCheckpoint(false)
+      def leg(t: Int): DataFrame =
+        truth.join(
+            Knn.lshTopK(emb, q, EmbDim, 3, nTables = t)
+              .select(col("query_id"), col("neighbor_id"))
+              .withColumn("__h", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+            round(count(col("__h")).cast("double") / count(lit(1)), 6)
+              .as("recall"))
+          .select(lit(s"tables_$t").as("method"), col("n_truth"),
+            col("n_hits"), col("recall"))
+      leg(1).unionByName(leg(2)).unionByName(leg(4))
+    },
+
     // embedding-compression eval: how much of the full-dim neighbor
     // structure survives truncating vectors to the first d dims
     // (Matryoshka-style storage/compute dial) — recall@3 of dim-32 and
@@ -5162,6 +5187,54 @@ object SparkEntry {
          |${legSql(1, "pq1")},
          |${legSql(2, "qcell")},
          |${legSql(4, "pq4")}
+         |${recSql(1)}
+         |UNION ALL
+         |${recSql(2)}
+         |UNION ALL
+         |${recSql(4)}""".stripMargin
+    },
+
+    // nTables dial: per-leg candidates = pairs colliding in any table
+    // tb < t (the absolute-plane-index family makes the t-table
+    // geometry literally a prefix of the 4-table banding)
+    "emb_lsh_table_curve" -> {
+      def legSql(t: Int) =
+        s"""lp$t AS (SELECT query_id, neighbor_id, max(cos) AS cos
+           |  FROM ltj WHERE tb < $t GROUP BY 1, 2),
+           |lr$t AS (SELECT query_id, neighbor_id, row_number() OVER (
+           |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+           |  FROM lp$t),
+           |lt$t AS (SELECT query_id, neighbor_id FROM lr$t
+           |  WHERE rk <= 3)""".stripMargin
+      def recSql(t: Int) =
+        s"""SELECT 'tables_$t' AS method, count(*) AS n_truth,
+           |  count(t$t.query_id) AS n_hits,
+           |  round(CAST(count(t$t.query_id) AS DOUBLE) / count(*), 6)
+           |    AS recall
+           |FROM brute b LEFT JOIN lt$t t$t
+           |  ON b.query_id = t$t.query_id
+           |  AND b.neighbor_id = t$t.neighbor_id""".stripMargin
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+         |    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv
+         |  FROM embeddings),
+         |bj AS (SELECT query_id, neighbor_id, ${sqlCos("qv", "nv")} AS cos
+         |  FROM c, q WHERE neighbor_id <> query_id),
+         |br AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM bj),
+         |brute AS (SELECT query_id, neighbor_id FROM br WHERE rk <= 3),
+         |$sqlLshBandCte,
+         |ltq AS (SELECT vec_id AS query_id, embedding AS qv, tb, bk FROM lb
+         |  WHERE vec_id % 100 = 0 AND vec_id < 100000000),
+         |ltc AS (SELECT vec_id AS neighbor_id, embedding AS nv, tb, bk
+         |  FROM lb),
+         |ltj AS (SELECT tb, query_id, neighbor_id,
+         |    ${sqlCos("qv", "nv")} AS cos
+         |  FROM ltc JOIN ltq USING (tb, bk) WHERE neighbor_id <> query_id),
+         |${legSql(1)},
+         |${legSql(2)},
+         |${legSql(4)}
          |${recSql(1)}
          |UNION ALL
          |${recSql(2)}

@@ -129,6 +129,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // eval: the checkpointed brute truth + the full LSH chain + the
     // tiny pair join and 1-row agg
     "emb_mips_recall" -> 10,
+    // table-curve eval harness: three full LSH chains (band shuffles +
+    // pair-dedup agg + rank window each) against the one checkpointed
+    // brute truth + three tiny pair joins/1-row aggs — measurement
+    // cost, not index cost (the index itself is emb_knn_lsh's 5)
+    "emb_lsh_table_curve" -> 18,
     // cusum: prefix-sum + running-min over ONE series-key window
     "ts_cusum" -> 1,
     // cross-corr: rollup agg + the (key, lagged-time) equi-join's two
