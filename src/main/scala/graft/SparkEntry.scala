@@ -706,6 +706,13 @@ object SparkEntry {
         UsDay, Jan01)
     },
 
+    // the full correlogram: autocorrelation at lags 1..7 per user —
+    // ONE key-hash shuffle (lag window, degeneracy windows, and the
+    // (key, lag) corr agg all share hash(user_id))
+    "ts_acf" -> { (s, dir) =>
+      Trend.acf(events(s, dir), "ts", "value", Seq("user_id"), maxLag = 7)
+    },
+
     // WHEN did the level change: binary segmentation's first split
     // (max between-segment sum-of-squares gain) per user over the
     // daily grid — the localization step after ts_cusum's alarm;
@@ -1641,6 +1648,29 @@ object SparkEntry {
          |    0.5), 6) AS intercept
          |FROM tsg g JOIN tss s ON g.user_id = s.user_id
          |GROUP BY 1, 3, 4""".stripMargin,
+
+    // correlogram: same pair construction (one lag window per L,
+    // stacked), same degenerate-group exclusion, corr round-6 — the
+    // ts_autocorr / ts_cross_corr parity chain
+    "ts_acf" ->
+      s"""WITH ag AS (SELECT user_id, value,
+         |    ${(1 to 7).map(l => s"lag(value, $l) OVER w AS p$l")
+              .mkString(",\n    ")}
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY $EvUs, value)),
+         |au AS (
+         |  ${(1 to 7).map(l =>
+                s"SELECT user_id, $l AS lag, value AS v, p$l AS prev FROM ag")
+              .mkString("\n  UNION ALL\n  ")}),
+         |af AS (SELECT * FROM au WHERE prev IS NOT NULL),
+         |ad AS (SELECT user_id, lag, v, prev,
+         |    count(*) OVER wg AS n, stddev_samp(v) OVER wg AS sx,
+         |    stddev_samp(prev) OVER wg AS sy
+         |  FROM af WINDOW wg AS (PARTITION BY user_id, lag))
+         |SELECT user_id, lag, count(*) AS n_pairs,
+         |  round(corr(v, prev), 6) AS acf
+         |FROM ad WHERE n >= 2 AND sx > 0 AND sy > 0
+         |GROUP BY 1, 2""".stripMargin,
 
     // changepoint: every mean is an exact µ-unit FLOOR (pmod trick —
     // DuckDB's // truncates toward zero on negatives), the gain is one

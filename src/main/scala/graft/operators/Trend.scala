@@ -254,6 +254,47 @@ object Trend {
         round(corr(col(valCol), col("__prev")), 6).as("autocorr"))
   }
 
+  /** Multi-lag autocorrelation function (the correlogram, lags
+    * 1..maxLag) — the full view behind [[autocorr]]'s single probe and
+    * the time-domain dual of [[periodogram]]'s spectral screen: WHICH
+    * lags does a series remember. Pairs (v_t, v_{t−L}) come from
+    * maxLag lag() columns over ONE ordered window pass, stacked
+    * scan-side; degenerate (key, lag) groups (< 2 pairs or zero
+    * variance on either side — ANSI corr faults on them) are excluded
+    * before the aggregate, the [[crossCorr]] posture.
+    *
+    * Scale shape: ONE key-hash shuffle end to end — the lag window,
+    * the degeneracy windows on (key, lag), and the (key, lag) corr
+    * agg are all clustering-satisfied by hash(key); the lag fan-out
+    * (×maxLag) happens scan-side after the window.
+    *
+    * Output: keyCols, lag, n_pairs, acf.
+    */
+  def acf(df: DataFrame, tsCol: String, valCol: String,
+          keyCols: Seq[String], maxLag: Int = 7): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valCol))
+    val lagged = (1 to maxLag).foldLeft(
+      df.select((keyCols :+ tsCol :+ valCol).map(col): _*)) {
+      (d, l) => d.withColumn(s"__p$l", lag(col(valCol), l).over(w))
+    }
+    val stacked = lagged.select(keyCols.map(col) :+ col(valCol).as("__v") :+
+        explode(array((1 to maxLag).map(l =>
+          struct(lit(l).as("lag"), col(s"__p$l").as("prev"))): _*)).as("__e"): _*)
+      .select(keyCols.map(col) :+ col("__v") :+
+        col("__e.lag").as("lag") :+ col("__e.prev").as("__prev"): _*)
+      .where(col("__prev").isNotNull)
+    val wg = Window.partitionBy((keyCols.map(col) :+ col("lag")): _*)
+    stacked
+      .withColumn("__n", count(lit(1)).over(wg))
+      .withColumn("__sx", stddev_samp(col("__v")).over(wg))
+      .withColumn("__sy", stddev_samp(col("__prev")).over(wg))
+      .where(col("__n") >= 2 && col("__sx") > 0 && col("__sy") > 0)
+      .groupBy((keyCols.map(col) :+ col("lag")): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("__v"), col("__prev")), 6).as("acf"))
+  }
+
   /** Lag CROSS-correlation between two keyed series on a shared time
     * grid: Pearson correlation of x(t) against y(t + lag·stepUs) for
     * each requested lag — "does series y follow series x, and at what
@@ -803,7 +844,10 @@ object Trend {
     * normalized to sum to ~zero across the period; residual = value −
     * trend − seasonal. Every mean is an exact integer µ-unit FLOOR
     * (floor-div of exact BIGINT sums), so both engines agree bit-
-    * for-bit with no half-tie hazard anywhere.
+    * for-bit with no half-tie hazard anywhere, and the decomposition
+    * identity holds EXACTLY on the µ-integers (each output column is
+    * its own µ-int / 1e6 — comparing the doubles re-summed is off by
+    * ulps, the µ-ints never are).
     *
     * Scale: the (key, bucket) grid agg is the only stage touching
     * events; the trend window (key), season window (key, dow) and

@@ -183,6 +183,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_index_list" -> 1,
     "ts_outliers" -> 1, "ts_rolling_median" -> 1,
     "ts_rolling_time" -> 1, "ts_autocorr" -> 1, "ts_nested_agg" -> 1,
+    // correlogram: lag window + (key, lag) degeneracy windows + corr
+    // agg ALL share hash(key); the x7 lag fan-out is scan-side
+    "ts_acf" -> 1,
     // chained align->rate: align's interior-boundary UNION hides its
     // key partitioning from Catalyst, so the rate window re-shuffles —
     // 2 key-hash exchanges total, still no data explosion

@@ -318,6 +318,104 @@ class TrendSpec extends AnyFunSuite {
       .toDF("k", "ts", "v")
     assert(Trend.cusum(df, "ts", "v", Seq("k"), 10.0, 0.5).count() == 0)
   }
+
+  private val UsDayT = 86400L * 1000000L
+
+  test("changepoint localizes a planted level shift exactly") {
+    import spark.implicits._
+    // key 1: 10 days at 1.0 then 10 days at 5.0 -> split after day 9;
+    // key 2: a single day has no interior split and emits nothing
+    val rows = (0 until 10).map(d => (1L, d * UsDayT, 1.0)) ++
+      (10 until 20).map(d => (1L, d * UsDayT, 5.0)) :+ ((2L, 0L, 7.0))
+    val got = Trend.changepoint(rows.toDF("k", "ts", "v"), "ts", "v",
+      Seq("k"), UsDayT, 0L).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 20L && r.getLong(2) == 9L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 5.0)
+    // gain = n_l*n_r/n * (mean diff)^2 = 10*10/20 * 16 = 80
+    assert(r.getDouble(5) == 80.0)
+  }
+
+  test("changepoint argmax prefers the earlier day on a gain tie") {
+    import spark.implicits._
+    // two-step series: the max gain is unique at the true split
+    // (day 1); a constant series ties every split at gain 0 and must
+    // pick the FIRST day
+    val rows = Seq((1L, 0L, 0.0), (1L, UsDayT, 0.0),
+      (1L, 2 * UsDayT, 4.0), (1L, 3 * UsDayT, 4.0),
+      (2L, 0L, 3.0), (2L, UsDayT, 3.0), (2L, 2 * UsDayT, 3.0))
+    val got = Trend.changepoint(rows.toDF("k", "ts", "v"), "ts", "v",
+      Seq("k"), UsDayT, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(5))).toSet
+    assert(got == Set((1L, 1L, 16.0), (2L, 0L, 0.0)))
+  }
+
+  test("acf of a strictly alternating series flips sign by lag parity") {
+    import spark.implicits._
+    // v_t = (-1)^t: prev at odd lags = -v (corr -1), even lags = +v (+1)
+    val rows = (0 until 20).map(t => (1L, t * UsDayT, if (t % 2 == 0) 1.0 else -1.0))
+    val got = Trend.acf(rows.toDF("k", "ts", "v"), "ts", "v", Seq("k"),
+      maxLag = 3).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set((1, 19L, -1.0), (2, 18L, 1.0), (3, 17L, -1.0)))
+  }
+
+  test("stl decomposes a pure weekly pattern: flat trend, zero resid") {
+    import spark.implicits._
+    // v(d) = 10 + (d mod 7), 21 days: every interior centered-MA(7)
+    // covers each weekday once -> trend = 13, seasonal = dow - 3,
+    // resid = 0; the 3 edge days each side have null trend/resid
+    val rows = (0 until 21).map(d => (1L, d * UsDayT, 10.0 + (d % 7)))
+    val got = Trend.stlDecompose(rows.toDF("k", "ts", "v"), "ts", "v",
+      Seq("k"), UsDayT, 0L).orderBy("day").collect()
+    assert(got.length == 21)
+    got.foreach { r =>
+      val d = r.getLong(1)
+      assert(r.getDouble(2) == 10.0 + (d % 7)) // value
+      assert(r.getDouble(4) == (d % 7) - 3.0)  // seasonal (all rows)
+      if (d >= 3 && d <= 17) {
+        assert(r.getDouble(3) == 13.0 && r.getDouble(5) == 0.0)
+      } else {
+        assert(r.isNullAt(3) && r.isNullAt(5))
+      }
+    }
+  }
+
+  test("stl identity: value = trend + seasonal + resid wherever defined") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+    val dec = Trend.stlDecompose(ev, "ts", "value", Seq("user_id"),
+      UsDayT, 0L)
+    // the identity is exact on the µ-INTEGERS (each output is its own
+    // µ-int / 1e6, so comparing the doubles directly would be off by
+    // ulps); round-trip back to µ-ints and assert exact equality
+    def u6(c: org.apache.spark.sql.Column) =
+      round(c * lit(1e6)).cast("long")
+    val broken = dec.where(col("trend").isNotNull &&
+      u6(col("value")) =!= u6(col("trend")) + u6(col("seasonal")) +
+        u6(col("resid")))
+    assert(broken.count() == 0 && dec.count() > 0)
+  }
+
+  test("sax maps a planted low/high split to the outer symbols") {
+    import spark.implicits._
+    // 14 days at 10 then 14 at 20: mean 15, sigma 5 -> weekly PAA z of
+    // -1/+1 lands in the outer quartiles; a constant key pins 'c'
+    val rows = (0 until 14).map(d => (1L, d * UsDayT, 10.0)) ++
+      (14 until 28).map(d => (1L, d * UsDayT, 20.0)) ++
+      (0 until 14).map(d => (2L, d * UsDayT, 4.25))
+    val got = Trend.sax(rows.toDF("k", "ts", "v"), "ts", "v",
+      Seq("k"), UsDayT, 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4), r.getString(5))).toSet
+    assert(got == Set(
+      (1L, 0L, 10.0, -1.0, "a"), (1L, 1L, 10.0, -1.0, "a"),
+      (1L, 2L, 20.0, 1.0, "d"), (1L, 3L, 20.0, 1.0, "d"),
+      (2L, 0L, 4.25, 0.0, "c"), (2L, 1L, 4.25, 0.0, "c")))
+  }
 }
 
 class StreamFillSpec extends AnyFunSuite {
@@ -584,89 +682,5 @@ class StreamHoltWintersSpec extends AnyFunSuite {
         $"seasonal", $"forecast")
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
-  }
-
-  private val UsDayT = 86400L * 1000000L
-
-  test("changepoint localizes a planted level shift exactly") {
-    import spark.implicits._
-    // key 1: 10 days at 1.0 then 10 days at 5.0 -> split after day 9;
-    // key 2: a single day has no interior split and emits nothing
-    val rows = (0 until 10).map(d => (1L, d * UsDayT, 1.0)) ++
-      (10 until 20).map(d => (1L, d * UsDayT, 5.0)) :+ ((2L, 0L, 7.0))
-    val got = Trend.changepoint(rows.toDF("k", "ts", "v"), "ts", "v",
-      Seq("k"), UsDayT, 0L).collect()
-    assert(got.length == 1)
-    val r = got.head
-    assert(r.getLong(0) == 1L && r.getLong(1) == 20L && r.getLong(2) == 9L)
-    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 5.0)
-    // gain = n_l*n_r/n * (mean diff)^2 = 10*10/20 * 16 = 80
-    assert(r.getDouble(5) == 80.0)
-  }
-
-  test("changepoint argmax prefers the earlier day on a gain tie") {
-    import spark.implicits._
-    // two-step series: the max gain is unique at the true split
-    // (day 1); a constant series ties every split at gain 0 and must
-    // pick the FIRST day
-    val rows = Seq((1L, 0L, 0.0), (1L, UsDayT, 0.0),
-      (1L, 2 * UsDayT, 4.0), (1L, 3 * UsDayT, 4.0),
-      (2L, 0L, 3.0), (2L, UsDayT, 3.0), (2L, 2 * UsDayT, 3.0))
-    val got = Trend.changepoint(rows.toDF("k", "ts", "v"), "ts", "v",
-      Seq("k"), UsDayT, 0L).collect()
-      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(5))).toSet
-    assert(got == Set((1L, 1L, 16.0), (2L, 0L, 0.0)))
-  }
-
-  test("stl decomposes a pure weekly pattern: flat trend, zero resid") {
-    import spark.implicits._
-    // v(d) = 10 + (d mod 7), 21 days: every interior centered-MA(7)
-    // covers each weekday once -> trend = 13, seasonal = dow - 3,
-    // resid = 0; the 3 edge days each side have null trend/resid
-    val rows = (0 until 21).map(d => (1L, d * UsDayT, 10.0 + (d % 7)))
-    val got = Trend.stlDecompose(rows.toDF("k", "ts", "v"), "ts", "v",
-      Seq("k"), UsDayT, 0L).orderBy("day").collect()
-    assert(got.length == 21)
-    got.foreach { r =>
-      val d = r.getLong(1)
-      assert(r.getDouble(2) == 10.0 + (d % 7)) // value
-      assert(r.getDouble(4) == (d % 7) - 3.0)  // seasonal (all rows)
-      if (d >= 3 && d <= 17) {
-        assert(r.getDouble(3) == 13.0 && r.getDouble(5) == 0.0)
-      } else {
-        assert(r.isNullAt(3) && r.isNullAt(5))
-      }
-    }
-  }
-
-  test("stl identity: value = trend + seasonal + resid wherever defined") {
-    import spark.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
-    val dec = Trend.stlDecompose(ev, "ts", "value", Seq("user_id"),
-      UsDayT, 0L)
-    // µ-floors are EXACT integers scaled by 1e6, so the identity holds
-    // bit-for-bit, not approximately
-    val broken = dec.where(col("trend").isNotNull &&
-      col("value") =!= col("trend") + col("seasonal") + col("resid"))
-    assert(broken.count() == 0 && dec.count() > 0)
-  }
-
-  test("sax maps a planted low/high split to the outer symbols") {
-    import spark.implicits._
-    // 14 days at 10 then 14 at 20: mean 15, sigma 5 -> weekly PAA z of
-    // -1/+1 lands in the outer quartiles; a constant key pins 'c'
-    val rows = (0 until 14).map(d => (1L, d * UsDayT, 10.0)) ++
-      (14 until 28).map(d => (1L, d * UsDayT, 20.0)) ++
-      (0 until 14).map(d => (2L, d * UsDayT, 4.25))
-    val got = Trend.sax(rows.toDF("k", "ts", "v"), "ts", "v",
-      Seq("k"), UsDayT, 0L).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
-        r.getDouble(4), r.getString(5))).toSet
-    assert(got == Set(
-      (1L, 0L, 10.0, -1.0, "a"), (1L, 1L, 10.0, -1.0, "a"),
-      (1L, 2L, 20.0, 1.0, "d"), (1L, 3L, 20.0, 1.0, "d"),
-      (2L, 0L, 4.25, 0.0, "c"), (2L, 1L, 4.25, 0.0, "c")))
   }
 }
