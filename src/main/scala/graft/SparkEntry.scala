@@ -2711,6 +2711,14 @@ object SparkEntry {
         col("doc_id") % 97 === 0 && col("doc_id") < 100000000L)
     },
 
+    // char-level decontamination: catches verbatim benchmark text the
+    // token n-gram screen misses when token boundaries shift; span
+    // edges are exact char offsets so the overlap can be CUT
+    "doc_contamination_spans" -> { (s, dir) =>
+      Dedup.contaminationSpans(tbl(s, dir, "documents"),
+        col("doc_id") % 97 === 0 && col("doc_id") < 100000000L)
+    },
+
     // fixed-size-sketch scale path, wrapped in its own contract so
     // the oracle asserts values: Bloom bit layouts are engine-
     // specific, but "no false negatives" is not — the audit emits the
@@ -4145,6 +4153,44 @@ object SparkEntry {
          |SELECT d.doc_id, coalesce(h.n_shared, 0) AS n_shared,
          |  coalesce(h.n_shared, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+         |WHERE NOT (d.doc_id % 97 = 0 AND d.doc_id < 100000000)""".stripMargin,
+
+    // char-gram decontamination: the dup_spans rolling-hash chain with
+    // the bench/corpus split of the contamination oracle
+    "doc_contamination_spans" ->
+      s"""WITH csg AS (SELECT doc_id,
+         |    (doc_id % 97 = 0 AND doc_id < 100000000) AS bench, text,
+         |    unnest(range(0, greatest(len(text) - 19, 0))) AS pos
+         |  FROM documents),
+         |csh AS (SELECT doc_id, bench, pos,
+         |    ${sqlPoly("substr(text, CAST(pos AS INTEGER) + 1, 20)")} AS h
+         |  FROM csg),
+         |csb AS (SELECT DISTINCT h FROM csh WHERE bench),
+         |csp AS (SELECT doc_id, pos FROM csh
+         |  WHERE NOT bench AND h IN (SELECT h FROM csb)),
+         |csi AS (SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        IS NULL
+         |      OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        + 20
+         |      THEN 1 ELSE 0 END AS st
+         |  FROM csp),
+         |csl AS (SELECT doc_id, pos,
+         |    sum(st) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         |  FROM csi),
+         |css AS (SELECT doc_id, min(pos) AS b, max(pos) + 20 AS e
+         |  FROM csl GROUP BY doc_id, isl),
+         |csa AS (SELECT doc_id, count(*) AS n_spans,
+         |    sum(e - b) AS cchars
+         |  FROM css GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(a.cchars, 0) AS BIGINT) AS contaminated_chars,
+         |  CASE WHEN len(d.text) > 0 THEN
+         |    round(CAST(coalesce(a.cchars, 0) AS DOUBLE)
+         |      / CAST(len(d.text) AS DOUBLE), 6)
+         |  ELSE 0.0 END AS contam_frac,
+         |  coalesce(a.cchars, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN csa a ON d.doc_id = a.doc_id
          |WHERE NOT (d.doc_id % 97 = 0 AND d.doc_id < 100000000)""".stripMargin,
 
     // Bloom internals are engine-specific; the exact columns and the

@@ -648,6 +648,56 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Character-level benchmark DECONTAMINATION — [[contamination]]'s
+    * token n-gram screen run at char granularity via the
+    * [[duplicateSpans]] machinery, CROSS-corpus: a corpus position is
+    * contaminated when its char k-gram also occurs anywhere in the
+    * benchmark slice; overlapping hits coalesce into maximal spans.
+    * Catches what the token screen structurally misses — verbatim
+    * benchmark text whose token boundaries shift in the crawl copy
+    * (punctuation squashed into words, different whitespace, a
+    * mid-token truncation), since char grams never re-tokenize — and
+    * bounds the overlap tightly enough to CUT (span edges are exact
+    * char offsets), where the token screen only flags.
+    *
+    * Scale shape: gram hashes roll scan-side (native CharGramHashes,
+    * O(chars)); the benchmark's distinct gram set broadcasts (the
+    * [[contamination]] posture — swap for the Bloom sketch beyond
+    * broadcast size); corpus-side shuffles carry (id, pos) for one
+    * doc-keyed island window. Nothing is pairwise.
+    *
+    * Output per NON-bench doc: idCol, n_spans, contaminated_chars,
+    * contam_frac, contaminated.
+    */
+  def contaminationSpans(docs: DataFrame, benchPred: Column, k: Int = 20,
+                         idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.graft.GraftExpressions.char_gram_hashes
+    val grams = docs.select(col(idCol), benchPred.as("__bench"),
+      posexplode(char_gram_hashes(col("text"), k)).as(Seq("pos", "h")))
+    val bench = grams.where(col("__bench")).select("h").distinct()
+    val hitPos = grams.where(!col("__bench"))
+      .join(broadcast(bench), Seq("h"), "left_semi")
+      .select(col(idCol), col("pos").cast("long").as("__b"),
+        (col("pos") + lit(k)).cast("long").as("__e"))
+    val spans = RangeJoin.coalesceIntervals(hitPos, Seq(idCol), "__b", "__e")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("end_ts") - col("begin_ts")).as("contaminated_chars"))
+    docs.where(!benchPred)
+      .select(col(idCol), length(col("text")).as("__len"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("contaminated_chars"), lit(0L))
+          .as("contaminated_chars"),
+        when(col("__len") > 0,
+          round(coalesce(col("contaminated_chars"), lit(0L)).cast("double") /
+            col("__len").cast("double"), 6)).otherwise(lit(0.0))
+          .as("contam_frac"),
+        (coalesce(col("contaminated_chars"), lit(0L)) > 0)
+          .as("contaminated"))
+  }
+
   /** The destructive counterpart of [[duplicateSpans]] — Lee et al.'s
     * ExactSubstr dedup as a TRANSFORM: every non-first occurrence of a
     * duplicated char k-gram (first = corpus-wide min (doc, pos)) is

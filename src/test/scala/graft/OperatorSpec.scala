@@ -201,6 +201,26 @@ class OperatorSpec extends AnyFunSuite {
       s"fp inflation too large: $maybeHits vs $exactHits")
   }
 
+  test("contaminationSpans marks exactly the verbatim benchmark overlap") {
+    import spark.implicits._
+    // doc 0 is the benchmark; doc 1 embeds a verbatim 30-char slice of
+    // it mid-text (every char 20-gram of the slice hits -> one maximal
+    // span of 30 chars); doc 2 shares nothing
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    val slice = benchText.substring(10, 40) // 30 chars
+    val docs = Seq(
+      (0L, benchText),
+      (1L, "AAAAAAAAAA" + slice + "BBBBBBBBBB"),
+      (2L, "completely unrelated content with no overlap at all x")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationSpans(docs, col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(got.keySet == Set(1L, 2L)) // bench doc excluded
+    assert(got(1L) == (1L, 30L, true))
+    assert(got(2L) == (0L, 0L, false))
+  }
+
   test("weightedTopK: priorities are the exact min-of-w rolling hashes; k smallest kept") {
     import spark.implicits._
     val df = (1L to 200L).map(i => (i, (i % 23 + 1).toInt)).toDF("doc_id", "w0")

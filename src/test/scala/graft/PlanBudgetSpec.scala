@@ -245,6 +245,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_contamination_bloom" -> 4,
     // block inverted index: same chain as doc_dup_ngram_frac
     "doc_dup_blocks" -> 5,
+    // char-gram decontamination: bench gram distinct + its broadcast
+    // (the semi-join build side), the doc-keyed island window, and the
+    // final doc join — (id, pos) rows only, nothing pairwise
+    "doc_contamination_spans" -> 4,
     // first-occurrence selection (groupBy h) + join-back + per-doc
     // kept-position collect + broadcast reassembly join
     "doc_block_dedup" -> 8,
