@@ -3251,6 +3251,13 @@ object SparkEntry {
       Knn.pqCodes(tbl(s, dir, "embeddings"), EmbDim)
     },
 
+    // residual quantization: level 2 codes the level-1 ERROR (additive
+    // refinement — the RQ alternative to PQ's subspace partition);
+    // both √n codebooks broadcast, each level a broadcast argmin
+    "emb_rq" -> { (s, dir) =>
+      Knn.rqCodes(tbl(s, dir, "embeddings"), EmbDim)
+    },
+
     "emb_ivf_pq" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Knn.ivfPqTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
@@ -5509,6 +5516,43 @@ object SparkEntry {
          |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
          |    (x, y) -> x + y), 6) AS err2
          |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
+    // RQ: both codebooks replayed from the corpus + its count (level-2
+    // centroids are the every-Nth RESIDUALS); full-dim L2 folds in
+    // index order, argmin ties on centroid id
+    "emb_rq" -> {
+      def fl2(a: String, b: String): String =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbDim + 1}), " +
+          s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+          s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+          "(x, y) -> x + y)"
+      s"""WITH rc1 AS (SELECT vec_id AS cid1, embedding AS c1v
+         |    FROM embeddings WHERE vec_id % $sqlCoarseEvery = 1),
+         |ra1 AS (SELECT e.vec_id, c.cid1,
+         |    ${fl2("e.embedding", "c.c1v")} AS d
+         |  FROM embeddings e, rc1 c),
+         |rb1 AS (SELECT vec_id, cid1, d, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d, cid1) AS rn FROM ra1),
+         |rr AS (SELECT b.vec_id, b.cid1, b.d AS err1,
+         |    list_transform(range(1, ${EmbDim + 1}),
+         |      i -> CAST(e.embedding[i] AS DOUBLE)
+         |        - CAST(c.c1v[i] AS DOUBLE)) AS r
+         |  FROM rb1 b JOIN embeddings e ON e.vec_id = b.vec_id
+         |    JOIN rc1 c ON c.cid1 = b.cid1
+         |  WHERE b.rn = 1),
+         |rc2 AS (SELECT vec_id AS cid2, r AS c2v FROM rr
+         |  WHERE vec_id % $sqlCoarseEvery = 2
+         |  UNION ALL SELECT CAST(-1 AS BIGINT),
+         |    list_transform(range(1, ${EmbDim + 1}), i -> 0.0)),
+         |ra2 AS (SELECT a.vec_id, a.cid1, a.err1, c.cid2,
+         |    ${fl2("a.r", "c.c2v")} AS d2
+         |  FROM rr a, rc2 c),
+         |rb2 AS (SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY d2, cid2) AS rn FROM ra2)
+         |SELECT vec_id, cid1, cid2, round(err1, 6) AS err1,
+         |  round(d2, 6) AS err2
+         |FROM rb2 WHERE rn = 1""".stripMargin
+    },
 
     // IVF-PQ: coarse cells from the shared IVF CTEs; candidates ranked
     // by the ADC table (per-query distance to every (subspace, code)

@@ -462,6 +462,74 @@ object Knn {
           (acc, x) => acc + x.getField("dist")), 6).as("err2"))
   }
 
+  /** Residual quantization (two-level additive FULL-vector codebook —
+    * the RQ family ScaNN/faiss offer next to PQ): level 2 codes the
+    * level-1 quantization ERROR, so the reconstruction c1 + c2 REFINES
+    * the first approximation instead of partitioning dimensions the
+    * way [[pqCodes]]' subspace split does. Level-1 centroids are the
+    * deterministic every-N corpus vectors ([[autoCoarseEvery]] √n
+    * sizing); level-2 centroids are the RESIDUALS of those same
+    * every-N ids — both codebooks derive from the corpus + its count
+    * alone, so the DuckDB oracle replays them exactly.
+    *
+    * Level-2 centroids come from the OFFSET stride (ids ≡ 2 mod N):
+    * the level-1 members' own residuals are all zero, so reusing the
+    * same ids would degenerate the refinement codebook. A synthetic
+    * ZERO codeword (cid2 = −1) always competes, so err2 ≤ err1 holds
+    * POINTWISE — level 2 refines where it can and abstains where it
+    * can't (the keep-if-improves convention).
+    *
+    * Returns (id, cid1, cid2, err1, err2): err1 = ‖v − c1‖², err2 =
+    * ‖v − c1 − c2‖² (a level-1 codebook member recodes exactly: err1 =
+    * err2 = 0 via the zero codeword). Distances are left-to-right
+    * IEEE folds over double-cast components — bit-identical to the
+    * oracle's list_reduce.
+    *
+    * Scale shape: both codebooks broadcast (≈√n rows, under the
+    * [[MaxCoarseCells]] cap posture); each level is one broadcast
+    * crossJoin + a partial-aggregable min(struct) argmin — no rank
+    * window, no corpus self-join. The residual frame localCheckpoints
+    * once (it feeds the level-2 codebook filter AND the level-2
+    * assignment); materializing n×dim doubles once is the standard
+    * RQ index-build cost.
+    */
+  def rqCodes(emb: DataFrame, dim: Int, centroidEvery: Int = 0,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val every = resolveCoarse(emb, centroidEvery)
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) =>
+          (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, t) => acc + t)
+    val c1 = emb.where(col(idCol) % every === 1)
+      .select(col(idCol).as("cid1"), col(vecCol).as("c1v"))
+    val best1 = emb.select(col(idCol), col(vecCol).as("v"))
+      .crossJoin(broadcast(c1))
+      .withColumn("d", l2(col("v"), col("c1v")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d"), col("cid1"))).as("b1"))
+      .select(col(idCol), col("b1.cid1").as("cid1"), col("b1.d").as("err1"))
+    val resid = best1
+      .join(emb.select(col(idCol), col(vecCol).as("v")), Seq(idCol))
+      .join(broadcast(c1), Seq("cid1"))
+      .withColumn("r", zip_with(col("v"), col("c1v"), (x, y) =>
+        x.cast("double") - y.cast("double")))
+      .select(col(idCol), col("cid1"), col("err1"), col("r"))
+      .localCheckpoint(false)
+    val c2 = resid.where(col(idCol) % every === 2)
+      .select(col(idCol).as("cid2"), col("r").as("c2v"))
+      .unionByName(resid.sparkSession.range(1)
+        .select(lit(-1L).as("cid2"),
+          array_repeat(lit(0.0), dim).as("c2v")))
+    resid.crossJoin(broadcast(c2))
+      .withColumn("d2", l2(col("r"), col("c2v")))
+      .groupBy(col(idCol), col("cid1"), col("err1"))
+      .agg(min(struct(col("d2"), col("cid2"))).as("b2"))
+      .select(col(idCol), col("cid1"), col("b2.cid2").as("cid2"),
+        round(col("err1"), 6).as("err1"), round(col("b2.d2"), 6).as("err2"))
+  }
+
   // --- IVF (inverted-file) ANN ---------------------------------------
 
   /** IVF flat index with deterministic sampled centroids: every

@@ -201,6 +201,33 @@ class OperatorSpec extends AnyFunSuite {
       s"fp inflation too large: $maybeHits vs $exactHits")
   }
 
+  test("rqCodes: members recode exactly; level 2 refines pointwise") {
+    import spark.implicits._
+    // 12 vectors, 3 tight axis clusters; every=4 -> level-1 codebook
+    // {1, 5, 9} (one per cluster), level-2 codebook = residuals of
+    // {2, 6, 10} + the zero codeword
+    val rows = (0 until 12).map { i =>
+      val id = i + 1L
+      val base = Array.fill(4)(0.0f)
+      base(i % 3) = 10.0f
+      base((i % 3 + 1) % 4) = (i / 3).toFloat * 0.1f
+      (id, base.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Knn.rqCodes(df, 4, centroidEvery = 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.size == 12)
+    // a level-1 member's residual is 0 -> the zero codeword keeps it 0
+    Seq(1L, 5L, 9L).foreach { id =>
+      assert(got(id) == (-1L, 0.0, 0.0)) }
+    // the zero codeword makes refinement monotone POINTWISE
+    got.values.foreach { case (_, e1, e2) => assert(e2 <= e1) }
+    // and level 2 genuinely refines where a residual centroid is near:
+    // id 7's residual (0, 0.2, 0, 0) codes to id 10's (0, 0.3, 0, 0)
+    assert(got(7L)._1 == 10L && got(7L)._3 < got(7L)._2 && got(7L)._2 > 0)
+  }
+
   test("contaminationSpans marks exactly the verbatim benchmark overlap") {
     import spark.implicits._
     // doc 0 is the benchmark; doc 1 embeds a verbatim 30-char slice of

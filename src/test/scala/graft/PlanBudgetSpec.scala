@@ -209,6 +209,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_quantize" -> 3, "ts_mad" -> 6,
     // pq: broadcast codebook + two partial-agged shuffles (no window)
     "emb_pq" -> 3,
+    // rq: the level-1 chain lives behind the residual checkpoint; the
+    // visible plan is the level-2 codebook broadcast + the argmin agg
+    "emb_rq" -> 2,
     // pca: every round's d-row result is lazily checkpointed, so the
     // visible plan is only the final posexplode of a 1-row frame (the
     // per-round (pos)-keyed partial aggs run behind the checkpoints)
