@@ -3258,6 +3258,16 @@ object SparkEntry {
       Knn.rqCodes(tbl(s, dir, "embeddings"), EmbDim)
     },
 
+    // RQ-flat serving: approximate cosine against the c1+c2
+    // reconstruction ranks top-15, exact cosine reranks to top-3 —
+    // the SQ8 two-stage shape over the additive store
+    "emb_rq_search" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.rqSearchTopK(emb,
+        emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L),
+        EmbDim, 3)
+    },
+
     "emb_ivf_pq" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Knn.ivfPqTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
@@ -3875,6 +3885,45 @@ object SparkEntry {
   private val sqlPqEvery: String =
     "(SELECT greatest(1, CAST(ceil(count(*) / 256.0) AS BIGINT)) " +
       "FROM embeddings)"
+
+  /** Full-dim L2² fold in index order — the oracle twin of rqModel's
+    * zip_with/aggregate double fold. */
+  private def sqlFullL2(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbDim + 1}), " +
+      s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+      s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+      "(x, y) -> x + y)"
+
+  /** Residual-quantization CTE chain ending in `rb2` (per-vector
+    * level-1/level-2 assignments; winner = rn 1) with the codebooks
+    * `rc1`/`rc2` in scope — mirrors Knn.rqModel (√n strides, offset
+    * level-2 ids, zero codeword) and is shared VERBATIM by the emb_rq
+    * and emb_rq_search oracles so store and serving cannot drift.
+    */
+  private def sqlRqCtes: String =
+    s"""rc1 AS (SELECT vec_id AS cid1, embedding AS c1v
+       |    FROM embeddings WHERE vec_id % $sqlCoarseEvery = 1),
+       |ra1 AS (SELECT e.vec_id, c.cid1,
+       |    ${sqlFullL2("e.embedding", "c.c1v")} AS d
+       |  FROM embeddings e, rc1 c),
+       |rb1 AS (SELECT vec_id, cid1, d, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d, cid1) AS rn FROM ra1),
+       |rr AS (SELECT b.vec_id, b.cid1, b.d AS err1,
+       |    list_transform(range(1, ${EmbDim + 1}),
+       |      i -> CAST(e.embedding[i] AS DOUBLE)
+       |        - CAST(c.c1v[i] AS DOUBLE)) AS r
+       |  FROM rb1 b JOIN embeddings e ON e.vec_id = b.vec_id
+       |    JOIN rc1 c ON c.cid1 = b.cid1
+       |  WHERE b.rn = 1),
+       |rc2 AS (SELECT vec_id AS cid2, r AS c2v FROM rr
+       |  WHERE vec_id % $sqlCoarseEvery = 2
+       |  UNION ALL SELECT CAST(-1 AS BIGINT),
+       |    list_transform(range(1, ${EmbDim + 1}), i -> 0.0)),
+       |ra2 AS (SELECT a.vec_id, a.cid1, a.err1, c.cid2,
+       |    ${sqlFullL2("a.r", "c.c2v")} AS d2
+       |  FROM rr a, rc2 c),
+       |rb2 AS (SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY d2, cid2) AS rn FROM ra2)""".stripMargin
 
   /** IVF coarse-quantizer CTEs (cents/c0/ca/ccell/q0/qa/qcell) —
     * shared VERBATIM by the emb_knn_ivf oracle, emb_ann_recall's ivf
@@ -5518,41 +5567,48 @@ object SparkEntry {
          |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin,
 
     // RQ: both codebooks replayed from the corpus + its count (level-2
-    // centroids are the every-Nth RESIDUALS); full-dim L2 folds in
-    // index order, argmin ties on centroid id
-    "emb_rq" -> {
-      def fl2(a: String, b: String): String =
-        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbDim + 1}), " +
-          s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
-          s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
-          "(x, y) -> x + y)"
-      s"""WITH rc1 AS (SELECT vec_id AS cid1, embedding AS c1v
-         |    FROM embeddings WHERE vec_id % $sqlCoarseEvery = 1),
-         |ra1 AS (SELECT e.vec_id, c.cid1,
-         |    ${fl2("e.embedding", "c.c1v")} AS d
-         |  FROM embeddings e, rc1 c),
-         |rb1 AS (SELECT vec_id, cid1, d, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY d, cid1) AS rn FROM ra1),
-         |rr AS (SELECT b.vec_id, b.cid1, b.d AS err1,
-         |    list_transform(range(1, ${EmbDim + 1}),
-         |      i -> CAST(e.embedding[i] AS DOUBLE)
-         |        - CAST(c.c1v[i] AS DOUBLE)) AS r
-         |  FROM rb1 b JOIN embeddings e ON e.vec_id = b.vec_id
-         |    JOIN rc1 c ON c.cid1 = b.cid1
-         |  WHERE b.rn = 1),
-         |rc2 AS (SELECT vec_id AS cid2, r AS c2v FROM rr
-         |  WHERE vec_id % $sqlCoarseEvery = 2
-         |  UNION ALL SELECT CAST(-1 AS BIGINT),
-         |    list_transform(range(1, ${EmbDim + 1}), i -> 0.0)),
-         |ra2 AS (SELECT a.vec_id, a.cid1, a.err1, c.cid2,
-         |    ${fl2("a.r", "c.c2v")} AS d2
-         |  FROM rr a, rc2 c),
-         |rb2 AS (SELECT *, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY d2, cid2) AS rn FROM ra2)
+    // centroids are the every-Nth RESIDUALS + the zero codeword);
+    // full-dim L2 folds in index order, argmin ties on centroid id
+    "emb_rq" ->
+      s"""WITH $sqlRqCtes
          |SELECT vec_id, cid1, cid2, round(err1, 6) AS err1,
          |  round(d2, 6) AS err2
-         |FROM rb2 WHERE rn = 1""".stripMargin
-    },
+         |FROM rb2 WHERE rn = 1""".stripMargin,
+
+    // RQ-flat serving: the shared RQ chain's winner rebuilds the
+    // c1+c2 reconstruction; approx-cos top-15, exact rerank top-3
+    // (the emb_sq_search two-stage tail)
+    "emb_rq_search" ->
+      s"""WITH $sqlRqCtes,
+         |rw AS (SELECT vec_id, cid1, cid2 FROM rb2 WHERE rn = 1),
+         |rrec AS (SELECT w.vec_id AS neighbor_id,
+         |    list_transform(range(1, ${EmbDim + 1}),
+         |      i -> CAST(c.c1v[i] AS DOUBLE) + d.c2v[i]) AS rv
+         |  FROM rw w JOIN rc1 c ON c.cid1 = w.cid1
+         |    JOIN rc2 d ON d.cid2 = w.cid2),
+         |rqq AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
+         |rs AS (SELECT q.query_id, r.neighbor_id,
+         |    ${sqlDot("q.qv", "r.rv")}
+         |      / (q.qn * sqrt(${sqlDot("r.rv", "r.rv")})) AS acos
+         |  FROM rrec r, rqq q WHERE r.neighbor_id <> q.query_id),
+         |rsr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS rk
+         |  FROM rs),
+         |rcand AS (SELECT query_id, neighbor_id FROM rsr WHERE rk <= 15),
+         |rex AS (SELECT a.query_id, a.neighbor_id,
+         |    ${sqlDot("q.qv", "e.embedding")}
+         |      / (q.qn * sqrt(${sqlDot("e.embedding", "e.embedding")}))
+         |      AS cos
+         |  FROM rcand a JOIN rqq q ON q.query_id = a.query_id
+         |    JOIN embeddings e ON e.vec_id = a.neighbor_id),
+         |rfin AS (SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM rex)
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+         |FROM rfin WHERE rank <= 3""".stripMargin,
 
     // IVF-PQ: coarse cells from the shared IVF CTEs; candidates ranked
     // by the ADC table (per-query distance to every (subspace, code)

@@ -493,9 +493,11 @@ object Knn {
     * assignment); materializing n×dim doubles once is the standard
     * RQ index-build cost.
     */
-  def rqCodes(emb: DataFrame, dim: Int, centroidEvery: Int = 0,
-              idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+  /** Shared RQ core: (assignments(id, cid1, err1, cid2, err2-raw),
+    * level-1 codebook, level-2 codebook incl. the zero codeword). */
+  private def rqModel(emb: DataFrame, dim: Int, centroidEvery: Int,
+                      idCol: String, vecCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val every = resolveCoarse(emb, centroidEvery)
     def l2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) =>
@@ -522,12 +524,76 @@ object Knn {
       .unionByName(resid.sparkSession.range(1)
         .select(lit(-1L).as("cid2"),
           array_repeat(lit(0.0), dim).as("c2v")))
-    resid.crossJoin(broadcast(c2))
+    val assign = resid.crossJoin(broadcast(c2))
       .withColumn("d2", l2(col("r"), col("c2v")))
       .groupBy(col(idCol), col("cid1"), col("err1"))
       .agg(min(struct(col("d2"), col("cid2"))).as("b2"))
-      .select(col(idCol), col("cid1"), col("b2.cid2").as("cid2"),
-        round(col("err1"), 6).as("err1"), round(col("b2.d2"), 6).as("err2"))
+      .select(col(idCol), col("cid1"), col("err1"),
+        col("b2.cid2").as("cid2"), col("b2.d2").as("err2"))
+    (assign, c1, c2)
+  }
+
+  def rqCodes(emb: DataFrame, dim: Int, centroidEvery: Int = 0,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val (assign, _, _) = rqModel(emb, dim, centroidEvery, idCol, vecCol)
+    assign.select(col(idCol), col("cid1"), col("cid2"),
+      round(col("err1"), 6).as("err1"), round(col("err2"), 6).as("err2"))
+  }
+
+  /** RQ-flat search with exact rerank — serving against the [[rqCodes]]
+    * store (the SQ8 two-stage shape with the additive reconstruction
+    * in place of the dequantized vector): stage 1 ranks by approximate
+    * cosine between the exact query and the RECONSTRUCTION c1 + c2;
+    * stage 2 re-scores the top `rerank` candidates by exact cosine
+    * against their true vectors. What the store buys at 100 TB: the
+    * serving scan reads two small-int codes per vector plus two
+    * broadcast codebooks (≈√n rows each) instead of dim floats.
+    *
+    * Scale shape: reconstruction is a scan-side double fold after two
+    * broadcast codebook joins; stage 1 is the [[bruteTopK]] posture
+    * (broadcast queries, zero corpus shuffle before the per-query
+    * top-rerank window); stage 2 fetches |Q|·rerank true vectors via
+    * a broadcast candidate list — identical to [[sqSearchTopK]]'s
+    * tail.
+    */
+  def rqSearchTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                   centroidEvery: Int = 0, rerank: Int = 15,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val (assign, c1, c2) = rqModel(corpus, dim, centroidEvery, idCol, vecCol)
+    val rec = assign.select(col(idCol).as("neighbor_id"),
+        col("cid1"), col("cid2"))
+      .join(broadcast(c1), Seq("cid1"))
+      .join(broadcast(c2), Seq("cid2"))
+      .select(col("neighbor_id"), zip_with(col("c1v"), col("c2v"),
+        (x, y) => x.cast("double") + y).as("rv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qd"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val scored = rec.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("acos",
+        dotD(col("qd"), col("rv")) / (col("qn") * sqrt(dotD(col("rv"), col("rv")))))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id"))
+    val cand = scored.withColumn("rk", row_number().over(wa))
+      .where(col("rk") <= rerank)
+      .select("query_id", "neighbor_id")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+    val qx = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val exact = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qx), Seq("query_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
   }
 
   // --- IVF (inverted-file) ANN ---------------------------------------

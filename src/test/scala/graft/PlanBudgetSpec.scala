@@ -212,6 +212,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // rq: the level-1 chain lives behind the residual checkpoint; the
     // visible plan is the level-2 codebook broadcast + the argmin agg
     "emb_rq" -> 2,
+    // rq serving: level-2 argmin + both codebook broadcasts for the
+    // reconstruction join, broadcast query set + top-rerank window,
+    // then the exact-rerank candidate/query broadcasts + rank window
+    // — the emb_sq_search posture plus the codebook joins
+    "emb_rq_search" -> 11,
     // pca: every round's d-row result is lazily checkpointed, so the
     // visible plan is only the final posexplode of a 1-row frame (the
     // per-round (pos)-keyed partial aggs run behind the checkpoints)
