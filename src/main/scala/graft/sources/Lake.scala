@@ -279,6 +279,64 @@ object Lake {
     writeManifest(spark, path, zCols)
   }
 
+  // --- snapshot versioning (time travel) -----------------------------
+
+  /** Commit `df` as the next snapshot VERSION of the table at `path` —
+    * Iceberg/Delta-style time travel over plain parquet. Each commit
+    * writes its data files under an immutable `data/sNNNNN/` subdir
+    * and freezes the version's COMPLETE live-file list as a manifest
+    * under `_graft_snapshots/v=N`; commits never rewrite or delete
+    * earlier data files, so every prior version stays readable and
+    * bit-stable forever ([[readSnapshot]] at version v scans exactly
+    * v's frozen file list). Returns the committed version number.
+    *
+    * Scale posture: the manifest is metadata-scale (one row per file
+    * — the planning cost every table format pays); commit cost is the
+    * new batch's write plus a manifest union, independent of table
+    * history. Single-writer semantics (no commit-conflict protocol) —
+    * the coordination layer a real catalog adds is out of scope.
+    */
+  def snapshotAppend(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val v = snapshotVersions(spark, path).lastOption.getOrElse(0) + 1
+    val dataDir = s"$path/data/s${"%05d".format(v)}"
+    df.write.mode("error").parquet(dataDir)
+    val newFiles = spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path").as("file_path")).distinct()
+    val manifest =
+      if (v == 1) newFiles
+      else spark.read.parquet(s"$path/_graft_snapshots/v=${v - 1}")
+        .unionByName(newFiles)
+    manifest.coalesce(1).write.mode("error")
+      .parquet(s"$path/_graft_snapshots/v=$v")
+    v
+  }
+
+  /** The committed snapshot versions at `path`, ascending. */
+  def snapshotVersions(spark: SparkSession, path: String): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path, "_graft_snapshots")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.drop(2).toInt).sorted
+  }
+
+  /** Read the table AS OF snapshot `version` (latest when <= 0):
+    * scans exactly the frozen file list of that version, so the
+    * result is unaffected by any later [[snapshotAppend]].
+    */
+  def readSnapshot(spark: SparkSession, path: String,
+                   version: Int = -1): DataFrame = {
+    import spark.implicits._
+    val v = if (version > 0) version
+      else snapshotVersions(spark, path).lastOption.getOrElse(
+        sys.error(s"no snapshots at $path"))
+    val files = spark.read.parquet(s"$path/_graft_snapshots/v=$v")
+      .select("file_path").as[String].collect().toSeq
+    spark.read.parquet(files: _*)
+  }
+
   /** Range-crop that ALSO constrains the partition column, so the
     * filter prunes directories, then the row-level ts predicate
     * (pushed to parquet) trims the edge partitions.

@@ -172,6 +172,28 @@ class LakeSpec extends AnyFunSuite {
     assert(none.isEmpty && none.columns.contains("user_id"))
   }
 
+  test("snapshot versions time-travel: old versions bit-stable after commits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b = Seq((3L, "c")).toDF("id", "s")
+    val c = Seq((4L, "d"), (5L, "e")).toDF("id", "s")
+    assert(graft.sources.Lake.snapshotAppend(a, dir) == 1)
+    assert(graft.sources.Lake.snapshotAppend(b, dir) == 2)
+    def ids(v: Int) = graft.sources.Lake.readSnapshot(spark, dir, v)
+      .select("id").as[Long].collect().toSet
+    assert(ids(1) == Set(1L, 2L))
+    assert(ids(2) == Set(1L, 2L, 3L))
+    // a third commit leaves every earlier version untouched
+    assert(graft.sources.Lake.snapshotAppend(c, dir) == 3)
+    assert(ids(1) == Set(1L, 2L) && ids(2) == Set(1L, 2L, 3L))
+    assert(ids(3) == Set(1L, 2L, 3L, 4L, 5L))
+    // latest resolves to the newest version; version list is complete
+    assert(graft.sources.Lake.readSnapshot(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(graft.sources.Lake.snapshotVersions(spark, dir) == Seq(1, 2, 3))
+  }
+
   test("z-ordered layout skips files on BOTH clustering columns") {
     val ev = graft.functions.TimeIndex.normalizeUs(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
