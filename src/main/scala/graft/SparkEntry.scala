@@ -3268,6 +3268,24 @@ object SparkEntry {
         EmbDim, 3)
     },
 
+    // the RQ store's serving quality MEASURED: recall@3 of the
+    // rq_search two-stage path vs the brute truth (the emb_mips_recall
+    // shape; every index in the suite carries a measured-recall leg)
+    "emb_rq_recall" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
+      val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
+        .select("query_id", "neighbor_id").localCheckpoint(false)
+      truth.join(
+          Knn.rqSearchTopK(emb, q, EmbDim, 3)
+            .select(col("query_id"), col("neighbor_id"))
+            .withColumn("__h", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+          round(count(col("__h")).cast("double") / count(lit(1)), 6)
+            .as("recall"))
+    },
+
     "emb_ivf_pq" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Knn.ivfPqTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
@@ -5574,6 +5592,52 @@ object SparkEntry {
          |SELECT vec_id, cid1, cid2, round(err1, 6) AS err1,
          |  round(d2, 6) AS err2
          |FROM rb2 WHERE rn = 1""".stripMargin,
+
+    // rq recall: brute truth + the full two-stage rq_search chain
+    // (shared CTEs verbatim) + the tiny pair join and 1-row agg
+    "emb_rq_recall" ->
+      s"""WITH $sqlRqCtes,
+         |rw AS (SELECT vec_id, cid1, cid2 FROM rb2 WHERE rn = 1),
+         |rrec AS (SELECT w.vec_id AS neighbor_id,
+         |    list_transform(range(1, ${EmbDim + 1}),
+         |      i -> CAST(c.c1v[i] AS DOUBLE) + d.c2v[i]) AS rv
+         |  FROM rw w JOIN rc1 c ON c.cid1 = w.cid1
+         |    JOIN rc2 d ON d.cid2 = w.cid2),
+         |rqq AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    sqrt(${sqlDot("embedding", "embedding")}) AS qn
+         |  FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < 100000000),
+         |rs AS (SELECT q.query_id, r.neighbor_id,
+         |    ${sqlDot("q.qv", "r.rv")}
+         |      / (q.qn * sqrt(${sqlDot("r.rv", "r.rv")})) AS acos
+         |  FROM rrec r, rqq q WHERE r.neighbor_id <> q.query_id),
+         |rsr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS rk
+         |  FROM rs),
+         |rcand AS (SELECT query_id, neighbor_id FROM rsr WHERE rk <= 15),
+         |rex AS (SELECT a.query_id, a.neighbor_id,
+         |    ${sqlDot("q.qv", "e.embedding")}
+         |      / (q.qn * sqrt(${sqlDot("e.embedding", "e.embedding")}))
+         |      AS cos
+         |  FROM rcand a JOIN rqq q ON q.query_id = a.query_id
+         |    JOIN embeddings e ON e.vec_id = a.neighbor_id),
+         |rfin AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank FROM rex),
+         |rtop AS (SELECT query_id, neighbor_id FROM rfin WHERE rank <= 3),
+         |rbj AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${sqlDot("q.qv", "e.embedding")}
+         |      / (q.qn * sqrt(${sqlDot("e.embedding", "e.embedding")}))
+         |      AS cos
+         |  FROM embeddings e, rqq q WHERE e.vec_id <> q.query_id),
+         |rbr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM rbj),
+         |rbrute AS (SELECT query_id, neighbor_id FROM rbr WHERE rk <= 3)
+         |SELECT count(*) AS n_truth, count(t.query_id) AS n_hits,
+         |  round(CAST(count(t.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM rbrute b LEFT JOIN rtop t
+         |  ON b.query_id = t.query_id
+         |  AND b.neighbor_id = t.neighbor_id""".stripMargin,
 
     // RQ-flat serving: the shared RQ chain's winner rebuilds the
     // c1+c2 reconstruction; approx-cos top-15, exact rerank top-3

@@ -212,6 +212,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // rq: the level-1 chain lives behind the residual checkpoint; the
     // visible plan is the level-2 codebook broadcast + the argmin agg
     "emb_rq" -> 2,
+    // rq recall eval: the checkpointed brute truth + the full
+    // two-stage rq_search chain + the tiny pair join and 1-row agg
+    "emb_rq_recall" -> 14,
     // rq serving: level-2 argmin + both codebook broadcasts for the
     // reconstruction join, broadcast query set + top-rerank window,
     // then the exact-rerank candidate/query broadcasts + rank window
