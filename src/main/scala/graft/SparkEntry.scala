@@ -3454,6 +3454,17 @@ object SparkEntry {
       Multimodal.resizePlan(s, tbl(s, dir, "documents"))
     },
 
+    // audio near-dup via constellation fingerprints: consecutive
+    // window-peak pairs, df-capped inverted index, containment vs the
+    // smaller fingerprint set; planted payload copies are the truth
+    "mm_audio_dedup" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val planted = docs.where(col("doc_id") % 50 === 0 &&
+          col("doc_id") < 100000000L)
+        .withColumn("doc_id", col("doc_id") + lit(100000000000L))
+      Multimodal.audioDupPairs(s, docs.unionByName(planted))
+    },
+
     // shot segmentation over the sampled keyframes: cut where the
     // frame content signature changes, scene_id = running cut count
     // (per-video window, <= 4 sampled rows per partition key)
@@ -5880,6 +5891,39 @@ object SparkEntry {
          |  CAST(sum(smp * smp) AS BIGINT) AS energy,
          |  CAST(max(abs(smp)) AS BIGINT) AS peak
          |FROM av GROUP BY doc_id, n, win_idx""".stripMargin,
+
+    // constellation fingerprints over the SAME PCM chain as mm_audio
+    // (shared constants): window peaks -> consecutive-pair codes
+    // peak*1001+next, distinct per doc, df-capped 2..16, containment
+    "mm_audio_dedup" ->
+      s"""WITH adocs AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000000000, text FROM documents
+         |  WHERE doc_id % 50 = 0 AND doc_id < 100000000),
+         |m AS (SELECT doc_id, ${sqlPoly("text")} AS h FROM adocs),
+         |aa AS (SELECT doc_id, h, 64 + h % 64 AS n FROM m),
+         |ax AS (SELECT doc_id, h, n, unnest(range(n)) AS i FROM aa),
+         |av AS (SELECT doc_id, i // ${Multimodal.AudioWinSize} AS win_idx,
+         |    ((h * ${TextOps.HashMul} + i) % ${TextOps.HashMod})
+         |      % 2001 - 1000 AS smp
+         |  FROM ax),
+         |aw AS (SELECT doc_id, win_idx, max(abs(smp)) AS peak
+         |  FROM av GROUP BY 1, 2),
+         |al AS (SELECT doc_id, peak, lead(peak) OVER (
+         |    PARTITION BY doc_id ORDER BY win_idx) AS np FROM aw),
+         |af AS (SELECT DISTINCT doc_id,
+         |    CAST(peak * 1001 + np AS BIGINT) AS fp
+         |  FROM al WHERE np IS NOT NULL),
+         |pd AS (SELECT doc_id, count(*) AS n FROM af GROUP BY 1),
+         |dfc AS (SELECT fp FROM af GROUP BY fp
+         |  HAVING count(*) >= 2 AND count(*) <= 16),
+         |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS n_shared
+         |  FROM af a JOIN af b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  WHERE a.fp IN (SELECT fp FROM dfc) GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  round(CAST(n_shared AS DOUBLE) / least(pa.n, pb.n), 6) AS overlap
+         |FROM sh JOIN pd pa ON pa.doc_id = sh.id_a
+         |  JOIN pd pb ON pb.doc_id = sh.id_b""".stripMargin,
 
     // step / multiplier / modulus interpolated from the SAME constants
     // the Spark side uses (MmFramesEveryKth, TextOps.HashMul/HashMod) —

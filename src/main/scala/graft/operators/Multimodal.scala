@@ -322,6 +322,55 @@ object Multimodal {
           least(col("__na"), col("__nb")), 6).as("overlap"))
   }
 
+  /** Audio near-dup via CONSTELLATION fingerprints (the Shazam-family
+    * landmark idea — Wang 2003 — at stub granularity): each
+    * consecutive analysis-window pair contributes one fingerprint
+    * `peak_w · 1001 + peak_{w+1}` (stub peaks are 0..1000, so the code
+    * is injective per pair; a real decoder swaps the window peak for a
+    * spectrogram (freq, Δt) landmark and nothing downstream changes);
+    * docs sharing a high fraction of DISTINCT fingerprints vs the
+    * SMALLER doc's set (containment — a clip inside a longer recording
+    * scores 1.0) surface as pairs. Planted payload copies share every
+    * fingerprint — the mm_dedup/mm_phash planted-truth posture.
+    *
+    * Scale shape: windows come off the batched decode pass; the
+    * fingerprint pairing is one doc-keyed lead() window (bounded at
+    * ≤ n_windows rows per doc); the inverted index is df-capped
+    * (2..maxRefDf) exactly like the frame/n-gram chains so no posting
+    * list explodes; every shuffle carries (fp, id), never payloads.
+    *
+    * Output: id_a, id_b, n_shared, overlap.
+    */
+  def audioDupPairs(spark: SparkSession, docs: DataFrame,
+                    maxRefDf: Int = 16): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("win_idx"))
+    val fp = audioFeatures(spark, docs).toDF()
+      .withColumn("__np", lead(col("peak"), 1).over(wOrd))
+      .where(col("__np").isNotNull)
+      .select(col("doc_id"),
+        (col("peak") * lit(1001L) + col("__np")).as("fp"))
+      .distinct()
+      .localCheckpoint(false)
+    val perDoc = fp.groupBy("doc_id").agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
+    val dupFps = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") >= 2 && col("__df") <= maxRefDf)
+      .select("fp").localCheckpoint(false)
+    val pruned = fp.hint("shuffle_hash").join(dupFps, Seq("fp"), "left_semi")
+    val a = pruned.select(col("fp"), col("doc_id").as("id_a"))
+    val b = pruned.select(col("fp"), col("doc_id").as("id_b"))
+    a.join(b, Seq("fp")).where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .join(perDoc.select(col("doc_id").as("id_a"), col("__n").as("__na")),
+        Seq("id_a"))
+      .join(perDoc.select(col("doc_id").as("id_b"), col("__n").as("__nb")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("__na"), col("__nb")), 6).as("overlap"))
+  }
+
   /** One sampled frame carrying a CONTENT signature that persists
     * across a scene: the stub derives a per-video scene length (1..3
     * frames) from the payload fingerprint and keys the signature on

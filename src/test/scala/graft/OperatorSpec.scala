@@ -942,6 +942,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.size == (n + 15) / 16)
   }
 
+  test("Multimodal.audioDupPairs: payload copies pair at containment 1.0") {
+    // ids 1/2 share a payload (all fingerprints equal -> overlap 1.0);
+    // id 3 is unrelated and its fingerprints are df-1 -> never a pair
+    val docs = Seq((1L, "same clip body"), (2L, "same clip body"),
+      (3L, "completely different recording")).toDF("doc_id", "text")
+    val got = Multimodal.audioDupPairs(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("Multimodal decode stub is deterministic and batch-shaped") {
     val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "xyz"))
       .toDF("doc_id", "text")

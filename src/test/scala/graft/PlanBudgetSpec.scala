@@ -155,6 +155,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // chain + the truth-candidate join and 1-row agg — same budget
     // as the exhaustive eval, but the truth side is O(n·|P|)
     "mm_phash_eval_sampled" -> 6,
+    // audio constellation dedup: the fingerprint frame (decode pass +
+    // doc-keyed lead window) and both doc-count-sized derived frames
+    // are checkpointed; visible plan = their broadcasts/semi-join +
+    // pair agg + join-backs over (fp, id) rows only
+    "mm_audio_dedup" -> 6,
     // frame-signature video dedup: the decode pass and both
     // doc-count-sized derived frames (df cap, per-doc counts) are
     // checkpointed — visible plan = their broadcasts + the semi-join,
