@@ -2702,6 +2702,33 @@ object SparkEntry {
         .unionByName(evalOf(Dedup.simhashPairs(docs), "simhash"))
     },
 
+    // the (bands, rows) S-curve dial MEASURED over the SAME 16
+    // minhashes: 2x8 / 4x4 / 8x2 banding recall AND precision vs the
+    // exact-Jaccard truth — more bands = higher recall, more candidate
+    // volume (the collision-probability 1-(1-s^r)^b knee moving left);
+    // completes the dial-curve family (IVF probes, LSH tables)
+    "doc_minhash_band_curve" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val truth = Dedup.ngramJaccardPairs(docs)
+        .select("id_a", "id_b").localCheckpoint(false)
+      def leg(b: Int): DataFrame = {
+        val cand = Dedup.minhashCandidates(docs, bands = b)
+          .localCheckpoint(false)
+        val t = truth.agg(count(lit(1)).as("n_truth"))
+        val c = cand.agg(count(lit(1)).as("n_cand"))
+        val h = truth.join(cand, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_hits"))
+        t.crossJoin(c).crossJoin(h)
+          .select(lit(s"bands_$b").as("method"), col("n_truth"),
+            col("n_cand"), col("n_hits"),
+            when(col("n_truth") > 0, round(
+              col("n_hits").cast("double") / col("n_truth"), 6)).as("recall"),
+            when(col("n_cand") > 0, round(
+              col("n_hits").cast("double") / col("n_cand"), 6)).as("prec"))
+      }
+      leg(2).unionByName(leg(4)).unionByName(leg(8))
+    },
+
     // the benchmark set is pinned to the BASE-COPY docs (doc_id < 1e8
     // under ScaleUp's replica shift): an eval suite is operationally
     // constant, so the broadcast/bloom side stays fixed while only
@@ -4441,6 +4468,58 @@ object SparkEntry {
          |    [coalesce(array_to_string(list_slice(tk, nb*16+1, ntk), ' '), '')]),
          |    s -> len(s) > 0), ' '), '') AS new_text
          |FROM b LEFT JOIN kl USING (doc_id)""".stripMargin,
+
+    // band curve: per-geometry candidates from the SAME sigs CTE
+    // (2x8 / 4x4 / 8x2 over the 16 minhashes), truth = the shared
+    // exact-Jaccard chain; recall and precision per geometry
+    "doc_minhash_band_curve" -> {
+      def bandSel(bands: Int): String = {
+        val r = 16 / bands
+        (0 until bands).map { b =>
+          val bk = (1 until r).foldLeft(s"h${b * r}") {
+            (acc, i) => s"(($acc) * 31 + h${b * r + i}) % ${TextOps.HashMod}"
+          }
+          s"SELECT doc_id, $b AS band, $bk AS bk FROM sigs"
+        }.mkString("\nUNION ALL\n")
+      }
+      def legCtes(bands: Int): String =
+        s"""bnd$bands AS (${bandSel(bands)}),
+           |cand$bands AS (SELECT DISTINCT a.doc_id AS id_a,
+           |    b.doc_id AS id_b
+           |  FROM bnd$bands a JOIN bnd$bands b
+           |    ON a.band = b.band AND a.bk = b.bk
+           |    AND a.doc_id < b.doc_id)""".stripMargin
+      def legSel(bands: Int): String =
+        s"""SELECT 'bands_$bands' AS method, t.n AS n_truth,
+           |  c.n AS n_cand, h.n AS n_hits,
+           |  CASE WHEN t.n > 0 THEN
+           |    round(CAST(h.n AS DOUBLE) / t.n, 6) END AS recall,
+           |  CASE WHEN c.n > 0 THEN
+           |    round(CAST(h.n AS DOUBLE) / c.n, 6) END AS prec
+           |FROM (SELECT count(*) AS n FROM truth) t,
+           |  (SELECT count(*) AS n FROM cand$bands) c,
+           |  (SELECT count(*) AS n FROM truth
+           |     JOIN cand$bands USING (id_a, id_b)) h""".stripMargin
+      s"""WITH $sqlMinhashCtes,
+         |sz AS (SELECT doc_id, len(sids) AS n_sh FROM sids),
+         |inv AS (SELECT doc_id, unnest(sids) AS sid FROM sids),
+         |tshared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS n_shared
+         |  FROM inv a JOIN inv b ON a.sid = b.sid AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT id_a, id_b FROM tshared
+         |  JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+         |  WHERE CAST(n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - n_shared)
+         |    >= 0.5),
+         |${legCtes(2)},
+         |${legCtes(4)},
+         |${legCtes(8)}
+         |${legSel(2)}
+         |UNION ALL
+         |${legSel(4)}
+         |UNION ALL
+         |${legSel(8)}""".stripMargin
+    },
 
     "doc_dedup_eval" -> {
       val bitSums = (0 until Dedup.SimhashBits).map { i =>

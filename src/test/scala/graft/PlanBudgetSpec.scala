@@ -129,6 +129,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // eval: the checkpointed brute truth + the full LSH chain + the
     // tiny pair join and 1-row agg
     "emb_mips_recall" -> 10,
+    // band-curve eval harness: three banding chains (each band
+    // self-join + pair distinct, candidates checkpointed) against the
+    // one checkpointed Jaccard truth + three tiny count/join aggs —
+    // measurement cost; the production geometry itself is
+    // doc_dedup_minhash's 3
+    "doc_minhash_band_curve" -> 21,
     // table-curve eval harness: three full LSH chains (band shuffles +
     // pair-dedup agg + rank window each) against the one checkpointed
     // brute truth + three tiny pair joins/1-row aggs — measurement
