@@ -103,6 +103,28 @@ class EdgeCaseSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("doc_id") % 97 === 0).isEmpty)
   }
 
+  test("this session's additions pass empty inputs through") {
+    val day = 86400000000L
+    assert(Trend.changepoint(emptyEvents, "ts", "value", Seq("user_id"),
+      day, 0L).isEmpty)
+    assert(Trend.stlDecompose(emptyEvents, "ts", "value", Seq("user_id"),
+      day, 0L).isEmpty)
+    assert(Trend.sax(emptyEvents, "ts", "value", Seq("user_id"),
+      day, 0L).isEmpty)
+    assert(Trend.acf(emptyEvents, "ts", "value", Seq("user_id")).isEmpty)
+    assert(TextOps.lmScoreKN(emptyDocs).isEmpty)
+    assert(TextOps.novelty(emptyDocs).isEmpty)
+    assert(Multimodal.audioDupPairs(spark, emptyDocs).isEmpty)
+    // an all-benchmark corpus leaves no rows to decontaminate
+    val benchOnly = Seq((97L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    assert(Dedup.contaminationSpans(benchOnly,
+      col("doc_id") % 97 === 0).isEmpty)
+    // rq on an empty corpus: resolveCoarse sees n = 0, stride 1,
+    // empty codebooks -> empty output (nothing throws)
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Knn.rqCodes(emptyEmb, 2, centroidEvery = 1).isEmpty)
+  }
+
   test("components of an empty pair list is empty (and converges)") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val (labels, rounds) = Dedup.componentsWithRounds(pairs)
