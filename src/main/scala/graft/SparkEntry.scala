@@ -2962,6 +2962,24 @@ object SparkEntry {
       TextOps.vocab(tbl(s, dir, "documents"), topK = 50)
     },
 
+    // topic clustering for cluster-balanced curation: spherical k-means
+    // over 16-dim hashed token-count vectors (raw counts — cosine is
+    // scale-invariant, and integer counts are float-exact, so the
+    // whole Lloyd replay is engine-exact with no normalization step);
+    // the doc-side twin of emb_kmeans/emb_cluster_sample
+    "doc_topic_cluster" -> { (s, dir) =>
+      val dim = 16
+      val vecs = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+        .where(size(col("__tk")) > 0)
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(dim - 1)), j =>
+            size(filter(col("__tk"), t =>
+              pmod(TextOps.polyHash(t), lit(dim.toLong)) === j.cast("long")))
+              .cast("float")).as("tvec"))
+      Knn.kmeans(vecs, dim, idCol = "doc_id", vecCol = "tvec")
+    },
+
     // Kneser-Ney bigram scoring: the production smoothing upgrade of
     // doc_lm_score (continuation-count backoff, absolute discounting)
     "doc_lm_kn" -> { (s, dir) =>
@@ -5526,6 +5544,40 @@ object SparkEntry {
          |ka2 AS (${sqlKmeansAssign("kc1")})
          |SELECT vid AS vec_id, cid AS cluster_id, round(cos, 6) AS cos
          |FROM ka2""".stripMargin,
+
+    // topic clustering: hashed 16-bucket token-count vectors (float-
+    // exact integers) through the same two-round Lloyd replay as
+    // emb_kmeans — every-67th seeding, max-cosine min-cid assignment,
+    // 6dp centroid means
+    "doc_topic_cluster" -> {
+      def assign(cents: String): String =
+        s"""SELECT vid, cid, cos FROM (SELECT kvd.vid, c.cid,
+           |    ${sqlCosN("kvd.v", "c.cvec", 16)} AS cos,
+           |    row_number() OVER (PARTITION BY kvd.vid
+           |      ORDER BY ${sqlCosN("kvd.v", "c.cvec", 16)} DESC, c.cid)
+           |      AS rn
+           |  FROM kvd, $cents c) WHERE rn = 1""".stripMargin
+      s"""WITH tct AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+         |kvd AS (SELECT doc_id AS vid,
+         |    list_transform(range(0, 16), j ->
+         |      CAST(len(list_filter(tk, t -> ${sqlPoly("t")} % 16 = j))
+         |        AS FLOAT)) AS v
+         |  FROM tct WHERE len(tk) > 0),
+         |kcd0 AS (SELECT vid AS cid,
+         |    list_transform(v, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM kvd WHERE vid % 67 = 1),
+         |kad1 AS (${assign("kcd0")}),
+         |ked1 AS (SELECT kad1.cid, unnest(range(1, 17)) AS dim,
+         |    unnest(list_transform(kvd.v, x -> CAST(x AS DOUBLE))) AS x
+         |  FROM kad1 JOIN kvd ON kvd.vid = kad1.vid),
+         |kmd1 AS (SELECT cid, dim, round(avg(x), 6) AS c FROM ked1
+         |  GROUP BY cid, dim),
+         |kcd1 AS (SELECT cid, list(c ORDER BY dim) AS cvec FROM kmd1
+         |  GROUP BY cid),
+         |kad2 AS (${assign("kcd1")})
+         |SELECT vid AS doc_id, cid AS cluster_id, round(cos, 6) AS cos
+         |FROM kad2""".stripMargin
+    },
 
     // bottom-decile assignment cosines via the same kmeans CTEs; the
     // threshold is the exact lower element at floor((n-1)·0.1) of the

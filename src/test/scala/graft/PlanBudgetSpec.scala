@@ -310,6 +310,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // kmeans Lloyd round (assignment window + k*dim centroid partial
     // aggs) + the per-cluster top-m window keyed by cluster_id
     "emb_cluster_sample" -> 8,
+    // topic clustering: vectors fan out scan-side (hashed counts);
+    // the two Lloyd assignments' windows + the (cid, dim) centroid
+    // partial aggs — identical shape to emb_kmeans at dim 16
+    "doc_topic_cluster" -> 7,
     // checkpointed Lloyd assignment + the 1-row threshold agg and its
     // broadcast back — the doc_quality_filter posture
     "emb_outliers" -> 2,
