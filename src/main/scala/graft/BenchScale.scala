@@ -36,10 +36,25 @@ object BenchScale {
     val nEmb = emb.count()
     val planes = graft.operators.Knn.autoPlanes(nEmb)
 
+    // The second group are this session's additions: the RQ store +
+    // serving (both √n-codebook broadcast argmins), the constellation
+    // audio dedup (df-capped inverted index), char-gram benchmark
+    // decontamination (bench side fixed, corpus side scales), the
+    // first-occurrence novelty score, and the two eval harnesses whose
+    // truth legs are |Q|-bounded (brute = |Q|·n, |Q| pinned to the
+    // base copies). Excluded by design: doc_topic_cluster (kmeans
+    // family — the fixed every-67 codebook is the learned-codebook
+    // DEMO, same exclusion as emb_kmeans; production sizes k from the
+    // corpus count) and the ts_* additions (events family, one
+    // grid-agg + window shuffles — linear by construction, the
+    // full-suite sf1 curve covers them).
     val registered = Seq("mm_phash", "mm_phash_eval",
       "mm_phash_eval_sampled", "emb_knn_ivf", "emb_ivf_pq",
       "emb_ivf_probe_curve", "emb_pq", "doc_dedup_edit",
-      "emb_dedup_cosine", "emb_mmr")
+      "emb_dedup_cosine", "emb_mmr",
+      "emb_rq", "emb_rq_search", "mm_audio_dedup",
+      "doc_minhash_band_curve", "doc_contamination_spans",
+      "doc_novelty", "emb_lsh_table_curve")
     val legs: Seq[(String, () => DataFrame)] =
       registered.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 

@@ -730,6 +730,16 @@ object SparkEntry {
         UsDay, Jan01, period = 7)
     },
 
+    // residual anomaly screen: z-score against the key's own
+    // decomposition residuals — anomalies judged AFTER trend and
+    // weekly seasonality are explained away (z > 2.5 registered: the
+    // smoke-scale grid is ~30 days/key, where 3σ events are too rare
+    // to assert on)
+    "ts_stl_outliers" -> { (s, dir) =>
+      Trend.stlOutliers(events(s, dir), "ts", "value", Seq("user_id"),
+        UsDay, Jan01, period = 7, zThresh = 2.5)
+    },
+
     // SAX symbolization: z-normalized weekly PAA means mapped to a
     // 4-letter alphabet via standard-normal quartile breakpoints —
     // the symbolic series representation motif mining indexes on
@@ -1712,51 +1722,40 @@ object SparkEntry {
     // all exact µ-unit integer FLOORS (pmod trick), so value = trend +
     // seasonal + resid holds bit-for-bit on both engines
     "ts_stl" ->
-      s"""WITH dg AS (SELECT user_id,
-         |    ($EvUs - 1704067200000000) // 86400000000 AS d,
-         |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6,
-         |    count(*) AS c
-         |  FROM events GROUP BY 1, 2),
-         |dv AS (SELECT user_id, d,
-         |    (s6 - ((s6 % c) + c) % c) // c AS v FROM dg),
-         |dt AS (SELECT user_id, d, v,
-         |    CASE WHEN count(*) OVER w7 = 7 THEN
-         |      (sum(v) OVER w7 - ((sum(v) OVER w7 % 7) + 7) % 7) // 7
-         |    END AS tr
-         |  FROM dv WINDOW w7 AS (PARTITION BY user_id ORDER BY d
-         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-         |dd AS (SELECT *, v - tr AS det, ((d % 7) + 7) % 7 AS dow
-         |  FROM dt),
-         |dr AS (SELECT *,
-         |    CASE WHEN count(det) OVER wd > 0 THEN
-         |      (sum(det) OVER wd - ((sum(det) OVER wd
-         |          % count(det) OVER wd) + count(det) OVER wd)
-         |        % count(det) OVER wd) // count(det) OVER wd
-         |    END AS raw,
-         |    CASE WHEN row_number() OVER (PARTITION BY user_id, dow
-         |      ORDER BY d) = 1 THEN 1 ELSE 0 END AS f
-         |  FROM dd WINDOW wd AS (PARTITION BY user_id, dow)),
-         |dm AS (SELECT *,
-         |    CASE WHEN sum(CASE WHEN f = 1 AND raw IS NOT NULL
-         |        THEN 1 ELSE 0 END) OVER wk > 0 THEN
-         |      (sum(CASE WHEN f = 1 THEN raw END) OVER wk
-         |        - ((sum(CASE WHEN f = 1 THEN raw END) OVER wk
-         |            % sum(CASE WHEN f = 1 AND raw IS NOT NULL
-         |              THEN 1 ELSE 0 END) OVER wk)
-         |          + sum(CASE WHEN f = 1 AND raw IS NOT NULL
-         |              THEN 1 ELSE 0 END) OVER wk)
-         |          % sum(CASE WHEN f = 1 AND raw IS NOT NULL
-         |              THEN 1 ELSE 0 END) OVER wk)
-         |      // sum(CASE WHEN f = 1 AND raw IS NOT NULL
-         |          THEN 1 ELSE 0 END) OVER wk
-         |    END AS m
-         |  FROM dr WINDOW wk AS (PARTITION BY user_id))
+      s"""WITH $sqlStlCtes
          |SELECT user_id, d AS day,
          |  CAST(v AS DOUBLE) / 1000000.0 AS value,
          |  CAST(tr AS DOUBLE) / 1000000.0 AS trend,
          |  CAST(raw - m AS DOUBLE) / 1000000.0 AS seasonal,
          |  CAST(v - tr - (raw - m) AS DOUBLE) / 1000000.0 AS resid
          |FROM dm""".stripMargin,
+
+    // residual anomaly screen: µ-integer residuals off the shared
+    // decomposition chain, per-key mean an exact µ-floor quotient and
+    // sigma from exact HUGEINT sums in one fixed IEEE formula (the
+    // ts_sax stats convention) — flag set engine-exact
+    "ts_stl_outliers" ->
+      s"""WITH $sqlStlCtes,
+         |sor AS (SELECT user_id, d, v, v - tr - (raw - m) AS r6
+         |  FROM dm WHERE tr IS NOT NULL),
+         |sos AS (SELECT user_id, sum(CAST(r6 AS HUGEINT)) AS s,
+         |    sum(CAST(r6 AS HUGEINT) * r6) AS ssq, count(*) AS n
+         |  FROM sor GROUP BY 1),
+         |som AS (SELECT user_id,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean,
+         |    sqrt(greatest(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 0.0))
+         |      / 1000000.0 AS sigma
+         |  FROM sos)
+         |SELECT r.user_id, r.d AS day,
+         |  CAST(r.v AS DOUBLE) / 1000000.0 AS value,
+         |  CAST(r.r6 AS DOUBLE) / 1000000.0 AS resid,
+         |  round((CAST(r.r6 AS DOUBLE) / 1000000.0 - mean) / sigma, 6) AS z
+         |FROM sor r JOIN som USING (user_id)
+         |WHERE sigma > 0.0
+         |  AND abs((CAST(r.r6 AS DOUBLE) / 1000000.0 - mean) / sigma)
+         |    > 2.5""".stripMargin,
 
     // SAX: PAA means are exact µ-unit floors; per-key mean/σ come from
     // exact HUGEINT sums through ONE fixed IEEE formula (matching the
@@ -3959,6 +3958,54 @@ object SparkEntry {
   private val sqlPqEvery: String =
     "(SELECT greatest(1, CAST(ceil(count(*) / 256.0) AS BIGINT)) " +
       "FROM embeddings)"
+
+  /** Classical-decomposition CTE chain ending in `dm` (per (user, day):
+    * v = µ-floored daily mean, tr = centered-MA(7) trend, raw/m = the
+    * per-dow seasonal mean and its normalization — all exact integer
+    * µ-floors via the pmod trick). Shared VERBATIM by ts_stl and
+    * ts_stl_outliers so the decomposition and its anomaly screen
+    * cannot drift. Mirrors Trend.stlDecompose.
+    */
+  private def sqlStlCtes: String =
+    s"""dg AS (SELECT user_id,
+       |    ($EvUs - 1704067200000000) // 86400000000 AS d,
+       |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6,
+       |    count(*) AS c
+       |  FROM events GROUP BY 1, 2),
+       |dv AS (SELECT user_id, d,
+       |    (s6 - ((s6 % c) + c) % c) // c AS v FROM dg),
+       |dt AS (SELECT user_id, d, v,
+       |    CASE WHEN count(*) OVER w7 = 7 THEN
+       |      (sum(v) OVER w7 - ((sum(v) OVER w7 % 7) + 7) % 7) // 7
+       |    END AS tr
+       |  FROM dv WINDOW w7 AS (PARTITION BY user_id ORDER BY d
+       |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |dd AS (SELECT *, v - tr AS det, ((d % 7) + 7) % 7 AS dow
+       |  FROM dt),
+       |dr AS (SELECT *,
+       |    CASE WHEN count(det) OVER wd > 0 THEN
+       |      (sum(det) OVER wd - ((sum(det) OVER wd
+       |          % count(det) OVER wd) + count(det) OVER wd)
+       |        % count(det) OVER wd) // count(det) OVER wd
+       |    END AS raw,
+       |    CASE WHEN row_number() OVER (PARTITION BY user_id, dow
+       |      ORDER BY d) = 1 THEN 1 ELSE 0 END AS f
+       |  FROM dd WINDOW wd AS (PARTITION BY user_id, dow)),
+       |dm AS (SELECT *,
+       |    CASE WHEN sum(CASE WHEN f = 1 AND raw IS NOT NULL
+       |        THEN 1 ELSE 0 END) OVER wk > 0 THEN
+       |      (sum(CASE WHEN f = 1 THEN raw END) OVER wk
+       |        - ((sum(CASE WHEN f = 1 THEN raw END) OVER wk
+       |            % sum(CASE WHEN f = 1 AND raw IS NOT NULL
+       |              THEN 1 ELSE 0 END) OVER wk)
+       |          + sum(CASE WHEN f = 1 AND raw IS NOT NULL
+       |              THEN 1 ELSE 0 END) OVER wk)
+       |          % sum(CASE WHEN f = 1 AND raw IS NOT NULL
+       |              THEN 1 ELSE 0 END) OVER wk)
+       |      // sum(CASE WHEN f = 1 AND raw IS NOT NULL
+       |          THEN 1 ELSE 0 END) OVER wk
+       |    END AS m
+       |  FROM dr WINDOW wk AS (PARTITION BY user_id))""".stripMargin
 
   /** Full-dim L2² fold in index order — the oracle twin of rqModel's
     * zip_with/aggregate double fold. */

@@ -907,6 +907,54 @@ object Trend {
         .as("resid")): _*)
   }
 
+  /** Decomposition-residual anomaly screen — the textbook use of
+    * [[stlDecompose]]: z-score each day's RESIDUAL against the key's
+    * own residual distribution, so anomalies are judged after trend
+    * and weekly seasonality are explained away (a Friday spike that is
+    * merely "Fridays run hot" never fires; [[Trend]]'s plain z-screen
+    * and the hour-of-day profile both lack the trend term). Emits only
+    * the flagged days.
+    *
+    * Residuals are exact µ-integers, per-key mean is an exact µ-floor,
+    * σ comes from exact decimal sums through one fixed IEEE formula
+    * (the [[sax]] stats convention), so the flag set is engine-exact.
+    * σ = 0 or a single residual → no flags for that key.
+    *
+    * Scale: the [[stlDecompose]] chain + one per-key stats agg
+    * broadcast back over the decomposition (the ts_mad two-pass
+    * posture; the decomposition is localCheckpoint'd so it computes
+    * once). Output: keyCols, day, value, resid, z (flagged rows only).
+    */
+  def stlOutliers(df: DataFrame, tsCol: String, valCol: String,
+                  keyCols: Seq[String], bucketUs: Long, originUs: Long,
+                  period: Int = 7, zThresh: Double = 3.0): DataFrame = {
+    val dec = stlDecompose(df, tsCol, valCol, keyCols, bucketUs, originUs,
+      period).localCheckpoint(false)
+    val r6 = round(col("resid") * lit(1e6)).cast("long")
+    val withR = dec.where(col("resid").isNotNull).withColumn("__r6", r6)
+    val stats = withR.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__r6").cast("decimal(38,0)")).as("__s"),
+        sum(col("__r6").cast("decimal(38,0)") * col("__r6")).as("__ssq"),
+        count(lit(1)).as("__n"))
+      .withColumn("__mean", col("__s").cast("double") /
+        col("__n").cast("double") / lit(1e6))
+      .withColumn("__sigma",
+        sqrt(greatest(
+          col("__ssq").cast("double") / col("__n").cast("double") -
+            (col("__s").cast("double") / col("__n").cast("double")) *
+            (col("__s").cast("double") / col("__n").cast("double")),
+          lit(0.0))) / lit(1e6))
+      .select(keyCols.map(col) ++ Seq(col("__mean"), col("__sigma")): _*)
+    withR.join(stats, keyCols)
+      .where(col("__sigma") > 0.0 &&
+        abs((col("__r6").cast("double") / lit(1e6) - col("__mean")) /
+          col("__sigma")) > zThresh)
+      .select(keyCols.map(col) ++ Seq(col("day"), col("value"),
+        col("resid"),
+        round((col("__r6").cast("double") / lit(1e6) - col("__mean")) /
+          col("__sigma"), 6).as("z")): _*)
+  }
+
   /** SAX — Symbolic Aggregate approXimation (Lin, Keogh et al., DMKD
     * 2007): z-normalize the series, Piecewise-Aggregate-Approximate it
     * into fixed-width buckets, then map each PAA mean to a letter via

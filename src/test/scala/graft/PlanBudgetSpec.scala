@@ -83,6 +83,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // the (key), (key, dow), (key) window chain is all clustering-
     // satisfied by hash(key), so only sorts separate the four passes
     "ts_stl" -> 2,
+    // residual screen: the decomposition lives behind its checkpoint;
+    // visible = the per-key stats agg + its broadcast back
+    "ts_stl_outliers" -> 2,
     // sax: the two-scan ts_mad posture — the (key, day) grid agg feeds
     // BOTH the per-key stats pass (grid + stats re-key) and the PAA
     // pass (grid + week re-key), + the stats broadcast; every exchange
