@@ -4008,7 +4008,8 @@ object SparkEntry {
        |  FROM dr WINDOW wk AS (PARTITION BY user_id))""".stripMargin
 
   /** Full-dim L2² fold in index order — the oracle twin of rqModel's
-    * zip_with/aggregate double fold. */
+    * native VecSubL2/VecSubL2D distances (same order, same IEEE ops;
+    * parity-spec-pinned against the HOF formulation). */
   private def sqlFullL2(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1, ${EmbDim + 1}), " +
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +

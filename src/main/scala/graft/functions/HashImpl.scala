@@ -238,6 +238,23 @@ object HashImpl {
     acc
   }
 
+  /** [[vecSubL2]] over DOUBLE arrays (residual-quantization level 2:
+    * residuals are exact float-difference doubles) — same fold order,
+    * same IEEE ops, so it is definitionally identical to the HOF
+    * zip_with/aggregate formulation it replaces.
+    */
+  def vecSubL2D(a: ArrayData, b: ArrayData, from: Int, len: Int): Double = {
+    val end = math.min(math.min(a.numElements(), b.numElements()), from + len)
+    var acc = 0.0
+    var i = from
+    while (i < end) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Banded Levenshtein distance with threshold: the exact distance
     * when it is <= k, else -1 — the same contract as Spark's 3-arg
     * `levenshtein`, but ~10x faster on ASCII text: the builtin decodes

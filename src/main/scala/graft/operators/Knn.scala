@@ -499,16 +499,18 @@ object Knn {
                       idCol: String, vecCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val every = resolveCoarse(emb, centroidEvery)
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) =>
-          (x.cast("double") - y.cast("double")) *
-            (x.cast("double") - y.cast("double"))),
-        lit(0.0), (acc, t) => acc + t)
+    // both levels' distances are the NATIVE full-segment L2 folds
+    // (codegen'd tight loops, same index order and IEEE ops as the HOF
+    // zip_with/aggregate formulation and the oracle's list_reduce):
+    // the n × √n assignment is the dominant cost, and the lambda-
+    // dispatch fold scaled it at exponent ~0.9 vs the native ~0.6
+    // (measured at sf10 before this swap)
+    import org.apache.spark.sql.graft.GraftExpressions.{vec_sub_l2, vec_sub_l2_d}
     val c1 = emb.where(col(idCol) % every === 1)
       .select(col(idCol).as("cid1"), col(vecCol).as("c1v"))
     val best1 = emb.select(col(idCol), col(vecCol).as("v"))
       .crossJoin(broadcast(c1))
-      .withColumn("d", l2(col("v"), col("c1v")))
+      .withColumn("d", vec_sub_l2(col("v"), col("c1v"), lit(0), dim))
       .groupBy(col(idCol))
       .agg(min(struct(col("d"), col("cid1"))).as("b1"))
       .select(col(idCol), col("b1.cid1").as("cid1"), col("b1.d").as("err1"))
@@ -525,7 +527,7 @@ object Knn {
         .select(lit(-1L).as("cid2"),
           array_repeat(lit(0.0), dim).as("c2v")))
     val assign = resid.crossJoin(broadcast(c2))
-      .withColumn("d2", l2(col("r"), col("c2v")))
+      .withColumn("d2", vec_sub_l2_d(col("r"), col("c2v"), lit(0), dim))
       .groupBy(col(idCol), col("cid1"), col("err1"))
       .agg(min(struct(col("d2"), col("cid2"))).as("b2"))
       .select(col(idCol), col("cid1"), col("err1"),

@@ -154,6 +154,28 @@ case class VecSubL2(first: Expression, second: Expression,
     copy(first = f, second = s, third = t)
 }
 
+/** [[VecSubL2]] over DOUBLE arrays — the residual-quantization level-2
+  * distance (residuals are float-difference doubles; the float-typed
+  * expression cannot read them). Same segment contract, same fold
+  * order, codegen'd.
+  */
+case class VecSubL2D(first: Expression, second: Expression,
+                     third: Expression, len: Int)
+    extends TernaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = DoubleType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), IntegerType)
+  override def nullSafeEval(a: Any, b: Any, s: Any): Any =
+    graft.functions.HashImpl.vecSubL2D(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], s.asInstanceOf[Int] * len, len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, s) =>
+      s"graft.functions.HashImpl.vecSubL2D($a, $b, $s * $len, $len)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): VecSubL2D =
+    copy(first = f, second = s, third = t)
+}
+
 /** Recursive EWMA fold as a window-frame aggregate:
   * acc := first value, then acc := acc*(1-alpha) + x*alpha per row of
   * the frame, nulls skipped (pypond's ignore_missing). Two scalar
@@ -472,6 +494,9 @@ object GraftExpressions {
     Bridge.toCol(VecDotD(Bridge.toExpr(a), Bridge.toExpr(b)))
   def vec_sub_l2(a: Column, b: Column, s: Column, len: Int): Column =
     Bridge.toCol(VecSubL2(Bridge.toExpr(a), Bridge.toExpr(b),
+      Bridge.toExpr(s), len))
+  def vec_sub_l2_d(a: Column, b: Column, s: Column, len: Int): Column =
+    Bridge.toCol(VecSubL2D(Bridge.toExpr(a), Bridge.toExpr(b),
       Bridge.toExpr(s), len))
   def simhash24(tokens: Column): Column =
     Bridge.toCol(SimHash24(Bridge.toExpr(tokens)))

@@ -96,6 +96,24 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("VecSubL2D == HOF full-dim double fold (the RQ level-2 distance)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // double-array inputs with the exact float-difference structure
+    // rqModel's residuals have
+    val pairs = emb.select($"embedding".as("a0"))
+      .crossJoin(emb.limit(3).select($"embedding".as("b0")))
+      .select(zip_with($"a0", $"b0",
+          (x, y) => x.cast("double") - y.cast("double")).as("a"),
+        transform($"b0", x => x.cast("double") * 0.5).as("b"))
+    val hof = aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val bad = pairs.select(
+      org.apache.spark.sql.graft.GraftExpressions
+        .vec_sub_l2_d($"a", $"b", lit(0), 64).as("n"),
+      hof.as("h")).where($"n" =!= $"h")
+    assert(bad.isEmpty)
+  }
+
   test("micros() == exact decimal micro-count across the guard boundary") {
     // the r5-advice counterexamples (6dp-exact values in [4.5e9, 8e9)
     // whose double*1e6 product rounds off-by-one) must now take the
