@@ -1099,13 +1099,18 @@ object TextOps {
     */
   def pmiCollocations(df: DataFrame, minCount: Int = 5,
                       topK: Int = 50): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokenize ONCE into a materialized column: the earlier
+    // element_at-inside-transform formulation re-evaluated the
+    // tokenizer split per PAIR (no CSE inside HOF lambdas) — an
+    // O(tokens²)-per-doc re-tokenization that made this the most
+    // expensive non-eval query in the suite (4.6 s → ~1 s at sf0.1)
+    val tk = df.select(tokens(col("text")).as("__tk"))
     val pairT = "array<struct<a:string,b:string>>"
-    val pairs = df.select(explode(
-        when(size(toks) >= 2,
-          transform(sequence(lit(1), size(toks) - 1),
-            i => struct(element_at(toks, i).as("a"),
-              element_at(toks, i + lit(1)).as("b"))))
+    val pairs = tk.select(explode(
+        when(size(col("__tk")) >= 2,
+          zip_with(slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+            slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b"))))
           .otherwise(array().cast(pairT))).as("p"))
       .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
     val cand = pairs.groupBy("tok_a", "tok_b")
@@ -1113,14 +1118,14 @@ object TextOps {
       .where(col("n_pair") >= minCount)
     // the unigram table feeds BOTH marginal joins — checkpoint so the
     // corpus token agg runs once (the minhash-estimate convention)
-    val uni = df.select(explode(toks).as("t"))
+    val uni = tk.select(explode(col("__tk")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
     // population totals from one scan-side agg (never from the
     // materialized pair table — at scale that table is pruned early)
-    val tot = df.agg(
-      sum(size(toks)).cast("long").as("n_tok"),
-      sum(greatest(size(toks) - 1, lit(0))).cast("long").as("n_big"))
+    val tot = tk.agg(
+      sum(size(col("__tk"))).cast("long").as("n_tok"),
+      sum(greatest(size(col("__tk")) - 1, lit(0))).cast("long").as("n_big"))
     val pmi6 = ln6(col("n_pair")) + lit(2L) * ln6(col("n_tok")) -
       ln6(col("n_big")) - ln6(col("n_a")) - ln6(col("n_b"))
     cand
