@@ -1159,6 +1159,17 @@ object SparkEntry {
         leftCols = Seq("event_id", "value"), rightVals = Seq("value"))
     },
 
+    // merge_asof's tolerance parameter: a click older than 1 hour is
+    // stale — the lookup nulls out instead of surfacing misinformation
+    "ts_asof_tolerance" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+      val clicks = ev.where(col("event_type") === "click")
+      Combine.asofTolerance(purchases, clicks, Seq("user_id"), "ts",
+        leftCols = Seq("event_id", "value"), rightVals = Seq("value"),
+        toleranceUs = UsHour)
+    },
+
     // the forward mirror: earliest click AT OR AFTER each purchase —
     // "next reading after this point" (asof's following-frame twin)
     "ts_asof_next" -> { (s, dir) =>
@@ -2184,6 +2195,19 @@ object SparkEntry {
     "ts_asof_lookup" ->
       s"""SELECT l.user_id, epoch_us(l.ts) AS ts, l.event_id, l.value,
          |  r.value AS asof_value
+         |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+         |  WHERE event_type = 'click') r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // tolerance: DuckDB's native ASOF finds the latest <= match, the
+    // CASE nulls it when older than the 1h staleness bound
+    "ts_asof_tolerance" ->
+      s"""SELECT l.user_id, epoch_us(l.ts) AS ts, l.event_id, l.value,
+         |  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+         |    THEN r.value END AS asof_value,
+         |  CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+         |    THEN epoch_us(r.ts) END AS asof_ts
          |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
          |ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
          |  WHERE event_type = 'click') r

@@ -74,6 +74,46 @@ object Combine {
         rightVals.map(v => col(s"__asof.$v").as(s"asof_$v")): _*)
   }
 
+  /** [[asof]] with a MAX-STALENESS tolerance (pandas merge_asof's
+    * `tolerance`, kdb's within-window aj): a match older than
+    * `toleranceUs` is rejected — the lookup returns null rather than
+    * a quote/reading so stale it is misinformation. The matched ts
+    * travels inside the carried struct, so the staleness test is one
+    * scan-side comparison after the same single-shuffle union +
+    * last(ignoreNulls) window; output adds `asof_ts` (the matched
+    * right timestamp, null when no match is fresh enough).
+    */
+  def asofTolerance(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                    tsCol: String, leftCols: Seq[String],
+                    rightVals: Seq[String], toleranceUs: Long): DataFrame = {
+    val rStruct = struct(col(tsCol).as("__rts") +: rightVals.map(col): _*)
+    val rNullStruct = lit(null).cast(
+      org.apache.spark.sql.types.StructType(
+        right.schema(tsCol).copy(name = "__rts") +:
+          rightVals.map(v => right.schema(v))))
+    val lTagged = left.select(
+      (keyCols :+ tsCol).map(col) ++
+        leftCols.map(col) :+
+        rNullStruct.as("__r") :+
+        lit(1).as("__is_l"): _*)
+    val rTagged = right.select(
+      (keyCols :+ tsCol).map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        rStruct.as("__r") :+
+        lit(0).as("__is_l"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__is_l"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+    val fresh = col("__asof").isNotNull &&
+      col(tsCol) - col("__asof.__rts") <= toleranceUs
+    filled.where(col("__is_l") === 1)
+      .select((keyCols :+ tsCol).map(col) ++ leftCols.map(col) ++
+        rightVals.map(v => when(fresh, col(s"__asof.$v")).as(s"asof_$v")) :+
+        when(fresh, col("__asof.__rts")).as("asof_ts"): _*)
+  }
+
   /** Forward as-of join: for every left row, the EARLIEST right row
     * with right.ts >= left.ts within the same key — the
     * "next reading after this point" lookup ([[asof]]'s mirror).

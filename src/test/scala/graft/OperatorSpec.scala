@@ -108,6 +108,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(2).isNullAt(3))          // k=2 t=100 -> nothing yet
   }
 
+  test("Combine.asofTolerance nulls matches older than the bound") {
+    val left = Seq((1L, 100L, "a"), (1L, 500L, "b"), (2L, 100L, "c"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 80L, 5.0), (1L, 200L, 7.0)).toDF("k", "ts", "v")
+    val out = Combine.asofTolerance(left, right, Seq("k"), "ts",
+      leftCols = Seq("tag"), rightVals = Seq("v"), toleranceUs = 100L)
+      .orderBy("k", "ts").collect()
+    // k=1 t=100: right@80 is 20 old -> fresh, value + matched ts kept
+    assert(out(0).getDouble(3) == 5.0 && out(0).getLong(4) == 80L)
+    // k=1 t=500: latest right@200 is 300 old -> rejected as stale
+    assert(out(1).isNullAt(3) && out(1).isNullAt(4))
+    // k=2: no right row at all -> null, not an error
+    assert(out(2).isNullAt(3) && out(2).isNullAt(4))
+  }
+
   test("Combine.asofNext picks earliest right row >= left ts per key") {
     val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 200L, "c"))
       .toDF("k", "ts", "tag")

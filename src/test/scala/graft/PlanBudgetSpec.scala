@@ -184,6 +184,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_sort_by_field" -> 1, "ts_agg_filters" -> 1, "ts_at_time" -> 1,
     "ts_ewma" -> 1, "ts_holt" -> 1, "ts_gaps" -> 1, "ts_integral" -> 1,
     "ts_asof_lookup" -> 1, "ts_asof_next" -> 1,
+    // tolerance is one scan-side comparison on the carried struct —
+    // same single union+window shuffle as the plain as-of
+    "ts_asof_tolerance" -> 1,
     "q_events_sessionize" -> 1,
     "q_topn_window" -> 1, "ts_crossings" -> 1,
     "q_rank_stats" -> 1, "ts_seasonal" -> 1, "doc_shard" -> 1,
