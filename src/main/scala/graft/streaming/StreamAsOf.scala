@@ -27,8 +27,14 @@ object StreamAsOf {
   final case class Out(user_id: Long, ts: Long, event_id: Long,
                        asof_value: Option[Double])
 
+  /** `toleranceUs < 0` disables the staleness bound (plain as-of);
+    * otherwise a match older than `toleranceUs` answers None — the
+    * streaming twin of Combine.asofTolerance, with the SAME O(1)
+    * (ts, value) state (the bound is checked at answer time, so the
+    * state shape is unchanged).
+    */
   def apply(spark: SparkSession, lookups: Dataset[Lookup],
-            refs: Dataset[Ref]): Dataset[Out] = {
+            refs: Dataset[Ref], toleranceUs: Long = -1L): Dataset[Out] = {
     import spark.implicits._
     val tagged = lookups
       .map(l => Tagged(l.user_id, l.ts, isL = true, l.event_id, 0.0))
@@ -41,7 +47,9 @@ object StreamAsOf {
       var out = Vector.empty[Out]
       sorted.foreach { t =>
         if (!t.isL) cur = Some(Latest(t.ts, t.value))
-        else out :+= Out(user, t.ts, t.event_id, cur.map(_.value))
+        else out :+= Out(user, t.ts, t.event_id,
+          cur.filter(c => toleranceUs < 0 || t.ts - c.ts <= toleranceUs)
+            .map(_.value))
       }
       cur.foreach(state.update)
       out.iterator

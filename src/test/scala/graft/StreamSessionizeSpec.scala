@@ -102,6 +102,44 @@ class StreamAsOfSpec extends AnyFunSuite {
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("streaming as-of with tolerance equals batch asofTolerance") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+    val lookups = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id")
+    val refs = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+    val tol = 3600L * 1000000L
+
+    val dirL = Files.createTempDirectory("graft_asoft_l").toString
+    val dirR = Files.createTempDirectory("graft_asoft_r").toString
+    lookups.write.mode("overwrite").parquet(dirL)
+    refs.write.mode("overwrite").parquet(dirR)
+    val sl = spark.readStream.schema(lookups.schema).parquet(dirL)
+      .as[graft.streaming.StreamAsOf.Lookup]
+    val sr = spark.readStream.schema(refs.schema).parquet(dirR)
+      .as[graft.streaming.StreamAsOf.Ref]
+
+    val q = graft.streaming.StreamAsOf(spark, sl, sr, toleranceUs = tol)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asoft_test").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("asoft_test")
+      .select($"user_id", $"ts", $"event_id", $"asof_value")
+    val want = graft.operators.Combine.asofTolerance(lookups, refs,
+      Seq("user_id"), "ts", Seq("event_id"), Seq("value"), tol)
+      .select($"user_id", $"ts", $"event_id", $"asof_value")
+    assert(got.count() == want.count() && got.count() > 0)
+    // the tolerance must actually bite on this data: some matches
+    // survive, some are rejected as stale
+    assert(want.where($"asof_value".isNotNull).count() > 0)
+    assert(want.where($"asof_value".isNull).count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
 
 class StreamDedupSpec extends AnyFunSuite {
