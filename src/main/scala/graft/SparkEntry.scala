@@ -3367,6 +3367,42 @@ object SparkEntry {
       Knn.sqSearchTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
     },
 
+    // binary quantization store: 1 sign bit per dim against the
+    // round-6 per-dim corpus mean, packed MSB-first into 32-dim BIGINT
+    // words — the 32x-compression end of the quantization family
+    // (SQ8 / PQ / RQ / binary); candidate scans cost xor+popcount
+    "emb_bq" -> { (s, dir) =>
+      Knn.bqWords(tbl(s, dir, "embeddings"), EmbDim)
+        .select(col("vec_id"), element_at(col("bw"), 1).as("w0"),
+          element_at(col("bw"), 2).as("w1"))
+    },
+
+    // binary-first serving: Hamming top-15 over the packed words, then
+    // exact-cosine rerank to top-3 (the emb_sq_search two-stage shape
+    // at 1 bit/dim — the ranking scan reads 8 bytes per corpus vector)
+    "emb_bq_search" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.bqSearchTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
+    },
+
+    // the binary path's serving quality MEASURED: recall@3 of the
+    // ham-then-rerank two-stage vs the brute truth (every index in the
+    // suite carries a measured-recall leg)
+    "emb_bq_recall" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
+      val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
+        .select("query_id", "neighbor_id").localCheckpoint(false)
+      truth.join(
+          Knn.bqSearchTopK(emb, q, EmbDim, 3)
+            .select(col("query_id"), col("neighbor_id"))
+            .withColumn("__h", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+          round(count(col("__h")).cast("double") / count(lit(1)), 6)
+            .as("recall"))
+    },
+
     // ADC top-15 then exact-cosine rerank to top-3: the two-stage
     // pattern that buys back PQ quantization error while fetching only
     // |Q|*15 true vectors (candidate list broadcast over the scan)
@@ -3812,6 +3848,43 @@ object SparkEntry {
     * shared by emb_sq_search and emb_ann_recall's sq leg so the eval
     * cannot drift from the index it measures.
     */
+  /** Binary-quantization chain shared by emb_bq / emb_bq_search /
+    * emb_bq_recall: per-dim round-6 corpus means, MSB-first 32-bit
+    * sign-word packing (DuckDB's list_reduce seeds the fold with the
+    * FIRST element — 0*2+b1 = b1, so it equals Spark's from-zero
+    * fold), integer-exact Hamming candidate ranking, exact-cosine
+    * rerank.
+    */
+  private def sqlBqCtes: String = {
+    val words = (0 until EmbDim / 32).mkString(", ")
+    val ham = (1 to EmbDim / 32)
+      .map(w => s"bit_count(xor(nbw[$w], qbw[$w]))").mkString(" + ")
+    s"""bqdd AS (SELECT i FROM range(1, ${EmbDim + 1}) t(i)),
+       |bqm AS (SELECT i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+       |  FROM embeddings, bqdd GROUP BY i),
+       |bqar AS (SELECT list(m ORDER BY i) AS mns FROM bqm),
+       |bqc AS (SELECT vec_id AS neighbor_id, embedding AS nv,
+       |    list_transform([$words], w -> list_reduce(
+       |      list_transform(range(1, 33), j -> CASE WHEN
+       |        CAST(embedding[w*32 + j] AS DOUBLE) > mns[w*32 + j]
+       |        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+       |      (a, b) -> a*2 + b)) AS nbw
+       |  FROM embeddings, bqar),
+       |bqq AS (SELECT neighbor_id AS query_id, nv AS qv, nbw AS qbw
+       |  FROM bqc WHERE neighbor_id % 100 = 0 AND neighbor_id < 100000000),
+       |bqj AS (SELECT query_id, neighbor_id, qv, nv,
+       |    CAST($ham AS BIGINT) AS ham
+       |  FROM bqc, bqq WHERE neighbor_id <> query_id),
+       |bqrk AS (SELECT query_id, neighbor_id, qv, nv, ham, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY ham ASC, neighbor_id) AS rk
+       |  FROM bqj),
+       |bqrr AS (SELECT query_id, neighbor_id, ham, ${sqlCos("qv", "nv")} AS cos
+       |  FROM bqrk WHERE rk <= 15),
+       |bqfin AS (SELECT query_id, neighbor_id, ham, cos,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM bqrr)""".stripMargin
+  }
+
   private def sqlSqCtes: String =
     s"""sqdd AS (SELECT i FROM range(1, ${EmbDim + 1}) t(i)),
        |sqst AS (SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS mn,
@@ -5906,6 +5979,40 @@ object SparkEntry {
       s"""WITH $sqlSqCtes
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM sqfin WHERE rank <= 3""".stripMargin,
+
+    // binary store: sign words vs the round-6 per-dim corpus means,
+    // MSB-first fold replayed by list_reduce (integer-exact)
+    "emb_bq" ->
+      s"""WITH $sqlBqCtes
+         |SELECT neighbor_id AS vec_id, nbw[1] AS w0, nbw[2] AS w1
+         |FROM bqc""".stripMargin,
+
+    // binary-first serving: Hamming top-15 over the packed words,
+    // exact-cosine rerank to top-3 — mirrors Knn.bqSearchTopK
+    "emb_bq_search" ->
+      s"""WITH $sqlBqCtes
+         |SELECT query_id, rank, neighbor_id, ham, round(cos, 6) AS cos
+         |FROM bqfin WHERE rank <= 3""".stripMargin,
+
+    // bq recall: the full binary two-stage chain (shared CTEs
+    // verbatim) vs the brute truth + the tiny pair join and 1-row agg
+    "emb_bq_recall" ->
+      s"""WITH $sqlBqCtes,
+         |bqtop AS (SELECT query_id, neighbor_id FROM bqfin WHERE rank <= 3),
+         |bqbj AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${sqlDot("q.qv", "e.embedding")}
+         |      / (sqrt(${sqlDot("q.qv", "q.qv")})
+         |         * sqrt(${sqlDot("e.embedding", "e.embedding")})) AS cos
+         |  FROM embeddings e, bqq q WHERE e.vec_id <> q.query_id),
+         |bqbr AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM bqbj),
+         |bqbrute AS (SELECT query_id, neighbor_id FROM bqbr WHERE rk <= 3)
+         |SELECT count(*) AS n_truth, count(t.query_id) AS n_hits,
+         |  round(CAST(count(t.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM bqbrute b LEFT JOIN bqtop t
+         |  ON b.query_id = t.query_id
+         |  AND b.neighbor_id = t.neighbor_id""".stripMargin,
 
     // two-stage serving: ADC top-15 from the shared chain, then exact
     // cosine against the true vectors (q0/c0 from the IVF CTEs) picks

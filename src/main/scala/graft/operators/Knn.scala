@@ -409,6 +409,97 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** Binary quantization (1 bit per dimension — the 32x-compression
+    * end of the quantization family next to SQ8 / PQ / RQ): each
+    * dimension's threshold is the CORPUS MEAN of that dimension
+    * (rounded to 6dp so both engines compare against the identical
+    * double), and the bits pack MSB-first into 32-dim BIGINT words.
+    * A candidate scan then costs one xor + popcount per word instead
+    * of `dim` float multiplies, and the store reads dim/8 bytes per
+    * vector instead of 4*dim — the layout behind billion-scale
+    * "binary-first, exact-rerank" serving stacks.
+    *
+    * Scale shape: the threshold pass partial-aggs to `dim` rows and
+    * broadcasts; packing is a scan-side projection (zero shuffle).
+    * Packing is fold-exact: bit d is a > comparison of two doubles
+    * both engines hold bit-identically, so the words (and every
+    * Hamming distance) are integer-exact across engines.
+    */
+  def bqMeans(corpus: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val stats = corpus
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos").agg(round(avg(col("x").cast("double")), 6).as("m"))
+    stats.groupBy().agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("mns"))
+  }
+
+  /** Pack `vecCol` into dim/32 sign-bit words against the broadcast
+    * per-dim means frame from [[bqMeans]]. MSB-first fold: word w =
+    * fold over its 32 dims of acc*2 + (x > mean).
+    */
+  def bqPack(df: DataFrame, means: DataFrame, dim: Int,
+             vecCol: String = "embedding", outCol: String = "bw"): DataFrame = {
+    require(dim % 32 == 0, s"dim $dim must pack whole 32-bit words")
+    df.crossJoin(broadcast(means))
+      .withColumn(outCol,
+        transform(sequence(lit(0), lit(dim / 32 - 1)), w =>
+          aggregate(sequence(lit(1), lit(32)), lit(0L), (acc, j) =>
+            acc * 2 + when(
+              element_at(col(vecCol), w * 32 + j).cast("double")
+                > element_at(col("mns"), w * 32 + j), 1L).otherwise(0L))))
+      .drop("mns")
+  }
+
+  /** The binary store: (id, bw) with `bw` = dim/32 packed BIGINT
+    * words per vector.
+    */
+  def bqWords(corpus: DataFrame, dim: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame =
+    bqPack(corpus, bqMeans(corpus, vecCol), dim, vecCol)
+      .select(col(idCol), col("bw"))
+
+  /** Two-stage binary search (the emb_sq_search shape over the packed
+    * store): Hamming distance over the words ranks a candidate pool of
+    * `rerank`, then the exact cosine against the true vectors picks the
+    * final top-k. Only |Q|*rerank true vectors are ever fetched; the
+    * ranking scan reads dim/8 bytes per corpus row.
+    */
+  def bqSearchTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                   rerank: Int = 15, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val means = bqMeans(corpus, vecCol)
+    val cw = bqPack(corpus, means, dim, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("bw").as("nbw"))
+    val qw = bqPack(queries, means, dim, vecCol)
+      .select(col(idCol).as("query_id"), col("bw").as("qbw"))
+    val scored = cw.crossJoin(broadcast(qw))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("ham",
+        aggregate(zip_with(col("nbw"), col("qbw"),
+            (x, y) => call_function("bit_count", x.bitwiseXOR(y)).cast("long")),
+          lit(0L), (acc, v) => acc + v))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("ham").asc, col("neighbor_id"))
+    val cand = scored.withColumn("rk", row_number().over(wa))
+      .where(col("rk") <= rerank)
+      .select("query_id", "neighbor_id", "ham")
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+    val qx = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val exact = c.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qx), Seq("query_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("ham"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Product quantization: split the vector into `m` contiguous
     * subspaces, code each subvector as its nearest (L2) centroid from a
     * deterministic every-Nth codebook — the memory layout behind

@@ -243,6 +243,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(7L)._1 == 10L && got(7L)._3 < got(7L)._2 && got(7L)._2 > 0)
   }
 
+  test("bqWords packs sign bits MSB-first; bqSearchTopK ranks by Hamming") {
+    import spark.implicits._
+    // 4 corpus vectors over 32 dims, per-dim means all 0: v1/v2 are +1
+    // on dims 1-16 and -1 after (word 0xFFFF0000), v3/v4 the
+    // complement (word 0x0000FFFF)
+    def vec(hiFirst: Boolean): Seq[Float] =
+      (0 until 32).map(d => if ((d < 16) == hiFirst) 1.0f else -1.0f)
+    val corpus = Seq(
+      (1L, vec(true)), (2L, vec(true)), (3L, vec(false)), (4L, vec(false))
+    ).toDF("vec_id", "embedding")
+    val words = Knn.bqWords(corpus, 32).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(words(1L) == Seq(0xFFFF0000L) && words(2L) == Seq(0xFFFF0000L))
+    assert(words(3L) == Seq(0x0000FFFFL) && words(4L) == Seq(0x0000FFFFL))
+    // a query identical to v1 (fresh id): Hamming 0 to v1/v2, 32 to
+    // v3/v4; exact-cosine rerank keeps the id-asc tie order
+    val q = Seq((100L, vec(true))).toDF("vec_id", "embedding")
+    val got = Knn.bqSearchTopK(corpus, q, 32, 4).collect()
+      .sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.take(2).forall { case (_, ham, cos) => ham == 0L && cos == 1.0 })
+    assert(got.drop(2).forall { case (_, ham, cos) => ham == 32L && cos == -1.0 })
+  }
+
   test("contaminationSpans marks exactly the verbatim benchmark overlap") {
     import spark.implicits._
     // doc 0 is the benchmark; doc 1 embeds a verbatim 30-char slice of

@@ -245,6 +245,17 @@ class PlanBudgetSpec extends AnyFunSuite {
     // + broadcast query set + top-rerank window + broadcast candidate
     // list and query re-join for the exact rerank window
     "emb_sq_search" -> 8,
+    // binary store: the per-dim mean pass (pos agg partial+final) +
+    // its 1-row broadcast — packing itself is a scan-side projection
+    "emb_bq" -> 3,
+    // binary serving: the mean pass + TWO packing broadcasts (corpus
+    // and query words) + Hamming top-rerank window + the exact-rerank
+    // candidate/query broadcasts and rank window — the rq_search
+    // posture with the codebook joins replaced by the mean broadcast
+    "emb_bq_search" -> 11,
+    // bq recall eval: the checkpointed brute truth + the full
+    // two-stage bq chain + the tiny pair join and 1-row agg
+    "emb_bq_recall" -> 14,
     "q_retention" -> 2, "q_argmin" -> 2, "q4_semijoin" -> 2,
     "ts_align_linear" -> 2, "ts_merge" -> 2,
     // doc_vocab: the corpus-scale agg + TakeOrderedAndProject live in a
