@@ -3305,6 +3305,15 @@ object SparkEntry {
       Knn.clusterSample(tbl(s, dir, "embeddings"), EmbDim, perCluster = 8)
     },
 
+    // greedy farthest-first k-center coreset (Gonzalez 2-approx): the
+    // 8 most spread-out vectors plus the coverage-radius curve at each
+    // size — the third diversity move next to cluster_sample (per-
+    // cluster boundary keep) and semdedup (prototype drop); k corpus
+    // scans each ending in TakeOrdered(1), zero shuffle
+    "emb_kcenter" -> { (s, dir) =>
+      Knn.kCenterSelect(tbl(s, dir, "embeddings"), EmbDim, 8)
+    },
+
     "emb_quantize" -> { (s, dir) =>
       Knn.quantizeInt8(tbl(s, dir, "embeddings"))
     },
@@ -3848,6 +3857,32 @@ object SparkEntry {
     * shared by emb_sq_search and emb_ann_recall's sq leg so the eval
     * cannot drift from the index it measures.
     */
+  /** Greedy k-center replay (emb_kcenter): round i picks the argmin
+    * (running-max-cos asc, id asc) among not-yet-selected vectors;
+    * the running max chains incrementally through `greatest`, which
+    * equals the operator's flat max over the selected set because max
+    * over doubles is order-free. k-1 unrolled rounds.
+    */
+  private def sqlKcenterCtes(k: Int): String = {
+    val b = Seq.newBuilder[String]
+    b += "kc0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings)"
+    b += "kp1 AS (SELECT id, v FROM kc0 ORDER BY id LIMIT 1)"
+    b += s"""km1 AS (SELECT e.id AS id, e.v AS v, ${sqlCos("e.v", "p.v")} AS mc
+       |  FROM kc0 e, kp1 p)""".stripMargin
+    for (i <- 2 to k) {
+      val prevSel = (1 until i).map(j => s"SELECT id FROM kp$j")
+        .mkString(" UNION ALL ")
+      b += s"""kp$i AS (SELECT m.id AS id, m.v AS v, m.mc AS mc FROM km${i - 1} m
+         |  WHERE m.id NOT IN ($prevSel)
+         |  ORDER BY m.mc ASC, m.id ASC LIMIT 1)""".stripMargin
+      if (i < k)
+        b += s"""km$i AS (SELECT m.id AS id, m.v AS v,
+           |    greatest(m.mc, ${sqlCos("m.v", "p.v")}) AS mc
+           |  FROM km${i - 1} m, kp$i p)""".stripMargin
+    }
+    b.result().mkString(",\n")
+  }
+
   /** Binary-quantization chain shared by emb_bq / emb_bq_search /
     * emb_bq_recall: per-dim round-6 corpus means, MSB-first 32-bit
     * sign-word packing (DuckDB's list_reduce seeds the fold with the
@@ -5979,6 +6014,18 @@ object SparkEntry {
       s"""WITH $sqlSqCtes
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM sqfin WHERE rank <= 3""".stripMargin,
+
+    // k-center: the full greedy trajectory replayed round by round —
+    // seed = min id, then 7 unrolled argmin-of-running-max-cos picks
+    "emb_kcenter" -> {
+      val rows = (2 to 8).map(i =>
+        s"UNION ALL SELECT CAST($i AS INTEGER), id, round(1 - mc, 6) FROM kp$i")
+        .mkString("\n")
+      s"""WITH ${sqlKcenterCtes(8)}
+         |SELECT CAST(1 AS INTEGER) AS sel_rank, id AS vec_id,
+         |  CAST(NULL AS DOUBLE) AS cov FROM kp1
+         |$rows""".stripMargin
+    },
 
     // binary store: sign words vs the round-6 per-dim corpus means,
     // MSB-first fold replayed by list_reduce (integer-exact)

@@ -500,6 +500,60 @@ object Knn {
         col("ham"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Greedy farthest-first k-center selection (Gonzalez's 2-approx
+    * traversal) — the coreset / data-pruning move: pick the seed (the
+    * min id), then k-1 times the vector MAXIMIZING its min
+    * cosine-distance to everything already selected (equivalently:
+    * minimizing its max cosine). The selected set is the most
+    * spread-out k-subset a greedy pass can give, and each pick's
+    * `cov` = 1 - maxcos is the corpus coverage radius AT that size —
+    * the curve data-pruning decisions read.
+    *
+    * Scale shape: k corpus scans, each ending in a TakeOrdered(1) —
+    * no shuffle at all; driver state is the k selected vectors
+    * (broadcast back as literals), exactly the k-means|| posture
+    * without the oversampling. Cosines use the engine-exact fold, max
+    * over doubles is order-free, and the argmin tie-breaks on id — so
+    * the whole greedy trajectory is deterministic and replayed
+    * verbatim by the DuckDB oracle.
+    */
+  def kCenterSelect(corpus: DataFrame, dim: Int, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .localCheckpoint(false)
+    def cosTo(s: Seq[Float]): Column = {
+      val sv = typedlit(s)
+      dot(col("v"), sv, dim) /
+        (sqrt(dot(col("v"), col("v"), dim)) * sqrt(dot(sv, sv, dim)))
+    }
+    val seed = base.orderBy(col("id")).limit(1)
+      .collect().headOption.map(r => (r.getLong(0), r.getSeq[Float](1)))
+    var selected = seed.toList
+    var out = seed.map { case (id, _) => (1, id, Option.empty[Double]) }.toList
+    var rnd = 2
+    while (rnd <= k && selected.size == rnd - 1) {
+      val coss = selected.map { case (_, v) => cosTo(v) }
+      val mc = if (coss.size == 1) coss.head else greatest(coss: _*)
+      val pick = base
+        .where(!col("id").isin(selected.map(_._1): _*))
+        .withColumn("mc", mc)
+        .orderBy(col("mc").asc, col("id").asc).limit(1)
+        .select(col("id"), col("v"), col("mc"))
+        .collect().headOption
+      pick.foreach { r =>
+        selected :+= ((r.getLong(0), r.getSeq[Float](1)))
+        out :+= ((rnd, r.getLong(0), Some(r.getDouble(2))))
+      }
+      rnd += 1
+    }
+    out.toDF("sel_rank", "vec_id", "__mc")
+      .select(col("sel_rank"), col("vec_id"),
+        round(lit(1.0) - col("__mc"), 6).as("cov"))
+  }
+
   /** Product quantization: split the vector into `m` contiguous
     * subspaces, code each subvector as its nearest (L2) centroid from a
     * deterministic every-Nth codebook — the memory layout behind

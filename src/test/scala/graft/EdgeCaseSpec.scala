@@ -125,6 +125,17 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Knn.rqCodes(emptyEmb, 2, centroidEvery = 1).isEmpty)
   }
 
+  test("round-9 additions degrade on empty / undersized inputs") {
+    val emptyEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Knn.bqWords(emptyEmb, 32).isEmpty)
+    assert(Knn.bqSearchTopK(emptyEmb, emptyEmb, 32, 3).isEmpty)
+    assert(Knn.kCenterSelect(emptyEmb, 4, 8).isEmpty)
+    // corpus smaller than k: greedy exhausts and stops at n rows
+    val two = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
+      .toDF("vec_id", "embedding")
+    assert(Knn.kCenterSelect(two, 2, 8).count() == 2)
+  }
+
   test("components of an empty pair list is empty (and converges)") {
     val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val (labels, rounds) = Dedup.componentsWithRounds(pairs)

@@ -268,6 +268,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.drop(2).forall { case (_, ham, cos) => ham == 32L && cos == -1.0 })
   }
 
+  test("kCenterSelect greedily picks one vector per planted cluster") {
+    import spark.implicits._
+    // three clusters on axes: {1,2} ~ e1, {3,4} ~ e2, {5,6} ~ e3 (e3
+    // tilted 0.1 toward e1 so round order is forced); within each
+    // cluster the second member is tilted toward an already-selected
+    // axis so greedy never picks a cluster twice
+    val rows = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(1f, 0.05f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f, 0f), 4L -> Seq(0.05f, 1f, 0f, 0f),
+      5L -> Seq(0.1f, 0f, 1f, 0f), 6L -> Seq(0.2f, 0f, 1f, 0f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Knn.kCenterSelect(emb, 4, 3).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2))))
+    // seed = min id; round 2 = the exactly-orthogonal e2 cluster's
+    // untilted member (cov = 1 - 0); round 3 = e3's least-tilted member
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 5L))
+    assert(got(0)._3.isEmpty)
+    assert(got(1)._3.contains(1.0))
+    val cov3 = got(2)._3.get.asInstanceOf[Double]
+    assert(cov3 > 0.89 && cov3 < 0.91) // 1 - cos(e3-tilted, e1) ~ 0.900
+  }
+
   test("contaminationSpans marks exactly the verbatim benchmark overlap") {
     import spark.implicits._
     // doc 0 is the benchmark; doc 1 embeds a verbatim 30-char slice of

@@ -245,6 +245,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // + broadcast query set + top-rerank window + broadcast candidate
     // list and query re-join for the exact rerank window
     "emb_sq_search" -> 8,
+    // k-center: the visible plan is the k-row literal result frame —
+    // the greedy rounds run at construction as k TakeOrdered(1) scans
+    // over the checkpointed corpus, none of which shuffles
+    "emb_kcenter" -> 0,
     // binary store: the per-dim mean pass (pos agg partial+final) +
     // its 1-row broadcast — packing itself is a scan-side projection
     "emb_bq" -> 3,
