@@ -722,6 +722,15 @@ object SparkEntry {
         UsDay, Jan01)
     },
 
+    // banded DTW distance from every series to the all-series daily
+    // template: shape deviation tolerant of phase shifts ≤ 7 days —
+    // the alignment-aware screen Euclidean residuals can't express;
+    // integer-exact BIGINT DP over calendar-bounded arrays
+    "ts_dtw" -> { (s, dir) =>
+      Trend.dtwToTemplate(events(s, dir), "ts", "value", Seq("user_id"),
+        UsDay, Jan01)
+    },
+
     // classical additive decomposition per user on the daily grid:
     // value = centered-MA(7) trend + day-of-week seasonal + residual,
     // every mean an exact µ-unit floor (no half-tie anywhere)
@@ -1697,6 +1706,56 @@ object SparkEntry {
     // DuckDB's // truncates toward zero on negatives), the gain is one
     // fixed IEEE formula over exact BIGINT prefix sums, and the argmax
     // tie-breaks on the earlier day — bit-parity with Trend.changepoint
+    // banded DTW: the identical BIGINT DP replayed as a recursive CTE
+    // over template rows — each iteration folds one DP row left-to-
+    // right via list_reduce (seeded by its first element [INF], the
+    // j=0 boundary; acc[-1] supplies dp[i][j-1]); out-of-band cells
+    // pin to INF = 1e15; grid means are the exact µ-floor convention
+    "ts_dtw" ->
+      s"""WITH RECURSIVE
+         |wg AS (SELECT user_id,
+         |    ($EvUs - 1704067200000000) // 86400000000 AS d,
+         |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6, count(*) AS c
+         |  FROM events GROUP BY 1, 2),
+         |wv AS (SELECT user_id, d,
+         |    CAST((s6 - ((s6 % c) + c) % c) // c AS BIGINT) AS v
+         |  FROM wg),
+         |wk AS (SELECT user_id, list(v ORDER BY d) AS b FROM wv
+         |  GROUP BY user_id),
+         |wtg AS (SELECT ($EvUs - 1704067200000000) // 86400000000 AS d,
+         |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6, count(*) AS c
+         |  FROM events GROUP BY 1),
+         |wtv AS (SELECT d,
+         |    CAST((s6 - ((s6 % c) + c) % c) // c AS BIGINT) AS v FROM wtg),
+         |wt AS (SELECT list(v ORDER BY d) AS a FROM wtv),
+         |wd AS (SELECT k.user_id, k.b, len(k.b) AS m,
+         |    (SELECT len(a) FROM wt) AS n,
+         |    greatest(7, abs((SELECT len(a) FROM wt) - len(k.b))) AS w
+         |  FROM wk k),
+         |dp AS (
+         |  SELECT user_id, b, m, n, w, 0 AS i,
+         |    list_prepend(CAST(0 AS BIGINT), list_transform(range(1, m + 1),
+         |      j -> CAST(1000000000000000 AS BIGINT))) AS row
+         |  FROM wd
+         |  UNION ALL
+         |  SELECT p.user_id, p.b, p.m, p.n, p.w, p.i + 1,
+         |    list_reduce(
+         |      list_prepend([CAST(1000000000000000 AS BIGINT)],
+         |        list_transform(range(1, p.m + 1),
+         |          j -> [p.b[j], CAST(j AS BIGINT)])),
+         |      (acc, x) -> list_append(acc,
+         |        CASE WHEN abs((p.i + 1) - x[2]) > p.w
+         |             THEN CAST(1000000000000000 AS BIGINT)
+         |             ELSE least(p.row[x[2] + 1], p.row[x[2]], acc[-1])
+         |               + abs(t.a[p.i + 1] - x[1]) END)) AS row
+         |  FROM dp p, wt t WHERE p.i < p.n)
+         |SELECT user_id, n AS n_template, m AS n_series,
+         |  row[m + 1] AS dtw6,
+         |  round(CAST(row[m + 1] AS DOUBLE) / 1e6, 6) AS dtw,
+         |  CAST((row[m + 1] - ((row[m + 1] % (n + m)) + (n + m)) % (n + m))
+         |      // (n + m) AS DOUBLE) / 1000000.0 AS dtw_step
+         |FROM dp WHERE i = n""".stripMargin,
+
     "ts_changepoint" ->
       s"""WITH cg AS (SELECT user_id,
          |    ($EvUs - 1704067200000000) // 86400000000 AS d,

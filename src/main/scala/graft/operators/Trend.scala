@@ -1017,4 +1017,77 @@ object Trend {
         col("__paa").as("paa"), round(col("__z"), 6).as("z"),
         col("symbol")): _*)
   }
+
+  /** Banded Dynamic Time Warping distance from every series to the
+    * corpus TEMPLATE (the all-series daily mean curve): "whose SHAPE
+    * deviates from the global pattern, allowing phase shifts up to
+    * `band` buckets". Euclidean distance charges a series that runs
+    * the same shape a day late for every sample; DTW aligns the two
+    * sequences monotonically inside a Sakoe–Chiba band of width
+    * max(band, |n−m|) (the |n−m| floor keeps the (n,m) corner
+    * reachable) and charges |a_i − b_j| per aligned pair.
+    *
+    * Exactness: grid values are exact µ-floor means (BIGINT), the DP
+    * runs entirely on BIGINTs with INF = 1e15 marking out-of-band
+    * cells (far above any real path: ≤ (n+m)·max|diff|, and low
+    * enough that INF + n·cost cannot overflow), so the distance is
+    * integer-exact across engines — the DuckDB oracle replays the
+    * identical DP via a recursive CTE.
+    *
+    * Scale: the O(n·m) DP is a nested scan-side fold over per-key
+    * arrays bounded by the CALENDAR (#buckets), never over events —
+    * the theilSen posture. Events pay ONE (key, bucket) partial-agg'd
+    * shuffle + the key re-key (clustering-satisfied by hash(key));
+    * the template is a #buckets-row broadcast.
+    */
+  def dtwToTemplate(df: DataFrame, tsCol: String, valCol: String,
+                    keyCols: Seq[String], bucketUs: Long, originUs: Long,
+                    band: Int = 7): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.fldiv
+    val inf = lit(1000000000000000L)
+    def d = fldiv(col(tsCol) - lit(originUs), bucketUs).as("__d")
+    val grid = df
+      .groupBy(keyCols.map(col) :+ d: _*)
+      .agg(sum(floor(col(valCol) * lit(1e6)).cast("long")).as("__s6"),
+        count(lit(1)).as("__c"))
+      .withColumn("__v", fldivC(col("__s6"), col("__c")))
+    val karr = grid.groupBy(keyCols.map(col): _*)
+      .agg(transform(array_sort(collect_list(struct(col("__d"), col("__v")))),
+        s => s.getField("__v")).as("b"))
+    val tmpl = df
+      .groupBy(d)
+      .agg(sum(floor(col(valCol) * lit(1e6)).cast("long")).as("__s6"),
+        count(lit(1)).as("__c"))
+      .withColumn("__v", fldivC(col("__s6"), col("__c")))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("__d"), col("__v")))),
+        s => s.getField("__v")).as("a"))
+    val joined = karr.crossJoin(broadcast(tmpl))
+      .withColumn("n", size(col("a")))
+      .withColumn("m", size(col("b")))
+      .withColumn("w", greatest(lit(band), abs(col("n") - col("m"))))
+    // dp row i (length m+1, 1-indexed as a Spark array): row[j+1] =
+    // dp[i][j]; init row = [0, INF...]; each row folds left-to-right
+    // with the growing row itself supplying dp[i][j-1] (element_at -1)
+    val initRow = concat(array(lit(0L)),
+      transform(sequence(lit(1), col("m")), _ => inf))
+    val dp = aggregate(
+      sequence(lit(1), col("n")), initRow,
+      (row, i) => aggregate(
+        sequence(lit(1), col("m")), array(inf),
+        (acc, j) => concat(acc, array(
+          when(abs(i - j) > col("w"), inf)
+            .otherwise(
+              least(element_at(row, j + 1), element_at(row, j),
+                element_at(acc, -1))
+                + abs(element_at(col("a"), i) - element_at(col("b"), j)))))))
+    joined
+      .withColumn("__dtw6", element_at(dp, col("m") + 1))
+      .select(keyCols.map(col) ++ Seq(
+        col("n").as("n_template"), col("m").as("n_series"),
+        col("__dtw6").as("dtw6"),
+        round(col("__dtw6").cast("double") / lit(1e6), 6).as("dtw"),
+        (fldivC(col("__dtw6"), (col("n") + col("m")).cast("long"))
+          .cast("double") / lit(1e6)).as("dtw_step")): _*)
+  }
 }

@@ -245,6 +245,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // + broadcast query set + top-rerank window + broadcast candidate
     // list and query re-join for the exact rerank window
     "emb_sq_search" -> 8,
+    // dtw: (key, day) grid agg + key re-key + the template's day agg,
+    // 1-row collect and broadcast — the O(n·m) DP itself is a
+    // scan-side fold over calendar-bounded arrays
+    "ts_dtw" -> 5,
     // k-center: the visible plan is the k-row literal result frame —
     // the greedy rounds run at construction as k TakeOrdered(1) scans
     // over the checkpointed corpus, none of which shuffles

@@ -416,6 +416,50 @@ class TrendSpec extends AnyFunSuite {
       (1L, 2L, 20.0, 1.0, "d"), (1L, 3L, 20.0, 1.0, "d"),
       (2L, 0L, 4.25, 0.0, "c"), (2L, 1L, 4.25, 0.0, "c")))
   }
+
+  test("dtwToTemplate matches a reference banded DTW on random series") {
+    import spark.implicits._
+    val day = 86400000000L
+    val rng = new scala.util.Random(42)
+    val nDays = 20
+    val users = 1L to 5L
+    // one event per (user, day) with integer values: the µ-floor grid
+    // mean is exactly value*1e6, so the test can rebuild grid +
+    // template + DP without any float subtlety
+    val rows = for (u <- users; d <- 0 until nDays)
+      yield (u, d * day, rng.nextInt(50).toDouble)
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = Trend.dtwToTemplate(df, "ts", "value", Seq("user_id"),
+      day, 0L, band = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toMap
+
+    def fldiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val byUser = rows.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(r => (r._3 * 1e6).toLong).toArray).toMap
+    val tmpl = (0 until nDays).map { d =>
+      val vs = rows.filter(_._2 == d * day).map(r => (r._3 * 1e6).toLong)
+      fldiv(vs.sum, vs.size)
+    }.toArray
+    val INF = 1000000000000000L
+    def dtw(a: Array[Long], b: Array[Long], band: Int): Long = {
+      val w = math.max(band, math.abs(a.length - b.length))
+      var prev = 0L +: Array.fill(b.length)(INF)
+      for (i <- 1 to a.length) {
+        val cur = Array.fill(b.length + 1)(INF)
+        for (j <- 1 to b.length if math.abs(i - j) <= w)
+          cur(j) = math.abs(a(i - 1) - b(j - 1)) +
+            math.min(prev(j), math.min(prev(j - 1), cur(j - 1)))
+        prev = cur
+      }
+      prev(b.length)
+    }
+    users.foreach { u =>
+      val (nT, nS, d6) = got(u)
+      assert(nT == nDays && nS == nDays)
+      assert(d6 == dtw(tmpl, byUser(u), 3), s"user $u")
+    }
+  }
 }
 
 class StreamFillSpec extends AnyFunSuite {
@@ -683,4 +727,5 @@ class StreamHoltWintersSpec extends AnyFunSuite {
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
 }
