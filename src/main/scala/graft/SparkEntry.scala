@@ -722,6 +722,13 @@ object SparkEntry {
         UsDay, Jan01)
     },
 
+    // Hampel filter: rolling robust outlier screen + repair (centered
+    // ±3 window, 3·1.4826·MAD rule in cross-multiplied µ-integers) —
+    // the despike pass run before any mean-based smoother
+    "ts_hampel" -> { (s, dir) =>
+      Trend.hampel(events(s, dir), "ts", "value", Seq("user_id"))
+    },
+
     // banded DTW distance from every series to the all-series daily
     // template: shape deviation tolerant of phase shifts ≤ 7 days —
     // the alignment-aware screen Euclidean residuals can't express;
@@ -1706,6 +1713,27 @@ object SparkEntry {
     // DuckDB's // truncates toward zero on negatives), the gain is one
     // fixed IEEE formula over exact BIGINT prefix sums, and the argmax
     // tie-breaks on the earlier day — bit-parity with Trend.changepoint
+    // hampel: the same µ-integer window machinery — list() over the
+    // centered frame, lower-median subscripts, cross-multiplied flag
+    "ts_hampel" ->
+      s"""WITH h0 AS (SELECT user_id, $EvUs AS tus, value,
+         |    CAST(floor(value * 1e6) AS BIGINT) AS v6 FROM events),
+         |hw AS (SELECT user_id, tus, value, v6,
+         |    list_sort(list(v6) OVER (PARTITION BY user_id
+         |      ORDER BY tus, value
+         |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS lst
+         |  FROM h0),
+         |hm AS (SELECT *, lst[(len(lst) + 1) // 2] AS med FROM hw),
+         |hd AS (SELECT *, list_sort(list_transform(lst,
+         |    y -> abs(y - med)))[(len(lst) + 1) // 2] AS mad FROM hm)
+         |SELECT user_id, tus AS ts, value,
+         |  CAST(med AS DOUBLE) / 1e6 AS med,
+         |  CAST(mad AS DOUBLE) / 1e6 AS mad,
+         |  abs(v6 - med) * 10000 > ${3 * 14826} * mad AS is_outlier,
+         |  CASE WHEN abs(v6 - med) * 10000 > ${3 * 14826} * mad
+         |       THEN CAST(med AS DOUBLE) / 1e6 ELSE value END AS repaired
+         |FROM hd""".stripMargin,
+
     // banded DTW: the identical BIGINT DP replayed as a recursive CTE
     // over template rows — each iteration folds one DP row left-to-
     // right via list_reduce (seeded by its first element [INF], the

@@ -1018,6 +1018,48 @@ object Trend {
         col("symbol")): _*)
   }
 
+  /** Hampel filter: rolling ROBUST outlier screen + repair over a
+    * centered ±halfW row window per series — the despike pass run
+    * before any mean-based smoother (a z-score screen moves its own
+    * mean/σ toward the spike it is judging; median/MAD have a 50%
+    * breakdown point). A point is an outlier when
+    * |x − med| > nSigma · 1.4826 · MAD, and outliers are REPAIRED to
+    * the window median.
+    *
+    * Exactness: values are µ-floored BIGINTs, med and MAD are
+    * LOWER-median order statistics of the sorted window (no
+    * interpolation), and the decision cross-multiplies integers
+    * (|v6−med6|·10⁴ > nSigma·14826·mad6 — the 1.4826 consistency
+    * constant at 4dp) — no float comparison anywhere, so the flag set
+    * is engine-exact. ONE series-key window shuffle; the per-row sort
+    * is over 2·halfW+1 elements.
+    */
+  def hampel(df: DataFrame, tsCol: String, valCol: String,
+             keyCols: Seq[String], halfW: Int = 3,
+             nSigma: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.ldiv
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col(valCol)).rowsBetween(-halfW, halfW)
+    val base = df
+      .withColumn("__v6", floor(col(valCol) * lit(1e6)).cast("long"))
+      .withColumn("__lst", sort_array(collect_list(col("__v6")).over(w)))
+    val idx = ldiv((size(col("__lst")) + 1).cast("long"), lit(2L)).cast("int")
+    val withMed = base.withColumn("__med", element_at(col("__lst"), idx))
+    val withMad = withMed.withColumn("__mad",
+      element_at(sort_array(transform(col("__lst"),
+        y => abs(y - col("__med")))), idx))
+    val flag = abs(col("__v6") - col("__med")) * lit(10000L) >
+      lit(nSigma.toLong * 14826L) * col("__mad")
+    withMad
+      .withColumn("is_outlier", flag)
+      .select(keyCols.map(col) ++ Seq(col(tsCol), col(valCol),
+        (col("__med").cast("double") / lit(1e6)).as("med"),
+        (col("__mad").cast("double") / lit(1e6)).as("mad"),
+        col("is_outlier"),
+        when(col("is_outlier"), col("__med").cast("double") / lit(1e6))
+          .otherwise(col(valCol)).as("repaired")): _*)
+  }
+
   /** Banded Dynamic Time Warping distance from every series to the
     * corpus TEMPLATE (the all-series daily mean curve): "whose SHAPE
     * deviates from the global pattern, allowing phase shifts up to

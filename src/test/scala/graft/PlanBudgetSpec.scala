@@ -245,6 +245,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // + broadcast query set + top-rerank window + broadcast candidate
     // list and query re-join for the exact rerank window
     "emb_sq_search" -> 8,
+    // hampel: ONE series-key window shuffle; median/MAD/flag/repair
+    // all derive scan-side from the captured frame array
+    "ts_hampel" -> 1,
     // dtw: (key, day) grid agg + key re-key + the template's day agg,
     // 1-row collect and broadcast — the O(n·m) DP itself is a
     // scan-side fold over calendar-bounded arrays

@@ -417,6 +417,28 @@ class TrendSpec extends AnyFunSuite {
       (2L, 0L, 4.25, 0.0, "c"), (2L, 1L, 4.25, 0.0, "c")))
   }
 
+  test("hampel flags and repairs only the planted spike") {
+    import spark.implicits._
+    // a 10/10.5/11 plateau with one 500.0 spike at i=9: every window's
+    // median stays on the plateau, so only the spike crosses the
+    // 3·1.4826·MAD fence; neighbors of the spike must NOT be dragged
+    // in (the failure mode of a mean/σ screen)
+    val rows = (0 until 20).map(i =>
+      (1L, us(i * 10L), if (i == 9) 500.0 else 10.0 + (i % 3) * 0.5))
+    val got = Trend.hampel(rows.toDF("k", "ts", "v"), "ts", "v", Seq("k"))
+      .collect()
+      .map(r => r.getLong(1) -> (r.getDouble(2), r.getBoolean(5),
+        r.getDouble(6))).toMap
+    assert(got.size == 20)
+    got.foreach { case (ts, (v, flag, rep)) =>
+      if (ts == us(90)) {
+        assert(flag && rep == 10.5, s"spike at $ts")
+      } else {
+        assert(!flag && rep == v, s"plateau at $ts")
+      }
+    }
+  }
+
   test("dtwToTemplate matches a reference banded DTW on random series") {
     import spark.implicits._
     val day = 86400000000L
