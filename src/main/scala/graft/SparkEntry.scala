@@ -722,6 +722,15 @@ object SparkEntry {
         UsDay, Jan01)
     },
 
+    // threshold run-length analysis: count/extent of maximal
+    // consecutive-event runs above value 60 per user — the sustained-
+    // breach shape single-flip crossings can't express; ONE key-hash
+    // shuffle (islands + both aggs share hash(user_id))
+    "ts_runs" -> { (s, dir) =>
+      Trend.runsAbove(events(s, dir), "ts", "value", Seq("user_id"),
+        60.0, tieCols = Seq("event_id"))
+    },
+
     // Hampel filter: rolling robust outlier screen + repair (centered
     // ±3 window, 3·1.4826·MAD rule in cross-multiplied µ-integers) —
     // the despike pass run before any mean-based smoother
@@ -1713,6 +1722,31 @@ object SparkEntry {
     // DuckDB's // truncates toward zero on negatives), the gain is one
     // fixed IEEE formula over exact BIGINT prefix sums, and the argmax
     // tie-breaks on the earlier day — bit-parity with Trend.changepoint
+    // runs: lag-flip island numbering, per-run extent agg, then the
+    // longest-run argmax replayed via rank (len desc, start asc)
+    "ts_runs" ->
+      s"""WITH r0 AS (SELECT user_id, event_id, $EvUs AS tus, value,
+         |    value > 60.0 AS f FROM events),
+         |r1 AS (SELECT *, CASE WHEN lag(f) OVER w IS NULL
+         |      OR lag(f) OVER w <> f THEN 1 ELSE 0 END AS chg
+         |  FROM r0 WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY tus, value, event_id)),
+         |r2 AS (SELECT *, sum(chg) OVER (PARTITION BY user_id
+         |    ORDER BY tus, value, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM r1),
+         |r3 AS (SELECT user_id, grp, count(*) AS len, min(tus) AS s,
+         |    max(tus) AS e
+         |  FROM r2 WHERE f GROUP BY user_id, grp),
+         |r4 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY len DESC, s ASC) AS rk FROM r3),
+         |r5 AS (SELECT user_id, count(*) AS n_runs, max(len) AS max_len
+         |  FROM r3 GROUP BY user_id)
+         |SELECT a.user_id, a.n_runs, a.max_len, b.s AS longest_start,
+         |  b.e - b.s AS longest_dur
+         |FROM r5 a JOIN r4 b ON a.user_id = b.user_id AND b.rk = 1"""
+        .stripMargin,
+
     // hampel: the same µ-integer window machinery — list() over the
     // centered frame, lower-median subscripts, cross-multiplied flag
     "ts_hampel" ->
@@ -2690,6 +2724,9 @@ object SparkEntry {
 
   private val EmbDim = 64
 
+  /** doc_blocklist's fixed wordlist (shared with its oracle). */
+  private val BlockTerms = Seq("slow", "skew", "stale")
+
   /** Posting-list df cap for the pruned ngram-Jaccard scale path —
     * shared by the Spark query and its oracle so both prune the same
     * shingles. 16 is deliberately low for sf-scale corpora so the test
@@ -2950,6 +2987,13 @@ object SparkEntry {
     "doc_gopher" -> { (s, dir) =>
       TextOps.gopherFilter(tbl(s, dir, "documents"))
         .select("doc_id", "rep_2gram", "keep", "drop_reason")
+    },
+
+    // blocklist screen: per-doc count/fraction of terms from a fixed
+    // wordlist + keep verdict at an exact cross-multiplied 5% ppm
+    // threshold — the C4 "bad words" gate; scan-side, zero shuffle
+    "doc_blocklist" -> { (s, dir) =>
+      TextOps.blocklistScreen(tbl(s, dir, "documents"), BlockTerms)
     },
 
     "doc_fingerprint" -> { (s, dir) =>
@@ -4993,6 +5037,21 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
         |    ' +', ' ', 'g')) AS norm_text
         |  FROM documents)""".stripMargin,
+
+    // blocklist: scan-side token filter + the exact cross-multiplied
+    // ppm keep verdict (no float threshold to disagree on)
+    "doc_blocklist" -> {
+      val terms = BlockTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH b0 AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n,
+         |    CAST(len(list_filter($sqlToks,
+         |      t -> list_contains([$terms], t))) AS BIGINT) AS nb
+         |  FROM documents)
+         |SELECT doc_id, n AS n_tokens, nb AS n_blocked,
+         |  round(CAST(nb AS DOUBLE)
+         |    / CASE WHEN n = 0 THEN NULL ELSE n END, 6) AS blocked_frac,
+         |  nb * 1000000 <= 50000 * n AS keep
+         |FROM b0""".stripMargin
+    },
 
     "doc_pii_scrub" -> {
       val email = TextOps.EmailRe

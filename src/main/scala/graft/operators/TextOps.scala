@@ -1137,4 +1137,31 @@ object TextOps {
       .orderBy(col("pmi").desc, col("tok_a"), col("tok_b"))
       .limit(topK)
   }
+
+  /** Blocklist screen — the wordlist gate of a curation pipeline (the
+    * C4 "bad words" filter shape): per doc, the count and fraction of
+    * tokens found in the term list, plus the keep verdict at an exact
+    * RATIONAL threshold: keep iff n_blocked·10⁶ ≤ maxPpm·n_tokens — an
+    * integer cross-multiplication, so no float threshold exists for
+    * engines to disagree on. Scan-side, zero shuffle; the list rides
+    * the plan as a literal (swap in a broadcast join beyond a few
+    * thousand terms — nothing downstream changes).
+    */
+  def blocklistScreen(docs: DataFrame, terms: Seq[String],
+                      maxPpm: Long = 50000, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val lstLit = lit(terms.toArray)
+    docs
+      .withColumn("__tk", tokens(col(textCol)))
+      .withColumn("n_tokens", size(col("__tk")).cast("long"))
+      .withColumn("n_blocked",
+        size(filter(col("__tk"), t => array_contains(lstLit, t)))
+          .cast("long"))
+      .select(col(idCol), col("n_tokens"), col("n_blocked"),
+        round(col("n_blocked").cast("double") /
+          when(col("n_tokens") === 0, lit(null)).otherwise(col("n_tokens")),
+          6).as("blocked_frac"),
+        (col("n_blocked") * lit(1000000L) <= lit(maxPpm) * col("n_tokens"))
+          .as("keep"))
+  }
 }

@@ -1018,6 +1018,44 @@ object Trend {
         col("symbol")): _*)
   }
 
+  /** Threshold run-length analysis per series — gaps-and-islands over
+    * the VALUE dimension: how many maximal runs of consecutive events
+    * sit above the threshold, and where the longest one lives. The
+    * sustained-load / sustained-breach shape that ts_crossings (single
+    * flips) and ts_gaps (time holes) don't express.
+    *
+    * ONE key-hash shuffle: the lag/running-sum island windows and the
+    * (key, run) agg all share hash(key); run stats are exact integer
+    * counts and µs extents. `tieCols` totalizes the per-key order so
+    * island numbering is engine-deterministic under equal timestamps.
+    */
+  def runsAbove(df: DataFrame, tsCol: String, valCol: String,
+                keyCols: Seq[String], threshold: Double,
+                tieCols: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: col(valCol) +: tieCols.map(col))
+    val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val base = df
+      .withColumn("__f", col(valCol) > lit(threshold))
+      .withColumn("__chg",
+        when(lag(col("__f"), 1).over(wOrd).isNull ||
+          lag(col("__f"), 1).over(wOrd) =!= col("__f"), 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = base.where(col("__f"))
+      .groupBy(keyCols.map(col) :+ col("__grp"): _*)
+      .agg(count(lit(1)).as("__len"), min(col(tsCol)).as("__start"),
+        max(col(tsCol)).as("__end"))
+    runs.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_runs"),
+        max(col("__len")).as("max_len"),
+        max(struct(col("__len").as("l"), (col("__start") * -1).as("ns"),
+          col("__end").as("e"))).as("__best"))
+      .select(keyCols.map(col) ++ Seq(col("n_runs"), col("max_len"),
+        (col("__best").getField("ns") * -1).as("longest_start"),
+        (col("__best").getField("e") + col("__best").getField("ns"))
+          .as("longest_dur")): _*)
+  }
+
   /** Hampel filter: rolling ROBUST outlier screen + repair over a
     * centered ±halfW row window per series — the despike pass run
     * before any mean-based smoother (a z-score screen moves its own

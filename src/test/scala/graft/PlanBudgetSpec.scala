@@ -248,6 +248,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // hampel: ONE series-key window shuffle; median/MAD/flag/repair
     // all derive scan-side from the captured frame array
     "ts_hampel" -> 1,
+    // runs: islands + run agg + longest-run pick all share hash(key)
+    "ts_runs" -> 1,
+    // blocklist: scan-side token filter, literal wordlist — no shuffle
+    "doc_blocklist" -> 0,
     // dtw: (key, day) grid agg + key re-key + the template's day agg,
     // 1-row collect and broadcast — the O(n·m) DP itself is a
     // scan-side fold over calendar-bounded arrays

@@ -11,6 +11,24 @@ class TextPipelineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("blocklistScreen counts terms and keeps exactly at the ppm bound") {
+    val docs = Seq(
+      (1L, "good clean text here"),
+      (2L, "slow slow slow bad"),
+      // 19 clean + 1 blocked = exactly 5% -> the <= bound KEEPS it
+      (3L, (1 to 19).map(i => s"w$i").mkString(" ") + " slow"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TextOps
+      .blocklistScreen(docs, Seq("slow", "skew", "stale")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), r.getBoolean(4)))
+      .toMap
+    assert(got(1L) == ((4L, 0L, Some(0.0), true)))
+    assert(got(2L) == ((4L, 3L, Some(0.75), false)))
+    assert(got(3L) == ((20L, 1L, Some(0.05), true)))
+    assert(got(4L) == ((0L, 0L, None, true)))
+  }
+
   test("bpeTrain learns merges in order with deterministic tie-breaks") {
     import spark.implicits._
     // l-o and o-w tie at 4; (l,o) wins lexicographically, then the

@@ -417,6 +417,23 @@ class TrendSpec extends AnyFunSuite {
       (2L, 0L, 4.25, 0.0, "c"), (2L, 1L, 4.25, 0.0, "c")))
   }
 
+  test("runsAbove finds the planted islands and the longest-run extent") {
+    import spark.implicits._
+    // above-60 runs for k=1: rows 0-1 (len 2) and rows 3-5 (len 3)
+    val vals = Seq(70.0, 80.0, 10.0, 90.0, 95.0, 96.0, 20.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, us(i * 10L), v) }
+      .toDF("k", "ts", "v")
+    val r = Trend.runsAbove(df, "ts", "v", Seq("k"), 60.0).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) == 2L)       // n_runs
+    assert(r.head.getLong(2) == 3L)       // max_len
+    assert(r.head.getLong(3) == us(30))   // longest_start
+    assert(r.head.getLong(4) == us(20))   // longest_dur
+    // a key with nothing above the threshold emits no row
+    val low = Seq((2L, us(0), 1.0)).toDF("k", "ts", "v")
+    assert(Trend.runsAbove(low, "ts", "v", Seq("k"), 60.0).isEmpty)
+  }
+
   test("hampel flags and repairs only the planted spike") {
     import spark.implicits._
     // a 10/10.5/11 plateau with one 500.0 spike at i=9: every window's
