@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TimeIndex
 import graft.ts.TimeSeries
@@ -326,6 +326,80 @@ object Lake {
     * scans exactly the frozen file list of that version, so the
     * result is unaffected by any later [[snapshotAppend]].
     */
+  /** Copy-on-write row-level DELETE committed as a new snapshot
+    * version (the Iceberg/Delta GDPR-delete shape): only data files
+    * that actually CONTAIN matching rows are rewritten — file-level
+    * skipping via a per-file match probe — while untouched files
+    * carry into the new manifest BY REFERENCE, and every prior
+    * version stays readable (time travel still shows the deleted
+    * rows until [[expireSnapshots]] retires it). Commit cost is
+    * O(matching files), not a table rewrite: at 100 TB a delete
+    * touching one user's rows rewrites only the files their rows
+    * live in.
+    *
+    * Rows where the predicate is TRUE are deleted; false/null rows
+    * survive (SQL DELETE semantics). Returns the new version.
+    */
+  def snapshotDeleteWhere(spark: SparkSession, path: String,
+                          predicate: Column): Int = {
+    import spark.implicits._
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"no snapshots at $path")
+    val v = vs.last + 1
+    val files = spark.read.parquet(s"$path/_graft_snapshots/v=${vs.last}")
+      .select("file_path").as[String].collect().toSeq
+    val cur = spark.read.parquet(files: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+    val hit = cur.where(predicate).select("__file").distinct()
+      .as[String].collect().toSet
+    val kept = files.filterNot(hit)
+    val rewritten: Seq[String] =
+      if (hit.isEmpty) Nil
+      else {
+        val dataDir = s"$path/data/s${"%05d".format(v)}"
+        cur.where(col("__file").isin(hit.toSeq: _*))
+          .where(!(predicate <=> lit(true)))
+          .drop("__file")
+          .write.mode("error").parquet(dataDir)
+        spark.read.parquet(dataDir)
+          .select(col("_metadata.file_path")).distinct()
+          .as[String].collect().toSeq
+      }
+    (kept ++ rewritten).toDF("file_path")
+      .coalesce(1).write.mode("error")
+      .parquet(s"$path/_graft_snapshots/v=$v")
+    v
+  }
+
+  /** Snapshot RETENTION: drop all but the newest `keepLast` versions,
+    * deleting their manifests and every data file no SURVIVING
+    * version references. The time-travel window shrinks; current
+    * reads are bit-stable (kept manifests are untouched). Reference
+    * counting is set arithmetic over the file manifests — metadata
+    * scale, independent of data size. Returns the number of data
+    * files physically deleted.
+    */
+  def expireSnapshots(spark: SparkSession, path: String,
+                      keepLast: Int = 1): Int = {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val vs = snapshotVersions(spark, path)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - math.max(1, keepLast)))
+    if (drop.isEmpty) return 0
+    def filesOf(v: Int): Set[String] =
+      spark.read.parquet(s"$path/_graft_snapshots/v=$v")
+        .select("file_path").as[String].collect().toSet
+    val referenced = keep.map(filesOf).foldLeft(Set.empty[String])(_ ++ _)
+    val retired = drop.map(filesOf).foldLeft(Set.empty[String])(_ ++ _)
+    val doomed = retired -- referenced
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    doomed.foreach(f => fs.delete(new Path(f), false))
+    drop.foreach(v =>
+      fs.delete(new Path(s"$path/_graft_snapshots/v=$v"), true))
+    doomed.size
+  }
+
   def readSnapshot(spark: SparkSession, path: String,
                    version: Int = -1): DataFrame = {
     import spark.implicits._

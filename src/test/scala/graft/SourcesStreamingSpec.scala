@@ -194,6 +194,37 @@ class LakeSpec extends AnyFunSuite {
     assert(graft.sources.Lake.snapshotVersions(spark, dir) == Seq(1, 2, 3))
   }
 
+  test("snapshotDeleteWhere rewrites only hit files; expireSnapshots reclaims") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_del").toString
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b = Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+    assert(graft.sources.Lake.snapshotAppend(a.repartition(1), dir) == 1)
+    assert(graft.sources.Lake.snapshotAppend(b.repartition(1), dir) == 2)
+    def man(v: Int) = spark.read.parquet(s"$dir/_graft_snapshots/v=$v")
+      .select("file_path").as[String].collect().toSet
+    def ids(v: Int) = graft.sources.Lake.readSnapshot(spark, dir, v)
+      .select("id").as[Long].collect().toSet
+    // delete id=3: only commit 2's file contains it
+    assert(graft.sources.Lake.snapshotDeleteWhere(spark, dir,
+      col("id") === 3L) == 3)
+    assert(ids(3) == Set(1L, 2L, 4L))
+    // time travel still shows the deleted row in older versions
+    assert(ids(2) == Set(1L, 2L, 3L, 4L) && ids(1) == Set(1L, 2L))
+    // commit 1's file carried into v3 BY REFERENCE (no rewrite);
+    // exactly the one hit file left the live view
+    assert(man(1).subsetOf(man(3)))
+    assert((man(2) -- man(3)).size == 1)
+    // retention: keep only the newest version — the retired hit file
+    // is physically deleted, survivors and current reads untouched
+    assert(graft.sources.Lake.expireSnapshots(spark, dir, keepLast = 1) == 1)
+    assert(graft.sources.Lake.snapshotVersions(spark, dir) == Seq(3))
+    assert(graft.sources.Lake.readSnapshot(spark, dir)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // expiring when nothing is expirable is a no-op
+    assert(graft.sources.Lake.expireSnapshots(spark, dir, keepLast = 1) == 0)
+  }
+
   test("z-ordered layout skips files on BOTH clustering columns") {
     val ev = graft.functions.TimeIndex.normalizeUs(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
