@@ -668,6 +668,44 @@ class StreamRollupSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming value histogram equals the batch bucketing exactly") {
+    import spark.implicits._
+    val base = 1704067200000000L
+    // two 1h windows, two groups, values straddling bucket edges and
+    // the clamp (505 -> top bucket, -3 -> bucket 0)
+    val rows = Seq(
+      (base + 1L, "view", 10.0), (base + 2L, "view", 24.999),
+      (base + 3L, "view", 25.0), (base + 4L, "click", 505.0),
+      (base + 5L, "click", -3.0),
+      (base + 3600L * 1000000L + 1L, "view", 49.0))
+    val batch = rows.toDF("ts", "event_type", "value")
+    val dir = Files.createTempDirectory("graft_shist").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    val hist = graft.streaming.StreamHist.histogram(stream, "ts", "value",
+      "event_type", "1h", watermark = "10 minutes")
+    val q = hist.writeStream.outputMode("complete")
+      .format("memory").queryName("shist_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("shist_test")
+
+    // withWatermark is a no-op on a batch frame: same code path
+    val want = graft.streaming.StreamHist.histogram(batch, "ts", "value",
+      "event_type", "1h", watermark = "10 minutes")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // spot-pin the clamp semantics against hand counts
+    val cells = got.collect().map(r => (r.getAs[Long]("ts_begin"),
+      r.getAs[String]("event_type"), r.getAs[Int]("bucket"))
+      -> r.getAs[Long]("n")).toMap
+    assert(cells((base, "view", 0)) == 2L)   // 10.0, 24.999
+    assert(cells((base, "view", 1)) == 1L)   // 25.0 lands in [25,50)
+    assert(cells((base, "click", 19)) == 1L) // 505 clamps to top
+    assert(cells((base, "click", 0)) == 1L)  // -3 clamps to bottom
+  }
+
   test("stream-stream interval join matches the batch RangeJoin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -345,6 +345,25 @@ class StreamStateSpec extends AnyFunSuite {
       s"grid state grew across batches: $rows")
   }
 
+  test("histogram state is bounded by open windows x buckets, not values") {
+    import spark.implicits._
+    val batches = (0 until 4).map { b =>
+      val base = b.toLong * 24 * H
+      // every event value is distinct across the whole run — exact
+      // per-value state would grow; the fixed bucket grid must not
+      (0 until 50).map(i =>
+        (base + i * M, "t", b * 1000.0 + i * 7.13)).toDF("ts", "g", "v")
+    }
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamHist.histogram(s, "ts", "v", "g", "1h",
+        watermark = "1 hour"),
+      "append", "shist_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    assert(rows.max <= 2 * rows.head + 8,
+      s"histogram state grew across batches: $rows")
+  }
+
   test("per-window top-k map state flushes once the watermark closes the window") {
     val batches = advancingBatches(nKeys = 4, perKey = 30)
     val (out, ps) = StreamHarness.feedBatches(spark, batches,
