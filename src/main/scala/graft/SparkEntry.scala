@@ -3436,6 +3436,14 @@ object SparkEntry {
       Knn.clusterSample(tbl(s, dir, "embeddings"), EmbDim, perCluster = 8)
     },
 
+    // kNN graph: every corpus vector's top-3 co-bucketed neighbors
+    // (the input to graph-based curation: component clustering,
+    // density pruning, label propagation); candidate volume bounded
+    // by the auto-sized LSH cell population × tables, never n²
+    "emb_knn_graph" -> { (s, dir) =>
+      Knn.knnGraph(tbl(s, dir, "embeddings"), EmbDim, 3)
+    },
+
     // greedy farthest-first k-center coreset (Gonzalez 2-approx): the
     // 8 most spread-out vectors plus the coverage-radius curve at each
     // size — the third diversity move next to cluster_sample (per-
@@ -5969,6 +5977,25 @@ object SparkEntry {
          |    JOIN embeddings eb ON eb.vec_id = p0.id_b)
          |SELECT id_a, id_b, round(max(cos), 6) AS cos
          |FROM pc WHERE cos >= 0.3 GROUP BY 1, 2""".stripMargin,
+
+    // kNN graph: both directions of the auto-cell candidate pairs,
+    // multi-table dups collapsed by max() (the dedup-cosine idiom),
+    // then the per-source rank window
+    "emb_knn_graph" ->
+      s"""WITH $sqlAutoLshBandCte,
+         |g0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM alb a JOIN alb b ON a.tb = b.tb AND a.bk = b.bk
+         |    AND a.vec_id <> b.vec_id),
+         |g1 AS (SELECT src, dst,
+         |    max(${sqlCos("ea.embedding", "eb.embedding")}) AS cos
+         |  FROM g0 JOIN embeddings ea ON ea.vec_id = g0.src
+         |    JOIN embeddings eb ON eb.vec_id = g0.dst
+         |  GROUP BY 1, 2),
+         |g2 AS (SELECT src, dst, cos, CAST(row_number() OVER (
+         |    PARTITION BY src ORDER BY cos DESC, dst) AS INTEGER) AS rank
+         |  FROM g1)
+         |SELECT src, rank, dst, round(cos, 6) AS cos
+         |FROM g2 WHERE rank <= 3""".stripMargin,
 
     // the fixed 4-plane geometry pinned against the shared lb cells
     // (sqlLshBandCte) — exactly the ANN index's registered cells

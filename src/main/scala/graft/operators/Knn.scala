@@ -500,6 +500,46 @@ object Knn {
         col("ham"), round(col("cos"), 6).as("cos"))
   }
 
+  /** kNN GRAPH over the auto-sized LSH cells: for EVERY corpus
+    * vector, its top-k nearest co-bucketed neighbors by exact cosine
+    * — the all-nodes ANN graph that graph-based curation consumes
+    * (connected-component near-dup clustering, graph-density pruning,
+    * label propagation). Unlike the top-k SEARCH path (small
+    * broadcast query set), both join sides here are the corpus:
+    * candidates come from the shared multi-table hyperplane cells, so
+    * pair volume is bounded by cell population (auto-sized ~125) ×
+    * tables — never n². Per-node degree ≤ k via the rank window;
+    * a node whose cells hold no neighbor emits nothing (the LSH
+    * recall dial: more tables → fewer isolated nodes).
+    */
+  def knnGraph(emb: DataFrame, dim: Int, k: Int, nPlanes: Int = 0,
+               nTables: Int = 4, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(cachedCount(emb))
+    def cells(v: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("tb"), bucketCode(v, dim, np, t * np).as("bk"))
+    }: _*)
+    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        sqrt(dot(col(vecCol), col(vecCol), dim)).as("n"),
+        explode(cells(col(vecCol))).as("tbk"))
+      .select(col("id"), col("v"), col("n"),
+        col("tbk.tb").as("tb"), col("tbk.bk").as("bk"))
+    val a = banded.select(col("id").as("src"), col("v").as("va"),
+      col("n").as("na"), col("tb"), col("bk"))
+    val b = banded.select(col("id").as("dst"), col("v").as("vb"),
+      col("n").as("nb"), col("tb"), col("bk"))
+    val cand = a.join(b, Seq("tb", "bk")).where(col("src") =!= col("dst"))
+      .withColumn("__cos",
+        dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
+      .groupBy("src", "dst").agg(max(col("__cos")).as("__cos"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("__cos").desc, col("dst"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"),
+        round(col("__cos"), 6).as("cos"))
+  }
+
   /** Greedy farthest-first k-center selection (Gonzalez's 2-approx
     * traversal) — the coreset / data-pruning move: pick the seed (the
     * min id), then k-1 times the vector MAXIMIZING its min

@@ -268,6 +268,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.drop(2).forall { case (_, ham, cos) => ham == 32L && cos == -1.0 })
   }
 
+  test("knnGraph links every node to its own cluster's members") {
+    import spark.implicits._
+    // two antipodal tight clusters: ids 1-4 near +e1, ids 5-8 near -e1
+    val rows = (1L to 8L).map { id =>
+      val sign = if (id <= 4) 1.0f else -1.0f
+      id -> Seq(sign, 0.01f * id, 0f, 0f)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Knn.knnGraph(emb, 4, 3, nPlanes = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.keySet == (1L to 8L).toSet, "every node has edges")
+    got.foreach { case (src, _, dst, cos) =>
+      assert((src <= 4) == (dst <= 4), s"$src -> $dst crosses clusters")
+      assert(cos > 0.99)
+    }
+    // per-node degree exactly k here (3 cluster-mates each), ranks 1..3
+    bySrc.values.foreach(es => assert(es.map(_._2).toSet == Set(1, 2, 3)))
+  }
+
   test("kCenterSelect greedily picks one vector per planted cluster") {
     import spark.implicits._
     // three clusters on axes: {1,2} ~ e1, {3,4} ~ e2, {5,6} ~ e3 (e3

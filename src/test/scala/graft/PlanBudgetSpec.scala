@@ -290,6 +290,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // auto-plane count is structural — resolved before planning from
     // the cached corpus count — so it adds no exchange)
     "emb_dedup_cosine" -> 2, "emb_dedup_cosine_fixed" -> 2,
+    // kNN graph: the banded self-join (ReuseExchange shares the cell
+    // subplan) + pair-dedup agg + the per-source rank window
+    "emb_knn_graph" -> 3,
     // exact+sketch audit over ONE shared (localCheckpoint'd) shingle
     // explode: bench-shingle distinct + its broadcast back over the
     // corpus leg, the fused exact/bloom per-doc count agg, and the
