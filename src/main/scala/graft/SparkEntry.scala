@@ -722,6 +722,14 @@ object SparkEntry {
         UsDay, Jan01)
     },
 
+    // Benford first-digit screen per event type: observed vs expected
+    // digit mix + chi² with the α=0.05/8-dof verdict — the feed-
+    // integrity monitor; digit from the µ-int's decimal string (no
+    // log10), chi² terms µ-snapped before the order-free sum
+    "ts_benford" -> { (s, dir) =>
+      Trend.benford(events(s, dir), "value", Seq("event_type"))
+    },
+
     // threshold run-length analysis: count/extent of maximal
     // consecutive-event runs above value 60 per user — the sustained-
     // breach shape single-flip crossings can't express; ONE key-hash
@@ -1722,6 +1730,38 @@ object SparkEntry {
     // DuckDB's // truncates toward zero on negatives), the gain is one
     // fixed IEEE formula over exact BIGINT prefix sums, and the argmax
     // tie-breaks on the earlier day — bit-parity with Trend.changepoint
+    // benford: digit from the µ-int's decimal string, expected from
+    // the same 6dp probability literals, terms µ-snapped, µ-int verdict
+    "ts_benford" -> {
+      val probs = "[0.301030, 0.176091, 0.124939, 0.096910, 0.079181, " +
+        "0.066947, 0.057992, 0.051153, 0.045757]"
+      s"""WITH bf0 AS (SELECT event_type,
+         |    CAST(floor(value * 1e6) AS BIGINT) AS v6
+         |  FROM events WHERE value >= 1e-6),
+         |bf1 AS (SELECT event_type,
+         |    CAST(substr(CAST(v6 AS VARCHAR), 1, 1) AS INTEGER) AS d,
+         |    count(*) AS obs
+         |  FROM bf0 GROUP BY 1, 2),
+         |bft AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS n
+         |  FROM bf1 GROUP BY 1),
+         |bfg AS (SELECT t.event_type, t.n, dd.d
+         |  FROM bft t, (SELECT unnest(range(1, 10)) AS d) dd),
+         |bfj AS (SELECT g.event_type, g.n, g.d,
+         |    CAST(coalesce(b.obs, 0) AS BIGINT) AS obs,
+         |    ($probs)[g.d] AS p
+         |  FROM bfg g LEFT JOIN bf1 b
+         |    ON b.event_type = g.event_type AND b.d = g.d),
+         |bfc AS (SELECT *, CAST(floor((obs - n * p) * (obs - n * p)
+         |    / (n * p) * 1e6) AS BIGINT) AS t6 FROM bfj),
+         |bfs AS (SELECT event_type, CAST(sum(t6) AS BIGINT) AS s6
+         |  FROM bfc GROUP BY 1)
+         |SELECT c.event_type, c.d AS digit, c.obs,
+         |  round(c.n * c.p, 6) AS expected,
+         |  CAST(s.s6 AS DOUBLE) / 1e6 AS chi2,
+         |  s.s6 <= 15507313 AS benford_ok
+         |FROM bfc c JOIN bfs s ON s.event_type = c.event_type""".stripMargin
+    },
+
     // runs: lag-flip island numbering, per-run extent agg, then the
     // longest-run argmax replayed via rank (len desc, start asc)
     "ts_runs" ->

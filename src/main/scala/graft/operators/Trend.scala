@@ -1018,6 +1018,62 @@ object Trend {
         col("symbol")): _*)
   }
 
+  /** Benford first-significant-digit screen per group — the
+    * data-quality / integrity test a feed monitor runs: naturally
+    * occurring multi-scale positive values follow P(d) = log10(1+1/d);
+    * fabricated, truncated, or unit-mangled feeds don't. Emits per
+    * (group, digit 1-9) the observed vs expected count plus the
+    * group's chi² against Benford with the α=0.05 / 8-dof decision.
+    *
+    * Exactness: the first significant digit is the leading character
+    * of the DECIMAL STRING of the exact µ-floored integer — both
+    * engines format integers identically, unlike log10, whose
+    * rounding at power-of-ten boundaries engines need not agree on.
+    * Chi² terms are one fixed IEEE formula over exact counts and 6dp
+    * probability literals (they sum to exactly 1), µ-snapped to
+    * BIGINT before the order-free per-group sum (the ts_drift_chi2
+    * convention); the verdict compares µ-integers against the
+    * critical value 15.507313.
+    *
+    * Scale: one (group, digit) partial-agg'd shuffle; everything
+    * after runs on ≤ 9 rows per group. Values below 1µ are excluded
+    * (they have no leading digit at µ precision).
+    */
+  def benford(df: DataFrame, valCol: String,
+              grpCols: Seq[String]): DataFrame = {
+    val probs = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    val v6 = floor(col(valCol) * lit(1e6)).cast("long")
+    // the only corpus-scale stage; checkpointed so the grid/total/chi
+    // joins below (≤ 9 rows per group) don't re-run the scan per
+    // reference (the minhash-estimate convention)
+    val digits = df.where(col(valCol) >= lit(1e-6))
+      .withColumn("__d", substring(v6.cast("string"), 1, 1).cast("int"))
+      .groupBy(grpCols.map(col) :+ col("__d"): _*)
+      .agg(count(lit(1)).as("obs"))
+      .localCheckpoint(false)
+    val totals = digits.groupBy(grpCols.map(col): _*)
+      .agg(sum(col("obs")).as("n"))
+    val grid = totals
+      .select(grpCols.map(col) ++ Seq(col("n"),
+        explode(sequence(lit(1), lit(9))).as("__d")): _*)
+      .join(digits, grpCols :+ "__d", "left")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("__p", element_at(
+        array(probs.map(lit): _*), col("__d")))
+    val term = (col("obs") - col("n") * col("__p")) *
+      (col("obs") - col("n") * col("__p")) / (col("n") * col("__p"))
+    val terms = grid.withColumn("__t6", floor(term * lit(1e6)).cast("long"))
+    val chi = terms.groupBy(grpCols.map(col): _*)
+      .agg(sum(col("__t6")).as("__s6"))
+    terms.join(chi, grpCols)
+      .select(grpCols.map(col) ++ Seq(
+        col("__d").as("digit"), col("obs"),
+        round(col("n") * col("__p"), 6).as("expected"),
+        (col("__s6").cast("double") / lit(1e6)).as("chi2"),
+        (col("__s6") <= lit(15507313L)).as("benford_ok")): _*)
+  }
+
   /** Threshold run-length analysis per series — gaps-and-islands over
     * the VALUE dimension: how many maximal runs of consecutive events
     * sit above the threshold, and where the longest one lives. The
@@ -1074,10 +1130,13 @@ object Trend {
     */
   def hampel(df: DataFrame, tsCol: String, valCol: String,
              keyCols: Seq[String], halfW: Int = 3,
-             nSigma: Int = 3): DataFrame = {
+             nSigma: Int = 3, centered: Boolean = true): DataFrame = {
     import org.apache.spark.sql.graft.Bridge.ldiv
+    // centered = the batch screen; trailing = the causal geometry a
+    // live stream can honor (StreamHampel's spec-pinned twin)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol), col(valCol)).rowsBetween(-halfW, halfW)
+      .orderBy(col(tsCol), col(valCol))
+      .rowsBetween(if (centered) -halfW else -(2 * halfW), if (centered) halfW else 0)
     val base = df
       .withColumn("__v6", floor(col(valCol) * lit(1e6)).cast("long"))
       .withColumn("__lst", sort_array(collect_list(col("__v6")).over(w)))

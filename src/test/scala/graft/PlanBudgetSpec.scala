@@ -250,6 +250,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_hampel" -> 1,
     // runs: islands + run agg + longest-run pick all share hash(key)
     "ts_runs" -> 1,
+    // benford: the (group, digit) agg is the only corpus-scale stage
+    // (checkpointed); grid expand + total + chi joins move ≤ 9 rows
+    // per group
+    "ts_benford" -> 4,
     // blocklist: scan-side token filter, literal wordlist — no shuffle
     "doc_blocklist" -> 0,
     // dtw: (key, day) grid agg + key re-key + the template's day agg,

@@ -417,6 +417,44 @@ class TrendSpec extends AnyFunSuite {
       (2L, 0L, 4.25, 0.0, "c"), (2L, 1L, 4.25, 0.0, "c")))
   }
 
+  test("benford digit extraction and chi2 match a reference fold") {
+    import spark.implicits._
+    // digits from the µ-int string: 1.0 -> 1, 0.25 -> 2, 19.99 -> 1,
+    // 0.0000009 (< 1µ) excluded
+    val rows = Seq((1.0, "a"), (1.5, "a"), (2.0, "a"), (0.25, "a"),
+      (19.99, "a"), (0.0000009, "a")) ++
+      (1 to 9).map(d => (d.toDouble, "u"))
+    val df = rows.toDF("value", "event_type")
+    val got = Trend.benford(df, "value", Seq("event_type")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(4), r.getBoolean(5))).toMap
+
+    val probs = Seq(0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+      0.066947, 0.057992, 0.051153, 0.045757)
+    def ref(obs: Map[Int, Long]): (Long, Double) = {
+      val n = obs.values.sum
+      val s6 = (1 to 9).map { d =>
+        val o = obs.getOrElse(d, 0L)
+        val p = probs(d - 1)
+        math.floor((o - n * p) * (o - n * p) / (n * p) * 1e6).toLong
+      }.sum
+      (n, s6 / 1e6)
+    }
+    val (na, chiA) = ref(Map(1 -> 3L, 2 -> 2L)) // 1.0,1.5,19.99; 2.0,0.25
+    assert(na == 5)
+    (1 to 9).foreach { d =>
+      val (o, chi, _) = got(("a", d))
+      assert(o == Map(1 -> 3L, 2 -> 2L).getOrElse(d, 0L))
+      assert(chi == chiA)
+    }
+    val (_, chiU) = ref((1 to 9).map(_ -> 1L).toMap)
+    assert(got(("u", 1))._2 == chiU)
+    // 9 uniform values are too few for the test to reject; the
+    // concentrated group a is flagged
+    assert(got(("u", 1))._3)
+    assert(!got(("a", 1))._3 || chiA <= 15.507313)
+  }
+
   test("runsAbove finds the planted islands and the longest-run extent") {
     import spark.implicits._
     // above-60 runs for k=1: rows 0-1 (len 2) and rows 3-5 (len 3)
@@ -767,4 +805,40 @@ class StreamHoltWintersSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+}
+
+class StreamHampelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming hampel equals batch trailing Trend.hampel exactly") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .transform(graft.functions.TimeIndex.normalizeUs(_, "ts"))
+      .select($"user_id", $"ts", $"value")
+
+    val dir = Files.createTempDirectory("graft_shamp").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamHampel.Ev]
+
+    val q = graft.streaming.StreamHampel(spark, stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("shamp_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("shamp_test")
+      .select($"user_id", $"ts", $"value", $"med", $"mad",
+        $"is_outlier", $"repaired")
+
+    // the stream refolds the identical trailing window in the same
+    // integer micro-units -> flag/median/repair all match bit-for-bit
+    val want = Trend.hampel(batch, "ts", "value", Seq("user_id"),
+      centered = false)
+      .select($"user_id", $"ts", $"value", $"med", $"mad",
+        $"is_outlier", $"repaired")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // and the screen genuinely fires somewhere on real data
+    assert(spark.table("shamp_test").where($"is_outlier").count() > 0)
+  }
 }
