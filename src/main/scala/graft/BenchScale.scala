@@ -48,13 +48,20 @@ object BenchScale {
     // corpus count) and the ts_* additions (events family, one
     // grid-agg + window shuffles — linear by construction, the
     // full-suite sf1 curve covers them).
+    // Third group (round 9): emb_bq_search (O(n·|Q|) Hamming scan at
+    // 8 bytes/vector, |Q| pinned to base copies), emb_knn_graph (the
+    // banded corpus self-join — pair volume rides the auto-sized
+    // cells, the leg most worth watching), emb_kcenter (k linear
+    // scans). ts_dtw stays excluded with the ts family: its DP is
+    // calendar-bounded, only the grid agg scales.
     val registered = Seq("mm_phash", "mm_phash_eval",
       "mm_phash_eval_sampled", "emb_knn_ivf", "emb_ivf_pq",
       "emb_ivf_probe_curve", "emb_pq", "doc_dedup_edit",
       "emb_dedup_cosine", "emb_mmr",
       "emb_rq", "emb_rq_search", "mm_audio_dedup",
       "doc_minhash_band_curve", "doc_contamination_spans",
-      "doc_novelty", "emb_lsh_table_curve")
+      "doc_novelty", "emb_lsh_table_curve",
+      "emb_bq_search", "emb_knn_graph", "emb_kcenter")
     val legs: Seq[(String, () => DataFrame)] =
       registered.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 

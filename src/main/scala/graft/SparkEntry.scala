@@ -3503,6 +3503,14 @@ object SparkEntry {
       Knn.pcaTop(tbl(s, dir, "embeddings"), EmbDim)
     },
 
+    // all-but-the-top (Mu & Viswanath): subtract the mean + the top
+    // principal direction's projection — the isotropy fix for cosine
+    // retrieval; per-vector removed projection and norm before/after,
+    // scan-side against two broadcast 1-row arrays
+    "emb_abtt" -> { (s, dir) =>
+      Knn.abtt(tbl(s, dir, "embeddings"), EmbDim)
+    },
+
     "emb_pq" -> { (s, dir) =>
       Knn.pqCodes(tbl(s, dir, "embeddings"), EmbDim)
     },
@@ -4061,6 +4069,44 @@ object SparkEntry {
     }
     b.result().mkString(",\n")
   }
+
+  /** Power-iteration chain shared by emb_pca / emb_abtt: exact
+    * integer micro-sum centering, two unrolled rounds, v re-rounded
+    * to 6dp after each normalization — mirrors Knn.pcaTopVec.
+    */
+  private def sqlPcaCtes: String =
+    s"""pd AS (SELECT unnest(range(1, ${EmbDim + 1})) AS i),
+       |pmu0 AS (SELECT i,
+       |    sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+       |      AS BIGINT)) AS su, count(*) AS n
+       |  FROM embeddings, pd GROUP BY i),
+       |pmu AS (SELECT list(CAST(su AS DOUBLE) / 1000000.0 / n ORDER BY i)
+       |  AS mu FROM pmu0),
+       |pv0 AS (SELECT list_transform(range(1, ${EmbDim + 1}),
+       |  i -> 0.125) AS v),
+       |pc1 AS (SELECT list_transform(range(1, ${EmbDim + 1}),
+       |    i -> CAST(embedding[i] AS DOUBLE) - mu[i]) AS xc
+       |  FROM embeddings, pmu),
+       |ps1 AS (SELECT xc, ${sqlDot("xc", "v")} AS s FROM pc1, pv0),
+       |pu1x AS (SELECT i, sum(CAST(round(s * xc[i] * 1000000) AS BIGINT))
+       |    AS su FROM ps1, pd GROUP BY i),
+       |pu1 AS (SELECT list(CAST(su AS DOUBLE) / 1000000.0 ORDER BY i)
+       |  AS u FROM pu1x),
+       |pn1 AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(u, x -> x * x)), (a, b) -> a + b)) AS nr, u
+       |  FROM pu1),
+       |pv1 AS (SELECT list_transform(u, x -> round(x / nr, 6) + 0.0) AS v
+       |  FROM pn1),
+       |ps2 AS (SELECT xc, ${sqlDot("xc", "v")} AS s FROM pc1, pv1),
+       |pu2x AS (SELECT i, sum(CAST(round(s * xc[i] * 1000000) AS BIGINT))
+       |    AS su FROM ps2, pd GROUP BY i),
+       |pu2 AS (SELECT list(CAST(su AS DOUBLE) / 1000000.0 ORDER BY i)
+       |  AS u FROM pu2x),
+       |pn2 AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+       |    list_transform(u, x -> x * x)), (a, b) -> a + b)) AS nr, u
+       |  FROM pu2),
+       |pv2 AS (SELECT list_transform(u, x -> round(x / nr, 6) + 0.0) AS v
+       |  FROM pn2)""".stripMargin
 
   /** Binary-quantization chain shared by emb_bq / emb_bq_search /
     * emb_bq_recall: per-dim round-6 corpus means, MSB-first 32-bit
@@ -6018,14 +6064,22 @@ object SparkEntry {
          |SELECT id_a, id_b, round(max(cos), 6) AS cos
          |FROM pc WHERE cos >= 0.3 GROUP BY 1, 2""".stripMargin,
 
-    // kNN graph: both directions of the auto-cell candidate pairs,
-    // multi-table dups collapsed by max() (the dedup-cosine idiom),
-    // then the per-source rank window
+    // kNN graph: hub cells beyond the 500 cap split into id-hashed
+    // sub-buckets (the Spark side's exact salt arithmetic), candidate
+    // pairs from co-(cell, salt) both directions, multi-table dups
+    // collapsed by max() (the dedup-cosine idiom), then the
+    // per-source rank window (the union-of-local-top-k stage is a
+    // pure optimization — global rank over the same candidates)
     "emb_knn_graph" ->
       s"""WITH $sqlAutoLshBandCte,
+         |gpop AS (SELECT tb, bk, count(*) AS pop FROM alb GROUP BY 1, 2),
+         |gsalt AS (SELECT a.vec_id, a.tb, a.bk,
+         |    ((a.vec_id % 1048573) * 2654435761)
+         |      % ((p.pop + 499) // 500) AS salt
+         |  FROM alb a JOIN gpop p ON p.tb = a.tb AND p.bk = a.bk),
          |g0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
-         |  FROM alb a JOIN alb b ON a.tb = b.tb AND a.bk = b.bk
-         |    AND a.vec_id <> b.vec_id),
+         |  FROM gsalt a JOIN gsalt b ON a.tb = b.tb AND a.bk = b.bk
+         |    AND a.salt = b.salt AND a.vec_id <> b.vec_id),
          |g1 AS (SELECT src, dst,
          |    max(${sqlCos("ea.embedding", "eb.embedding")}) AS cos
          |  FROM g0 JOIN embeddings ea ON ea.vec_id = g0.src
@@ -6068,39 +6122,27 @@ object SparkEntry {
     // per-row dots are the shared index-order fold, v re-rounds to 6dp
     // after each normalization — mirrors Knn.pcaTop exactly
     "emb_pca" ->
-      s"""WITH pd AS (SELECT unnest(range(1, ${EmbDim + 1})) AS i),
-         |pmu0 AS (SELECT i,
-         |    sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
-         |      AS BIGINT)) AS su, count(*) AS n
-         |  FROM embeddings, pd GROUP BY i),
-         |pmu AS (SELECT list(CAST(su AS DOUBLE) / 1000000.0 / n ORDER BY i)
-         |  AS mu FROM pmu0),
-         |pv0 AS (SELECT list_transform(range(1, ${EmbDim + 1}),
-         |  i -> 0.125) AS v),
-         |pc1 AS (SELECT list_transform(range(1, ${EmbDim + 1}),
-         |    i -> CAST(embedding[i] AS DOUBLE) - mu[i]) AS xc
-         |  FROM embeddings, pmu),
-         |ps1 AS (SELECT xc, ${sqlDot("xc", "v")} AS s FROM pc1, pv0),
-         |pu1x AS (SELECT i, sum(CAST(round(s * xc[i] * 1000000) AS BIGINT))
-         |    AS su FROM ps1, pd GROUP BY i),
-         |pu1 AS (SELECT list(CAST(su AS DOUBLE) / 1000000.0 ORDER BY i)
-         |  AS u FROM pu1x),
-         |pn1 AS (SELECT sqrt(list_reduce(list_prepend(0.0,
-         |    list_transform(u, x -> x * x)), (a, b) -> a + b)) AS nr, u
-         |  FROM pu1),
-         |pv1 AS (SELECT list_transform(u, x -> round(x / nr, 6) + 0.0) AS v
-         |  FROM pn1),
-         |ps2 AS (SELECT xc, ${sqlDot("xc", "v")} AS s FROM pc1, pv1),
-         |pu2x AS (SELECT i, sum(CAST(round(s * xc[i] * 1000000) AS BIGINT))
-         |    AS su FROM ps2, pd GROUP BY i),
-         |pu2 AS (SELECT list(CAST(su AS DOUBLE) / 1000000.0 ORDER BY i)
-         |  AS u FROM pu2x),
-         |pn2 AS (SELECT sqrt(list_reduce(list_prepend(0.0,
-         |    list_transform(u, x -> x * x)), (a, b) -> a + b)) AS nr, u
-         |  FROM pu2),
-         |pv2 AS (SELECT list_transform(u, x -> round(x / nr, 6) + 0.0) AS v
-         |  FROM pn2)
+      s"""WITH $sqlPcaCtes
          |SELECT CAST(i AS BIGINT) AS dim, v[i] AS v FROM pv2, pd""".stripMargin,
+
+    // all-but-the-top: the shared pca chain's mean + direction, then
+    // a scan-side projection; outputs mirror Knn.abtt exactly
+    "emb_abtt" ->
+      s"""WITH $sqlPcaCtes,
+         |ab0 AS (SELECT e.vec_id,
+         |    list_transform(range(1, ${EmbDim + 1}),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) - m.mu[i]) AS xc,
+         |    p.v AS v
+         |  FROM embeddings e, pmu m, pv2 p),
+         |ab1 AS (SELECT vec_id, xc, v, ${sqlDot("xc", "v")} AS s FROM ab0),
+         |ab2 AS (SELECT vec_id, s, xc,
+         |    list_transform(range(1, ${EmbDim + 1}),
+         |      i -> xc[i] - s * v[i]) AS xr
+         |  FROM ab1)
+         |SELECT vec_id, round(s, 6) AS proj,
+         |  round(sqrt(${sqlDot("xc", "xc")}), 6) AS norm_centered,
+         |  round(sqrt(${sqlDot("xr", "xr")}), 6) AS norm_abtt
+         |FROM ab2""".stripMargin,
 
     // PQ: the subspace distance is the shared sqlSubL2 fold; the err2
     // fold runs in subspace order on both sides

@@ -513,25 +513,58 @@ object Knn {
     * recall dial: more tables → fewer isolated nodes).
     */
   def knnGraph(emb: DataFrame, dim: Int, k: Int, nPlanes: Int = 0,
-               nTables: Int = 4, idCol: String = "vec_id",
+               nTables: Int = 4, cellCap: Int = 500,
+               idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge.ldiv
     val np = if (nPlanes > 0) nPlanes else autoPlanes(cachedCount(emb))
     def cells(v: Column): Column = array((0 until nTables).map { t =>
       struct(lit(t).as("tb"), bucketCode(v, dim, np, t * np).as("bk"))
     }: _*)
-    val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // HUB-CELL SALTING: hyperplane cells are skewed (dense regions
+    // blow Σpop² far past the uniform n·target estimate — measured
+    // 811M pairs vs the ~80M estimate at 200k vectors), so any cell
+    // beyond `cellCap` splits into ceil(pop/cap) deterministic
+    // id-hashed sub-buckets. Per-node candidates stay ~cap in hubs
+    // (graceful within-hub sampling — hub nodes have neighbors to
+    // spare), NO node is ever isolated (unlike dropping hot cells,
+    // the df-cap move), and pair volume is bounded by Σ pop·cap.
+    // The salt hash is overflow-safe 64-bit arithmetic mirrored
+    // exactly by the DuckDB oracle.
+    val banded0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(dot(col(vecCol), col(vecCol), dim)).as("n"),
         explode(cells(col(vecCol))).as("tbk"))
       .select(col("id"), col("v"), col("n"),
         col("tbk.tb").as("tb"), col("tbk.bk").as("bk"))
+    val wPop = Window.partitionBy(col("tb"), col("bk"))
+    val banded = banded0
+      .withColumn("__nsub", ldiv(
+        count(lit(1)).over(wPop) + lit(cellCap.toLong - 1), lit(cellCap.toLong)))
+      .withColumn("__salt",
+        pmod((col("id") % 1048573L) * 2654435761L, col("__nsub")))
     val a = banded.select(col("id").as("src"), col("v").as("va"),
-      col("n").as("na"), col("tb"), col("bk"))
+      col("n").as("na"), col("tb"), col("bk"), col("__salt"))
     val b = banded.select(col("id").as("dst"), col("v").as("vb"),
-      col("n").as("nb"), col("tb"), col("bk"))
-    val cand = a.join(b, Seq("tb", "bk")).where(col("src") =!= col("dst"))
+      col("n").as("nb"), col("tb"), col("bk"), col("__salt"))
+    // TWO-STAGE top-k: a per-(cell, src) local top-k first. Its window
+    // keys extend the join's own (tb, bk) hash partitioning (subset
+    // clustering), so it adds NO exchange — just a local sort — and
+    // only n·tables·k rows ever leave the join stage, instead of the
+    // full cell-pair volume. Exact by the union-of-local-top-k
+    // argument: a globally top-k dst is outranked by < k candidates
+    // anywhere, so it survives every local ranking it appears in.
+    val wCell = Window.partitionBy(col("tb"), col("bk"), col("__salt"),
+        col("src"))
+      .orderBy(col("__cos").desc, col("dst"))
+    val local = a.join(b, Seq("tb", "bk", "__salt"))
+      .where(col("src") =!= col("dst"))
       .withColumn("__cos",
         dot(col("va"), col("vb"), dim) / (col("na") * col("nb")))
-      .groupBy("src", "dst").agg(max(col("__cos")).as("__cos"))
+      .select(col("tb"), col("bk"), col("__salt"), col("src"), col("dst"),
+        col("__cos"))
+      .withColumn("__rk", row_number().over(wCell))
+      .where(col("__rk") <= k)
+    val cand = local.groupBy("src", "dst").agg(max(col("__cos")).as("__cos"))
     val w = Window.partitionBy(col("src"))
       .orderBy(col("__cos").desc, col("dst"))
     cand.withColumn("rank", row_number().over(w))
@@ -1139,11 +1172,12 @@ object Knn {
     * plans (kmeans's shape), each round's d-row result lazily
     * checkpointed so round r+1 doesn't re-derive rounds 1..r.
     */
-  def pcaTop(emb: DataFrame, dim: Int, iters: Int = 2,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val xD = transform(col(vecCol), x => x.cast("double"))
-    // centered mean: exact per-dim integer micro-sum / n / 1e6
-    val mu = emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+  /** Per-dim corpus mean as a 1-row array frame (exact integer
+    * micro-sum / n / 1e6 — the centering pass [[pcaTopVec]] and
+    * [[abtt]] share).
+    */
+  private def pcaMu(emb: DataFrame, vecCol: String): DataFrame =
+    emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("pos")
       .agg(sum(round(col("x").cast("double") * lit(1e6)).cast("long")).as("su"),
         count(lit(1)).as("n"))
@@ -1151,6 +1185,14 @@ object Knn {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("su"), col("n")))),
         s => s.getField("su").cast("double") / lit(1e6)
           / s.getField("n").cast("double")).as("mu"))
+
+  /** The power-iteration chain returning the top direction as a 1-row
+    * array frame `v` (each round lazily checkpointed).
+    */
+  def pcaTopVec(emb: DataFrame, dim: Int, iters: Int = 2,
+                vecCol: String = "embedding"): DataFrame = {
+    val xD = transform(col(vecCol), x => x.cast("double"))
+    val mu = pcaMu(emb, vecCol)
     var v = emb.sparkSession.range(1)
       .select(transform(sequence(lit(1), lit(dim)),
         _ => lit(1.0 / math.sqrt(dim.toDouble))).as("v"))
@@ -1172,8 +1214,41 @@ object Knn {
           x => round(x / col("nr"), 6) + lit(0.0)).as("v"))
         .localCheckpoint(false)
     }
-    v.select(posexplode(col("v")).as(Seq("pos", "vx")))
+    v
+  }
+
+  def pcaTop(emb: DataFrame, dim: Int, iters: Int = 2,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pcaTopVec(emb, dim, iters, vecCol)
+      .select(posexplode(col("v")).as(Seq("pos", "vx")))
       .select((col("pos") + 1).cast("long").as("dim"), col("vx").as("v"))
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath, ICLR
+    * 2018): subtract the corpus mean and project out the top
+    * principal direction — the cheap isotropy fix that reliably
+    * improves cosine retrieval on anisotropic embedding spaces (the
+    * "common direction" dominates raw cosines). Emits per vector the
+    * removed projection and the norm before/after: how much of each
+    * vector the common direction explained.
+    *
+    * Scale: the mean and direction are two broadcast 1-row arrays
+    * (the pcaTop chain behind its checkpoints); the transform itself
+    * is a scan-side projection — zero additional shuffle.
+    */
+  def abtt(emb: DataFrame, dim: Int, idCol: String = "vec_id",
+           vecCol: String = "embedding"): DataFrame = {
+    val xD = transform(col(vecCol), x => x.cast("double"))
+    val mu = pcaMu(emb, vecCol)
+    val v = pcaTopVec(emb, dim, vecCol = vecCol)
+    emb.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
+      .select(col(idCol),
+        zip_with(xD, col("mu"), (x, m) => x - m).as("xc"), col("v"))
+      .withColumn("s", dotD(col("xc"), col("v")))
+      .withColumn("xr",
+        zip_with(col("xc"), col("v"), (x, vv) => x - col("s") * vv))
+      .select(col(idCol), round(col("s"), 6).as("proj"),
+        round(sqrt(dotD(col("xc"), col("xc"))), 6).as("norm_centered"),
+        round(sqrt(dotD(col("xr"), col("xr"))), 6).as("norm_abtt"))
   }
 
   /** Native double-array dot (graft.functions.VecDotD): inputs are

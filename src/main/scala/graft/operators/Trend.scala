@@ -1085,9 +1085,13 @@ object Trend {
     * counts and µs extents. `tieCols` totalizes the per-key order so
     * island numbering is engine-deterministic under equal timestamps.
     */
-  def runsAbove(df: DataFrame, tsCol: String, valCol: String,
-                keyCols: Seq[String], threshold: Double,
-                tieCols: Seq[String] = Nil): DataFrame = {
+  /** The per-run rows behind [[runsAbove]] (and StreamRuns' batch
+    * twin): one row per maximal above-threshold island — keyCols,
+    * start_ts, end_ts, len, dur.
+    */
+  def runsList(df: DataFrame, tsCol: String, valCol: String,
+               keyCols: Seq[String], threshold: Double,
+               tieCols: Seq[String] = Nil): DataFrame = {
     val ord = (col(tsCol) +: col(valCol) +: tieCols.map(col))
     val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
     val base = df
@@ -1097,15 +1101,23 @@ object Trend {
           lag(col("__f"), 1).over(wOrd) =!= col("__f"), 1L).otherwise(0L))
       .withColumn("__grp", sum(col("__chg")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val runs = base.where(col("__f"))
+    base.where(col("__f"))
       .groupBy(keyCols.map(col) :+ col("__grp"): _*)
-      .agg(count(lit(1)).as("__len"), min(col(tsCol)).as("__start"),
-        max(col(tsCol)).as("__end"))
+      .agg(count(lit(1)).as("len"), min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"))
+      .select(keyCols.map(col) ++ Seq(col("start_ts"), col("end_ts"),
+        col("len"), (col("end_ts") - col("start_ts")).as("dur")): _*)
+  }
+
+  def runsAbove(df: DataFrame, tsCol: String, valCol: String,
+                keyCols: Seq[String], threshold: Double,
+                tieCols: Seq[String] = Nil): DataFrame = {
+    val runs = runsList(df, tsCol, valCol, keyCols, threshold, tieCols)
     runs.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_runs"),
-        max(col("__len")).as("max_len"),
-        max(struct(col("__len").as("l"), (col("__start") * -1).as("ns"),
-          col("__end").as("e"))).as("__best"))
+        max(col("len")).as("max_len"),
+        max(struct(col("len").as("l"), (col("start_ts") * -1).as("ns"),
+          col("end_ts").as("e"))).as("__best"))
       .select(keyCols.map(col) ++ Seq(col("n_runs"), col("max_len"),
         (col("__best").getField("ns") * -1).as("longest_start"),
         (col("__best").getField("e") + col("__best").getField("ns"))

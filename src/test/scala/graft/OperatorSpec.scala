@@ -268,6 +268,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.drop(2).forall { case (_, ham, cos) => ham == 32L && cos == -1.0 })
   }
 
+  test("abtt removes the dominant direction, keeping the residual") {
+    import spark.implicits._
+    // e1 dominates every vector; e2 carries small signal. After
+    // all-but-the-top, the e1 mass (norm ~10) must be gone and only
+    // the residual (< 1) remain
+    val rows = Seq(
+      1L -> Seq(10f, 0.3f, 0f, 0f), 2L -> Seq(-10f, 0.4f, 0f, 0f),
+      3L -> Seq(9.5f, -0.2f, 0f, 0f), 4L -> Seq(-9.5f, -0.5f, 0f, 0f))
+    val got = Knn.abtt(rows.toDF("vec_id", "embedding"), 4).collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.size == 4)
+    got.values.foreach { case (proj, nb, na) =>
+      assert(math.abs(proj) > 9.0 && nb > 9.0 && na < 1.0,
+        s"($proj, $nb, $na)")
+    }
+  }
+
   test("knnGraph links every node to its own cluster's members") {
     import spark.implicits._
     // two antipodal tight clusters: ids 1-4 near +e1, ids 5-8 near -e1

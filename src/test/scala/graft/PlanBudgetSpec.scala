@@ -237,6 +237,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // then the exact-rerank candidate/query broadcasts + rank window
     // — the emb_sq_search posture plus the codebook joins
     "emb_rq_search" -> 11,
+    // abtt: the mean's pos agg + 1-row collect/broadcast feed the
+    // scan-side projection (the direction chain hides behind pcaTop's
+    // checkpoints); no corpus shuffle
+    "emb_abtt" -> 4,
     // pca: every round's d-row result is lazily checkpointed, so the
     // visible plan is only the final posexplode of a 1-row frame (the
     // per-round (pos)-keyed partial aggs run behind the checkpoints)
@@ -294,9 +298,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // auto-plane count is structural — resolved before planning from
     // the cached corpus count — so it adds no exchange)
     "emb_dedup_cosine" -> 2, "emb_dedup_cosine_fixed" -> 2,
-    // kNN graph: the banded self-join (ReuseExchange shares the cell
-    // subplan) + pair-dedup agg + the per-source rank window
-    "emb_knn_graph" -> 3,
+    // kNN graph: the hub-salting pop window's (tb, bk) exchange (its
+    // subplan shared across the self-join via ReuseExchange) + the
+    // join + pair-dedup agg + per-source rank window; the per-cell
+    // local top-k rides the join's own partitioning (subset
+    // clustering — no exchange of its own)
+    "emb_knn_graph" -> 5,
     // exact+sketch audit over ONE shared (localCheckpoint'd) shingle
     // explode: bench-shingle distinct + its broadcast back over the
     // corpus leg, the fused exact/bloom per-doc count agg, and the

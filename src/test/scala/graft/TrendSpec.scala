@@ -842,3 +842,31 @@ class StreamHampelSpec extends AnyFunSuite {
     assert(spark.table("shamp_test").where($"is_outlier").count() > 0)
   }
 }
+
+class StreamRunsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("streaming closed runs equal the batch run list exactly") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // random series; every key ends with a below-threshold sentinel so
+    // every run CLOSES and stream/batch parity is exact
+    val rows = (for (u <- 1L to 20L; i <- 0 until 50)
+      yield (u, i.toLong * 1000000L, rng.nextDouble() * 100)) ++
+      (1L to 20L).map(u => (u, 50L * 1000000L, 0.0))
+    val batch = rows.toDF("user_id", "ts", "value")
+    val dir = Files.createTempDirectory("graft_sruns").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+      .as[graft.streaming.StreamRuns.Ev]
+    val q = graft.streaming.StreamRuns(spark, stream, 60.0)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sruns_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sruns_test")
+    val want = Trend.runsList(batch, "ts", "value", Seq("user_id"), 60.0)
+      .select($"user_id", $"start_ts", $"end_ts", $"len", $"dur")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
