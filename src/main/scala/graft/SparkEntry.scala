@@ -689,6 +689,15 @@ object SparkEntry {
       RangeJoin.coalesceIntervals(iv, Seq("user_id"), "b", "e")
     },
 
+    // the complement: gaps BETWEEN the coalesced islands — per-user
+    // idle/downtime windows; same one-window-shuffle posture
+    "ts_interval_gaps" -> { (s, dir) =>
+      val iv = events(s, dir).where(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("b"),
+          (col("ts") + lit(6 * UsHour)).as("e"))
+      RangeJoin.intervalGaps(iv, Seq("user_id"), "b", "e")
+    },
+
     // spectral screen: which integer frequency (cycles per observed
     // span) dominates each user's daily click activity — the
     // "is this weekly?" question autocorr only answers one lag at a
@@ -1652,6 +1661,31 @@ object SparkEntry {
          |SELECT user_id, min(b) AS begin_ts, max(e) AS end_ts,
          |  count(*) AS n_merged
          |FROM ci GROUP BY user_id, isl""".stripMargin,
+
+    // interval complement: the coalesce chain verbatim + a lead
+    // window over the islands
+    "ts_interval_gaps" ->
+      s"""WITH civ AS (SELECT user_id, $EvUs AS b,
+         |    $EvUs + ${6 * UsHour} AS e
+         |  FROM events WHERE event_type = 'error'),
+         |cp AS (SELECT user_id, b, e,
+         |    max(e) OVER (PARTITION BY user_id ORDER BY b, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |  FROM civ),
+         |ci AS (SELECT user_id, b, e,
+         |    sum(CASE WHEN pme IS NULL OR b > pme THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY user_id ORDER BY b, e
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM cp),
+         |cisl AS (SELECT user_id, min(b) AS begin_ts, max(e) AS end_ts
+         |  FROM ci GROUP BY user_id, isl),
+         |cg AS (SELECT user_id, end_ts,
+         |    lead(begin_ts) OVER (PARTITION BY user_id ORDER BY begin_ts)
+         |      AS nb
+         |  FROM cisl)
+         |SELECT user_id, end_ts AS gap_begin, nb AS gap_end,
+         |  nb - end_ts AS gap_dur
+         |FROM cg WHERE nb IS NOT NULL AND nb > end_ts""".stripMargin,
 
     // DFT power at k = 1..6 over the daily click grid; cos/sin
     // round-6, v·c snapped to µ-units before the exact BIGINT sum —

@@ -91,4 +91,27 @@ object RangeJoin {
         count(lit(1)).as("n_merged"))
       .drop("__isl")
   }
+
+  /** The COMPLEMENT of a key's interval set inside its own coverage
+    * span: coalesce to disjoint islands, then emit each gap between
+    * consecutive islands — the downtime/idle windows ("when was the
+    * pipeline NOT busy"), the inverse question [[coalesceIntervals]]'s
+    * union answers. Touching islands cannot exist post-coalesce, so
+    * every emitted gap is strictly positive. Same ONE window-shuffle
+    * posture: the island windows, the island agg, and the lead window
+    * all share hash(key).
+    */
+  def intervalGaps(intervals: DataFrame, keyCols: Seq[String],
+                   beginCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val isl = coalesceIntervals(intervals, keyCols, beginCol, endCol)
+    val ord = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("begin_ts"))
+    isl
+      .withColumn("__nb", lead(col("begin_ts"), 1).over(ord))
+      .where(col("__nb").isNotNull && col("__nb") > col("end_ts"))
+      .select(keyCols.map(col) ++ Seq(col("end_ts").as("gap_begin"),
+        col("__nb").as("gap_end"),
+        (col("__nb") - col("end_ts")).as("gap_dur")): _*)
+  }
 }

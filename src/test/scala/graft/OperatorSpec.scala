@@ -1125,6 +1125,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("intervalGaps tiles the span: islands + gaps alternate exactly") {
+    val rnd = new scala.util.Random(13)
+    val iv = Seq.fill(60)((rnd.nextInt(3).toLong,
+      rnd.nextInt(500).toLong, rnd.nextInt(60).toLong + 1))
+      .map { case (k, b, d) => (k, b, b + d) }
+    val df = iv.toDF("user_id", "b", "e")
+    val isl = RangeJoin.coalesceIntervals(df, Seq("user_id"), "b", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = RangeJoin.intervalGaps(df, Seq("user_id"), "b", "e")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    iv.map(_._1).distinct.foreach { k =>
+      val is = isl.filter(_._1 == k).sortBy(_._2)
+      val gs = gaps.filter(_._1 == k).sortBy(_._2)
+      // every gap is strictly positive and sits exactly between two
+      // consecutive islands; islands + gaps tile [min begin, max end]
+      assert(gs.length == is.length - 1)
+      gs.zip(is.zip(is.tail)).foreach { case ((_, gb, ge), ((_, _, e1), (_, b2, _))) =>
+        assert(gb == e1 && ge == b2 && ge > gb)
+      }
+      val span = is.last._3 - is.head._2
+      val covered = is.map(i => i._3 - i._2).sum + gs.map(g => g._3 - g._2).sum
+      assert(covered == span)
+    }
+  }
+
   test("Trend.periodogram peaks at the planted frequency") {
     // one user, 32 daily samples of cos(2π·4t/32): all spectral power
     // must land at k=4, nothing at the other frequencies — and the

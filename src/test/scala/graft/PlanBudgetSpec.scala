@@ -254,6 +254,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_hampel" -> 1,
     // runs: islands + run agg + longest-run pick all share hash(key)
     "ts_runs" -> 1,
+    // interval complement: islands + agg + lead all share hash(key)
+    "ts_interval_gaps" -> 1,
     // benford: the (group, digit) agg is the only corpus-scale stage
     // (checkpointed); grid expand + total + chi joins move ≤ 9 rows
     // per group
