@@ -764,6 +764,14 @@ object SparkEntry {
         UsDay, Jan01)
     },
 
+    // seasonal/trend strength (FPP3): the two scalars that rank
+    // thousands of series by how seasonal / how trended they are —
+    // exact µ-int variance sums over the shared decomposition
+    "ts_seasonal_strength" -> { (s, dir) =>
+      Trend.stlStrength(events(s, dir), "ts", "value", Seq("user_id"),
+        UsDay, Jan01)
+    },
+
     // classical additive decomposition per user on the daily grid:
     // value = centered-MA(7) trend + day-of-week seasonal + residual,
     // every mean an exact µ-unit floor (no half-tie anywhere)
@@ -1962,6 +1970,42 @@ object SparkEntry {
          |WHERE sigma > 0.0
          |  AND abs((CAST(r.r6 AS DOUBLE) / 1000000.0 - mean) / sigma)
          |    > 2.5""".stripMargin,
+
+    // strength: variances from exact HUGEINT sums over the shared
+    // decomposition (S+R = v−tr, T+R = v−seas are exact µ-integers),
+    // one fixed IEEE formula, zero-variance denominators -> null
+    "ts_seasonal_strength" ->
+      s"""WITH $sqlStlCtes,
+         |sg0 AS (SELECT user_id,
+         |    v - tr - (raw - m) AS r6, v - tr AS sr6, v - (raw - m) AS tr6
+         |  FROM dm WHERE tr IS NOT NULL),
+         |sg1 AS (SELECT user_id, count(*) AS n_days,
+         |    sum(CAST(r6 AS HUGEINT)) AS sr,
+         |    sum(CAST(r6 AS HUGEINT) * r6) AS qr,
+         |    sum(CAST(sr6 AS HUGEINT)) AS ss,
+         |    sum(CAST(sr6 AS HUGEINT) * sr6) AS qs,
+         |    sum(CAST(tr6 AS HUGEINT)) AS st,
+         |    sum(CAST(tr6 AS HUGEINT) * tr6) AS qt
+         |  FROM sg0 GROUP BY 1),
+         |sg2 AS (SELECT user_id, n_days,
+         |    CAST(qr AS DOUBLE) / CAST(n_days AS DOUBLE)
+         |      - (CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE))
+         |        * (CAST(sr AS DOUBLE) / CAST(n_days AS DOUBLE)) AS vr,
+         |    CAST(qs AS DOUBLE) / CAST(n_days AS DOUBLE)
+         |      - (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE))
+         |        * (CAST(ss AS DOUBLE) / CAST(n_days AS DOUBLE)) AS vs,
+         |    CAST(qt AS DOUBLE) / CAST(n_days AS DOUBLE)
+         |      - (CAST(st AS DOUBLE) / CAST(n_days AS DOUBLE))
+         |        * (CAST(st AS DOUBLE) / CAST(n_days AS DOUBLE)) AS vt
+         |  FROM sg1)
+         |SELECT user_id, n_days,
+         |  CASE WHEN vs > 0.0
+         |    THEN round(greatest(0.0, 1.0 - vr / vs), 6) END
+         |    AS strength_seasonal,
+         |  CASE WHEN vt > 0.0
+         |    THEN round(greatest(0.0, 1.0 - vr / vt), 6) END
+         |    AS strength_trend
+         |FROM sg2""".stripMargin,
 
     // SAX: PAA means are exact µ-unit floors; per-key mean/σ come from
     // exact HUGEINT sums through ONE fixed IEEE formula (matching the

@@ -1124,6 +1124,56 @@ object Trend {
           .as("longest_dur")): _*)
   }
 
+  /** Seasonal / trend STRENGTH per key (Hyndman & Athanasopoulos,
+    * FPP3 §4.4): F_s = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_t = max(0, 1 − Var(R)/Var(T+R)) over the shared classical
+    * decomposition — the two scalars that RANK thousands of series by
+    * how seasonal / how trended they are (the triage step before
+    * anyone looks at a single decomposition plot).
+    *
+    * Exactness: S+R = value−trend and T+R = value−seasonal are exact
+    * µ-integer differences (the decomposition identity holds on the
+    * µ-ints), variances come from exact decimal sums through one
+    * fixed IEEE formula (the stlOutliers convention; the µ² scale
+    * cancels in the ratio), zero-variance denominators yield null.
+    * One #buckets-per-key agg over the checkpointed decomposition.
+    */
+  def stlStrength(df: DataFrame, tsCol: String, valCol: String,
+                  keyCols: Seq[String], bucketUs: Long, originUs: Long,
+                  period: Int = 7): DataFrame = {
+    val dec = stlDecompose(df, tsCol, valCol, keyCols, bucketUs, originUs,
+      period).localCheckpoint(false)
+    val rows = dec.where(col("resid").isNotNull)
+      .withColumn("__v6", round(col("value") * lit(1e6)).cast("long"))
+      .withColumn("__t6", round(col("trend") * lit(1e6)).cast("long"))
+      .withColumn("__s6", round(col("seasonal") * lit(1e6)).cast("long"))
+      .withColumn("__r6", col("__v6") - col("__t6") - col("__s6"))
+      .withColumn("__sr6", col("__v6") - col("__t6"))
+      .withColumn("__tr6", col("__v6") - col("__s6"))
+    def sums(c: String, s: String, q: String) = Seq(
+      sum(col(c).cast("decimal(38,0)")).as(s),
+      sum(col(c).cast("decimal(38,0)") * col(c)).as(q))
+    val aggCols = Seq(count(lit(1)).as("n_days")) ++
+      sums("__r6", "sr", "qr") ++ sums("__sr6", "ss", "qs") ++
+      sums("__tr6", "st", "qt")
+    val stats = rows.groupBy(keyCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    def variance(q: Column, s: Column): Column =
+      q.cast("double") / col("n_days").cast("double") -
+        (s.cast("double") / col("n_days").cast("double")) *
+        (s.cast("double") / col("n_days").cast("double"))
+    val vr = variance(col("qr"), col("sr"))
+    val vs = variance(col("qs"), col("ss"))
+    val vt = variance(col("qt"), col("st"))
+    stats.select(keyCols.map(col) ++ Seq(col("n_days"),
+      when(vs > 0.0,
+        round(greatest(lit(0.0), lit(1.0) - vr / vs), 6))
+        .as("strength_seasonal"),
+      when(vt > 0.0,
+        round(greatest(lit(0.0), lit(1.0) - vr / vt), 6))
+        .as("strength_trend")): _*)
+  }
+
   /** Hampel filter: rolling ROBUST outlier screen + repair over a
     * centered ±halfW row window per series — the despike pass run
     * before any mean-based smoother (a z-score screen moves its own

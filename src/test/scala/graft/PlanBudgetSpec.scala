@@ -86,6 +86,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // residual screen: the decomposition lives behind its checkpoint;
     // visible = the per-key stats agg + its broadcast back
     "ts_stl_outliers" -> 2,
+    // strength scalars: ONE per-key agg over the checkpointed
+    // decomposition
+    "ts_seasonal_strength" -> 1,
     // sax: the two-scan ts_mad posture — the (key, day) grid agg feeds
     // BOTH the per-key stats pass (grid + stats re-key) and the PAA
     // pass (grid + week re-key), + the stats broadcast; every exchange

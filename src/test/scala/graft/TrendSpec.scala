@@ -417,6 +417,22 @@ class TrendSpec extends AnyFunSuite {
       (2L, 0L, 4.25, 0.0, "c"), (2L, 1L, 4.25, 0.0, "c")))
   }
 
+  test("stlStrength ranks a seasonal series high, a constant one null") {
+    import spark.implicits._
+    val day = 86400000000L
+    // key 1: clean period-7 sawtooth (seasonal variance dominates the
+    // residual); key 2: constant (all variances zero -> nulls, not 0/0)
+    val rows = (0 until 28).flatMap { d =>
+      Seq((1L, d * day, 10.0 + (d % 7) * 5.0), (2L, d * day, 10.0))
+    }
+    val got = Trend.stlStrength(rows.toDF("user_id", "ts", "value"),
+      "ts", "value", Seq("user_id"), day, 0L).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+    val fs1 = got(1L)._1.get.asInstanceOf[Double]
+    assert(fs1 > 0.9, s"seasonal strength $fs1")
+    assert(got(2L) == ((None, None)))
+  }
+
   test("benford digit extraction and chi2 match a reference fold") {
     import spark.implicits._
     // digits from the µ-int string: 1.0 -> 1, 0.25 -> 2, 19.99 -> 1,
