@@ -134,6 +134,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     val two = Seq(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
       .toDF("vec_id", "embedding")
     assert(Knn.kCenterSelect(two, 2, 8).count() == 2)
+    assert(Knn.knnGraph(emptyEmb, 32, 3).isEmpty)
+    assert(Knn.abtt(emptyEmb, 4).isEmpty)
+    val day = 86400000000L
+    assert(Trend.hampel(emptyEvents, "ts", "value", Seq("user_id")).isEmpty)
+    assert(Trend.runsAbove(emptyEvents, "ts", "value", Seq("user_id"),
+      1.0).isEmpty)
+    assert(Trend.benford(emptyEvents, "value", Seq("user_id")).isEmpty)
+    assert(Trend.dtwToTemplate(emptyEvents, "ts", "value", Seq("user_id"),
+      day, 0L).isEmpty)
+    assert(Trend.stlStrength(emptyEvents, "ts", "value", Seq("user_id"),
+      day, 0L).isEmpty)
+    val emptyIv = Seq.empty[(Long, Long, Long)].toDF("k", "b", "e")
+    assert(RangeJoin.intervalGaps(emptyIv, Seq("k"), "b", "e").isEmpty)
+    assert(TextOps.blocklistScreen(emptyDocs, Seq("slow")).isEmpty)
   }
 
   test("components of an empty pair list is empty (and converges)") {
