@@ -465,6 +465,40 @@ object SparkEntry {
           count(lit(1)).as("n")))
     },
 
+    // THE latency-dashboard rollup: per (series, window) exact
+    // p50/p95/p99 — Spark's percentile() is exact linear
+    // interpolation, definitionally DuckDB's quantile_cont; one
+    // partial-agg'd (key, window) shuffle like every fixed rollup
+    // (the sketch path for 100 TB groups is ts_agg_approx's GK leg)
+    "ts_rollup_p95" -> { (s, dir) =>
+      TimeSeries(events(s, dir), "ts", Seq("user_id"))
+        .fixedWindowRollup("1h", Seq(
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 6).as("p95"),
+          round(percentile(col("value"), lit(0.99)), 6).as("p99"),
+          count(lit(1)).as("n")))
+    },
+
+    // SLO error-budget burn per (user, day): the SRE triage query —
+    // err_frac vs a 10% objective, burn = frac/slo (burn > 1 eats
+    // budget), plus the day's breach verdict; exact integer counts,
+    // one fixed IEEE division, one (key, day) partial-agg'd shuffle
+    "q_slo_burn" -> { (s, dir) =>
+      val day = org.apache.spark.sql.graft.Bridge.fldiv(
+        col("ts") - lit(Jan01), UsDay)
+      events(s, dir)
+        .groupBy(col("user_id"), day.as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          count(when(col("event_type") === "error", 1)).as("n_errors"))
+        .withColumn("err_frac",
+          round(col("n_errors").cast("double") / col("n_events"), 6))
+        .withColumn("burn_rate",
+          round(col("n_errors").cast("double") / col("n_events") / lit(0.1),
+            6))
+        .withColumn("breach",
+          col("n_errors") * lit(10L) > col("n_events"))
+    },
+
     "ts_rollup_1h" -> { (s, dir) =>
       TimeSeries(events(s, dir), "ts", Seq("user_id"))
         .fixedWindowRollup("1h", Seq(
@@ -1432,6 +1466,30 @@ object SparkEntry {
       s"""SELECT user_id,
          |  '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
          |  CAST(sum(CAST(value AS $Sum6)) AS DOUBLE) AS sum_value, count(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // latency rollup: quantile_cont IS Spark's exact percentile()
+    "ts_rollup_p95" ->
+      s"""SELECT user_id,
+         |  '1h-' || CAST($EvUs // 3600000000 AS VARCHAR) AS idx,
+         |  round(quantile_cont(value, 0.5), 6) AS p50,
+         |  round(quantile_cont(value, 0.95), 6) AS p95,
+         |  round(quantile_cont(value, 0.99), 6) AS p99,
+         |  count(*) AS n
+         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // SLO burn: exact counts, cross-multiplied breach (n_err·10 > n)
+    "q_slo_burn" ->
+      s"""SELECT user_id,
+         |  ($EvUs - 1704067200000000) // 86400000000 AS day,
+         |  count(*) AS n_events,
+         |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+         |  round(CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+         |      AS DOUBLE) / count(*), 6) AS err_frac,
+         |  round(CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+         |      AS DOUBLE) / count(*) / 0.1, 6) AS burn_rate,
+         |  count(CASE WHEN event_type = 'error' THEN 1 END) * 10 > count(*)
+         |    AS breach
          |FROM events GROUP BY 1, 2""".stripMargin,
 
     "ts_rollup_daily" ->

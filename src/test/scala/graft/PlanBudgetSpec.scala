@@ -259,6 +259,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_runs" -> 1,
     // interval complement: islands + agg + lead all share hash(key)
     "ts_interval_gaps" -> 1,
+    // latency rollup / slo burn: one partial-agg'd shuffle each
+    "ts_rollup_p95" -> 1, "q_slo_burn" -> 1,
     // benford: the (group, digit) agg is the only corpus-scale stage
     // (checkpointed); grid expand + total + chi joins move ≤ 9 rows
     // per group
