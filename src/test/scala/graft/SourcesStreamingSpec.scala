@@ -706,6 +706,40 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(cells((base, "click", 0)) == 1L)  // -3 clamps to bottom
   }
 
+  test("streaming SLO burn equals the batch windows; breach is integer-exact") {
+    import spark.implicits._
+    val base = 1704067200000000L
+    // window 1: 2 errors / 10 events = 20% > 10% SLO -> breach;
+    // window 2: exactly AT the objective (1/10) -> NOT a breach
+    // (strict >; the cross-multiplied verdict can't half-round)
+    val rows = (0 until 10).map(i =>
+      (base + i * 1000000L, 7L, if (i < 2) "error" else "view")) ++
+      (0 until 10).map(i =>
+        (base + 3600L * 1000000L + i * 1000000L, 7L,
+          if (i < 1) "error" else "view"))
+    val batch = rows.toDF("ts", "user_id", "event_type")
+    val dir = Files.createTempDirectory("graft_sslo").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    val q = graft.streaming.StreamSlo.burn(stream, "ts", "event_type",
+        "user_id", "1h", watermark = "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sslo_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sslo_test")
+
+    // withWatermark is a no-op on a batch frame: same code path
+    val want = graft.streaming.StreamSlo.burn(batch, "ts", "event_type",
+      "user_id", "1h", watermark = "10 minutes")
+    assert(got.count() == 2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val byWin = got.collect().map(r => r.getAs[Long]("ts_begin") ->
+      (r.getAs[Double]("burn_rate"), r.getAs[Boolean]("breach"))).toMap
+    assert(byWin(base) == ((2.0, true)))
+    assert(byWin(base + 3600L * 1000000L) == ((1.0, false)))
+  }
+
   test("stream-stream interval join matches the batch RangeJoin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
