@@ -241,6 +241,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
     },
 
+    // week-over-week churn (retention's loss-side twin): a user
+    // churns FROM week w when w+1 shows no activity; the corpus's
+    // final week is right-censored (nobody can churn from a week
+    // whose successor is unobserved). One distinct (user, week) agg
+    // + a user-keyed lead window + the per-week rollup
+    "q_churn" -> { (s, dir) =>
+      val uw = events(s, dir)
+        .select(col("user_id"),
+          org.apache.spark.sql.graft.Bridge.fldiv(
+            col("ts") - lit(Jan01), 7 * UsDay).as("w"))
+        .distinct()
+      val wU = Window.partitionBy(col("user_id")).orderBy(col("w"))
+      uw.withColumn("__next", lead(col("w"), 1).over(wU))
+        .crossJoin(broadcast(uw.agg(max(col("w")).as("wx"))))
+        .where(col("w") < col("wx"))
+        .withColumn("__churned",
+          col("__next").isNull || col("__next") > col("w") + 1)
+        .groupBy(col("w").as("week_num"))
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("__churned"), 1)).as("n_churned"))
+        .withColumn("churn_rate",
+          round(col("n_churned").cast("double") / col("n_active"), 6))
+    },
+
     // ordered conversion funnel (view -> click within 1d -> purchase
     // within another 1d) per user: three stacked full-partition window
     // mins over ONE user-keyed shuffle (each stage's earliest
@@ -2565,6 +2589,23 @@ object SparkEntry {
         |  FROM events)
         |SELECT cohort, act_month, count(*) AS n_users
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // churn: distinct (user, week), user-keyed lead, censored final
+    // week, per-week rollup — mirrors the Spark chain exactly
+    "q_churn" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+         |    ($EvUs - 1704067200000000) // ${7 * 86400000000L} AS w
+         |  FROM events),
+         |wx AS (SELECT max(w) AS wx FROM uw),
+         |nx AS (SELECT user_id, w,
+         |    lead(w) OVER (PARTITION BY user_id ORDER BY w) AS nw
+         |  FROM uw)
+         |SELECT w AS week_num, count(*) AS n_active,
+         |  count(CASE WHEN nw IS NULL OR nw > w + 1 THEN 1 END)
+         |    AS n_churned,
+         |  round(CAST(count(CASE WHEN nw IS NULL OR nw > w + 1 THEN 1 END)
+         |      AS DOUBLE) / count(*), 6) AS churn_rate
+         |FROM nx, wx WHERE w < wx GROUP BY w""".stripMargin,
 
     "q_rank_stats" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,

@@ -261,6 +261,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_interval_gaps" -> 1,
     // latency rollup / slo burn: one partial-agg'd shuffle each
     "ts_rollup_p95" -> 1, "q_slo_burn" -> 1,
+    // churn: the distinct (user, week) agg + the user-keyed lead
+    // window + the 1-row max broadcast + the per-week rollup — every
+    // post-distinct stage moves (user, week) pairs only
+    "q_churn" -> 5,
     // benford: the (group, digit) agg is the only corpus-scale stage
     // (checkpointed); grid expand + total + chi joins move ≤ 9 rows
     // per group
