@@ -797,6 +797,22 @@ object SparkEntry {
       Trend.benford(events(s, dir), "value", Seq("event_type"))
     },
 
+    // per-series completeness scorecard: observed span, count,
+    // expected samples at the nominal 5m cadence, and the coverage
+    // ratio — the "is this feed whole" triage ts_gaps localizes;
+    // expected = span//cadence + 1 exact integers, ONE partial agg
+    "ts_coverage" -> { (s, dir) =>
+      val cad = 5 * UsMin
+      events(s, dir).groupBy("user_id")
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_events"))
+        .withColumn("expected",
+          org.apache.spark.sql.graft.Bridge.fldiv(
+            col("last_ts") - col("first_ts"), cad) + lit(1L))
+        .withColumn("coverage",
+          round(col("n_events").cast("double") / col("expected"), 6))
+    },
+
     // threshold run-length analysis: count/extent of maximal
     // consecutive-event runs above value 60 per user — the sustained-
     // breach shape single-flip crossings can't express; ONE key-hash
@@ -1854,6 +1870,16 @@ object SparkEntry {
     // DuckDB's // truncates toward zero on negatives), the gain is one
     // fixed IEEE formula over exact BIGINT prefix sums, and the argmax
     // tie-breaks on the earlier day — bit-parity with Trend.changepoint
+    // coverage: exact span//cadence floor (positive spans — plain //)
+    "ts_coverage" ->
+      s"""SELECT user_id, min($EvUs) AS first_ts, max($EvUs) AS last_ts,
+         |  count(*) AS n_events,
+         |  (max($EvUs) - min($EvUs)) // ${5 * UsMin} + 1 AS expected,
+         |  round(CAST(count(*) AS DOUBLE)
+         |    / ((max($EvUs) - min($EvUs)) // ${5 * UsMin} + 1), 6)
+         |    AS coverage
+         |FROM events GROUP BY user_id""".stripMargin,
+
     // benford: digit from the µ-int's decimal string, expected from
     // the same 6dp probability literals, terms µ-snapped, µ-int verdict
     "ts_benford" -> {

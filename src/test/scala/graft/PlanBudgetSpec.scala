@@ -265,6 +265,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // window + the 1-row max broadcast + the per-week rollup — every
     // post-distinct stage moves (user, week) pairs only
     "q_churn" -> 5,
+    // coverage scorecard: ONE partial-agg'd shuffle
+    "ts_coverage" -> 1,
     // benford: the (group, digit) agg is the only corpus-scale stage
     // (checkpointed); grid expand + total + chi joins move ≤ 9 rows
     // per group
