@@ -2982,6 +2982,41 @@ object SparkEntry {
     */
   private val MmFramesEveryKth = 2
 
+  /** Corpus-size ceiling for mm_phash_eval's exhaustive O(n²) truth;
+    * beyond it the registration auto-switches to the sampled probe
+    * harness so no sweep pays the quadratic plan by accident.
+    */
+  private val MmPhashEvalMaxDocs = 1000000L
+
+  /** The sampled phash-recall harness (O(n·|P|) truth against planted
+    * re-encode probes) — the body of mm_phash_eval_sampled, shared by
+    * mm_phash_eval's above-threshold auto-switch.
+    */
+  private def mmPhashEvalSampledDf(s: SparkSession, dir: String): DataFrame = {
+    val docs0 = tbl(s, dir, "documents").select("doc_id", "text")
+    val planted = docs0.where(col("doc_id") % 50 === 0 &&
+        col("doc_id") < 100000000L)
+      .withColumn("doc_id", col("doc_id") + lit(100000000000L))
+    val all = docs0.unionByName(planted)
+    val ph = Multimodal.phashAll(s, all).toDF()
+    val probes = ph.where(col("doc_id") >= 100000000000L)
+      .select(col("doc_id").as("id_p"), col("phash").as("ph_p"))
+    val truth = ph
+      .select(col("doc_id").as("id_c"), col("phash").as("ph_c"))
+      .join(broadcast(probes), col("id_p") =!= col("id_c"))
+      .where(bit_count(col("ph_p").bitwiseXOR(col("ph_c"))) <= 3)
+      .select(least(col("id_p"), col("id_c")).as("id_a"),
+        greatest(col("id_p"), col("id_c")).as("id_b"))
+      .distinct()
+    val cand = Multimodal.phashPairs(s, all)
+      .select(col("id_a"), col("id_b")).withColumn("__h", lit(1))
+    truth.join(cand, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("__h")).as("n_hits"),
+        when(count(lit(1)) === 0, lit(null).cast("double"))
+          .otherwise(round(count(col("__h")).cast("double") /
+            count(lit(1)), 6)).as("recall"))
+  }
+
   private def dataQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_dedup_exact" -> { (s, dir) =>
       Dedup.exact(tbl(s, dir, "documents"))
@@ -3857,21 +3892,31 @@ object SparkEntry {
 
     // banding recall vs exact hamming<=3 over the same hashes — the
     // eval that keeps the candidate generator honest (hashes are a
-    // long per doc, so the ground-truth self-join is broadcast)
+    // long per doc, so the ground-truth self-join is broadcast).
+    // SCALE GATE: the exhaustive truth is O(n²) BY DECLARATION (the
+    // only registered super-linear plan, BENCH_sf10_r09 exp 1.26), so
+    // above MmPhashEvalMaxDocs the registration AUTO-SWITCHES to the
+    // sampled probe harness (O(n·|P|), columns relabeled to match) —
+    // no sweep at a bigger sf can pay the quadratic truth by accident;
+    // correctness runs (sf0.01) always take the exhaustive branch
     "mm_phash_eval" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
-      val ph = Multimodal.phashAll(s, docs).toDF()
-      val exact = ph.select(col("doc_id").as("id_a"), col("phash").as("ph_a"))
-        .join(broadcast(ph.select(col("doc_id").as("id_b"),
-          col("phash").as("ph_b"))), col("id_a") < col("id_b"))
-        .where(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= 3)
-      exact.agg(count(lit(1)).as("n_true"))
-        .crossJoin(Multimodal.phashPairs(s, docs)
-          .agg(count(lit(1)).as("n_found")))
-        .select(col("n_true"), col("n_found"),
-          when(col("n_true") === 0, lit(null).cast("double"))
-            .otherwise(round(col("n_found").cast("double") / col("n_true"), 6))
-            .as("recall"))
+      if (docs.count() > MmPhashEvalMaxDocs)
+        mmPhashEvalSampledDf(s, dir).withColumnRenamed("n_hits", "n_found")
+      else {
+        val ph = Multimodal.phashAll(s, docs).toDF()
+        val exact = ph.select(col("doc_id").as("id_a"), col("phash").as("ph_a"))
+          .join(broadcast(ph.select(col("doc_id").as("id_b"),
+            col("phash").as("ph_b"))), col("id_a") < col("id_b"))
+          .where(bit_count(col("ph_a").bitwiseXOR(col("ph_b"))) <= 3)
+        exact.agg(count(lit(1)).as("n_true"))
+          .crossJoin(Multimodal.phashPairs(s, docs)
+            .agg(count(lit(1)).as("n_found")))
+          .select(col("n_true"), col("n_found"),
+            when(col("n_true") === 0, lit(null).cast("double"))
+              .otherwise(round(col("n_found").cast("double") / col("n_true"), 6))
+              .as("recall"))
+      }
     },
 
     // the production-scale eval geometry: banding recall measured
@@ -3883,32 +3928,9 @@ object SparkEntry {
     // O(n·|P|), is guaranteed non-empty (each plant sits at hamming 0
     // from its source), and the recall estimate covers exactly the
     // pairs a production spot-audit would sample. mm_phash_eval keeps
-    // the exhaustive truth at test scale; this leg is the shape that
-    // replaces it beyond ~1M docs (see BENCH_sf10_r08.json findings).
-    "mm_phash_eval_sampled" -> { (s, dir) =>
-      val docs0 = tbl(s, dir, "documents").select("doc_id", "text")
-      val planted = docs0.where(col("doc_id") % 50 === 0 &&
-          col("doc_id") < 100000000L)
-        .withColumn("doc_id", col("doc_id") + lit(100000000000L))
-      val all = docs0.unionByName(planted)
-      val ph = Multimodal.phashAll(s, all).toDF()
-      val probes = ph.where(col("doc_id") >= 100000000000L)
-        .select(col("doc_id").as("id_p"), col("phash").as("ph_p"))
-      val truth = ph
-        .select(col("doc_id").as("id_c"), col("phash").as("ph_c"))
-        .join(broadcast(probes), col("id_p") =!= col("id_c"))
-        .where(bit_count(col("ph_p").bitwiseXOR(col("ph_c"))) <= 3)
-        .select(least(col("id_p"), col("id_c")).as("id_a"),
-          greatest(col("id_p"), col("id_c")).as("id_b"))
-        .distinct()
-      val cand = Multimodal.phashPairs(s, all)
-        .select(col("id_a"), col("id_b")).withColumn("__h", lit(1))
-      truth.join(cand, Seq("id_a", "id_b"), "left")
-        .agg(count(lit(1)).as("n_true"), count(col("__h")).as("n_hits"),
-          when(count(lit(1)) === 0, lit(null).cast("double"))
-            .otherwise(round(count(col("__h")).cast("double") /
-              count(lit(1)), 6)).as("recall"))
-    },
+    // the exhaustive truth at test scale and auto-switches to THIS
+    // shape beyond MmPhashEvalMaxDocs (see BENCH_sf10_r08.json).
+    "mm_phash_eval_sampled" -> ((s, dir) => mmPhashEvalSampledDf(s, dir)),
 
     // Gopher top-n-gram repetition: per-doc mode found scan-side via
     // sorted-array run lengths — zero shuffle (complements doc_gopher's
@@ -4853,16 +4875,17 @@ object SparkEntry {
       s"""WITH ${sqlSimhashWideCtes(3)}
          |SELECT id_a, id_b, hamming FROM wpairs""".stripMargin,
 
-    // simhash candidates (pigeonhole-complete h<=2) re-verified by
-    // true Levenshtein; the cap mirrors the Spark side's per-length-
-    // band DP cap (1-tau)·bandUpper — exact for any pair that could
-    // reach tau, since dist <= (1-0.8)·ml <= cap within each band
+    // 60-bit/4x15-band simhash candidates (pigeonhole-complete h<=2,
+    // the production geometry) re-verified by true Levenshtein; the
+    // cap mirrors the Spark side's per-length-band DP cap
+    // (1-tau)·bandUpper — exact for any pair that could reach tau,
+    // since dist <= (1-0.8)·ml <= cap within each band
     "doc_dedup_edit" ->
-      s"""WITH ${sqlSimhashPairCtes(2)},
+      s"""WITH ${sqlSimhashWideCtes(2)},
          |lv0 AS (SELECT p.id_a, p.id_b, p.hamming,
          |    levenshtein(da.text, db.text) AS lv,
          |    greatest(length(da.text), length(db.text)) AS ml
-         |  FROM spairs p
+         |  FROM wpairs p
          |  JOIN documents da ON da.doc_id = p.id_a
          |  JOIN documents db ON db.doc_id = p.id_b),
          |ed AS (SELECT id_a, id_b, hamming, ml, CASE

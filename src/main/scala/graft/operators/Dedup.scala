@@ -226,11 +226,15 @@ object Dedup {
     * caller sees the generator's precision, not just the survivors.
     *
     * Both cost dials default to their honest settings:
-    *  - `maxHamming = 2` is exactly the 3-byte-band pigeonhole bound —
-    *    candidates beyond it are approximate anyway, and a small-vocab
-    *    corpus's collision floor grows ~6× at h≤4 for signal that a
-    *    CHAR-level verify then rejects (edit-near dups have near-equal
-    *    token bags, i.e. tiny simhash distance).
+    *  - candidates come from the PRODUCTION 60-bit / 4×15-band simhash
+    *    geometry ([[simhashPairsWide]]): its random collision floor is
+    *    n²·4/2^15 vs the 24-bit test geometry's n²·3/2^8 — at corpus
+    *    scale the banded join's output is true near-dups, not band
+    *    noise (the 24-bit floor was the dominant term of this query's
+    *    sf10 cost). `maxHamming = 2` sits inside the wide geometry's
+    *    pigeonhole-complete range (h ≤ 3), so candidate recall at the
+    *    default is EXACT, and edit-near dups have near-equal token
+    *    bags, i.e. tiny simhash distance.
     *  - the DP cap: Spark's banded 3-arg levenshtein is
     *    O(len·cap), returning -1 beyond the cap — and the TIGHTEST
     *    exact cap is per-pair: a pair whose longer text has ml chars
@@ -250,12 +254,59 @@ object Dedup {
     * is computed once and reused by projection (Catalyst won't
     * collapse a non-cheap expression into downstream projects), and
     * only the matching length-band's DP branch runs per row.
+    *
+    * Length-gap short-circuit: edit distance is ≥ the char-length gap,
+    * so a pair whose gap exceeds its band's DP cap deterministically
+    * returns -1 — those pairs skip the text joins entirely (their
+    * lengths ride the banded candidate frame, one int per side) and
+    * emit the -1 verdict directly. This is EXACT: the filter uses the
+    * band's applied cap, not the tighter per-pair (1-tau)·ml bound — a
+    * pair with gap in ((1-tau)·ml, cap] still runs the DP because the
+    * capped run would return its true distance, not -1. The text joins
+    * and DP therefore only pay for pairs that can produce a distance.
     */
   def editVerifiedPairs(docs: DataFrame, maxHamming: Int = 2,
                         tau: Double = 0.8, maxDist: Int = 120,
                         idCol: String = "doc_id",
                         bandW: Int = 150): DataFrame = {
-    val cand = simhashPairs(docs, maxHamming, idCol)
+    def thr(upper: Int) = math.ceil((1.0 - tau) * upper).toInt
+    // simhashPairsWide's banding, with char lengths riding the banded
+    // frame (the band shuffle pays one extra int per side; no extra join)
+    val sh = docs
+      .select(col(idCol), tokens(col("text")).as("__toks"),
+        length(col("text")).as("__len"))
+      .where(size(col("__toks")) > 0)
+      .select(col(idCol),
+        org.apache.spark.sql.graft.GraftExpressions.simhash_wide(col("__toks"))
+          .as("simhash"),
+        col("__len"))
+    val bands = 4 // 4 bands of 15 bits over 60 (simhashPairsWide geometry)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftright(col("simhash"), b * 15) % 32768).as("bk"))
+    }
+    val banded = sh
+      .select(col(idCol), col("simhash"), col("__len"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col(idCol), col("simhash"), col("__len"),
+        col("bb.band").as("band"), col("bb.bk").as("bk"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("__len").as("__la"), col("band"), col("bk"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("__len").as("__lb"), col("band"), col("bk"))
+    val cand = a.join(b, Seq("band", "bk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"),
+        col("__la"), col("__lb"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+    // the cap each pair's DP would actually run with, from lengths alone
+    val mlLen = greatest(col("__la"), col("__lb"))
+    val capCol = (1 to 3).foldLeft(when(lit(false), lit(0))) { (w, i) =>
+      w.when(mlLen <= i * bandW, lit(thr(i * bandW)))
+    }.otherwise(lit(maxDist))
+    val gap = abs(col("__la") - col("__lb"))
+    // branch 1: gap within cap — join text, run the banded DP
     val ta = docs.select(col(idCol).as("id_a"), col("text").as("__ta"))
     val tb = docs.select(col(idCol).as("id_b"), col("text").as("__tb"))
     val ml = greatest(length(col("__ta")), length(col("__tb")))
@@ -267,13 +318,23 @@ object Dedup {
     // ExpressionParitySpec pins equality against the builtin
     def lev(thr: Int) = org.apache.spark.sql.graft.GraftExpressions
       .lev_banded(col("__ta"), col("__tb"), thr)
-    def thr(upper: Int) = math.ceil((1.0 - tau) * upper).toInt
     val capped = (1 to 3).foldLeft(when(lit(false), lit(0))) { (w, i) =>
       w.when(ml <= i * bandW, lev(thr(i * bandW)))
     }.otherwise(lev(maxDist))
-    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+    val outCols = Seq(col("id_a"), col("id_b"), col("hamming"),
+      col("edit_dist"), col("edit_sim"))
+    val verified = cand.where(gap <= capCol)
+      .join(ta, Seq("id_a")).join(tb, Seq("id_b"))
       .withColumn("edit_dist", capped)
       .withColumn("edit_sim", sim)
+      .select(outCols: _*)
+    // branch 2: gap > cap — the DP would return -1; emit it without text
+    // (AQE reuses cand's exchanges across the two branches)
+    val doomed = cand.where(gap > capCol)
+      .withColumn("edit_dist", lit(-1))
+      .withColumn("edit_sim", lit(null).cast("double"))
+      .select(outCols: _*)
+    verified.unionByName(doomed)
       .select(col("id_a"), col("id_b"), col("hamming"), col("edit_dist"),
         col("edit_sim"),
         coalesce(col("edit_sim") >= lit(tau), lit(false)).as("is_dup"))

@@ -582,17 +582,28 @@ object Knn {
     * `cov` = 1 - maxcos is the corpus coverage radius AT that size —
     * the curve data-pruning decisions read.
     *
-    * Scale shape: k corpus scans, each ending in a TakeOrdered(1) —
-    * no shuffle at all; driver state is the k selected vectors
-    * (broadcast back as literals), exactly the k-means|| posture
-    * without the oversampling. Cosines use the engine-exact fold, max
-    * over doubles is order-free, and the argmin tie-breaks on id — so
-    * the whole greedy trajectory is deterministic and replayed
-    * verbatim by the DuckDB oracle.
+    * Scale shape: ~k/`batch` corpus scans, each ending in a
+    * TakeOrdered(batch) — no shuffle at all; driver state is the k
+    * selected vectors (broadcast back as literals), exactly the
+    * k-means|| posture. Each scan collects the `batch` rows with the
+    * smallest max-cos to the selected set, then the greedy loop
+    * CONTINUES ON THE DRIVER inside that batch: adding a center only
+    * raises max-cos, so every un-collected row keeps max-cos ≥ the
+    * batch's largest collected value (tBound) forever — a driver-side
+    * pick whose updated max-cos is strictly under tBound is therefore
+    * EXACTLY the greedy argmin (the first pick of each scan is exact
+    * unconditionally; at == tBound an unseen row could tie-break by
+    * id, so the loop rescans instead of guessing). Driver-side cosine
+    * updates replicate the native VecDot left-fold bit-for-bit
+    * (float→double per element, index order, sqrt·sqrt denominator),
+    * so the trajectory — and the DuckDB oracle's verbatim replay — is
+    * identical to the one-pick-per-scan fold at any batch size
+    * (KnnSpec pins this equality).
     */
   def kCenterSelect(corpus: DataFrame, dim: Int, k: Int,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    batch: Int = 8): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val base = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
@@ -602,25 +613,58 @@ object Knn {
       dot(col("v"), sv, dim) /
         (sqrt(dot(col("v"), col("v"), dim)) * sqrt(dot(sv, sv, dim)))
     }
+    // the native VecDot fold, replicated exactly (HashImpl.vecDot)
+    def dotL(a: Array[Float], b: Array[Float]): Double = {
+      val n = math.min(a.length, b.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cosL(a: Array[Float], b: Array[Float]): Double =
+      dotL(a, b) / (math.sqrt(dotL(a, a)) * math.sqrt(dotL(b, b)))
     val seed = base.orderBy(col("id")).limit(1)
       .collect().headOption.map(r => (r.getLong(0), r.getSeq[Float](1)))
     var selected = seed.toList
     var out = seed.map { case (id, _) => (1, id, Option.empty[Double]) }.toList
-    var rnd = 2
-    while (rnd <= k && selected.size == rnd - 1) {
+    var exhausted = seed.isEmpty
+    while (selected.size < k && !exhausted) {
       val coss = selected.map { case (_, v) => cosTo(v) }
       val mc = if (coss.size == 1) coss.head else greatest(coss: _*)
-      val pick = base
+      val cands = base
         .where(!col("id").isin(selected.map(_._1): _*))
         .withColumn("mc", mc)
-        .orderBy(col("mc").asc, col("id").asc).limit(1)
+        .orderBy(col("mc").asc, col("id").asc).limit(batch)
         .select(col("id"), col("v"), col("mc"))
-        .collect().headOption
-      pick.foreach { r =>
-        selected :+= ((r.getLong(0), r.getSeq[Float](1)))
-        out :+= ((rnd, r.getLong(0), Some(r.getDouble(2))))
+        .collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        // rows outside this batch have max-cos >= tBound, now and after
+        // every future center addition (max-cos is monotone in S)
+        val tBound = if (cands.length < batch) Double.PositiveInfinity
+        else cands.last.getDouble(2)
+        val pool = scala.collection.mutable.ArrayBuffer(
+          cands.map(r => (r.getLong(0),
+            r.getSeq[Float](1).toArray, r.getDouble(2))): _*)
+        var fresh = true // a scan's first pick is the global argmin
+        var go = true
+        while (go && selected.size < k && pool.nonEmpty) {
+          val bi = pool.indices.minBy(i => (pool(i)._3, pool(i)._1))
+          val (bid, bv, bmc) = pool(bi)
+          if (fresh || bmc < tBound) {
+            selected :+= ((bid, bv.toSeq))
+            out :+= ((selected.size, bid, Some(bmc)))
+            pool.remove(bi)
+            var i = 0
+            while (i < pool.length) {
+              val p = pool(i)
+              val c = cosL(p._2, bv)
+              if (c > p._3) pool(i) = (p._1, p._2, c)
+              i += 1
+            }
+            fresh = false
+          } else go = false // an unseen row could tie: rescan exactly
+        }
       }
-      rnd += 1
     }
     out.toDF("sel_rank", "vec_id", "__mc")
       .select(col("sel_rank"), col("vec_id"),
@@ -1190,9 +1234,14 @@ object Knn {
     * array frame `v` (each round lazily checkpointed).
     */
   def pcaTopVec(emb: DataFrame, dim: Int, iters: Int = 2,
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                muPre: Option[DataFrame] = None): DataFrame = {
     val xD = transform(col(vecCol), x => x.cast("double"))
-    val mu = pcaMu(emb, vecCol)
+    // callers that already hold the mean frame pass it in, so the
+    // posexplode+groupBy mean pass over the corpus runs exactly once;
+    // the lazy checkpoint stops each power-iteration round (each a
+    // separate materialization behind v's checkpoint) re-running it
+    val mu = muPre.getOrElse(pcaMu(emb, vecCol).localCheckpoint(false))
     var v = emb.sparkSession.range(1)
       .select(transform(sequence(lit(1), lit(dim)),
         _ => lit(1.0 / math.sqrt(dim.toDouble))).as("v"))
@@ -1238,8 +1287,10 @@ object Knn {
   def abtt(emb: DataFrame, dim: Int, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
     val xD = transform(col(vecCol), x => x.cast("double"))
-    val mu = pcaMu(emb, vecCol)
-    val v = pcaTopVec(emb, dim, vecCol = vecCol)
+    // one mean pass shared by the centering below and every
+    // power-iteration round (lazy checkpoint: computed on first use)
+    val mu = pcaMu(emb, vecCol).localCheckpoint(false)
+    val v = pcaTopVec(emb, dim, vecCol = vecCol, muPre = Some(mu))
     emb.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
       .select(col(idCol),
         zip_with(xD, col("mu"), (x, m) => x - m).as("xc"), col("v"))

@@ -329,6 +329,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(cov3 > 0.89 && cov3 < 0.91) // 1 - cos(e3-tilted, e1) ~ 0.900
   }
 
+  test("kCenterSelect batched greedy equals the one-pick-per-scan fold") {
+    import spark.implicits._
+    // 40 deterministic pseudo-random 4-dim vectors, k=10: enough picks
+    // that the batch=8 run must both accept driver-side continuations
+    // and hit the rescan path at least once
+    val rows = (1L to 40L).map { id =>
+      val h = (j: Int) => (((id * 2654435761L + j * 40503L) % 1000) / 1000.0f)
+      id -> Seq(h(1) - 0.5f, h(2) - 0.5f, h(3) - 0.5f, h(4) - 0.5f)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(b: Int) = Knn.kCenterSelect(emb, 4, 10, batch = b).collect()
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).sortBy(_._1)
+    assert(run(8).toSeq == run(1).toSeq)
+  }
+
   test("contaminationSpans marks exactly the verbatim benchmark overlap") {
     import spark.implicits._
     // doc 0 is the benchmark; doc 1 embeds a verbatim 30-char slice of
@@ -1187,5 +1202,19 @@ class OperatorSpec extends AnyFunSuite {
     val (d13, dup13) = out((1L, 3L))
     assert((d13 == -1 || d13 > 1) && !dup13,
       "rotated twin must fail char-level verify")
+  }
+
+  test("editVerifiedPairs length-gap short-circuit still emits the pair") {
+    // same single token => identical simhash (hamming 0, guaranteed
+    // candidate) but a 5x length gap far beyond every DP cap: the pair
+    // must surface with the capped -1 verdict via the no-text-join
+    // branch, exactly as the early-exiting DP would report it
+    val d1 = Seq.fill(30)("alpha").mkString(" ")
+    val d2 = Seq.fill(150)("alpha").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = Dedup.editVerifiedPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(3), r.get(4), r.getBoolean(5)))).toMap
+    assert(out((1L, 2L)) == ((-1, null, false)))
   }
 }

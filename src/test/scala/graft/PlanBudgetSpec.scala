@@ -126,9 +126,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // periodogram: (key, bucket) grid pre-agg + the series-key index
     // window; the (key, k) power agg reuses hash(key)
     "ts_periodogram" -> 2,
-    // edit verify: the simhash agg + band self-join sides + the text
-    // join back per side; texts move only for candidate ids
-    "doc_dedup_edit" -> 4,
+    // edit verify: the wide-simhash agg + band self-join sides + the
+    // text join back per side; texts move only for viable-length
+    // candidate ids. 6 static = 4 distinct shuffles + the doomed
+    // (length-gap) branch's 2 duplicates of the candidate tree, which
+    // the engine de-duplicates (ReusedExchange with AQE off, runtime
+    // stage reuse with AQE on)
+    "doc_dedup_edit" -> 6,
     // augmented-LSH MIPS: M^2 one-row agg+broadcast (x2 sides), band
     // shuffles per side, pair-dedup agg, rank window
     "emb_mips_lsh" -> 7,
