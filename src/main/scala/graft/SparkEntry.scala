@@ -3579,6 +3579,8 @@ object SparkEntry {
         .unionByName(evalOf(Knn.ivfTopKLearned(emb, q, EmbDim, 3),
           "ivf_learned"))
         .unionByName(evalOf(Knn.ivfPqTopK(emb, q, EmbDim, 3), "ivf_pq"))
+        .unionByName(evalOf(Knn.ivfPqTopKLearned(emb, q, EmbDim, 3),
+          "ivf_pq_learned"))
         .unionByName(evalOf(Knn.ivfPqRerankTopK(emb, q, EmbDim, 3),
           "ivf_pq_rerank"))
         .unionByName(evalOf(Knn.sqSearchTopK(emb, q, EmbDim, 3), "sq"))
@@ -3751,6 +3753,13 @@ object SparkEntry {
 
     "emb_pq" -> { (s, dir) =>
       Knn.pqCodes(tbl(s, dir, "embeddings"), EmbDim)
+    },
+
+    // LEARNED per-subspace PQ codebook (one Lloyd update per subspace
+    // from the every-Nth seed — the ivf_learned upgrade applied to the
+    // product quantizer); same store shape as emb_pq, lower err2
+    "emb_pq_learned" -> { (s, dir) =>
+      Knn.pqCodesLearned(tbl(s, dir, "embeddings"), EmbDim)
     },
 
     // residual quantization: level 2 codes the level-1 ERROR (additive

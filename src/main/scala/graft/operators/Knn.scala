@@ -724,6 +724,109 @@ object Knn {
           (acc, x) => acc + x.getField("dist")), 6).as("err2"))
   }
 
+  /** Corpus sliced into per-subspace double vectors: one row per
+    * (vector, subspace) with sv = CAST-to-double slice s — the shared
+    * input of the learned-PQ training and assignment passes. Scan-side
+    * (explode + slice inside the scan stage, no shuffle).
+    */
+  private def pqSub(emb: DataFrame, dim: Int, m: Int,
+                    idCol: String, vecCol: String): DataFrame = {
+    val subDim = dim / m
+    emb.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .select(col(idCol), col("s"),
+        transform(slice(col("__v"), col("s") * subDim + 1, lit(subDim)),
+          x => x.cast("double")).as("sv"))
+  }
+
+  /** Per-subspace LEARNED PQ codebook — the codebook-training upgrade
+    * [[ivfTopKLearned]] made to the coarse quantizer, applied to the
+    * product quantizer (Jegou et al., PAMI 2011 §III trains each
+    * sub-quantizer by k-means): seed each subspace's codewords from
+    * the same deterministic every-Nth corpus sample as [[pqAssign]],
+    * then one Lloyd update per subspace — assign every subvector to
+    * its nearest (squared-L2, min-cid tie-break) codeword and move
+    * each codeword to its cell's per-dim mean (6dp-rounded, the
+    * kmeans convention both engines replay identically). Sampled
+    * codewords inherit the corpus density only at 256 points per
+    * subspace; the mean update relocates them to their Voronoi mass,
+    * which is what lifts ADC ranking off the floor.
+    *
+    * Scale shape: identical to [[pqAssign]] plus one (id,s)-keyed
+    * partial-agg'd argmin and one (s,cid,pos) partial-agg'd mean —
+    * all reduce outputs are codebook-sized (m·256·subDim), never
+    * corpus-sized. Returns (s, cid, cs: array<double>[dim/m]).
+    */
+  def pqCodebookLearned(emb: DataFrame, dim: Int, m: Int = 4,
+                        centroidEvery: Int = 0, idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val every = resolvePq(emb, centroidEvery)
+    val sub = pqSub(emb, dim, m, idCol, vecCol)
+    val c0 = emb.where(col(idCol) % every === 1)
+      .select(col(idCol).as("cid"), col(vecCol).as("__cv"))
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .select(col("s"), col("cid"),
+        transform(slice(col("__cv"), col("s") * subDim + 1, lit(subDim)),
+          x => x.cast("double")).as("cs"))
+    val d0 = org.apache.spark.sql.graft.GraftExpressions
+      .vec_sub_l2_d(col("sv"), col("cs"), lit(0), subDim)
+    val a1 = sub.join(broadcast(c0), Seq("s"))
+      .withColumn("d", d0)
+      .groupBy(col(idCol), col("s"))
+      .agg(min(struct(col("d"), col("cid"))).as("b"))
+      .select(col(idCol), col("s"), col("b.cid").as("cid"))
+    a1.join(sub, Seq(idCol, "s"))
+      .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("s", "cid", "pos")
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy("s", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        t => t.getField("c")).as("cs"))
+  }
+
+  /** [[pqAssign]] against the learned codebook: one row per
+    * (vector, subspace) with best = (dist, cid). `cb` defaults to
+    * training [[pqCodebookLearned]] on the corpus itself; pass a
+    * pre-built (lazily checkpointed) codebook to share the training
+    * pass across consumers.
+    */
+  def pqAssignLearned(emb: DataFrame, dim: Int, m: Int = 4,
+                      centroidEvery: Int = 0, idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      cb: Option[DataFrame] = None): DataFrame = {
+    val subDim = dim / m
+    val book = cb.getOrElse(
+      pqCodebookLearned(emb, dim, m, centroidEvery, idCol, vecCol))
+    val d = org.apache.spark.sql.graft.GraftExpressions
+      .vec_sub_l2_d(col("sv"), col("cs"), lit(0), subDim)
+    pqSub(emb, dim, m, idCol, vecCol)
+      .join(broadcast(book), Seq("s"))
+      .withColumn("dist", d)
+      .groupBy(col(idCol), col("s"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"))
+  }
+
+  /** [[pqCodes]] over the LEARNED per-subspace codebook: same output
+    * shape (id, codes CSV, err2); err2 drops because codewords sit at
+    * their cells' means instead of arbitrary sampled corpus points.
+    */
+  def pqCodesLearned(emb: DataFrame, dim: Int, m: Int = 4,
+                     centroidEvery: Int = 0, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    pqAssignLearned(emb, dim, m, centroidEvery, idCol, vecCol)
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("s"),
+        col("best.cid").as("cid"), col("best.dist").as("dist")))).as("arr"))
+      .select(col(idCol),
+        concat_ws(",",
+          transform(col("arr"), x => x.getField("cid").cast("string")))
+          .as("codes"),
+        round(aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("dist")), 6).as("err2"))
+  }
+
   /** Residual quantization (two-level additive FULL-vector codebook —
     * the RQ family ScaNN/faiss offer next to PQ): level 2 codes the
     * level-1 quantization ERROR, so the reconstruction c1 + c2 REFINES
@@ -1140,6 +1243,62 @@ object Knn {
       .select(col("query_id"), col("s"), col("pcid"),
         org.apache.spark.sql.graft.GraftExpressions
           .vec_sub_l2(col("qvec"), col("pcvec"), col("s"), subDim).as("d"))
+
+    val scored = cCells.join(qCells, Seq("cid"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+      .join(codes, Seq("neighbor_id"))
+      .join(dtab, Seq("query_id", "s", "pcid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(col("ds"), lit(0.0), (a, x) => a + x.getField("d"))
+          .as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 6).as("adist"))
+  }
+
+  /** [[ivfPqTopK]] with the LEARNED per-subspace PQ codebook
+    * ([[pqCodebookLearned]]) in place of the sampled one — same IVF
+    * cell routing, same ADC join shape; only the codebook (and with
+    * it the codes and the query distance table) changes. The learned
+    * codebook is trained once and lazily checkpointed so the corpus
+    * codes pass and the query dtab read the same table.
+    */
+  def ivfPqTopKLearned(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+                       m: Int = 4, coarseEvery: Int = 0, pqEvery: Int = 0,
+                       nProbe: Int = 2, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val pqEv = resolvePq(corpus, pqEvery)
+    val cents = coarseCents(corpus, dim, resolveCoarse(corpus, coarseEvery),
+      idCol, vecCol)
+    val cells = nearestCells(cents, dim) _
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
+    val cCells = cells(c, "neighbor_id", "nvec", 1, "nn")
+      .select("neighbor_id", "cid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
+    val qCells = cells(q, "query_id", "qvec", nProbe, "qn")
+      .select("query_id", "cid")
+
+    val book = pqCodebookLearned(corpus, dim, m, pqEv, idCol, vecCol)
+      .localCheckpoint(false)
+    val codes = pqAssignLearned(corpus, dim, m, pqEv, idCol, vecCol,
+        cb = Some(book))
+      .select(col(idCol).as("neighbor_id"), col("s"),
+        col("best.cid").as("pcid"))
+    val dtab = pqSub(queries, dim, m, idCol, vecCol)
+      .join(broadcast(book), Seq("s"))
+      .select(col(idCol).as("query_id"), col("s"), col("cid").as("pcid"),
+        org.apache.spark.sql.graft.GraftExpressions
+          .vec_sub_l2_d(col("sv"), col("cs"), lit(0), subDim).as("d"))
 
     val scored = cCells.join(qCells, Seq("cid"))
       .where(col("neighbor_id") =!= col("query_id"))
