@@ -4496,6 +4496,43 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist, neighbor_id) AS INTEGER) AS rank FROM sc)""".stripMargin
 
+  /** LEARNED-PQ codebook + corpus-assignment CTEs — mirrors
+    * Knn.pqCodebookLearned / pqAssignLearned exactly: seed codewords
+    * from the every-Nth corpus sample (vec_id % N = 1, the same
+    * [[sqlPqEvery]] stride as the sampled PQ), assign every (vector,
+    * subspace) to its nearest seed (squared sub-L2, min-cid tie-break),
+    * move each codeword to its cell's per-dim mean rounded to 6dp (the
+    * kmeans convention both engines replay identically), then re-assign
+    * the corpus against the learned book. Ends in `lpcb` (s, cid, cs)
+    * and `lpr` (vec_id, s, cid, dist, rn; rn = 1 is the code). Shared
+    * VERBATIM by the emb_pq_learned oracle and emb_ann_recall's
+    * ivf_pq_learned leg so the store and its eval cannot drift.
+    */
+  private def sqlPqLearnedCtes: String =
+    s"""lpseed AS (SELECT vec_id AS cid, embedding AS cvec
+       |  FROM embeddings WHERE vec_id % $sqlPqEvery = 1),
+       |lpsub AS (SELECT unnest(range(4)) AS s),
+       |lpa0 AS (SELECT e.vec_id, s.s, c.cid,
+       |    ${sqlSubL2("e.embedding", "c.cvec", "s.s")} AS dist
+       |  FROM embeddings e, lpseed c, lpsub s),
+       |lpa1 AS (SELECT vec_id, s, cid FROM (
+       |    SELECT vec_id, s, cid, row_number() OVER (
+       |      PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM lpa0)
+       |  WHERE rn = 1),
+       |lpe AS (SELECT a.s, a.cid, unnest(range(1, 17)) AS pos,
+       |    unnest(list_transform(range(a.s * 16 + 1, a.s * 16 + 17),
+       |      i -> CAST(e.embedding[i] AS DOUBLE))) AS x
+       |  FROM lpa1 a JOIN embeddings e ON e.vec_id = a.vec_id),
+       |lpm AS (SELECT s, cid, pos, round(avg(x), 6) AS c FROM lpe
+       |  GROUP BY s, cid, pos),
+       |lpcb AS (SELECT s, cid, list(c ORDER BY pos) AS cs FROM lpm
+       |  GROUP BY s, cid),
+       |lpd AS (SELECT e.vec_id, b.s, b.cid,
+       |    ${sqlSubL2Lrn("e.embedding", "b.s", "b.cs")} AS dist
+       |  FROM embeddings e, lpcb b),
+       |lpr AS (SELECT vec_id, s, cid, dist, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM lpd)""".stripMargin
+
   /** Quality-score CTEs ending in `qual` (doc_id, n_tokens,
     * avg_token_len, punct_ratio, digit_ratio, stop_ratio, quality) —
     * shared by doc_quality and doc_quality_filter so the filter's
@@ -4536,6 +4573,18 @@ object SparkEntry {
       s"range($s * 16 + 1, $s * 16 + 17), " +
       s"i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
       s"* (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+      "(x, y) -> x + y)"
+
+  /** [[sqlSubL2]] against a LEARNED codeword: the corpus side `a` is a
+    * full float vector indexed at subspace `s`'s offset, the codebook
+    * side `cs` is a 16-wide DOUBLE codeword (the per-cell mean, already
+    * 6dp-rounded) indexed 1..16 — mirrors Knn.pqAssignLearned's
+    * vec_sub_l2_d(sv, cs, 0, 16) over the double-cast slice.
+    */
+  private def sqlSubL2Lrn(a: String, s: String, cs: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, 17), " +
+      s"i -> (CAST($a[$s * 16 + i] AS DOUBLE) - $cs[i]) " +
+      s"* (CAST($a[$s * 16 + i] AS DOUBLE) - $cs[i]))), " +
       "(x, y) -> x + y)"
 
   /** DuckDB mirror of Knn.autoCoarseEvery: the √n coarse-codebook
@@ -5957,6 +6006,24 @@ object SparkEntry {
          |ivfl AS (SELECT query_id, neighbor_id FROM klr WHERE rk <= 3),
          |$sqlIvfPqAdcCtes,
          |pq3 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+         |$sqlPqLearnedCtes,
+         |lpcode AS (SELECT vec_id AS neighbor_id, s, cid AS pcid FROM lpr
+         |  WHERE rn = 1),
+         |lpdtab AS (SELECT q0.query_id, b.s, b.cid AS pcid,
+         |    ${sqlSubL2Lrn("q0.qv", "b.s", "b.cs")} AS d
+         |  FROM q0, lpcb b),
+         |lpsc AS (SELECT c.query_id, c.neighbor_id,
+         |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
+         |      (x, y) -> x + y) AS adist
+         |  FROM cand c
+         |  JOIN lpcode k ON k.neighbor_id = c.neighbor_id
+         |  JOIN lpdtab t ON t.query_id = c.query_id AND t.s = k.s
+         |    AND t.pcid = k.pcid
+         |  GROUP BY 1, 2),
+         |lpfin AS (SELECT query_id, neighbor_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+         |  FROM lpsc),
+         |pql3 AS (SELECT query_id, neighbor_id FROM lpfin WHERE rk <= 3),
          |prr0 AS (SELECT r.query_id, r.neighbor_id,
          |    ${sqlDot("q0.qv", "c0.nv")} / (q0.qn * c0.nn) AS cos
          |  FROM r JOIN q0 USING (query_id)
@@ -5994,6 +6061,13 @@ object SparkEntry {
          |  round(CAST(count(p.query_id) AS DOUBLE) / count(*), 6) AS recall
          |FROM brute b LEFT JOIN pq3 p
          |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT 'ivf_pq_learned' AS method, count(*) AS n_truth,
+         |  count(pl.query_id) AS n_hits,
+         |  round(CAST(count(pl.query_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM brute b LEFT JOIN pql3 pl
+         |  ON b.query_id = pl.query_id AND b.neighbor_id = pl.neighbor_id
          |GROUP BY 1
          |UNION ALL
          |SELECT 'ivf_pq_rerank' AS method, count(*) AS n_truth,
@@ -6395,6 +6469,17 @@ object SparkEntry {
          |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
          |    (x, y) -> x + y), 6) AS err2
          |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
+    // LEARNED PQ: the shared seeded-then-one-Lloyd-update codebook
+    // chain (6dp-rounded means, min-cid tie-break) re-assigns the
+    // corpus; codes CSV + err2 fold in subspace order on both sides
+    "emb_pq_learned" ->
+      s"""WITH $sqlPqLearnedCtes
+         |SELECT vec_id,
+         |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
+         |    (x, y) -> x + y), 6) AS err2
+         |FROM lpr WHERE rn = 1 GROUP BY vec_id""".stripMargin,
 
     // RQ: both codebooks replayed from the corpus + its count (level-2
     // centroids are the every-Nth RESIDUALS + the zero codeword);
