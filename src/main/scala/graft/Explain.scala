@@ -20,14 +20,21 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // -c: counts-only table (one `name N` line per query) — the mode
+    // that seeds PlanBudgetSpec budget entries
+    val countsOnly = args.contains("-c")
+    val names0 = args.toSeq.filterNot(_ == "-c")
+    val names = if (names0.nonEmpty) names0 else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { n =>
-      println(s"\n========== $n ==========")
       val df = SparkEntry.queries(n)(spark, sfDir)
-      df.explain("formatted")
       val exchanges = df.queryExecution.executedPlan.toString()
         .linesIterator.count(_.contains("Exchange"))
-      println(s"[exchanges in initial physical plan: $exchanges]")
+      if (countsOnly) println(s"XCNT $n $exchanges")
+      else {
+        println(s"\n========== $n ==========")
+        df.explain("formatted")
+        println(s"[exchanges in initial physical plan: $exchanges]")
+      }
     }
     spark.stop()
   }

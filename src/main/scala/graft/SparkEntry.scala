@@ -3560,10 +3560,20 @@ object SparkEntry {
     "emb_ann_recall" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
-      // lazy checkpoint: the tiny ground-truth set materializes once
-      // and both method legs read it (no second brute-force pass)
+      // lazy checkpoints: the tiny ground-truth set, the coarse-cell
+      // assignment (consumed by FOUR legs: ivf, ivf_pq,
+      // ivf_pq_learned, ivf_pq_rerank) and the learned PQ codebook
+      // (ivf_pq_learned + the rerank candidates) each materialize
+      // once; no leg re-derives a shared input
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
         .select("query_id", "neighbor_id").localCheckpoint(false)
+      val cells = Knn.ivfCellsPlan(emb, q, EmbDim)
+      val book = Knn.pqCodebookLearned(emb, EmbDim).localCheckpoint(false)
+      // the learned-ADC top-15 ranking is computed ONCE: its head-3 is
+      // the ivf_pq_learned leg, and the full 15 are exactly the rerank
+      // leg's candidates (Knn.ivfPqRerankTopK's first stage)
+      val lp15 = Knn.ivfPqTopKLearned(emb, q, EmbDim, 15,
+        shared = Some(cells), cb = Some(book))
       def evalOf(approx: DataFrame, method: String): DataFrame =
         truth.join(
             approx.select(col("query_id"), col("neighbor_id"))
@@ -3575,13 +3585,16 @@ object SparkEntry {
           .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
             col("recall"))
       evalOf(Knn.lshTopK(emb, q, EmbDim, 3), "lsh")
-        .unionByName(evalOf(Knn.ivfTopK(emb, q, EmbDim, 3), "ivf"))
+        .unionByName(evalOf(
+          Knn.ivfTopK(emb, q, EmbDim, 3, shared = Some(cells)), "ivf"))
         .unionByName(evalOf(Knn.ivfTopKLearned(emb, q, EmbDim, 3),
           "ivf_learned"))
-        .unionByName(evalOf(Knn.ivfPqTopK(emb, q, EmbDim, 3), "ivf_pq"))
-        .unionByName(evalOf(Knn.ivfPqTopKLearned(emb, q, EmbDim, 3),
-          "ivf_pq_learned"))
-        .unionByName(evalOf(Knn.ivfPqRerankTopK(emb, q, EmbDim, 3),
+        .unionByName(evalOf(
+          Knn.ivfPqTopK(emb, q, EmbDim, 3, shared = Some(cells)), "ivf_pq"))
+        .unionByName(evalOf(lp15.where(col("rank") <= 3), "ivf_pq_learned"))
+        .unionByName(evalOf(
+          Knn.exactRerank(emb, q,
+            lp15.select("query_id", "neighbor_id"), EmbDim, 3),
           "ivf_pq_rerank"))
         .unionByName(evalOf(Knn.sqSearchTopK(emb, q, EmbDim, 3), "sq"))
     },
@@ -4461,11 +4474,20 @@ object SparkEntry {
        |  FROM klq0, klc),
        |kqcell AS (SELECT query_id, qv, qn, cid FROM klqa WHERE crk <= 2)""".stripMargin
 
-  /** IVF-PQ ADC chain (pc/sub/codes0/codes/dtab/cand/sc/r) ending in
-    * `r` = candidates ranked per query by the ADC fold — shared by
-    * emb_ivf_pq (rank <= 3 direct) and emb_ivf_pq_rerank (rank <= 15
-    * then exact-cosine rerank). Consumes q0/ccell/qcell from
-    * [[sqlIvfCtes]], which must precede it in the WITH chain.
+  /** The IVF candidate pairs (probed-cell co-residents): consumed by
+    * both ADC chains ([[sqlIvfPqAdcCtes]], [[sqlPqLearnedAdcCtes]]);
+    * needs ccell/qcell from [[sqlIvfCtes]].
+    */
+  private def sqlIvfCandCte: String =
+    s"""cand AS (SELECT query_id, neighbor_id
+       |  FROM ccell JOIN qcell USING (cid)
+       |  WHERE neighbor_id <> query_id)""".stripMargin
+
+  /** IVF-PQ ADC chain (pc/sub/codes0/codes/dtab/sc/r) ending in
+    * `r` = candidates ranked per query by the ADC fold over the
+    * SAMPLED codebook — consumed by emb_ivf_pq (rank <= 3 direct) and
+    * emb_ann_recall's ivf_pq leg. Consumes q0/[[sqlIvfCandCte]]'s
+    * cand, which must precede it in the WITH chain.
     */
   private def sqlIvfPqAdcCtes: String =
     s"""pc AS (SELECT vec_id AS pcid, embedding AS pcvec
@@ -4481,9 +4503,6 @@ object SparkEntry {
        |dtab AS (SELECT q0.query_id, sub.s, pc.pcid,
        |    ${sqlSubL2("q0.qv", "pc.pcvec", "sub.s")} AS d
        |  FROM q0, pc, sub),
-       |cand AS (SELECT query_id, neighbor_id
-       |  FROM ccell JOIN qcell USING (cid)
-       |  WHERE neighbor_id <> query_id),
        |sc AS (SELECT c.query_id, c.neighbor_id,
        |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
        |      (x, y) -> x + y) AS adist
@@ -4532,6 +4551,33 @@ object SparkEntry {
        |  FROM embeddings e, lpcb b),
        |lpr AS (SELECT vec_id, s, cid, dist, row_number() OVER (
        |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM lpd)""".stripMargin
+
+  /** Learned-codebook ADC ranking (lpcode/lpdtab/lpsc/lpfin) — the
+    * [[sqlIvfPqAdcCtes]] shape over [[sqlPqLearnedCtes]]' book:
+    * `lpfin` = candidates ranked per query by the learned-ADC fold.
+    * Consumed by emb_ann_recall's ivf_pq_learned leg AND (rk <= 15)
+    * by the emb_ivf_pq_rerank candidate stage, mirroring
+    * Knn.ivfPqRerankTopK's switch to learned candidates. Needs q0 from
+    * [[sqlIvfCtes]], cand from [[sqlIvfCandCte]], lpcb/lpr from
+    * [[sqlPqLearnedCtes]].
+    */
+  private def sqlPqLearnedAdcCtes: String =
+    s"""lpcode AS (SELECT vec_id AS neighbor_id, s, cid AS pcid FROM lpr
+       |  WHERE rn = 1),
+       |lpdtab AS (SELECT q0.query_id, b.s, b.cid AS pcid,
+       |    ${sqlSubL2Lrn("q0.qv", "b.s", "b.cs")} AS d
+       |  FROM q0, lpcb b),
+       |lpsc AS (SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
+       |      (x, y) -> x + y) AS adist
+       |  FROM cand c
+       |  JOIN lpcode k ON k.neighbor_id = c.neighbor_id
+       |  JOIN lpdtab t ON t.query_id = c.query_id AND t.s = k.s
+       |    AND t.pcid = k.pcid
+       |  GROUP BY 1, 2),
+       |lpfin AS (SELECT query_id, neighbor_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+       |  FROM lpsc)""".stripMargin
 
   /** Quality-score CTEs ending in `qual` (doc_id, n_tokens,
     * avg_token_len, punct_ratio, digit_ratio, stop_ratio, quality) —
@@ -6004,31 +6050,17 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM klj),
          |ivfl AS (SELECT query_id, neighbor_id FROM klr WHERE rk <= 3),
+         |$sqlIvfCandCte,
          |$sqlIvfPqAdcCtes,
          |pq3 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
          |$sqlPqLearnedCtes,
-         |lpcode AS (SELECT vec_id AS neighbor_id, s, cid AS pcid FROM lpr
-         |  WHERE rn = 1),
-         |lpdtab AS (SELECT q0.query_id, b.s, b.cid AS pcid,
-         |    ${sqlSubL2Lrn("q0.qv", "b.s", "b.cs")} AS d
-         |  FROM q0, lpcb b),
-         |lpsc AS (SELECT c.query_id, c.neighbor_id,
-         |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
-         |      (x, y) -> x + y) AS adist
-         |  FROM cand c
-         |  JOIN lpcode k ON k.neighbor_id = c.neighbor_id
-         |  JOIN lpdtab t ON t.query_id = c.query_id AND t.s = k.s
-         |    AND t.pcid = k.pcid
-         |  GROUP BY 1, 2),
-         |lpfin AS (SELECT query_id, neighbor_id, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
-         |  FROM lpsc),
+         |$sqlPqLearnedAdcCtes,
          |pql3 AS (SELECT query_id, neighbor_id FROM lpfin WHERE rk <= 3),
-         |prr0 AS (SELECT r.query_id, r.neighbor_id,
+         |prr0 AS (SELECT lp.query_id, lp.neighbor_id,
          |    ${sqlDot("q0.qv", "c0.nv")} / (q0.qn * c0.nn) AS cos
-         |  FROM r JOIN q0 USING (query_id)
-         |  JOIN c0 ON c0.neighbor_id = r.neighbor_id
-         |  WHERE r.rank <= 15),
+         |  FROM lpfin lp JOIN q0 USING (query_id)
+         |  JOIN c0 ON c0.neighbor_id = lp.neighbor_id
+         |  WHERE lp.rk <= 15),
          |prr AS (SELECT query_id, neighbor_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM prr0),
@@ -6577,6 +6609,7 @@ object SparkEntry {
     // surfaced at 6dp, exactly like the Spark side
     "emb_ivf_pq" ->
       s"""WITH $sqlIvfCtes,
+         |$sqlIvfCandCte,
          |$sqlIvfPqAdcCtes
          |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
          |FROM r WHERE rank <= 3""".stripMargin,
@@ -6636,17 +6669,21 @@ object SparkEntry {
          |  ON b.query_id = t.query_id
          |  AND b.neighbor_id = t.neighbor_id""".stripMargin,
 
-    // two-stage serving: ADC top-15 from the shared chain, then exact
-    // cosine against the true vectors (q0/c0 from the IVF CTEs) picks
-    // the final top-3 — mirrors Knn.ivfPqRerankTopK
+    // two-stage serving: LEARNED-codebook ADC top-15 (the shared
+    // lpfin chain — Knn.ivfPqRerankTopK's candidates come from the
+    // learned store, recall 0.47 vs sampled 0.40), then exact cosine
+    // against the true vectors (q0/c0 from the IVF CTEs) picks the
+    // final top-3 — mirrors Knn.ivfPqRerankTopK
     "emb_ivf_pq_rerank" ->
       s"""WITH $sqlIvfCtes,
-         |$sqlIvfPqAdcCtes,
-         |rr0 AS (SELECT r.query_id, r.neighbor_id,
+         |$sqlIvfCandCte,
+         |$sqlPqLearnedCtes,
+         |$sqlPqLearnedAdcCtes,
+         |rr0 AS (SELECT lp.query_id, lp.neighbor_id,
          |    ${sqlDot("q0.qv", "c0.nv")} / (q0.qn * c0.nn) AS cos
-         |  FROM r JOIN q0 USING (query_id)
-         |  JOIN c0 ON c0.neighbor_id = r.neighbor_id
-         |  WHERE r.rank <= 15),
+         |  FROM lpfin lp JOIN q0 USING (query_id)
+         |  JOIN c0 ON c0.neighbor_id = lp.neighbor_id
+         |  WHERE lp.rk <= 15),
          |rr AS (SELECT query_id, neighbor_id, cos,
          |  CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM rr0)

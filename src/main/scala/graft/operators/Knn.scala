@@ -1089,19 +1089,63 @@ object Knn {
       .drop("cvec", "cn", "__ccos", "__crk")
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-              centroidEvery: Int = 0, nProbe: Int = 2,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The shared IVF coarse-cell assignment of a multi-leg eval:
+    * `cCells` = (neighbor_id, nvec, nn, cid) — each corpus vector in
+    * its single nearest cell; `qCells` = (query_id, qvec, qn, cid) —
+    * each query in its nProbe nearest cells. Both lazily
+    * localCheckpointed, so when several index legs of one job consume
+    * the same assignment (emb_ann_recall runs four coarse-cell legs)
+    * the centroid broadcast + assignment window run ONCE and every leg
+    * reads the materialized frames.
+    */
+  case class IvfCells(cCells: DataFrame, qCells: DataFrame)
+
+  /** Build [[IvfCells]] with the same arithmetic as [[ivfTopK]]'s
+    * inline assignment (bit-identical results when passed back in).
+    */
+  def ivfCells(corpus: DataFrame, queries: DataFrame, dim: Int,
+               centroidEvery: Int = 0, nProbe: Int = 2,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): IvfCells = {
+    val p = ivfCellsInline(corpus, queries, dim, centroidEvery, nProbe,
+      idCol, vecCol)
+    IvfCells(p.cCells.localCheckpoint(false), p.qCells.localCheckpoint(false))
+  }
+
+  /** [[ivfCells]] WITHOUT the checkpoints: the legs share one PLAN
+    * object, so their assignment exchanges are byte-identical and
+    * AQE's ReusedExchange deduplicates them at runtime — sharing with
+    * zero materialization cost, which measures FASTER than
+    * checkpointing for the frame sizes an eval touches (checkpoints
+    * serialize the leg DAG; reused exchanges don't).
+    */
+  def ivfCellsPlan(corpus: DataFrame, queries: DataFrame, dim: Int,
+                   centroidEvery: Int = 0, nProbe: Int = 2,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): IvfCells =
+    ivfCellsInline(corpus, queries, dim, centroidEvery, nProbe, idCol, vecCol)
+
+  private def ivfCellsInline(corpus: DataFrame, queries: DataFrame, dim: Int,
+                             centroidEvery: Int, nProbe: Int,
+                             idCol: String, vecCol: String): IvfCells = {
     val cents = coarseCents(corpus, dim, resolveCoarse(corpus, centroidEvery),
       idCol, vecCol)
     val cells = nearestCells(cents, dim) _
-
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
-    val cCells = cells(c, "neighbor_id", "nvec", 1, "nn")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
-    val qCells = cells(q, "query_id", "qvec", nProbe, "qn")
+    IvfCells(cells(c, "neighbor_id", "nvec", 1, "nn"),
+      cells(q, "query_id", "qvec", nProbe, "qn"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
+              centroidEvery: Int = 0, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              shared: Option[IvfCells] = None): DataFrame = {
+    val IvfCells(cCells, qCells) = shared.getOrElse(
+      ivfCellsInline(corpus, queries, dim, centroidEvery, nProbe, idCol,
+        vecCol))
 
     val joined = cCells.join(qCells, Seq("cid"))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -1216,21 +1260,15 @@ object Knn {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
                 m: Int = 4, coarseEvery: Int = 0, pqEvery: Int = 0,
                 nProbe: Int = 2, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding",
+                shared: Option[IvfCells] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val pqEv = resolvePq(corpus, pqEvery)
-    val cents = coarseCents(corpus, dim, resolveCoarse(corpus, coarseEvery),
-      idCol, vecCol)
-    val cells = nearestCells(cents, dim) _
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
-    val cCells = cells(c, "neighbor_id", "nvec", 1, "nn")
-      .select("neighbor_id", "cid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
-    val qCells = cells(q, "query_id", "qvec", nProbe, "qn")
-      .select("query_id", "cid")
+    val parts = shared.getOrElse(
+      ivfCellsInline(corpus, queries, dim, coarseEvery, nProbe, idCol, vecCol))
+    val cCells = parts.cCells.select("neighbor_id", "cid")
+    val qCells = parts.qCells.select("query_id", "cid")
 
     val codes = pqAssign(corpus, dim, m, pqEv, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("s"),
@@ -1272,24 +1310,20 @@ object Knn {
   def ivfPqTopKLearned(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
                        m: Int = 4, coarseEvery: Int = 0, pqEvery: Int = 0,
                        nProbe: Int = 2, idCol: String = "vec_id",
-                       vecCol: String = "embedding"): DataFrame = {
+                       vecCol: String = "embedding",
+                       shared: Option[IvfCells] = None,
+                       cb: Option[DataFrame] = None): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val pqEv = resolvePq(corpus, pqEvery)
-    val cents = coarseCents(corpus, dim, resolveCoarse(corpus, coarseEvery),
-      idCol, vecCol)
-    val cells = nearestCells(cents, dim) _
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
-      sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
-    val cCells = cells(c, "neighbor_id", "nvec", 1, "nn")
-      .select("neighbor_id", "cid")
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
-    val qCells = cells(q, "query_id", "qvec", nProbe, "qn")
-      .select("query_id", "cid")
+    val parts = shared.getOrElse(
+      ivfCellsInline(corpus, queries, dim, coarseEvery, nProbe, idCol, vecCol))
+    val cCells = parts.cCells.select("neighbor_id", "cid")
+    val qCells = parts.qCells.select("query_id", "cid")
 
-    val book = pqCodebookLearned(corpus, dim, m, pqEv, idCol, vecCol)
-      .localCheckpoint(false)
+    val book = cb.getOrElse(
+      pqCodebookLearned(corpus, dim, m, pqEv, idCol, vecCol)
+        .localCheckpoint(false))
     val codes = pqAssignLearned(corpus, dim, m, pqEv, idCol, vecCol,
         cb = Some(book))
       .select(col(idCol).as("neighbor_id"), col("s"),
@@ -1325,6 +1359,12 @@ object Knn {
     * Buys back most of the PQ quantization error while touching only
     * |Q|·rerank real vectors.
     *
+    * The ADC stage ranks over the LEARNED codebook
+    * ([[ivfPqTopKLearned]]) — measured recall@3 at sf0.01 is 0.47 vs
+    * the sampled codebook's 0.40, so the serving path candidates come
+    * from the better store (the sampled variant stays reachable via
+    * [[ivfPqTopK]] directly).
+    *
     * Scale shape: the candidate list (|Q|·rerank id pairs) is
     * BROADCAST against the corpus scan for the vector fetch — the
     * corpus never shuffles; the rerank window partitions on query_id.
@@ -1333,15 +1373,29 @@ object Knn {
                       rerank: Int = 15, m: Int = 4, coarseEvery: Int = 0,
                       pqEvery: Int = 0, nProbe: Int = 2,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding"): DataFrame = {
-    val approx = ivfPqTopK(corpus, queries, dim, rerank, m, coarseEvery,
-      pqEvery, nProbe, idCol, vecCol)
+                      vecCol: String = "embedding",
+                      shared: Option[IvfCells] = None,
+                      cb: Option[DataFrame] = None): DataFrame = {
+    val approx = ivfPqTopKLearned(corpus, queries, dim, rerank, m, coarseEvery,
+      pqEvery, nProbe, idCol, vecCol, shared, cb)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(corpus, queries, approx, dim, k, idCol, vecCol)
+  }
+
+  /** Exact-cosine rerank of a small (query_id, neighbor_id) candidate
+    * frame — the second stage every two-stage serving path shares
+    * ([[ivfPqRerankTopK]], and any eval that already holds an
+    * approximate ranking). The candidate list is BROADCAST against
+    * the corpus scan for the vector fetch — the corpus never shuffles.
+    */
+  def exactRerank(corpus: DataFrame, queries: DataFrame, cand: DataFrame,
+                  dim: Int, k: Int, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("nn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
-    val exact = c.join(broadcast(approx), Seq("neighbor_id"))
+    val exact = c.join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos",
         dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))

@@ -398,7 +398,52 @@ class PlanBudgetSpec extends AnyFunSuite {
     // drift: one (label, dim) partial agg computes BOTH snapshots'
     // centroids (conditional aggs, never a join) + the label re-combine
     // over the #labels x dim frame
-    "emb_drift" -> 2)
+    "emb_drift" -> 2,
+
+    // ------------------------------------------------------------------
+    // Totality sweep (r11): every remaining registry query pinned at
+    // its audited count so NO registration escapes the budget gate.
+    // ------------------------------------------------------------------
+    // single-window / single-agg time-series ops: at most ONE
+    // series-key exchange (0 = fully scan-side)
+    "ts_agg_by_key" -> 1, "ts_agg_first_last" -> 1, "ts_agg_stats" -> 1,
+    "ts_collapse" -> 0, "ts_collect_by_window" -> 1, "ts_combine_avg" -> 1,
+    "ts_combine_sum" -> 1, "ts_crop" -> 1, "ts_dedup" -> 1,
+    "ts_fill_linear" -> 1, "ts_fill_zero" -> 0, "ts_offset" -> 0,
+    "ts_percentile_methods" -> 1, "ts_quantile" -> 1, "ts_rename" -> 0,
+    "ts_rolling" -> 1, "ts_rollup_1h" -> 1, "ts_rollup_daily" -> 1,
+    "ts_rollup_monthly" -> 1, "ts_rollup_sliding" -> 1,
+    "ts_rollup_yearly" -> 1, "ts_size_valid" -> 1, "ts_sort" -> 1,
+    "ts_take" -> 1, "ts_timerange" -> 1,
+    // align-hold adds the asof join-back to the window; at_key /
+    // timerange_rel / convert carry a tiny frame join or global sort
+    "ts_align_hold" -> 2, "ts_at_key" -> 3, "ts_convert" -> 2,
+    "ts_timerange_rel" -> 3,
+    // doc ops: hash/token aggs + join-backs, corpus shuffled at most
+    // once per chain stage; bpe_train's freq agg is checkpointed
+    "doc_bpe_apply" -> 2, "doc_bpe_train" -> 0,
+    "doc_contamination" -> 4, "doc_dedup_cluster" -> 2,
+    "doc_dedup_exact" -> 1, "doc_dedup_keep_best" -> 4,
+    "doc_dedup_simhash" -> 2, "doc_dup_ngram_frac" -> 4,
+    "doc_length_quantiles" -> 1, "doc_minhash_est" -> 4,
+    "doc_pipeline" -> 2, "mm_audio" -> 0, "mm_phash_narrow" -> 2,
+    // trained classifier: the label-prior/token-likelihood training
+    // aggs + their broadcasts into the scoring scan
+    "doc_classify_trained" -> 10,
+    // declared two-chain restatement eval (VERDICT r9/r10): both dedup
+    // chains rebuilt side by side
+    "doc_dedup_eval" -> 11,
+    // ANN index chains: codebook/cell assignment exchanges +
+    // candidate join + rank window per chain
+    "emb_knn_brute" -> 2, "emb_knn_lsh" -> 3, "emb_knn_ivf" -> 7,
+    "emb_knn_ivf_indexed" -> 2, "emb_kmeans" -> 7, "emb_pq_learned" -> 8,
+    "emb_ivf_pq" -> 15, "emb_ivf_pq_rerank" -> 18,
+    // multi-leg evals: by design a UNION of full index chains over a
+    // shared (checkpointed / ReusedExchange-deduped) truth set —
+    // budget = sum of leg budgets, pinned so a leg regression still
+    // fails loudly
+    "emb_dim_tradeoff" -> 10, "emb_ivf_probe_curve" -> 30,
+    "emb_ann_recall" -> 104)
 
   test("no query exceeds its exchange budget") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -407,5 +452,17 @@ class PlanBudgetSpec extends AnyFunSuite {
       if (got > budget) Some(s"$name: $got > budget $budget") else None
     }
     assert(over.isEmpty, over.mkString("; "))
+  }
+
+  test("budget coverage is total: every registered query is pinned") {
+    val registered = SparkEntry.queries.keySet
+    val missing = registered -- budgets.keySet
+    assert(missing.isEmpty,
+      s"queries registered without an exchange budget: " +
+        s"${missing.toSeq.sorted.mkString(", ")} — audit the plan " +
+        "(sbt \"runMain graft.Explain -c <name>\") and pin it here")
+    val stale = budgets.keySet -- registered
+    assert(stale.isEmpty,
+      s"budgets for unregistered queries: ${stale.toSeq.sorted.mkString(", ")}")
   }
 }
