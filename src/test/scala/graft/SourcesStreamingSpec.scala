@@ -740,6 +740,83 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(byWin(base + 3600L * 1000000L) == ((1.0, false)))
   }
 
+  test("streaming coverage scorecard equals the batch windows; whole is integer-exact") {
+    import spark.implicits._
+    val base = 1704067200000000L
+    val M5 = 5L * 60L * 1000000L
+    // user 1: perfect 5m cadence over the hour (12 points, expected
+    // 12) -> whole; user 2: same span with 4 of 12 missing (expected
+    // 12, n 8, coverage 0.666667) -> not whole at 90%
+    val rows = (0 until 12).map(i => (base + i * M5, 1L)) ++
+      (0 until 12).filter(i => i % 3 != 1).map(i => (base + i * M5, 2L))
+    val batch = rows.toDF("ts", "user_id")
+    val dir = Files.createTempDirectory("graft_scov").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+
+    val q = graft.streaming.StreamCoverage.scorecard(stream, "ts",
+        "user_id", "1h", watermark = "10 minutes", cadenceUs = M5)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("scov_test").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("scov_test")
+
+    // withWatermark is a no-op on a batch frame: same code path
+    val want = graft.streaming.StreamCoverage.scorecard(batch, "ts",
+      "user_id", "1h", watermark = "10 minutes", cadenceUs = M5)
+    assert(got.count() == 2)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val byKey = got.collect().map(r => r.getAs[Long]("user_id") ->
+      (r.getAs[Long]("expected"), r.getAs[Double]("coverage"),
+        r.getAs[Boolean]("whole"))).toMap
+    assert(byKey(1L) == ((12L, 1.0, true)))
+    assert(byKey(2L) == ((12L, 0.666667, false)))
+  }
+
+  test("streaming churn verdicts: own-event and watermark-silence triggers") {
+    import spark.implicits._
+    val W = 10L * 1000000L // 10s "weeks" (the calendar is a parameter)
+    // u1 active weeks 0,1,2; u2 active 0,3 (the week-3 event decides
+    // week 0 churned=true immediately); u3 active week 1 only (only
+    // the watermark can decide it)
+    val b1 = Seq((1L, 1000000L), (1L, 12000000L), (1L, 22000000L),
+      (2L, 2000000L), (2L, 32000000L), (3L, 15000000L))
+      .toDF("user_id", "ts")
+    // sentinels: each pushes the watermark so the PREVIOUS batch's
+    // pending timeouts fire on the next one (watermark advances at
+    // batch N+1 from batch N's max event time)
+    val b2 = Seq((99L, 200000000L)).toDF("user_id", "ts")
+    val b3 = Seq((98L, 300000000L)).toDF("user_id", "ts")
+
+    val (out, ps) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3),
+      s => graft.streaming.StreamChurn(spark, s, epochUs = 0L, weekUs = W,
+        watermark = "1 second").toDF(),
+      "append", "churn_stream")
+    assert(StreamHarness.lateDrops(ps) == 0)
+    val got = out.collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("week_num"),
+        r.getAs[Boolean]("churned"))).toSet
+    // u1: weeks 0,1 decided by own events (retained), week 2 by
+    // silence; u2: week 0 by the gap to week 3, week 3 by silence;
+    // u3: week 1 by silence; u99's silence fires in the no-data batch
+    // Spark runs after b3's watermark advance. u98 right-censored
+    // (the watermark has not closed its successor week) — exactly the
+    // week batch q_churn also refuses to judge.
+    assert(got == Set((1L, 0L, false), (1L, 1L, false), (1L, 2L, true),
+      (2L, 0L, true), (2L, 3L, true), (3L, 1L, true), (99L, 20L, true)))
+
+    // the weekly rollup over verdicts is the batch operator's shape
+    val roll = graft.streaming.StreamChurn.weeklyRollup(out)
+      .collect().map(r => r.getAs[Long]("week_num") ->
+        (r.getAs[Long]("n_active"), r.getAs[Long]("n_churned"),
+          r.getAs[Double]("churn_rate"))).toMap
+    assert(roll(0L) == ((2L, 1L, 0.5)))
+    assert(roll(1L) == ((2L, 1L, 0.5)))
+    assert(roll(2L) == ((1L, 1L, 1.0)))
+    assert(roll(3L) == ((1L, 1L, 1.0)))
+    assert(roll(20L) == ((1L, 1L, 1.0)))
+  }
+
   test("stream-stream interval join matches the batch RangeJoin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

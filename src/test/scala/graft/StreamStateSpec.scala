@@ -215,6 +215,44 @@ class StreamStateSpec extends AnyFunSuite {
     }
   }
 
+  test("coverage scorecard windows close and evict (StreamCoverage)") {
+    val batches = advancingBatches(nKeys = 3, perKey = 40)
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamCoverage.scorecard(s, "ts", "user_id",
+        "5m", watermark = "1 hour", cadenceUs = M),
+      "append", "coverage_state")
+    assert(out.count() > 0)
+    assert(StreamHarness.lateDrops(ps) == 0, "exact scorecard dropped rows")
+    val rows = StreamHarness.stateRows(ps)
+    // state per open (key, window) is the (min, max, count) triple;
+    // unbounded growth = 4 batches x 3 keys x 8 windows = 96
+    assert(rows.max < 96, s"coverage windows never evicted: $rows")
+    assert(rows.max <= 2 * 3 * 8 + 6,
+      s"open-window state exceeds two batches' windows: $rows")
+  }
+
+  test("churn state is one row per UNDECIDED user, evicted on verdict") {
+    import spark.implicits._
+    val W = 10L * 1000000L
+    // batch 1: 4 users each active in week b across batches that
+    // advance weeks; every watermark advance fires the silence
+    // timeouts of users whose successor week closed, so state holds
+    // only the still-censored users — never one row per event
+    val batches = (0 until 4).map { b =>
+      (0 until 4).flatMap { k =>
+        (0 until 10).map(i => (k.toLong, b * 50L * 1000000L + i * 1000000L))
+      }.toDF("user_id", "ts")
+    }
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamChurn(spark, s, epochUs = 0L, weekUs = W,
+        watermark = "1 second").toDF(),
+      "append", "churn_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    assert(rows.nonEmpty && rows.forall(_ <= 4),
+      s"churn state exceeded |users|=4: $rows")
+  }
+
   test("sliding-window rollup closes and evicts past windows") {
     val batches = advancingBatches(nKeys = 3, perKey = 40)
     val (out, ps) = StreamHarness.feedBatches(spark, batches,
