@@ -2988,6 +2988,14 @@ object SparkEntry {
     */
   private val MmPhashEvalMaxDocs = 1000000L
 
+  /** Corpus bound above which emb_dedup_cosine_fixed's declared
+    * floor-geometry witness caps to the base copy (the 4-plane pin is
+    * a block² blowup by construction; the cap keeps it a constant-cost
+    * witness at every scale). The oracle replays the identical gate
+    * from count(*).
+    */
+  private val EmbDedupFixedMaxVecs = 10000L
+
   /** The sampled phash-recall harness (O(n·|P|) truth against planted
     * re-encode probes) — the body of mm_phash_eval_sampled, shared by
     * mm_phash_eval's above-threshold auto-switch.
@@ -3708,10 +3716,18 @@ object SparkEntry {
 
     // the fixed small-corpus geometry (4 planes x 4 tables), kept as
     // its own entry: matches the ANN index's registered cells exactly
-    // and pins the auto path's floor-geometry behavior
+    // and pins the auto path's floor-geometry behavior. 4 planes on a
+    // LARGE corpus is a declared block² blowup (BENCH_sf1_r09's worst
+    // ratio, 4.1x per 10x rows), so above EmbDedupFixedMaxVecs the
+    // witness caps to the BASE COPY (vec_id < 1e8 is ScaleUp's
+    // unmodified copy 0) — the floor-geometry pin stays pinned at
+    // constant cost instead of taxing every full-suite scale run
     "emb_dedup_cosine_fixed" -> { (s, dir) =>
-      Knn.cosineDupPairsLsh(tbl(s, dir, "embeddings"), EmbDim, 0.3,
-        nPlanes = 4)
+      val emb = tbl(s, dir, "embeddings")
+      val base = if (Knn.corpusCount(emb) > EmbDedupFixedMaxVecs)
+        emb.where(col("vec_id") < 100000000L)
+      else emb
+      Knn.cosineDupPairsLsh(base, EmbDim, 0.3, nPlanes = 4)
     },
 
     // SemDeDup: near-dup pairs found only within learned k-means
@@ -3923,7 +3939,7 @@ object SparkEntry {
     // correctness runs (sf0.01) always take the exhaustive branch
     "mm_phash_eval" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
-      if (docs.count() > MmPhashEvalMaxDocs)
+      if (Knn.corpusCount(docs) > MmPhashEvalMaxDocs)
         mmPhashEvalSampledDf(s, dir).withColumnRenamed("n_hits", "n_found")
       else {
         val ph = Multimodal.phashAll(s, docs).toDF()
@@ -4844,11 +4860,17 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY ip DESC, neighbor_id) AS INTEGER) AS rank FROM mcand)""".stripMargin
 
-  private def sqlLshBandCte: String = {
+  private def sqlLshBandCte: String = sqlLshBandCteFrom("embeddings")
+
+  /** [[sqlLshBandCte]] over an arbitrary source relation — the
+    * emb_dedup_cosine_fixed oracle bands its count-gated base-copy
+    * view instead of the raw table.
+    */
+  private def sqlLshBandCteFrom(src: String): String = {
     val lb = (0 until LshTables).map(t =>
       s"SELECT vec_id, embedding, $t AS tb,\n    " +
         s"${sqlBucket("embedding", LshPlanes, t * LshPlanes)} AS bk " +
-        "FROM embeddings").mkString("\n  UNION ALL ")
+        s"FROM $src").mkString("\n  UNION ALL ")
     s"lb AS ($lb)"
   }
 
@@ -6435,7 +6457,10 @@ object SparkEntry {
     // the fixed 4-plane geometry pinned against the shared lb cells
     // (sqlLshBandCte) — exactly the ANN index's registered cells
     "emb_dedup_cosine_fixed" ->
-      s"""WITH $sqlLshBandCte,
+      s"""WITH gemb AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE (SELECT count(*) FROM embeddings) <= $EmbDedupFixedMaxVecs
+         |    OR vec_id < 100000000),
+         |${sqlLshBandCteFrom("gemb")},
          |p0 AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    ${sqlCos("a.embedding", "b.embedding")} AS cos
          |  FROM lb a JOIN lb b ON a.tb = b.tb AND a.bk = b.bk

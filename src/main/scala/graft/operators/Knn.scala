@@ -658,7 +658,14 @@ object Knn {
             while (i < pool.length) {
               val p = pool(i)
               val c = cosL(p._2, bv)
-              if (c > p._3) pool(i) = (p._1, p._2, c)
+              // NaN-consistent with the Spark-side fold: a zero-norm
+              // member's cosine is NaN, and Spark's greatest/orderBy
+              // treats NaN as ABOVE every double — so the driver
+              // update must let NaN dominate the running max too, or
+              // the batched trajectory could diverge from the
+              // one-pick-per-scan fold on degenerate vectors
+              if (java.lang.Double.isNaN(c) || c > p._3)
+                pool(i) = (p._1, p._2, c)
               i += 1
             }
             fresh = false
@@ -1056,6 +1063,15 @@ object Knn {
       n
     }
   }
+
+  /** The memoized corpus row count (see [[countCache]]) — the public
+    * face of the build-time sizing counts every auto-dial uses; a
+    * registration gate (mm_phash_eval's eval-shape switch, the
+    * emb_dedup_cosine_fixed base-copy cap) should call THIS, never a
+    * fresh `df.count()`, so repeated query-builds on one table pay the
+    * scan once.
+    */
+  def corpusCount(df: DataFrame): Long = cachedCount(df)
 
   /** `every <= 0` means auto-size from the corpus count (one cheap
     * count job at build/plan time — index-build semantics; cached per
