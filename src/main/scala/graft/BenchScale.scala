@@ -54,6 +54,11 @@ object BenchScale {
     // cells, the leg most worth watching), emb_kcenter (k linear
     // scans). ts_dtw stays excluded with the ts family: its DP is
     // calendar-bounded, only the grid agg scales.
+    // Fourth group (round 11): emb_pq_learned (the one-Lloyd-update
+    // codebook — seed assign + mean update + re-assign, all
+    // codebook-sized reduces) and emb_ivf_pq_rerank (now serving from
+    // the learned codes) — the two legs the r10 verdict flagged as
+    // scale-unmeasured.
     val registered = Seq("mm_phash", "mm_phash_eval",
       "mm_phash_eval_sampled", "emb_knn_ivf", "emb_ivf_pq",
       "emb_ivf_probe_curve", "emb_pq", "doc_dedup_edit",
@@ -61,7 +66,8 @@ object BenchScale {
       "emb_rq", "emb_rq_search", "mm_audio_dedup",
       "doc_minhash_band_curve", "doc_contamination_spans",
       "doc_novelty", "emb_lsh_table_curve",
-      "emb_bq_search", "emb_knn_graph", "emb_kcenter")
+      "emb_bq_search", "emb_knn_graph", "emb_kcenter",
+      "emb_pq_learned", "emb_ivf_pq_rerank")
     val legs: Seq[(String, () => DataFrame)] =
       registered.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 
