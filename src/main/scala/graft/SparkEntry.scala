@@ -3791,6 +3791,14 @@ object SparkEntry {
       Knn.pqCodesLearned(tbl(s, dir, "embeddings"), EmbDim)
     },
 
+    // variance-balanced dimension permutation before PQ (the OPQ-init
+    // heuristic): dims ranked by an exact integer variance key, dealt
+    // round-robin across subspaces; same store shape as emb_pq —
+    // err2 against emb_pq's is the measured balance payoff
+    "emb_pq_permuted" -> { (s, dir) =>
+      Knn.pqCodesPermuted(tbl(s, dir, "embeddings"), EmbDim)
+    },
+
     // residual quantization: level 2 codes the level-1 ERROR (additive
     // refinement — the RQ alternative to PQ's subspace partition);
     // both √n codebooks broadcast, each level a broadcast argmin
@@ -6537,6 +6545,46 @@ object SparkEntry {
          |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
          |    (x, y) -> x + y), 6) AS err2
          |FROM lpr WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+
+    // permuted PQ: the exact integer variance key (per-row µ-snaps
+    // summed as BIGINT, s2·n·1e6 − s1² in DECIMAL(38,0) — the PCA
+    // convention) ranks dims, round-robin deal, then the emb_pq chain
+    // over the permuted vectors
+    "emb_pq_permuted" ->
+      s"""WITH pstat AS (SELECT i,
+         |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+         |      AS BIGINT)) AS s1,
+         |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
+         |      * CAST(embedding[i] AS DOUBLE) * 1000000)
+         |      AS BIGINT)) AS s2,
+         |    count(*) AS n
+         |  FROM embeddings, range(1, ${EmbDim + 1}) t(i) GROUP BY i),
+         |pkey AS (SELECT i,
+         |    CAST(s2 AS DECIMAL(38,0)) * n * 1000000
+         |      - CAST(s1 AS DECIMAL(38,0)) * s1 AS vkey
+         |  FROM pstat),
+         |prnk AS (SELECT i, row_number() OVER (ORDER BY vkey DESC, i) AS r
+         |  FROM pkey),
+         |pperm AS (SELECT ((r - 1) % 4) * ${EmbDim / 4} + (r - 1) // 4 + 1
+         |    AS pos, i AS src FROM prnk),
+         |parr AS (SELECT list(src ORDER BY pos) AS pm FROM pperm),
+         |pemb AS (SELECT vec_id,
+         |    list_transform(range(1, ${EmbDim + 1}), j -> embedding[pm[j]])
+         |      AS pv
+         |  FROM embeddings, parr),
+         |cents AS (SELECT vec_id AS cid, pv AS cvec FROM pemb
+         |  WHERE vec_id % $sqlPqEvery = 1),
+         |p AS (SELECT e.vec_id, s.s, c.cid,
+         |    ${sqlSubL2("e.pv", "c.cvec", "s.s")} AS dist
+         |  FROM pemb e, cents c,
+         |    (SELECT unnest(range(4)) AS s) s),
+         |r AS (SELECT vec_id, s, cid, dist, row_number() OVER (
+         |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM p)
+         |SELECT vec_id,
+         |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
+         |    (x, y) -> x + y), 6) AS err2
+         |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin,
 
     // RQ: both codebooks replayed from the corpus + its count (level-2
     // centroids are the every-Nth RESIDUALS + the zero codeword);

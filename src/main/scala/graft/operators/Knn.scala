@@ -834,6 +834,70 @@ object Knn {
           (acc, x) => acc + x.getField("dist")), 6).as("err2"))
   }
 
+  /** Variance-balanced dimension permutation before PQ — the OPQ-init
+    * heuristic (Ge et al., CVPR 2013: optimized PQ's "natural"
+    * baseline reorders dimensions before the subspace split): per-dim
+    * corpus variance ranks the dimensions, which are then dealt
+    * ROUND-ROBIN across the m subspaces, so no subspace hoards the
+    * high-variance dims the way plain PQ's contiguous slices can when
+    * the embedding model emits a structured layout. Output shape =
+    * [[pqCodes]] (id, codes CSV, err2) over the permuted vectors —
+    * err2 against [[pqCodes]]' is the balance payoff, measured.
+    *
+    * Cross-engine parity: the ranking key is EXACT integer arithmetic
+    * — per-row µ-unit snaps summed as BIGINT (order-independent), the
+    * variance key s2·n·10⁶ − s1² carried in DECIMAL(38,0) (the PCA
+    * chain's convention) — so both engines derive the identical
+    * permutation at any corpus size; ties break on dimension index.
+    *
+    * Scale shape: one (dim)-keyed partial agg over the exploded
+    * corpus (64 reduce rows), a 64-row window, and the permutation
+    * broadcast back over the scan — the PQ chain after it is
+    * unchanged.
+    */
+  def pqCodesPermuted(emb: DataFrame, dim: Int, m: Int = 4,
+                      centroidEvery: Int = 0, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val perm = pqPermutation(emb, dim, m, vecCol)
+    val pemb = emb.crossJoin(broadcast(perm))
+      .select(col(idCol), transform(sequence(lit(1), lit(dim)),
+        j => element_at(col(vecCol), element_at(col("pm"), j))).as("__pv"))
+    pqCodes(pemb, dim, m, centroidEvery, idCol, "__pv")
+  }
+
+  /** The [[pqCodesPermuted]] permutation as a single-row frame
+    * `pm: array<int>` — pm[newPos] = 1-based source dimension; new
+    * position of the rank-r dim (by variance desc, dim asc) is
+    * subspace (r−1) mod m, slot ⌊(r−1)/m⌋. Public so the deal layout
+    * is spec-pinnable on a corpus with a known variance order.
+    */
+  def pqPermutation(emb: DataFrame, dim: Int, m: Int,
+                    vecCol: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val stats = emb
+      .select(posexplode(col(vecCol)).as(Seq("p", "x")))
+      .select(col("p"), col("x").cast("double").as("x"))
+      .groupBy("p")
+      .agg(sum(round(col("x") * lit(1000000.0)).cast("long")).as("s1"),
+        sum(round(col("x") * col("x") * lit(1000000.0)).cast("long"))
+          .as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("p"),
+        (dec(col("s2")) * dec(col("n")) * dec(lit(1000000L)) -
+          dec(col("s1")) * dec(col("s1"))).as("vkey"))
+    val w = Window.orderBy(col("vkey").desc, col("p"))
+    stats.withColumn("r", row_number().over(w))
+      .select(
+        (((col("r") - 1) % m) * subDim +
+          org.apache.spark.sql.graft.Bridge.ldiv(col("r") - 1, m) + 1)
+          .cast("int").as("pos"),
+        (col("p") + 1).cast("int").as("src"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("src")))),
+        t => t.getField("src")).as("pm"))
+  }
+
   /** Residual quantization (two-level additive FULL-vector codebook —
     * the RQ family ScaNN/faiss offer next to PQ): level 2 codes the
     * level-1 quantization ERROR, so the reconstruction c1 + c2 REFINES

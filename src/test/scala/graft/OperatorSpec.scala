@@ -306,6 +306,27 @@ class OperatorSpec extends AnyFunSuite {
     bySrc.values.foreach(es => assert(es.map(_._2).toSet == Set(1, 2, 3)))
   }
 
+  test("pqPermutation deals dims round-robin by descending variance") {
+    import spark.implicits._
+    // dim-8, m=2: variance order by construction is 8,7,...,1 (dim d
+    // alternates ±d/10 across rows, so var ∝ d² and means are 0);
+    // expected deal: rank r lands in subspace (r-1)%2, slot (r-1)/2 →
+    // pm = [8,6,4,2, 7,5,3,1]
+    val rows = (0 until 10).map { i =>
+      val s = if (i % 2 == 0) 1f else -1f
+      (i.toLong, (1 to 8).map(d => s * d / 10f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val pm = Knn.pqPermutation(emb, 8, 2).collect()(0)
+      .getAs[scala.collection.Seq[Int]]("pm")
+    assert(pm.toSeq == Seq(8, 6, 4, 2, 7, 5, 3, 1))
+    // and the permuted-PQ store over it has the pqCodes shape with a
+    // code per subspace
+    val codes = Knn.pqCodesPermuted(emb, 8, 2, centroidEvery = 2).collect()
+    assert(codes.length == 10)
+    assert(codes.forall(_.getAs[String]("codes").split(",").length == 2))
+  }
+
   test("kCenterSelect greedily picks one vector per planted cluster") {
     import spark.implicits._
     // three clusters on axes: {1,2} ~ e1, {3,4} ~ e2, {5,6} ~ e3 (e3

@@ -438,6 +438,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_knn_brute" -> 2, "emb_knn_lsh" -> 3, "emb_knn_ivf" -> 7,
     "emb_knn_ivf_indexed" -> 2, "emb_kmeans" -> 7, "emb_pq_learned" -> 8,
     "emb_ivf_pq" -> 15, "emb_ivf_pq_rerank" -> 18,
+    // permuted PQ: the (dim) variance agg + the 64-row rank window +
+    // permutation broadcast, then the plain PQ chain
+    "emb_pq_permuted" -> 9,
     // multi-leg evals: by design a UNION of full index chains over a
     // shared (checkpointed / ReusedExchange-deduped) truth set —
     // budget = sum of leg budgets, pinned so a leg regression still
