@@ -817,6 +817,48 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(roll(20L) == ((1L, 1L, 1.0)))
   }
 
+  test("streaming funnel verdicts: conversion fires instantly, abandonment on deadline") {
+    import spark.implicits._
+    val S = 1000000L // 1s in µs; span = 10s
+    // u1 converts (view 1s, click 5s <= 11s, purchase 12s <= 15s);
+    // u2's click misses the window (20s > 12s) -> stage 1 on deadline;
+    // u3 clicks but never buys -> stage 2 on deadline; u4 never views
+    // -> NO state, NO verdict; u5's same-ts click is rejected by the
+    // strict > (batch bound), its 6s click qualifies -> stage 2
+    val b1 = Seq(
+      (1L, 1 * S, "view"), (1L, 5 * S, "click"), (1L, 12 * S, "purchase"),
+      (2L, 2 * S, "view"), (2L, 20 * S, "click"),
+      (3L, 3 * S, "view"), (3L, 8 * S, "click"),
+      (4L, 1 * S, "click"),
+      (5L, 4 * S, "view"), (5L, 4 * S, "click"), (5L, 6 * S, "click"))
+      .toDF("user_id", "ts", "event_type")
+    val b2 = Seq((99L, 100 * S, "view")).toDF("user_id", "ts", "event_type")
+    val b3 = Seq((98L, 200 * S, "view")).toDF("user_id", "ts", "event_type")
+
+    val (out, ps) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3),
+      s => graft.streaming.StreamFunnel(spark, s, spanUs = 10 * S,
+        watermark = "1 second").toDF(),
+      "append", "funnel_stream")
+    assert(StreamHarness.lateDrops(ps) == 0)
+    def opt(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      Option(r.getAs[Any](c)).map(_.asInstanceOf[Long])
+    val got = out.collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Int]("stage"), opt(r, "t1"), opt(r, "t2"), opt(r, "t3"))).toSet
+    assert(got == Set(
+      (1L, 3, Some(1 * S), Some(5 * S), Some(12 * S)),
+      (2L, 1, Some(2 * S), None, None),
+      (3L, 2, Some(3 * S), Some(8 * S), None),
+      (5L, 2, Some(4 * S), Some(6 * S), None),
+      (99L, 1, Some(100 * S), None, None))) // u98 right-censored
+
+    // the global rollup over verdicts is the batch q_funnel shape
+    val roll = graft.streaming.StreamFunnel.rollup(out).collect()(0)
+    assert(roll.getAs[Long]("n_view") == 5L)
+    assert(roll.getAs[Long]("n_click") == 3L)
+    assert(roll.getAs[Long]("n_buy") == 1L)
+    assert(roll.getAs[Double]("conv") == 0.2)
+  }
+
   test("stream-stream interval join matches the batch RangeJoin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

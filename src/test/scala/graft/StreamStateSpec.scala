@@ -253,6 +253,23 @@ class StreamStateSpec extends AnyFunSuite {
       s"churn state exceeded |users|=4: $rows")
   }
 
+  test("funnel state is one row per OPEN funnel, evicted on verdict") {
+    // view-only batches a day apart with a 10-minute span: every
+    // user's funnel opens, then the next batch's watermark advance
+    // fires the stage-1 deadline — state never exceeds |users| and
+    // never accumulates per event
+    val batches = advancingBatches(nKeys = 4, perKey = 10)
+      .map(_.withColumn("event_type", lit("view")))
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamFunnel(spark, s, spanUs = 10 * M,
+        watermark = "1 hour").toDF(),
+      "append", "funnel_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    assert(rows.nonEmpty && rows.forall(_ <= 4),
+      s"funnel state exceeded |users|=4: $rows")
+  }
+
   test("sliding-window rollup closes and evicts past windows") {
     val batches = advancingBatches(nKeys = 3, perKey = 40)
     val (out, ps) = StreamHarness.feedBatches(spark, batches,
