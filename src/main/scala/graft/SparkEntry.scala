@@ -291,6 +291,28 @@ object SparkEntry {
             .as("conv"))
     },
 
+    // per-user event-type transition matrix — the session Markov
+    // chain behind "what do users do next": each event pairs with its
+    // successor in (ts, event_id) order via ONE user-keyed window
+    // shuffle, then a (from,to)-keyed partial agg whose reduce output
+    // is |types|² rows; the normalizing row-sum is a window over that
+    // tiny frame, never a corpus re-scan
+    "q_transitions" -> { (s, dir) =>
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(wU))
+        .where(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_from",
+          sum(col("n")).over(Window.partitionBy(col("from_type"))))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          round(col("n").cast("double") / col("n_from").cast("double"), 6)
+            .as("frac"))
+    },
+
     // salted two-stage aggregation — the skew-mitigation pattern for
     // heavy-hitter group keys: a handful of event_types over billions
     // of rows would reduce on #distinct-keys partitions under a plain
@@ -2889,6 +2911,24 @@ object SparkEntry {
          |  round(CAST(count(t3) AS DOUBLE) / count(t1), 6) AS conv
          |FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""".stripMargin,
 
+    // transition matrix: lead over the same (ts, event_id) order,
+    // count + row-normalize — n/n_from are exact BIGINTs on both sides
+    "q_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_type, $EvUs AS tus, event_id
+         |  FROM events),
+         |tr AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY tus, event_id) AS to_type
+         |  FROM e),
+         |tc AS (SELECT from_type, to_type, count(*) AS n FROM tr
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |tw AS (SELECT from_type, to_type, n,
+         |    CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from
+         |  FROM tc)
+         |SELECT from_type, to_type, n, n_from,
+         |  round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS frac
+         |FROM tw""".stripMargin,
+
     // the salted two-stage agg must equal the PLAIN group-by — the
     // oracle is deliberately the unsalted form; avg derives from the
     // exact decimal sum on both sides (not avg()) so the re-combined
@@ -3780,6 +3820,14 @@ object SparkEntry {
       Knn.abtt(tbl(s, dir, "embeddings"), EmbDim)
     },
 
+    // diagonal-ZCA whitening — zero-mean/unit-variance per dimension,
+    // the third isotropy tool next to emb_pca/emb_abtt; stats are one
+    // dim-keyed partial agg broadcast back over the scan, coordinates
+    // emitted as exact µ-unit integers so parity cannot drift
+    "emb_whiten" -> { (s, dir) =>
+      Knn.whiten(tbl(s, dir, "embeddings"), EmbDim)
+    },
+
     "emb_pq" -> { (s, dir) =>
       Knn.pqCodes(tbl(s, dir, "embeddings"), EmbDim)
     },
@@ -3797,6 +3845,26 @@ object SparkEntry {
     // err2 against emb_pq's is the measured balance payoff
     "emb_pq_permuted" -> { (s, dir) =>
       Knn.pqCodesPermuted(tbl(s, dir, "embeddings"), EmbDim)
+    },
+
+    // the codebook dial MEASURED: total/mean quantization distortion
+    // (err2) of the three PQ stores over one corpus — sampled,
+    // learned (one Lloyd update), and variance-permuted (OPQ-init).
+    // Totals fold the stores' 6dp-rounded err2 as exact µ-unit
+    // BIGINTs (order-independent), so the 3-row verdict is
+    // bit-stable; each leg's reduce output is one row
+    "emb_pq_err_curve" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      def leg(name: String, store: DataFrame): DataFrame =
+        store.agg(count(lit(1)).as("n"),
+            sum(round(col("err2") * 1000000.0).cast("long")).as("e6"))
+          .select(lit(name).as("variant"), col("n"),
+            round(col("e6").cast("double") / 1000000.0, 6).as("err2_total"),
+            round(col("e6").cast("double") / 1000000.0
+              / col("n").cast("double"), 6).as("err2_avg"))
+      leg("pq", Knn.pqCodes(emb, EmbDim))
+        .unionByName(leg("pq_learned", Knn.pqCodesLearned(emb, EmbDim)))
+        .unionByName(leg("pq_permuted", Knn.pqCodesPermuted(emb, EmbDim)))
     },
 
     // residual quantization: level 2 codes the level-1 ERROR (additive
@@ -3837,6 +3905,17 @@ object SparkEntry {
     "emb_ivf_pq" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       Knn.ivfPqTopK(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 3)
+    },
+
+    // IVFADC with RESIDUAL encoding (the classic FAISS-style
+    // geometry): PQ codes x − c(x) instead of x, the ADC table is
+    // rebuilt per probed cell from the query residual — tighter
+    // codewords for the same 4-byte/vector budget
+    "emb_ivf_pq_residual" -> { (s, dir) =>
+      val emb = tbl(s, dir, "embeddings")
+      Knn.ivfPqResidualTopK(emb,
+        emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L),
+        EmbDim, 3)
     },
 
     // int8 scalar-quantized flat search + exact rerank: serving
@@ -4551,6 +4630,78 @@ object SparkEntry {
     * VERBATIM by the emb_pq_learned oracle and emb_ann_recall's
     * ivf_pq_learned leg so the store and its eval cannot drift.
     */
+  /** The SAMPLED-codebook PQ store as a complete statement
+    * (vec_id, codes CSV, err2) — the emb_pq oracle, and one arm of
+    * emb_pq_err_curve's distortion dial (shared verbatim so the store
+    * and its eval cannot drift).
+    */
+  private def sqlPqStoreSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
+       |    FROM embeddings WHERE vec_id % $sqlPqEvery = 1),
+       |p AS (SELECT e.vec_id, s.s, c.cid,
+       |    ${sqlSubL2("e.embedding", "c.cvec", "s.s")} AS dist
+       |  FROM embeddings e, cents c,
+       |    (SELECT unnest(range(4)) AS s) s),
+       |r AS (SELECT vec_id, s, cid, dist, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM p)
+       |SELECT vec_id,
+       |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+       |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
+       |    (x, y) -> x + y), 6) AS err2
+       |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin
+
+  /** The LEARNED-codebook PQ store as a complete statement — the
+    * emb_pq_learned oracle and emb_pq_err_curve's second arm.
+    */
+  private def sqlPqLearnedStoreSql: String =
+    s"""WITH $sqlPqLearnedCtes
+       |SELECT vec_id,
+       |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+       |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
+       |    (x, y) -> x + y), 6) AS err2
+       |FROM lpr WHERE rn = 1 GROUP BY vec_id""".stripMargin
+
+  /** The variance-PERMUTED PQ store as a complete statement (the
+    * exact integer variance key ranks dims, round-robin deal, then
+    * the sampled-PQ chain over the permuted vectors) — the
+    * emb_pq_permuted oracle and emb_pq_err_curve's third arm.
+    */
+  private def sqlPqPermutedStoreSql: String =
+    s"""WITH pstat AS (SELECT i,
+       |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+       |      AS BIGINT)) AS s1,
+       |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
+       |      * CAST(embedding[i] AS DOUBLE) * 1000000)
+       |      AS BIGINT)) AS s2,
+       |    count(*) AS n
+       |  FROM embeddings, range(1, ${EmbDim + 1}) t(i) GROUP BY i),
+       |pkey AS (SELECT i,
+       |    CAST(s2 AS DECIMAL(38,0)) * n * 1000000
+       |      - CAST(s1 AS DECIMAL(38,0)) * s1 AS vkey
+       |  FROM pstat),
+       |prnk AS (SELECT i, row_number() OVER (ORDER BY vkey DESC, i) AS r
+       |  FROM pkey),
+       |pperm AS (SELECT ((r - 1) % 4) * ${EmbDim / 4} + (r - 1) // 4 + 1
+       |    AS pos, i AS src FROM prnk),
+       |parr AS (SELECT list(src ORDER BY pos) AS pm FROM pperm),
+       |pemb AS (SELECT vec_id,
+       |    list_transform(range(1, ${EmbDim + 1}), j -> embedding[pm[j]])
+       |      AS pv
+       |  FROM embeddings, parr),
+       |cents AS (SELECT vec_id AS cid, pv AS cvec FROM pemb
+       |  WHERE vec_id % $sqlPqEvery = 1),
+       |p AS (SELECT e.vec_id, s.s, c.cid,
+       |    ${sqlSubL2("e.pv", "c.cvec", "s.s")} AS dist
+       |  FROM pemb e, cents c,
+       |    (SELECT unnest(range(4)) AS s) s),
+       |r AS (SELECT vec_id, s, cid, dist, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM p)
+       |SELECT vec_id,
+       |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+       |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
+       |    (x, y) -> x + y), 6) AS err2
+       |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin
+
   private def sqlPqLearnedCtes: String =
     s"""lpseed AS (SELECT vec_id AS cid, embedding AS cvec
        |  FROM embeddings WHERE vec_id % $sqlPqEvery = 1),
@@ -6520,38 +6671,39 @@ object SparkEntry {
 
     // PQ: the subspace distance is the shared sqlSubL2 fold; the err2
     // fold runs in subspace order on both sides
-    "emb_pq" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-         |    FROM embeddings WHERE vec_id % $sqlPqEvery = 1),
-         |p AS (SELECT e.vec_id, s.s, c.cid,
-         |    ${sqlSubL2("e.embedding", "c.cvec", "s.s")} AS dist
-         |  FROM embeddings e, cents c,
-         |    (SELECT unnest(range(4)) AS s) s),
-         |r AS (SELECT vec_id, s, cid, dist, row_number() OVER (
-         |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM p)
-         |SELECT vec_id,
-         |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
-         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
-         |    (x, y) -> x + y), 6) AS err2
-         |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+    "emb_pq" -> sqlPqStoreSql,
 
     // LEARNED PQ: the shared seeded-then-one-Lloyd-update codebook
     // chain (6dp-rounded means, min-cid tie-break) re-assigns the
     // corpus; codes CSV + err2 fold in subspace order on both sides
-    "emb_pq_learned" ->
-      s"""WITH $sqlPqLearnedCtes
-         |SELECT vec_id,
-         |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
-         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
-         |    (x, y) -> x + y), 6) AS err2
-         |FROM lpr WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+    "emb_pq_learned" -> sqlPqLearnedStoreSql,
+
+    // the distortion dial: each arm re-runs one store's FULL chain
+    // verbatim (the three store defs above) and folds err2 as exact
+    // µ-unit BIGINTs — the same order-independent total the Spark
+    // side computes
+    "emb_pq_err_curve" ->
+      Seq("pq" -> sqlPqStoreSql, "pq_learned" -> sqlPqLearnedStoreSql,
+          "pq_permuted" -> sqlPqPermutedStoreSql).map { case (v, sql) =>
+        s"""SELECT '$v' AS variant, count(*) AS n,
+           |  round(CAST(sum(CAST(round(err2 * 1000000) AS BIGINT))
+           |    AS DOUBLE) / 1000000.0, 6) AS err2_total,
+           |  round(CAST(sum(CAST(round(err2 * 1000000) AS BIGINT))
+           |    AS DOUBLE) / 1000000.0 / count(*), 6) AS err2_avg
+           |FROM ($sql)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
 
     // permuted PQ: the exact integer variance key (per-row µ-snaps
     // summed as BIGINT, s2·n·1e6 − s1² in DECIMAL(38,0) — the PCA
     // convention) ranks dims, round-robin deal, then the emb_pq chain
     // over the permuted vectors
-    "emb_pq_permuted" ->
-      s"""WITH pstat AS (SELECT i,
+    "emb_pq_permuted" -> sqlPqPermutedStoreSql,
+
+    // whitening: mean = Σround(x·1e6)/1e6/n (the pca convention), σ
+    // from the DECIMAL(38,0) variance key clamped at 0; coordinates
+    // as exact µ-unit BIGINTs in dim order
+    "emb_whiten" ->
+      s"""WITH wstat AS (SELECT i,
          |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
          |      AS BIGINT)) AS s1,
          |    SUM(CAST(round(CAST(embedding[i] AS DOUBLE)
@@ -6559,32 +6711,19 @@ object SparkEntry {
          |      AS BIGINT)) AS s2,
          |    count(*) AS n
          |  FROM embeddings, range(1, ${EmbDim + 1}) t(i) GROUP BY i),
-         |pkey AS (SELECT i,
-         |    CAST(s2 AS DECIMAL(38,0)) * n * 1000000
-         |      - CAST(s1 AS DECIMAL(38,0)) * s1 AS vkey
-         |  FROM pstat),
-         |prnk AS (SELECT i, row_number() OVER (ORDER BY vkey DESC, i) AS r
-         |  FROM pkey),
-         |pperm AS (SELECT ((r - 1) % 4) * ${EmbDim / 4} + (r - 1) // 4 + 1
-         |    AS pos, i AS src FROM prnk),
-         |parr AS (SELECT list(src ORDER BY pos) AS pm FROM pperm),
-         |pemb AS (SELECT vec_id,
-         |    list_transform(range(1, ${EmbDim + 1}), j -> embedding[pm[j]])
-         |      AS pv
-         |  FROM embeddings, parr),
-         |cents AS (SELECT vec_id AS cid, pv AS cvec FROM pemb
-         |  WHERE vec_id % $sqlPqEvery = 1),
-         |p AS (SELECT e.vec_id, s.s, c.cid,
-         |    ${sqlSubL2("e.pv", "c.cvec", "s.s")} AS dist
-         |  FROM pemb e, cents c,
-         |    (SELECT unnest(range(4)) AS s) s),
-         |r AS (SELECT vec_id, s, cid, dist, row_number() OVER (
-         |    PARTITION BY vec_id, s ORDER BY dist, cid) AS rn FROM p)
-         |SELECT vec_id,
-         |  string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
-         |  round(list_reduce(list_prepend(0.0, list(dist ORDER BY s)),
-         |    (x, y) -> x + y), 6) AS err2
-         |FROM r WHERE rn = 1 GROUP BY vec_id""".stripMargin,
+         |wsd AS (SELECT i,
+         |    CAST(s1 AS DOUBLE) / 1000000.0 / n AS m,
+         |    sqrt(greatest(CAST(CAST(s2 AS DECIMAL(38,0)) * n * 1000000
+         |      - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE), 0.0))
+         |      / 1000000.0 / n AS sd
+         |  FROM wstat)
+         |SELECT e.vec_id,
+         |  string_agg(CAST(CASE WHEN w.sd = 0 THEN 0
+         |    ELSE CAST(round((CAST(e.embedding[w.i] AS DOUBLE) - w.m)
+         |      / w.sd * 1000000) AS BIGINT) END AS VARCHAR),
+         |    ',' ORDER BY w.i) AS w6
+         |FROM embeddings e, wsd w
+         |GROUP BY e.vec_id""".stripMargin,
 
     // RQ: both codebooks replayed from the corpus + its count (level-2
     // centroids are the every-Nth RESIDUALS + the zero codeword);
@@ -6686,6 +6825,53 @@ object SparkEntry {
          |$sqlIvfPqAdcCtes
          |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // residual IVFADC: the shared coarse cells' residuals (corpus AND
+    // per-probed-cell query residuals), codebook = residuals of the
+    // ids ≡ 0 mod pqEvery (the offset stride), ADC join keyed on the
+    // candidate's OWN cell — mirrors Knn.ivfPqResidualTopK
+    "emb_ivf_pq_residual" ->
+      s"""WITH $sqlIvfCtes,
+         |rcv AS (SELECT cid,
+         |    list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvd
+         |  FROM cents),
+         |rcres AS (SELECT c.neighbor_id, c.cid,
+         |    list_transform(range(1, ${EmbDim + 1}),
+         |      i -> CAST(c.nv[i] AS DOUBLE) - r.cvd[i]) AS rv
+         |  FROM ccell c JOIN rcv r USING (cid)),
+         |rbook AS (SELECT neighbor_id AS pcid, rv AS pcv FROM rcres
+         |  WHERE neighbor_id % $sqlPqEvery = 0),
+         |rsub AS (SELECT unnest(range(4)) AS s),
+         |rcode0 AS (SELECT e.neighbor_id, s.s, b.pcid,
+         |    ${sqlSubL2("e.rv", "b.pcv", "s.s")} AS dist
+         |  FROM rcres e, rbook b, rsub s),
+         |rcodes AS (SELECT neighbor_id, s, pcid FROM (
+         |    SELECT neighbor_id, s, pcid, row_number() OVER (
+         |      PARTITION BY neighbor_id, s ORDER BY dist, pcid) AS rn
+         |    FROM rcode0) WHERE rn = 1),
+         |rqres AS (SELECT q.query_id, q.cid,
+         |    list_transform(range(1, ${EmbDim + 1}),
+         |      i -> CAST(q.qv[i] AS DOUBLE) - r.cvd[i]) AS qrv
+         |  FROM qcell q JOIN rcv r USING (cid)),
+         |rdtab AS (SELECT q.query_id, q.cid, s.s, b.pcid,
+         |    ${sqlSubL2("q.qrv", "b.pcv", "s.s")} AS d
+         |  FROM rqres q, rbook b, rsub s),
+         |rcand AS (SELECT q.query_id, c.neighbor_id, c.cid
+         |  FROM ccell c JOIN qcell q USING (cid)
+         |  WHERE c.neighbor_id <> q.query_id),
+         |rsc AS (SELECT c.query_id, c.neighbor_id,
+         |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
+         |      (x, y) -> x + y) AS adist
+         |  FROM rcand c
+         |  JOIN rcodes k ON k.neighbor_id = c.neighbor_id
+         |  JOIN rdtab t ON t.query_id = c.query_id AND t.cid = c.cid
+         |    AND t.s = k.s AND t.pcid = k.pcid
+         |  GROUP BY 1, 2),
+         |rr AS (SELECT query_id, neighbor_id, adist,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adist, neighbor_id) AS INTEGER) AS rank FROM rsc)
+         |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
+         |FROM rr WHERE rank <= 3""".stripMargin,
 
     // SQ8 flat search: dequantized-cosine stage ranks top-15 with
     // quantizeInt8's exact floor-code arithmetic, exact-cosine rerank

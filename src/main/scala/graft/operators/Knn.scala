@@ -1462,6 +1462,93 @@ object Knn {
     exactRerank(corpus, queries, approx, dim, k, idCol, vecCol)
   }
 
+  /** IVFADC with RESIDUAL encoding — the classic production ANN
+    * geometry (Jegou et al., PAMI 2011 §IV couples the coarse
+    * quantizer with a product quantizer over the RESIDUAL x − c(x)):
+    * the PQ codebook spends its codewords on the within-cell
+    * displacement distribution, which is far tighter than the global
+    * vector distribution [[ivfPqTopK]] codes, and the query's ADC
+    * table is rebuilt per probed cell from the query residual q − c.
+    * err2/recall against the raw-vector variant is the measured
+    * payoff.
+    *
+    * Codebook: residuals of the ids ≡ 0 (mod pqEvery) — the OFFSET
+    * stride (raw PQ seeds ≡ 1), chosen because coarse members' own
+    * residuals are zero and a deterministic near-origin codeword is
+    * better than a duplicated one; derived from the corpus + its
+    * count alone, so the DuckDB oracle replays it exactly.
+    *
+    * Scale shape: residuals are scan-side (broadcast centroid join,
+    * never a corpus shuffle); the codebook broadcasts; the corpus
+    * codes pass is one (id, s)-keyed partial-agg argmin; the ADC
+    * table is |Q|·nProbe·m·|book| rows; the candidate join rides the
+    * (cid) co-residence exactly like [[ivfPqTopK]]; the only rank
+    * window partitions on query_id.
+    */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
+                        k: Int, m: Int = 4, coarseEvery: Int = 0,
+                        pqEvery: Int = 0, nProbe: Int = 2,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding",
+                        shared: Option[IvfCells] = None): DataFrame = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val pqEv = resolvePq(corpus, pqEvery)
+    val coarseEv = resolveCoarse(corpus, coarseEvery)
+    val parts = shared.getOrElse(
+      ivfCellsInline(corpus, queries, dim, coarseEvery, nProbe, idCol,
+        vecCol))
+    val cents = corpus.where(col(idCol) % coarseEv === 1)
+      .select(col(idCol).as("cid"),
+        transform(col(vecCol), x => x.cast("double")).as("cvd"))
+    val cres = parts.cCells.select(col("neighbor_id"), col("nvec"),
+        col("cid"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("neighbor_id"), col("cid"),
+        zip_with(transform(col("nvec"), x => x.cast("double")), col("cvd"),
+          (x, c) => x - c).as("rv"))
+    val book = cres.where(col("neighbor_id") % pqEv === 0)
+      .select(col("neighbor_id").as("pcid"), col("rv").as("pcv"))
+    val d = org.apache.spark.sql.graft.GraftExpressions
+      .vec_sub_l2_d(col("rv"), col("pcv"), col("s"), subDim)
+    val codes = cres
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .crossJoin(broadcast(book))
+      .withColumn("d", d)
+      .groupBy(col("neighbor_id"), col("s"))
+      .agg(min(struct(col("d"), col("pcid"))).as("b"))
+      .select(col("neighbor_id"), col("s"), col("b.pcid").as("pcid"))
+    val qres = parts.qCells.select(col("query_id"), col("qvec"), col("cid"))
+      .join(broadcast(cents), Seq("cid"))
+      .select(col("query_id"), col("cid"),
+        zip_with(transform(col("qvec"), x => x.cast("double")), col("cvd"),
+          (x, c) => x - c).as("qrv"))
+    val dq = org.apache.spark.sql.graft.GraftExpressions
+      .vec_sub_l2_d(col("qrv"), col("pcv"), col("s"), subDim)
+    val dtab = qres
+      .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
+      .crossJoin(broadcast(book))
+      .select(col("query_id"), col("cid"), col("s"), col("pcid"),
+        dq.as("d"))
+    val cand = parts.cCells.select("neighbor_id", "cid")
+      .join(parts.qCells.select("query_id", "cid"), Seq("cid"))
+      .where(col("neighbor_id") =!= col("query_id"))
+    val scored = cand
+      .join(codes, Seq("neighbor_id"))
+      .join(dtab, Seq("query_id", "cid", "s", "pcid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("ds"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(col("ds"), lit(0.0), (a, x) => a + x.getField("d"))
+          .as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("adist"), 6).as("adist"))
+  }
+
   /** Exact-cosine rerank of a small (query_id, neighbor_id) candidate
     * frame — the second stage every two-stage serving path shares
     * ([[ivfPqRerankTopK]], and any eval that already holds an
@@ -1593,6 +1680,56 @@ object Knn {
       .select(col(idCol), round(col("s"), 6).as("proj"),
         round(sqrt(dotD(col("xc"), col("xc"))), 6).as("norm_centered"),
         round(sqrt(dotD(col("xr"), col("xr"))), 6).as("norm_abtt"))
+  }
+
+  /** Per-dimension WHITENING (diagonal ZCA — standardize every
+    * coordinate to zero mean / unit variance): the third member of
+    * the isotropy toolbox next to [[pcaTopVec]] and [[abtt]]
+    * (whitening sentence embeddings is the full-covariance version;
+    * the diagonal form is the exactly-replayable one — covariance is
+    * never materialized, only a dim-sized stats row).
+    *
+    * Cross-engine parity: per-dim mean = Σround(x·10⁶)/10⁶/n (the
+    * [[pcaMu]] convention); the variance key s2·n·10⁶ − s1² is
+    * carried in DECIMAL(38,0) (the [[pqPermutation]] key, clamped at
+    * 0 against integer-snap jitter on near-constant dims), so σ =
+    * √key/10⁶/n replays bit-identically. The whitened coordinate is
+    * emitted as its exact µ-unit integer (round((x−µ)/σ·10⁶) as
+    * BIGINT CSV) so stringification cannot drift; zero-variance dims
+    * emit 0.
+    *
+    * Scale shape: one (dim)-keyed partial agg (dim reduce rows) + a
+    * 1-row stats broadcast back over the scan — the corpus never
+    * shuffles.
+    */
+  def whiten(emb: DataFrame, dim: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val stats = emb.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .select(col("pos"), col("x").cast("double").as("x"))
+      .groupBy("pos")
+      .agg(sum(round(col("x") * lit(1e6)).cast("long")).as("s1"),
+        sum(round(col("x") * col("x") * lit(1e6)).cast("long")).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("pos"),
+        (col("s1").cast("double") / lit(1e6) / col("n").cast("double"))
+          .as("m"),
+        (sqrt(greatest((dec(col("s2")) * dec(col("n")) * dec(lit(1000000L))
+          - dec(col("s1")) * dec(col("s1"))).cast("double"), lit(0.0)))
+          / lit(1e6) / col("n").cast("double")).as("sd"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mus"),
+        transform(array_sort(collect_list(struct(col("pos"), col("sd")))),
+          s => s.getField("sd")).as("sds"))
+    emb.crossJoin(broadcast(stats))
+      .select(col(idCol),
+        concat_ws(",", transform(sequence(lit(1), lit(dim)), j =>
+          when(element_at(col("sds"), j) === 0.0, lit(0L))
+            .otherwise(round((element_at(col(vecCol), j).cast("double")
+              - element_at(col("mus"), j)) / element_at(col("sds"), j)
+              * lit(1e6)).cast("long"))
+            .cast("string"))).as("w6"))
   }
 
   /** Native double-array dot (graft.functions.VecDotD): inputs are

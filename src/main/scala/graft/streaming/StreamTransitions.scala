@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming event-type transitions — the live twin of q_transitions
+  * (the session Markov chain): each user's stream pairs every event
+  * with its successor in (ts, event_id) order, and the (from, to)
+  * edge is emitted THE MOMENT the successor arrives — no window close
+  * to wait for.
+  *
+  * State per user is ONE (ts, event_id, event_type) triple — the last
+  * event seen — so the store is O(|users|), independent of event
+  * volume, and nothing ever needs eviction (a user's next event always
+  * replaces, never accumulates). Under ordered replay the emitted edge
+  * multiset equals the batch operator's lead-window pair extraction
+  * exactly (spec-pinned); [[transitionMatrix]] folds edges into
+  * q_transitions' normalized matrix shape for dashboard parity.
+  */
+object StreamTransitions {
+
+  final case class Ev(user_id: Long, ts: Long, event_id: Long,
+                      event_type: String,
+                      __event_time: java.sql.Timestamp)
+  final case class Last(ts: Long, event_id: Long, event_type: String)
+  final case class Edge(user_id: Long, from_type: String, to_type: String,
+                        ts: Long)
+
+  /** `events` carries `user_id`, epoch-µs `ts`, `event_id`, and
+    * `event_type`; edges append as successors arrive.
+    */
+  def apply(spark: SparkSession, events: DataFrame,
+            watermark: String = "10 minutes"): Dataset[Edge] = {
+    import spark.implicits._
+
+    def step(user: Long, batch: Iterator[Ev],
+             state: GroupState[Last]): Iterator[Edge] = {
+      // within-batch arrival order is not event order: sort by the
+      // batch operator's (ts, event_id) key, then chain off the
+      // stored last event
+      val evs = batch.toVector.sortBy(e => (e.ts, e.event_id))
+      val out = Vector.newBuilder[Edge]
+      var last = state.getOption
+      evs.foreach { e =>
+        last.foreach(l =>
+          out += Edge(user, l.event_type, e.event_type, e.ts))
+        last = Some(Last(e.ts, e.event_id, e.event_type))
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    events
+      .withColumn("__event_time", timestamp_micros(col("ts")))
+      .withWatermark("__event_time", watermark)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("__event_time"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(step)
+  }
+
+  /** Fold emitted edges into the batch operator's normalized matrix:
+    * (from_type, to_type, n, n_from, frac). Tiny-frame agg — |types|²
+    * rows — so the window normalization is free.
+    */
+  def transitionMatrix(edges: DataFrame): DataFrame =
+    edges.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("frac"))
+}

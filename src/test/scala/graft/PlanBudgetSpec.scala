@@ -225,6 +225,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_quality_filter" -> 2,
     // funnel: one user-keyed window shuffle + the single-row global agg
     "q_funnel" -> 2,
+    // transitions: user-keyed lead window + the |types|²-row pair agg
+    // + the normalizing window over that tiny frame
+    "q_transitions" -> 3,
     // salted skew agg: 1 (key, salt) shuffle + 1 tiny re-combine
     "q_skew_salted" -> 2,
     // lttb: (key,bucket) agg + means window + join-back argmax window
@@ -438,9 +441,19 @@ class PlanBudgetSpec extends AnyFunSuite {
     "emb_knn_brute" -> 2, "emb_knn_lsh" -> 3, "emb_knn_ivf" -> 7,
     "emb_knn_ivf_indexed" -> 2, "emb_kmeans" -> 7, "emb_pq_learned" -> 8,
     "emb_ivf_pq" -> 15, "emb_ivf_pq_rerank" -> 18,
+    // residual IVFADC: the ivf_pq chain + the residual frame rebuilt
+    // for the codes / dtab legs (byte-identical subplans —
+    // ReusedExchange dedups them at runtime)
+    "emb_ivf_pq_residual" -> 25,
     // permuted PQ: the (dim) variance agg + the 64-row rank window +
     // permutation broadcast, then the plain PQ chain
     "emb_pq_permuted" -> 9,
+    // whitening: the (dim) stats agg + its 1-row fold + the stats
+    // broadcast back over the scan — the corpus never shuffles
+    "emb_whiten" -> 3,
+    // distortion dial: the three PQ store chains (3 + 8 + 9) side by
+    // side plus each leg's 1-row total agg
+    "emb_pq_err_curve" -> 23,
     // multi-leg evals: by design a UNION of full index chains over a
     // shared (checkpointed / ReusedExchange-deduped) truth set —
     // budget = sum of leg budgets, pinned so a leg regression still

@@ -859,6 +859,46 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(roll.getAs[Double]("conv") == 0.2)
   }
 
+  test("streaming transitions chain across batches; matrix equals q_transitions") {
+    import spark.implicits._
+    val S = 1000000L
+    // u1's purchase and u2's second view arrive in batch 2 — the
+    // stored last event must bridge the batch boundary; u3 has a
+    // single event (no edge); u2's two views tie-break on event_id
+    val b1 = Seq(
+      (1L, 10 * S, 1L, "view"), (1L, 20 * S, 2L, "click"),
+      (2L, 10 * S, 4L, "view"),
+      (3L, 5 * S, 6L, "error"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val b2 = Seq(
+      (1L, 30 * S, 3L, "purchase"),
+      (2L, 15 * S, 5L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+
+    val (out, ps) = StreamHarness.feedBatches(spark, Seq(b1, b2),
+      s => graft.streaming.StreamTransitions(spark, s,
+        watermark = "1 second").toDF(),
+      "append", "trans_stream")
+    assert(StreamHarness.lateDrops(ps) == 0)
+    val got = out.collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+      r.getAs[Long]("ts"))).toSet
+    assert(got == Set(
+      (1L, "view", "click", 20 * S),
+      (1L, "click", "purchase", 30 * S),
+      (2L, "view", "view", 15 * S)))
+
+    // the matrix fold over the edges is the batch q_transitions shape
+    val m = graft.streaming.StreamTransitions.transitionMatrix(out)
+      .collect().map(r => (r.getAs[String]("from_type"),
+        r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("n_from"),
+          r.getAs[Double]("frac"))).toMap
+    assert(m(("view", "click")) == ((1L, 2L, 0.5)))
+    assert(m(("view", "view")) == ((1L, 2L, 0.5)))
+    assert(m(("click", "purchase")) == ((1L, 1L, 1.0)))
+  }
+
   test("stream-stream interval join matches the batch RangeJoin") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

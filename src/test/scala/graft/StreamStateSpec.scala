@@ -253,6 +253,24 @@ class StreamStateSpec extends AnyFunSuite {
       s"churn state exceeded |users|=4: $rows")
   }
 
+  test("transitions state is one row per user regardless of volume") {
+    import spark.implicits._
+    // 4 users x 25 events per batch x 4 batches: the last-event triple
+    // REPLACES on every event, so state never exceeds |users| even
+    // though no eviction ever runs
+    val batches = advancingBatches(nKeys = 4, perKey = 25).map(b =>
+      b.select(col("user_id"), col("ts"), col("ts").as("event_id"),
+        concat(lit("t"), pmod(col("ts"), lit(3L))).as("event_type")))
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamTransitions(spark, s,
+        watermark = "1 hour").toDF(),
+      "append", "trans_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    assert(rows.nonEmpty && rows.forall(_ <= 4),
+      s"transitions state exceeded |users|=4: $rows")
+  }
+
   test("funnel state is one row per OPEN funnel, evicted on verdict") {
     // view-only batches a day apart with a 10-minute span: every
     // user's funnel opens, then the next batch's watermark advance
