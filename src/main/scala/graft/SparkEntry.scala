@@ -313,6 +313,50 @@ object SparkEntry {
             .as("frac"))
     },
 
+    // top user-path trigrams — the path-analysis sibling of
+    // q_transitions: two leads over the SAME user-keyed window pair
+    // each event with its next two, the |types|³-row partial agg
+    // counts paths, and the top-10 rides TakeOrderedAndProject
+    // (deterministic tie-break on the path string) — no global sort
+    "q_paths" -> { (s, dir) =>
+      val wU = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("e2", lead(col("event_type"), 1).over(wU))
+        .withColumn("e3", lead(col("event_type"), 2).over(wU))
+        .where(col("e3").isNotNull)
+        .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"),
+          col("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    },
+
+    // cohort × week retention matrix — q_retention generalized from
+    // one pair to the full triangle: cohort = first-active week, one
+    // (user, week) distinct + a user-keyed min + a (cohort, offset)
+    // agg; cohort sizes broadcast back over the tiny matrix
+    "q_cohort_matrix" -> { (s, dir) =>
+      val uw = events(s, dir)
+        .select(col("user_id"),
+          org.apache.spark.sql.graft.Bridge.fldiv(
+            col("ts") - lit(Jan01), 7 * UsDay).as("w"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min(col("w")).as("c0"))
+      val sizes = cohort.groupBy(col("c0"))
+        .agg(count(lit(1)).as("n_cohort"))
+      uw.join(cohort, Seq("user_id"))
+        .groupBy(col("c0"), (col("w") - col("c0")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("c0"))
+        .select(col("c0").as("cohort_week"), col("week_offset"),
+          col("n_active"), col("n_cohort"),
+          round(col("n_active").cast("double")
+            / col("n_cohort").cast("double"), 6).as("retention"))
+    },
+
     // salted two-stage aggregation — the skew-mitigation pattern for
     // heavy-hitter group keys: a handful of event_types over billions
     // of rows would reduce on #distinct-keys partitions under a plain
@@ -2929,6 +2973,38 @@ object SparkEntry {
          |  round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS frac
          |FROM tw""".stripMargin,
 
+    // path trigrams: two leads over the same (ts, event_id) order,
+    // LIMIT ties broken on the path string — deterministic both sides
+    "q_paths" ->
+      s"""WITH e AS (SELECT user_id, event_type, $EvUs AS tus, event_id
+         |  FROM events),
+         |tg AS (SELECT event_type AS e1,
+         |    lead(event_type, 1) OVER w AS e2,
+         |    lead(event_type, 2) OVER w AS e3
+         |  FROM e WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY tus, event_id)),
+         |pc AS (SELECT e1 || '>' || e2 || '>' || e3 AS path,
+         |    count(*) AS n
+         |  FROM tg WHERE e3 IS NOT NULL GROUP BY 1)
+         |SELECT path, n FROM pc ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // cohort matrix: DISTINCT (user, week) + min-week cohort + the
+    // (cohort, offset) counts; n_active/n_cohort exact BIGINTs
+    "q_cohort_matrix" ->
+      s"""WITH uw AS (SELECT DISTINCT user_id,
+         |    ($EvUs - 1704067200000000) // ${7 * 86400000000L} AS w
+         |  FROM events),
+         |ch AS (SELECT user_id, min(w) AS c0 FROM uw GROUP BY user_id),
+         |sz AS (SELECT c0, count(*) AS n_cohort FROM ch GROUP BY c0),
+         |m AS (SELECT c.c0, u.w - c.c0 AS week_offset,
+         |    count(*) AS n_active
+         |  FROM uw u JOIN ch c USING (user_id) GROUP BY 1, 2)
+         |SELECT m.c0 AS cohort_week, m.week_offset, m.n_active,
+         |  s.n_cohort,
+         |  round(CAST(m.n_active AS DOUBLE)
+         |    / CAST(s.n_cohort AS DOUBLE), 6) AS retention
+         |FROM m JOIN sz s USING (c0)""".stripMargin,
+
     // the salted two-stage agg must equal the PLAIN group-by — the
     // oracle is deliberately the unsalted form; avg derives from the
     // exact decimal sum on both sides (not avg()) so the re-combined
@@ -3609,8 +3685,9 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
       // lazy checkpoints: the tiny ground-truth set, the coarse-cell
-      // assignment (consumed by FOUR legs: ivf, ivf_pq,
-      // ivf_pq_learned, ivf_pq_rerank) and the learned PQ codebook
+      // assignment (consumed by FIVE legs: ivf, ivf_pq,
+      // ivf_pq_residual, ivf_pq_learned, ivf_pq_rerank) and the
+      // learned PQ codebook
       // (ivf_pq_learned + the rerank candidates) each materialize
       // once; no leg re-derives a shared input
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
@@ -3639,6 +3716,9 @@ object SparkEntry {
           "ivf_learned"))
         .unionByName(evalOf(
           Knn.ivfPqTopK(emb, q, EmbDim, 3, shared = Some(cells)), "ivf_pq"))
+        .unionByName(evalOf(
+          Knn.ivfPqResidualTopK(emb, q, EmbDim, 3, shared = Some(cells)),
+          "ivf_pq_residual"))
         .unionByName(evalOf(lp15.where(col("rank") <= 3), "ivf_pq_learned"))
         .unionByName(evalOf(
           Knn.exactRerank(emb, q,
@@ -4617,6 +4697,56 @@ object SparkEntry {
        |r AS (SELECT query_id, neighbor_id, adist,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist, neighbor_id) AS INTEGER) AS rank FROM sc)""".stripMargin
+
+  /** Residual-IVFADC chain (rcv/rcres/rbook/rcodes/rqres/rdtab/rcand/
+    * rsc/rr) ending in `rr` = candidates ranked per query by the ADC
+    * fold over the RESIDUAL codebook — mirrors Knn.ivfPqResidualTopK:
+    * corpus residuals off the shared coarse cells, codebook = the
+    * residuals of ids ≡ 0 mod pqEvery (offset stride), query residual
+    * per probed cell, ADC join keyed on the candidate's own cell.
+    * Needs cents/ccell/qcell from [[sqlIvfCtes]]. Shared VERBATIM by
+    * the emb_ivf_pq_residual oracle and emb_ann_recall's
+    * ivf_pq_residual leg so the index and its eval cannot drift.
+    */
+  private def sqlIvfPqResidualCtes: String =
+    s"""rcv AS (SELECT cid,
+       |    list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvd
+       |  FROM cents),
+       |rcres AS (SELECT c.neighbor_id, c.cid,
+       |    list_transform(range(1, ${EmbDim + 1}),
+       |      i -> CAST(c.nv[i] AS DOUBLE) - r.cvd[i]) AS rv
+       |  FROM ccell c JOIN rcv r USING (cid)),
+       |rbook AS (SELECT neighbor_id AS pcid, rv AS pcv FROM rcres
+       |  WHERE neighbor_id % $sqlPqEvery = 0),
+       |rsub AS (SELECT unnest(range(4)) AS s),
+       |rcode0 AS (SELECT e.neighbor_id, s.s, b.pcid,
+       |    ${sqlSubL2("e.rv", "b.pcv", "s.s")} AS dist
+       |  FROM rcres e, rbook b, rsub s),
+       |rcodes AS (SELECT neighbor_id, s, pcid FROM (
+       |    SELECT neighbor_id, s, pcid, row_number() OVER (
+       |      PARTITION BY neighbor_id, s ORDER BY dist, pcid) AS rn
+       |    FROM rcode0) WHERE rn = 1),
+       |rqres AS (SELECT q.query_id, q.cid,
+       |    list_transform(range(1, ${EmbDim + 1}),
+       |      i -> CAST(q.qv[i] AS DOUBLE) - r.cvd[i]) AS qrv
+       |  FROM qcell q JOIN rcv r USING (cid)),
+       |rdtab AS (SELECT q.query_id, q.cid, s.s, b.pcid,
+       |    ${sqlSubL2("q.qrv", "b.pcv", "s.s")} AS d
+       |  FROM rqres q, rbook b, rsub s),
+       |rcand AS (SELECT q.query_id, c.neighbor_id, c.cid
+       |  FROM ccell c JOIN qcell q USING (cid)
+       |  WHERE c.neighbor_id <> q.query_id),
+       |rsc AS (SELECT c.query_id, c.neighbor_id,
+       |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
+       |      (x, y) -> x + y) AS adist
+       |  FROM rcand c
+       |  JOIN rcodes k ON k.neighbor_id = c.neighbor_id
+       |  JOIN rdtab t ON t.query_id = c.query_id AND t.cid = c.cid
+       |    AND t.s = k.s AND t.pcid = k.pcid
+       |  GROUP BY 1, 2),
+       |rr AS (SELECT query_id, neighbor_id, adist,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist, neighbor_id) AS INTEGER) AS rank FROM rsc)""".stripMargin
 
   /** LEARNED-PQ codebook + corpus-assignment CTEs — mirrors
     * Knn.pqCodebookLearned / pqAssignLearned exactly: seed codewords
@@ -6234,6 +6364,8 @@ object SparkEntry {
          |$sqlIvfCandCte,
          |$sqlIvfPqAdcCtes,
          |pq3 AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 3),
+         |$sqlIvfPqResidualCtes,
+         |pqres3 AS (SELECT query_id, neighbor_id FROM rr WHERE rank <= 3),
          |$sqlPqLearnedCtes,
          |$sqlPqLearnedAdcCtes,
          |pql3 AS (SELECT query_id, neighbor_id FROM lpfin WHERE rk <= 3),
@@ -6274,6 +6406,14 @@ object SparkEntry {
          |  round(CAST(count(p.query_id) AS DOUBLE) / count(*), 6) AS recall
          |FROM brute b LEFT JOIN pq3 p
          |  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT 'ivf_pq_residual' AS method, count(*) AS n_truth,
+         |  count(prs.query_id) AS n_hits,
+         |  round(CAST(count(prs.query_id) AS DOUBLE) / count(*), 6)
+         |    AS recall
+         |FROM brute b LEFT JOIN pqres3 prs
+         |  ON b.query_id = prs.query_id AND b.neighbor_id = prs.neighbor_id
          |GROUP BY 1
          |UNION ALL
          |SELECT 'ivf_pq_learned' AS method, count(*) AS n_truth,
@@ -6829,47 +6969,11 @@ object SparkEntry {
     // residual IVFADC: the shared coarse cells' residuals (corpus AND
     // per-probed-cell query residuals), codebook = residuals of the
     // ids ≡ 0 mod pqEvery (the offset stride), ADC join keyed on the
-    // candidate's OWN cell — mirrors Knn.ivfPqResidualTopK
+    // candidate's OWN cell — mirrors Knn.ivfPqResidualTopK (chain
+    // shared verbatim with emb_ann_recall's ivf_pq_residual leg)
     "emb_ivf_pq_residual" ->
       s"""WITH $sqlIvfCtes,
-         |rcv AS (SELECT cid,
-         |    list_transform(cvec, x -> CAST(x AS DOUBLE)) AS cvd
-         |  FROM cents),
-         |rcres AS (SELECT c.neighbor_id, c.cid,
-         |    list_transform(range(1, ${EmbDim + 1}),
-         |      i -> CAST(c.nv[i] AS DOUBLE) - r.cvd[i]) AS rv
-         |  FROM ccell c JOIN rcv r USING (cid)),
-         |rbook AS (SELECT neighbor_id AS pcid, rv AS pcv FROM rcres
-         |  WHERE neighbor_id % $sqlPqEvery = 0),
-         |rsub AS (SELECT unnest(range(4)) AS s),
-         |rcode0 AS (SELECT e.neighbor_id, s.s, b.pcid,
-         |    ${sqlSubL2("e.rv", "b.pcv", "s.s")} AS dist
-         |  FROM rcres e, rbook b, rsub s),
-         |rcodes AS (SELECT neighbor_id, s, pcid FROM (
-         |    SELECT neighbor_id, s, pcid, row_number() OVER (
-         |      PARTITION BY neighbor_id, s ORDER BY dist, pcid) AS rn
-         |    FROM rcode0) WHERE rn = 1),
-         |rqres AS (SELECT q.query_id, q.cid,
-         |    list_transform(range(1, ${EmbDim + 1}),
-         |      i -> CAST(q.qv[i] AS DOUBLE) - r.cvd[i]) AS qrv
-         |  FROM qcell q JOIN rcv r USING (cid)),
-         |rdtab AS (SELECT q.query_id, q.cid, s.s, b.pcid,
-         |    ${sqlSubL2("q.qrv", "b.pcv", "s.s")} AS d
-         |  FROM rqres q, rbook b, rsub s),
-         |rcand AS (SELECT q.query_id, c.neighbor_id, c.cid
-         |  FROM ccell c JOIN qcell q USING (cid)
-         |  WHERE c.neighbor_id <> q.query_id),
-         |rsc AS (SELECT c.query_id, c.neighbor_id,
-         |    list_reduce(list_prepend(0.0, list(t.d ORDER BY k.s)),
-         |      (x, y) -> x + y) AS adist
-         |  FROM rcand c
-         |  JOIN rcodes k ON k.neighbor_id = c.neighbor_id
-         |  JOIN rdtab t ON t.query_id = c.query_id AND t.cid = c.cid
-         |    AND t.s = k.s AND t.pcid = k.pcid
-         |  GROUP BY 1, 2),
-         |rr AS (SELECT query_id, neighbor_id, adist,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY adist, neighbor_id) AS INTEGER) AS rank FROM rsc)
+         |$sqlIvfPqResidualCtes
          |SELECT query_id, rank, neighbor_id, round(adist, 6) AS adist
          |FROM rr WHERE rank <= 3""".stripMargin,
 

@@ -175,6 +175,23 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Knn.ivfTopK(emb, noQueries, 2, 3, centroidEvery = 1).isEmpty)
   }
 
+  test("round-11 second-session additions pass empty inputs through") {
+    // whiten / residual-IVFADC on an empty corpus: the stats/codebook
+    // frames are empty and the scan-side transform emits nothing
+    val noEmb = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Knn.whiten(noEmb, 2).isEmpty)
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    assert(Knn.ivfPqResidualTopK(emb, emb.where(lit(false)), 2, 3,
+      m = 2, coarseEvery = 1, pqEvery = 1).isEmpty)
+    // whiten on a CONSTANT dimension: sd = 0 -> coordinate 0, not NaN
+    val const = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val w = Knn.whiten(const, 2).orderBy("vec_id")
+      .collect().map(_.getString(1))
+    assert(w.forall(_.startsWith("0,")), w.mkString(";"))
+  }
+
   test("classifier and ingest pipeline pass empty batches through") {
     assert(TextOps.classify(emptyDocs).isEmpty)
     assert(TextOps.dsir(emptyDocs, lit(true)).isEmpty)

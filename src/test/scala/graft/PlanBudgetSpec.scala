@@ -228,6 +228,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // transitions: user-keyed lead window + the |types|²-row pair agg
     // + the normalizing window over that tiny frame
     "q_transitions" -> 3,
+    // paths: the same user-keyed window + the |types|³-row agg; the
+    // top-10 is TakeOrderedAndProject (no sort exchange)
+    "q_paths" -> 2,
+    // cohort matrix: (user, week) distinct + user-keyed min + the
+    // (cohort, offset) agg + tiny size agg/broadcast
+    "q_cohort_matrix" -> 7,
     // salted skew agg: 1 (key, salt) shuffle + 1 tiny re-combine
     "q_skew_salted" -> 2,
     // lttb: (key,bucket) agg + means window + join-back argmax window
@@ -459,7 +465,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // budget = sum of leg budgets, pinned so a leg regression still
     // fails loudly
     "emb_dim_tradeoff" -> 10, "emb_ivf_probe_curve" -> 30,
-    "emb_ann_recall" -> 104)
+    // r11: + the ivf_pq_residual leg (the residual chain's exchanges,
+    // ReusedExchange-deduped at runtime against the shared cells)
+    "emb_ann_recall" -> 132)
 
   test("no query exceeds its exchange budget") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
