@@ -313,6 +313,68 @@ object SparkEntry {
             .as("frac"))
     },
 
+    // DAU / trailing-7-day-AU stickiness per day — the engagement
+    // scorecard: one (user, day) DISTINCT, the tiny day frame
+    // broadcast against it for the trailing window (output is
+    // |active-days|·7 rows — linear, never user×user), one distinct
+    // agg per day; at 100 TB the day frame stays calendar-sized
+    "q_stickiness" -> { (s, dir) =>
+      val ud = events(s, dir)
+        .select(col("user_id"),
+          org.apache.spark.sql.graft.Bridge.fldiv(
+            col("ts") - lit(Jan01), UsDay).as("d"))
+        .distinct()
+      val days = ud.select(col("d").as("d0")).distinct()
+      val wau = ud.join(broadcast(days),
+          col("d") <= col("d0") && col("d") >= col("d0") - 6)
+        .groupBy(col("d0"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+        .join(wau, col("d") === col("d0"))
+        .select(col("d").as("day_num"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau").cast("double"), 6)
+            .as("stickiness"))
+    },
+
+    // two-variant A/B read-out over purchase values (variant = user
+    // parity — the deterministic split both engines derive): Welch
+    // z-score from per-variant exact integer sums (µ-snapped s1/s2,
+    // the DECIMAL(38,0) variance key), one 2-row agg + a 1-row fold;
+    // the decision is |z| > 1.96
+    "q_ab_test" -> { (s, dir) =>
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val g = events(s, dir)
+        .where(col("event_type") === "purchase")
+        .select((col("user_id") % 2).as("variant"), col("value"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * lit(1e6)).cast("long")).as("s1"),
+          sum(round(col("value") * col("value") * lit(1e6)).cast("long"))
+            .as("s2"))
+        .select(col("variant"), col("n"),
+          (col("s1").cast("double") / lit(1e6) / col("n").cast("double"))
+            .as("m"),
+          (greatest((dec(col("s2")) * dec(col("n")) * dec(lit(1000000L))
+            - dec(col("s1")) * dec(col("s1"))).cast("double"), lit(0.0))
+            / lit(1e12) / col("n").cast("double")
+            / (col("n") - lit(1)).cast("double")).as("v"))
+      def pick(c: String, v: Int) =
+        max(when(col("variant") === v, col(c)))
+      g.agg(
+          pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+          pick("m", 0).as("m0"), pick("m", 1).as("m1"),
+          pick("v", 0).as("v0"), pick("v", 1).as("v1"))
+        .select(col("n0"), col("n1"),
+          round(col("m0"), 6).as("mean0"), round(col("m1"), 6).as("mean1"),
+          round((col("m0") - col("m1"))
+            / sqrt(col("v0") / col("n0").cast("double")
+              + col("v1") / col("n1").cast("double")), 4).as("z"),
+          (abs((col("m0") - col("m1"))
+            / sqrt(col("v0") / col("n0").cast("double")
+              + col("v1") / col("n1").cast("double"))) > 1.96)
+            .as("significant"))
+    },
+
     // top user-path trigrams — the path-analysis sibling of
     // q_transitions: two leads over the SAME user-keyed window pair
     // each event with its next two, the |types|³-row partial agg
@@ -2972,6 +3034,53 @@ object SparkEntry {
          |SELECT from_type, to_type, n, n_from,
          |  round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS frac
          |FROM tw""".stripMargin,
+
+    // stickiness: DISTINCT (user, day), trailing-7 window via the
+    // tiny day-frame join, count(DISTINCT) per day — all BIGINTs
+    "q_stickiness" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id,
+         |    ($EvUs - 1704067200000000) // 86400000000 AS d
+         |  FROM events),
+         |dy AS (SELECT DISTINCT d AS d0 FROM ud),
+         |wau AS (SELECT b.d0, count(DISTINCT a.user_id) AS wau
+         |  FROM ud a JOIN dy b ON a.d <= b.d0 AND a.d >= b.d0 - 6
+         |  GROUP BY b.d0),
+         |dau AS (SELECT d, count(*) AS dau FROM ud GROUP BY d)
+         |SELECT dau.d AS day_num, dau.dau, wau.wau,
+         |  round(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6)
+         |    AS stickiness
+         |FROM dau JOIN wau ON dau.d = wau.d0""".stripMargin,
+
+    // Welch z: per-variant exact integer sums (µ-snapped s1/s2, the
+    // DECIMAL(38,0) variance key clamped at 0), sample variance
+    // key/1e12/n/(n−1), z rounded 4dp — the same parenthesization as
+    // the Spark fold so the doubles are bit-stable
+    "q_ab_test" ->
+      s"""WITH pe AS (SELECT user_id % 2 AS variant, value FROM events
+         |  WHERE event_type = 'purchase'),
+         |g AS (SELECT variant, count(*) AS n,
+         |    SUM(CAST(round(value * 1000000) AS BIGINT)) AS s1,
+         |    SUM(CAST(round(value * value * 1000000) AS BIGINT)) AS s2
+         |  FROM pe GROUP BY variant),
+         |gm AS (SELECT variant, n,
+         |    CAST(s1 AS DOUBLE) / 1000000.0 / n AS m,
+         |    greatest(CAST(CAST(s2 AS DECIMAL(38,0)) * n * 1000000
+         |      - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE), 0.0)
+         |      / 1000000000000.0 / n / (n - 1) AS v
+         |  FROM g),
+         |p AS (SELECT
+         |    max(CASE WHEN variant = 0 THEN n END) AS n0,
+         |    max(CASE WHEN variant = 1 THEN n END) AS n1,
+         |    max(CASE WHEN variant = 0 THEN m END) AS m0,
+         |    max(CASE WHEN variant = 1 THEN m END) AS m1,
+         |    max(CASE WHEN variant = 0 THEN v END) AS v0,
+         |    max(CASE WHEN variant = 1 THEN v END) AS v1
+         |  FROM gm)
+         |SELECT n0, n1, round(m0, 6) AS mean0, round(m1, 6) AS mean1,
+         |  round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS z,
+         |  abs((m0 - m1) / sqrt(v0 / n0 + v1 / n1)) > 1.96
+         |    AS significant
+         |FROM p""".stripMargin,
 
     // path trigrams: two leads over the same (ts, event_id) order,
     // LIMIT ties broken on the path string — deterministic both sides

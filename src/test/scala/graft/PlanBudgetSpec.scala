@@ -231,6 +231,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // paths: the same user-keyed window + the |types|³-row agg; the
     // top-10 is TakeOrderedAndProject (no sort exchange)
     "q_paths" -> 2,
+    // stickiness: (user, day) distinct + day-frame distinct/broadcast
+    // + two-phase count(DISTINCT) + dau agg + tiny join
+    "q_stickiness" -> 8,
+    // A/B read-out: one 2-row variant agg + the 1-row fold
+    "q_ab_test" -> 2,
     // cohort matrix: (user, week) distinct + user-keyed min + the
     // (cohort, offset) agg + tiny size agg/broadcast
     "q_cohort_matrix" -> 7,
