@@ -3982,6 +3982,15 @@ object SparkEntry {
       Knn.knnGraph(tbl(s, dir, "embeddings"), EmbDim, 3)
     },
 
+    // PageRank-style centrality over the ANN graph (graph-based data
+    // selection: prototypes rank high, tails decay to the 0.15
+    // floor): 2 damped power-iteration rounds, per-edge contributions
+    // µ-snapped before the dst-keyed sum so both engines fold
+    // identically
+    "emb_graph_rank" -> { (s, dir) =>
+      Knn.graphRank(tbl(s, dir, "embeddings"), EmbDim, 3)
+    },
+
     // greedy farthest-first k-center coreset (Gonzalez 2-approx): the
     // 8 most spread-out vectors plus the coverage-radius curve at each
     // size — the third diversity move next to cluster_sample (per-
@@ -4806,6 +4815,31 @@ object SparkEntry {
        |r AS (SELECT query_id, neighbor_id, adist,
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist, neighbor_id) AS INTEGER) AS rank FROM sc)""".stripMargin
+
+  /** ANN-graph chain (gpop/gsalt/g0/g1/g2) ending in `g2` = the
+    * salted, two-stage-ranked kNN edges (rank <= k filter applied by
+    * the consumer) — mirrors Knn.knnGraph's hub-cell salting exactly.
+    * Shared VERBATIM by the emb_knn_graph oracle and emb_graph_rank's
+    * edge set so the graph and its centrality eval cannot drift.
+    */
+  private def sqlKnnGraphCtes: String =
+    s"""$sqlAutoLshBandCte,
+       |gpop AS (SELECT tb, bk, count(*) AS pop FROM alb GROUP BY 1, 2),
+       |gsalt AS (SELECT a.vec_id, a.tb, a.bk,
+       |    ((a.vec_id % 1048573) * 2654435761)
+       |      % ((p.pop + 499) // 500) AS salt
+       |  FROM alb a JOIN gpop p ON p.tb = a.tb AND p.bk = a.bk),
+       |g0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+       |  FROM gsalt a JOIN gsalt b ON a.tb = b.tb AND a.bk = b.bk
+       |    AND a.salt = b.salt AND a.vec_id <> b.vec_id),
+       |g1 AS (SELECT src, dst,
+       |    max(${sqlCos("ea.embedding", "eb.embedding")}) AS cos
+       |  FROM g0 JOIN embeddings ea ON ea.vec_id = g0.src
+       |    JOIN embeddings eb ON eb.vec_id = g0.dst
+       |  GROUP BY 1, 2),
+       |g2 AS (SELECT src, dst, cos, CAST(row_number() OVER (
+       |    PARTITION BY src ORDER BY cos DESC, dst) AS INTEGER) AS rank
+       |  FROM g1)""".stripMargin
 
   /** Residual-IVFADC chain (rcv/rcres/rbook/rcodes/rqres/rdtab/rcand/
     * rsc/rr) ending in `rr` = candidates ranked per query by the ADC
@@ -6842,25 +6876,37 @@ object SparkEntry {
     // per-source rank window (the union-of-local-top-k stage is a
     // pure optimization — global rank over the same candidates)
     "emb_knn_graph" ->
-      s"""WITH $sqlAutoLshBandCte,
-         |gpop AS (SELECT tb, bk, count(*) AS pop FROM alb GROUP BY 1, 2),
-         |gsalt AS (SELECT a.vec_id, a.tb, a.bk,
-         |    ((a.vec_id % 1048573) * 2654435761)
-         |      % ((p.pop + 499) // 500) AS salt
-         |  FROM alb a JOIN gpop p ON p.tb = a.tb AND p.bk = a.bk),
-         |g0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
-         |  FROM gsalt a JOIN gsalt b ON a.tb = b.tb AND a.bk = b.bk
-         |    AND a.salt = b.salt AND a.vec_id <> b.vec_id),
-         |g1 AS (SELECT src, dst,
-         |    max(${sqlCos("ea.embedding", "eb.embedding")}) AS cos
-         |  FROM g0 JOIN embeddings ea ON ea.vec_id = g0.src
-         |    JOIN embeddings eb ON eb.vec_id = g0.dst
-         |  GROUP BY 1, 2),
-         |g2 AS (SELECT src, dst, cos, CAST(row_number() OVER (
-         |    PARTITION BY src ORDER BY cos DESC, dst) AS INTEGER) AS rank
-         |  FROM g1)
+      s"""WITH $sqlKnnGraphCtes
          |SELECT src, rank, dst, round(cos, 6) AS cos
          |FROM g2 WHERE rank <= 3""".stripMargin,
+
+    // ANN-graph centrality: the shared graph chain's edges, then two
+    // damped rounds — per-edge contributions µ-snapped to BIGINT
+    // before the dst-keyed sum, scores rounded 6dp per round, exactly
+    // the Spark fold
+    "emb_graph_rank" ->
+      s"""WITH $sqlKnnGraphCtes,
+         |ge AS (SELECT src, dst FROM g2 WHERE rank <= 3),
+         |gdeg AS (SELECT src, count(*) AS d FROM ge GROUP BY src),
+         |gn AS (SELECT vec_id AS id FROM embeddings),
+         |gp0 AS (SELECT id, 1.0 AS pr FROM gn),
+         |gi1 AS (SELECT e.dst AS id,
+         |    SUM(CAST(round(p.pr / dg.d * 1000000) AS BIGINT)) AS s6
+         |  FROM ge e JOIN gp0 p ON p.id = e.src
+         |  JOIN gdeg dg ON dg.src = e.src GROUP BY e.dst),
+         |gp1 AS (SELECT n.id, round(0.15 + 0.85
+         |    * (CAST(coalesce(i.s6, 0) AS DOUBLE) / 1000000.0), 6) AS pr
+         |  FROM gn n LEFT JOIN gi1 i USING (id)),
+         |gi2 AS (SELECT e.dst AS id,
+         |    SUM(CAST(round(p.pr / dg.d * 1000000) AS BIGINT)) AS s6
+         |  FROM ge e JOIN gp1 p ON p.id = e.src
+         |  JOIN gdeg dg ON dg.src = e.src GROUP BY e.dst),
+         |gp2 AS (SELECT n.id, round(0.15 + 0.85
+         |    * (CAST(coalesce(i.s6, 0) AS DOUBLE) / 1000000.0), 6) AS pr
+         |  FROM gn n LEFT JOIN gi2 i USING (id))
+         |SELECT p.id AS vec_id,
+         |  CAST(coalesce(dg.d, 0) AS BIGINT) AS out_deg, p.pr
+         |FROM gp2 p LEFT JOIN gdeg dg ON dg.src = p.id""".stripMargin,
 
     // the fixed 4-plane geometry pinned against the shared lb cells
     // (sqlLshBandCte) — exactly the ANN index's registered cells

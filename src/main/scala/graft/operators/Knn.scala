@@ -1682,6 +1682,52 @@ object Knn {
         round(sqrt(dotD(col("xr"), col("xr"))), 6).as("norm_abtt"))
   }
 
+  /** PageRank-style centrality over the ANN graph — the graph-based
+    * data-selection primitive (rank corpus items by how often other
+    * items' neighborhoods point at them: high-centrality vectors are
+    * prototypes, persistent low-centrality ones are tails/outliers):
+    * `iters` damped power-iteration rounds over the [[knnGraph]] edge
+    * set, damping 0.85, uniform 1.0 init.
+    *
+    * Cross-engine parity: per-edge contributions snap to µ-unit
+    * BIGINTs before the (dst)-keyed sum (order-independent), each
+    * round's score rounds to 6dp (the kmeans convention); nodes with
+    * no in-edges decay to the 0.15 floor.
+    *
+    * Scale shape: edges = n·k rows (built once, lazily checkpointed);
+    * each round is one shuffle join on src (deg rides the same key),
+    * one (dst)-keyed partial agg, and a node-frame left join — all
+    * linear in the edge count.
+    */
+  def graphRank(emb: DataFrame, dim: Int, k: Int = 3, iters: Int = 2,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val edges = knnGraph(emb, dim, k, idCol = idCol, vecCol = vecCol)
+      .select(col("src"), col("dst")).localCheckpoint(false)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val nodes = emb.select(col(idCol).as("id"))
+    var score = nodes.withColumn("pr", lit(1.0))
+    for (_ <- 0 until iters) {
+      val inc = edges
+        .join(score.select(col("id").as("src"), col("pr")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          round(col("pr") / col("d").cast("double") * lit(1e6))
+            .cast("long").as("c6"))
+        .groupBy(col("id"))
+        .agg(sum(col("c6")).as("s6"))
+      score = nodes.join(inc, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(0.15) + lit(0.85) *
+            (coalesce(col("s6"), lit(0L)).cast("double") / lit(1e6)), 6)
+            .as("pr"))
+        .localCheckpoint(false)
+    }
+    score.join(deg.select(col("src").as("id"), col("d")), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("d"), lit(0L)).as("out_deg"), col("pr"))
+  }
+
   /** Per-dimension WHITENING (diagonal ZCA — standardize every
     * coordinate to zero mean / unit variance): the third member of
     * the isotropy toolbox next to [[pcaTopVec]] and [[abtt]]

@@ -335,6 +335,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // local top-k rides the join's own partitioning (subset
     // clustering — no exchange of its own)
     "emb_knn_graph" -> 5,
+    // graph centrality: the visible plan is the final node-frame join
+    // (the edge build + per-round folds sit behind lazy checkpoints;
+    // the graph build itself is pinned as emb_knn_graph)
+    "emb_graph_rank" -> 2,
     // exact+sketch audit over ONE shared (localCheckpoint'd) shingle
     // explode: bench-shingle distinct + its broadcast back over the
     // corpus leg, the fused exact/bloom per-doc count agg, and the
