@@ -59,6 +59,11 @@ object BenchScale {
     // codebook-sized reduces) and emb_ivf_pq_rerank (now serving from
     // the learned codes) — the two legs the r10 verdict flagged as
     // scale-unmeasured.
+    // Fifth group (round 11, second session): emb_ivf_pq_residual
+    // (the residual-ADC geometry — same cell/codebook sizing dials as
+    // ivf_pq, plus the broadcast-centroid residual pass) and
+    // emb_graph_rank (2 damped rounds over the knn_graph edges —
+    // linear in edges, but it pays the graph build).
     val registered = Seq("mm_phash", "mm_phash_eval",
       "mm_phash_eval_sampled", "emb_knn_ivf", "emb_ivf_pq",
       "emb_ivf_probe_curve", "emb_pq", "doc_dedup_edit",
@@ -67,7 +72,8 @@ object BenchScale {
       "doc_minhash_band_curve", "doc_contamination_spans",
       "doc_novelty", "emb_lsh_table_curve",
       "emb_bq_search", "emb_knn_graph", "emb_kcenter",
-      "emb_pq_learned", "emb_ivf_pq_rerank")
+      "emb_pq_learned", "emb_ivf_pq_rerank",
+      "emb_ivf_pq_residual", "emb_graph_rank")
     val legs: Seq[(String, () => DataFrame)] =
       registered.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 

@@ -1704,8 +1704,19 @@ object Knn {
                 vecCol: String = "embedding"): DataFrame = {
     val edges = knnGraph(emb, dim, k, idCol = idCol, vecCol = vecCol)
       .select(col("src"), col("dst")).localCheckpoint(false)
+    graphRankFromEdges(edges, emb.select(col(idCol).as("id")), iters)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** The [[graphRank]] fold over an explicit edge list — public so
+    * the damped-round arithmetic is spec-pinnable on a hand-built
+    * graph (the kNN edge construction is pinned separately via
+    * [[knnGraph]]'s own oracle). `edges` = (src, dst); `nodes` =
+    * (id); returns (id, out_deg, pr).
+    */
+  def graphRankFromEdges(edges: DataFrame, nodes: DataFrame,
+                         iters: Int = 2): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val nodes = emb.select(col(idCol).as("id"))
     var score = nodes.withColumn("pr", lit(1.0))
     for (_ <- 0 until iters) {
       val inc = edges
@@ -1724,8 +1735,8 @@ object Knn {
         .localCheckpoint(false)
     }
     score.join(deg.select(col("src").as("id"), col("d")), Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("d"), lit(0L)).as("out_deg"), col("pr"))
+      .select(col("id"), coalesce(col("d"), lit(0L)).as("out_deg"),
+        col("pr"))
   }
 
   /** Per-dimension WHITENING (diagonal ZCA — standardize every

@@ -365,6 +365,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(run(8).toSeq == run(1).toSeq)
   }
 
+  test("graphRankFromEdges replays the damped rounds by hand") {
+    import spark.implicits._
+    // 1 -> {2, 3} (deg 2), 2 -> 1 (deg 1), 3 dangling:
+    // round 1: pr(1) = 0.15 + 0.85*1.0 = 1.0; pr(2) = pr(3) =
+    //   0.15 + 0.85*0.5 = 0.575
+    // round 2: pr(1) = 0.15 + 0.85*0.575 = 0.63875; pr(2)/pr(3)
+    //   unchanged (their in-contribution is still pr(1)/2 = 0.5)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val got = Knn.graphRankFromEdges(edges, nodes).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got(1L) == ((2L, 0.63875)))
+    assert(got(2L) == ((1L, 0.575)))
+    assert(got(3L) == ((0L, 0.575))) // dangling: rank floor + in-mass
+  }
+
+  test("whiten standardizes each dimension to exact µ-units") {
+    import spark.implicits._
+    // both dims have mean 1 resp. 2 and population sd 1 -> whitened
+    // coordinates are exactly ±1 (±1e6 µ-units)
+    val emb = Seq((1L, Array(0.0f, 1.0f)), (2L, Array(2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Knn.whiten(emb, 2).orderBy("vec_id")
+      .collect().map(_.getString(1))
+    assert(got.toSeq == Seq("-1000000,-1000000", "1000000,1000000"))
+  }
+
   test("contaminationSpans marks exactly the verbatim benchmark overlap") {
     import spark.implicits._
     // doc 0 is the benchmark; doc 1 embeds a verbatim 30-char slice of
