@@ -313,6 +313,42 @@ object SparkEntry {
             .as("frac"))
     },
 
+    // cohort-relative RFM segmentation (recency / frequency /
+    // monetary quintiles WITHIN each signup cohort — the partitioned
+    // formulation: every ntile window keys on cohort_week, so no
+    // global single-partition rank ever forms; monetary folds as the
+    // exact DECIMAL(38,6) sum, recency anchors on the corpus max ts
+    // broadcast from a 1-row agg)
+    "q_rfm" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val wk = org.apache.spark.sql.graft.Bridge.fldiv(
+        col("ts") - lit(Jan01), 7 * UsDay)
+      val cohort = ev.groupBy(col("user_id")).agg(min(wk).as("c0"))
+      val pur = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(38,6)")).as("mon"))
+      val mx = ev.agg(max(col("ts")).as("max_ts"))
+      def sc(order: Seq[Column]) = ntile(5).over(
+        Window.partitionBy(col("cohort_week")).orderBy(order: _*))
+      pur.join(cohort, Seq("user_id"))
+        .crossJoin(broadcast(mx))
+        .select(col("user_id"), col("c0").as("cohort_week"),
+          org.apache.spark.sql.graft.Bridge.fldiv(
+            col("max_ts") - col("last_ts"), UsDay).as("recency_days"),
+          col("n_purchases"), col("mon").cast("double").as("monetary"))
+        .withColumn("r_score",
+          sc(Seq(col("recency_days").desc, col("user_id"))))
+        .withColumn("f_score", sc(Seq(col("n_purchases"), col("user_id"))))
+        .withColumn("m_score", sc(Seq(col("monetary"), col("user_id"))))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4, "champion")
+            .when(col("r_score") >= 4, "recent")
+            .when(col("f_score") >= 4, "loyal")
+            .when(col("r_score") <= 2 && col("f_score") <= 2, "at_risk")
+            .otherwise("regular"))
+    },
+
     // DAU / trailing-7-day-AU stickiness per day — the engagement
     // scorecard: one (user, day) DISTINCT, the tiny day frame
     // broadcast against it for the trailing window (output is
@@ -3034,6 +3070,49 @@ object SparkEntry {
          |SELECT from_type, to_type, n, n_from,
          |  round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS frac
          |FROM tw""".stripMargin,
+
+    // RFM: cohort from ALL events, stats from purchases, every ntile
+    // partitioned by cohort with full (metric, user_id) tie-breaks so
+    // the quintiles are deterministic on both engines; monetary =
+    // exact DECIMAL(38,6) sum cast to double
+    "q_rfm" ->
+      s"""WITH ev AS (SELECT user_id, event_type, value, $EvUs AS tus
+         |  FROM events),
+         |ch AS (SELECT user_id,
+         |    min((tus - 1704067200000000) // ${7 * 86400000000L}) AS c0
+         |  FROM ev GROUP BY user_id),
+         |pur AS (SELECT user_id, max(tus) AS last_ts,
+         |    count(*) AS n_purchases,
+         |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+         |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id),
+         |mx AS (SELECT max(tus) AS max_ts FROM ev),
+         |base AS (SELECT p.user_id, c.c0 AS cohort_week,
+         |    (m.max_ts - p.last_ts) // 86400000000 AS recency_days,
+         |    p.n_purchases, p.monetary
+         |  FROM pur p JOIN ch c USING (user_id), mx m)
+         |SELECT user_id, cohort_week, recency_days, n_purchases,
+         |  monetary,
+         |  CAST(ntile(5) OVER (PARTITION BY cohort_week
+         |    ORDER BY recency_days DESC, user_id) AS INTEGER) AS r_score,
+         |  CAST(ntile(5) OVER (PARTITION BY cohort_week
+         |    ORDER BY n_purchases, user_id) AS INTEGER) AS f_score,
+         |  CAST(ntile(5) OVER (PARTITION BY cohort_week
+         |    ORDER BY monetary, user_id) AS INTEGER) AS m_score,
+         |  CASE
+         |    WHEN ntile(5) OVER (PARTITION BY cohort_week
+         |      ORDER BY recency_days DESC, user_id) >= 4
+         |     AND ntile(5) OVER (PARTITION BY cohort_week
+         |      ORDER BY n_purchases, user_id) >= 4 THEN 'champion'
+         |    WHEN ntile(5) OVER (PARTITION BY cohort_week
+         |      ORDER BY recency_days DESC, user_id) >= 4 THEN 'recent'
+         |    WHEN ntile(5) OVER (PARTITION BY cohort_week
+         |      ORDER BY n_purchases, user_id) >= 4 THEN 'loyal'
+         |    WHEN ntile(5) OVER (PARTITION BY cohort_week
+         |      ORDER BY recency_days DESC, user_id) <= 2
+         |     AND ntile(5) OVER (PARTITION BY cohort_week
+         |      ORDER BY n_purchases, user_id) <= 2 THEN 'at_risk'
+         |    ELSE 'regular' END AS segment
+         |FROM base""".stripMargin,
 
     // stickiness: DISTINCT (user, day), trailing-7 window via the
     // tiny day-frame join, count(DISTINCT) per day — all BIGINTs

@@ -234,6 +234,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // stickiness: (user, day) distinct + day-frame distinct/broadcast
     // + two-phase count(DISTINCT) + dau agg + tiny join
     "q_stickiness" -> 8,
+    // RFM: cohort agg + purchase agg + 1-row max broadcast + the
+    // cohort-PARTITIONED ntile windows (one shuffle, shared by all
+    // three scores — never a global single-partition rank)
+    "q_rfm" -> 6,
     // A/B read-out: one 2-row variant agg + the 1-row fold
     "q_ab_test" -> 2,
     // cohort matrix: (user, week) distinct + user-keyed min + the
