@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Live DAU board — the streaming twin of q_stickiness's input side:
+  * a CHAINED-STATEFUL plan (dedup → windowed agg, both watermarked)
+  * that emits each closed day's distinct-active-user count exactly
+  * once.
+  *
+  *  - the first stateful op is `dropDuplicatesWithinWatermark` on
+  *    (user_id, day): state holds one row per ACTIVE (user, day)
+  *    inside the watermark horizon and evicts with it — never one row
+  *    per event, never unbounded user history;
+  *  - the second is a 1-day tumbling-window count over the surviving
+  *    rows — emitted in append mode when the watermark closes the
+  *    day, so a day's DAU is final the moment it publishes.
+  *
+  * [[stickiness]] folds the emitted days into q_stickiness's
+  * DAU / trailing-7-day-AU shape. The trailing union is a UNION of
+  * per-day DISTINCT sets, so the fold is an upper bound built from
+  * day-grain counts; the batch operator computes the exact trailing
+  * distinct. The DAU legs are spec-pinned equal to batch; the
+  * stickiness fold is the dashboard companion, documented as
+  * day-additive.
+  */
+object StreamStickiness {
+
+  /** `events` carries `user_id` and an epoch-µs `ts`. Emits
+    * (day_begin epoch-µs, dau) per closed day.
+    */
+  def daily(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("__event_time", timestamp_micros(col("ts")))
+      .withWatermark("__event_time", watermark)
+      .withColumn("__day", date_trunc("DAY", col("__event_time")))
+      .dropDuplicatesWithinWatermark("user_id", "__day")
+      .groupBy(window(col("__event_time"), "1 day").as("__w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(unix_micros(col("__w.start")).as("day_begin"), col("dau"))
+
+  /** Fold closed-day DAU rows into the engagement shape: per day, the
+    * trailing-7-day SUM of daily distinct counts (day-additive upper
+    * bound of the exact trailing distinct — see class doc) and the
+    * dau/trailing ratio. Tiny calendar-sized frame.
+    */
+  def stickiness(daily: DataFrame): DataFrame = {
+    val UsDay = 86400000000L
+    val w = Window.orderBy(col("day_begin"))
+      .rangeBetween(-6L * UsDay, 0L)
+    daily
+      .withColumn("trailing7", sum(col("dau")).over(w))
+      .select(col("day_begin"), col("dau"), col("trailing7"),
+        round(col("dau").cast("double") / col("trailing7").cast("double"), 6)
+          .as("ratio"))
+  }
+}

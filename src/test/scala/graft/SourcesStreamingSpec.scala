@@ -859,6 +859,38 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(roll.getAs[Double]("conv") == 0.2)
   }
 
+  test("streaming DAU equals batch distinct counts; stickiness fold is day-additive") {
+    import spark.implicits._
+    val D = 86400000000L
+    val base = 1704067200000000L // day-aligned
+    // day 0: users 1,2,3 (u1 twice -> deduped); day 1: users 1,2
+    val b1 = Seq((1L, base + 1000L), (1L, base + 2000L),
+      (2L, base + 3000L), (3L, base + 4000L),
+      (1L, base + D + 1000L), (2L, base + D + 2000L))
+      .toDF("user_id", "ts")
+    // sentinels push the watermark past day 0 then day 1
+    val b2 = Seq((99L, base + 3 * D)).toDF("user_id", "ts")
+    val b3 = Seq((98L, base + 6 * D)).toDF("user_id", "ts")
+
+    val (out, ps) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3),
+      s => graft.streaming.StreamStickiness.daily(s, watermark = "1 hour"),
+      "append", "sdau_stream")
+    assert(StreamHarness.lateDrops(ps) == 0)
+    val got = out.collect().map(r => r.getAs[Long]("day_begin") ->
+      r.getAs[Long]("dau")).toMap
+    assert(got(base) == 3L)      // day 0: u1 deduped
+    assert(got(base + D) == 2L)  // day 1
+    assert(got(base + 3 * D) == 1L) // sentinel day closed by b3
+
+    // the trailing-7 fold over closed days: day-additive by contract
+    val st = graft.streaming.StreamStickiness.stickiness(out)
+      .collect().map(r => r.getAs[Long]("day_begin") ->
+        (r.getAs[Long]("trailing7"), r.getAs[Double]("ratio"))).toMap
+    assert(st(base) == ((3L, 1.0)))
+    assert(st(base + D) == ((5L, 0.4)))
+    assert(st(base + 3 * D) == ((6L, 0.166667)))
+  }
+
   test("streaming transitions chain across batches; matrix equals q_transitions") {
     import spark.implicits._
     val S = 1000000L

@@ -253,6 +253,20 @@ class StreamStateSpec extends AnyFunSuite {
       s"churn state exceeded |users|=4: $rows")
   }
 
+  test("DAU chain state is (user, day) pairs in the horizon, not events") {
+    // 4 users x 25 events per batch, batches a day apart: dedup state
+    // holds active (user, day) pairs inside the watermark horizon
+    // (~2 batches' days) + the open day windows — never per-event rows
+    val batches = advancingBatches(nKeys = 4, perKey = 25)
+    val (out, ps) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamStickiness.daily(s, watermark = "1 hour"),
+      "append", "sdau_state")
+    assert(out.count() > 0)
+    val rows = StreamHarness.stateRows(ps)
+    assert(rows.nonEmpty && rows.forall(_ <= 2 * 4 + 6),
+      s"DAU chain state exceeded the (user, day) horizon bound: $rows")
+  }
+
   test("transitions state is one row per user regardless of volume") {
     import spark.implicits._
     // 4 users x 25 events per batch x 4 batches: the last-event triple
