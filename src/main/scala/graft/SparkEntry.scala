@@ -313,6 +313,38 @@ object SparkEntry {
             .as("frac"))
     },
 
+    // cumulative cohort revenue (LTV triangle — q_cohort_matrix's
+    // monetary companion): per (cohort, week-offset) the exact
+    // DECIMAL(38,6) revenue sum, cumulated by a cohort-partitioned
+    // window IN DECIMAL (cast to double only at the edge), normalized
+    // by the broadcast cohort size
+    "q_ltv" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val wk = org.apache.spark.sql.graft.Bridge.fldiv(
+        col("ts") - lit(Jan01), 7 * UsDay)
+      val cohort = ev.groupBy(col("user_id")).agg(min(wk).as("c0"))
+      val sizes = cohort.groupBy(col("c0"))
+        .agg(count(lit(1)).as("n_cohort"))
+      val wC = Window.partitionBy(col("cohort_week"))
+        .orderBy(col("week_offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), wk.as("w"), col("value"))
+        .join(cohort, Seq("user_id"))
+        .groupBy(col("c0").as("cohort_week"),
+          (col("w") - col("c0")).as("week_offset"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(38,6)")).as("rev_d"))
+        .withColumn("cum_d", sum(col("rev_d")).over(wC))
+        .join(broadcast(sizes), col("cohort_week") === col("c0"))
+        .select(col("cohort_week"), col("week_offset"), col("n_purchases"),
+          col("rev_d").cast("double").as("revenue"),
+          col("cum_d").cast("double").as("cum_revenue"),
+          col("n_cohort"),
+          round(col("cum_d").cast("double")
+            / col("n_cohort").cast("double"), 6).as("ltv_per_user"))
+    },
+
     // cohort-relative RFM segmentation (recency / frequency /
     // monetary quintiles WITHIN each signup cohort — the partitioned
     // formulation: every ntile window keys on cohort_week, so no
@@ -3070,6 +3102,32 @@ object SparkEntry {
          |SELECT from_type, to_type, n, n_from,
          |  round(CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS frac
          |FROM tw""".stripMargin,
+
+    // LTV: the cumulative window runs IN DECIMAL on both engines —
+    // only the edge casts to double, so the running sums are exact
+    "q_ltv" ->
+      s"""WITH ev AS (SELECT user_id, event_type, value,
+         |    ($EvUs - 1704067200000000) // ${7 * 86400000000L} AS w
+         |  FROM events),
+         |ch AS (SELECT user_id, min(w) AS c0 FROM ev GROUP BY user_id),
+         |sz AS (SELECT c0, count(*) AS n_cohort FROM ch GROUP BY c0),
+         |rv AS (SELECT c.c0 AS cohort_week, e.w - c.c0 AS week_offset,
+         |    count(*) AS n_purchases,
+         |    sum(CAST(e.value AS DECIMAL(38,6))) AS rev_d
+         |  FROM ev e JOIN ch c USING (user_id)
+         |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+         |cu AS (SELECT cohort_week, week_offset, n_purchases, rev_d,
+         |    sum(rev_d) OVER (PARTITION BY cohort_week
+         |      ORDER BY week_offset
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_d
+         |  FROM rv)
+         |SELECT u.cohort_week, u.week_offset, u.n_purchases,
+         |  CAST(u.rev_d AS DOUBLE) AS revenue,
+         |  CAST(u.cum_d AS DOUBLE) AS cum_revenue,
+         |  s.n_cohort,
+         |  round(CAST(u.cum_d AS DOUBLE) / CAST(s.n_cohort AS DOUBLE), 6)
+         |    AS ltv_per_user
+         |FROM cu u JOIN sz s ON u.cohort_week = s.c0""".stripMargin,
 
     // RFM: cohort from ALL events, stats from purchases, every ntile
     // partitioned by cohort with full (metric, user_id) tie-breaks so

@@ -120,4 +120,38 @@ class QuerySmokeSpec extends AnyFunSuite {
   test("entry returns rows") {
     assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
   }
+
+  test("analytics-family invariants hold on sf0.001") {
+    val spark = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+
+    // transitions: each row's n_from is the row-sum of its from_type
+    // (the matrix is row-consistent by construction on both engines)
+    val tr = SparkEntry.queries("q_transitions")(spark, dir)
+    val bad = tr.groupBy("from_type")
+      .agg(sum(col("n")).as("s"), max(col("n_from")).as("nf"),
+        min(col("n_from")).as("nf2"))
+      .where(col("s") =!= col("nf") || col("nf") =!= col("nf2"))
+    assert(bad.isEmpty, "q_transitions row-sum != n_from")
+
+    // cohort matrix: every user is active in their own first week, so
+    // the offset-0 cell equals the cohort size exactly
+    val cm = SparkEntry.queries("q_cohort_matrix")(spark, dir)
+    val off0 = cm.where(col("week_offset") === 0)
+      .where(col("n_active") =!= col("n_cohort"))
+    assert(off0.isEmpty, "q_cohort_matrix offset-0 != cohort size")
+
+    // ltv: cumulative revenue is non-decreasing within each cohort
+    // and its final value is the cohort's total revenue
+    val lt = SparkEntry.queries("q_ltv")(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_week").orderBy("week_offset")
+    val dec = lt.withColumn("prev", lag(col("cum_revenue"), 1).over(w))
+      .where(col("prev").isNotNull && col("cum_revenue") < col("prev"))
+    assert(dec.isEmpty, "q_ltv cumulative revenue decreased")
+    val tot = lt.groupBy("cohort_week")
+      .agg(sum(col("revenue")).as("s"), max(col("cum_revenue")).as("c"))
+      .where(abs(col("s") - col("c")) > 1e-6)
+    assert(tot.isEmpty, "q_ltv final cum != cohort revenue total")
+  }
 }

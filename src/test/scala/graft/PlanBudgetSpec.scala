@@ -238,6 +238,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     // cohort-PARTITIONED ntile windows (one shuffle, shared by all
     // three scores — never a global single-partition rank)
     "q_rfm" -> 6,
+    // LTV: cohort agg + the (cohort, offset) revenue agg + the
+    // cohort-partitioned cumulative window + tiny size agg/broadcast
+    "q_ltv" -> 7,
     // A/B read-out: one 2-row variant agg + the 1-row fold
     "q_ab_test" -> 2,
     // cohort matrix: (user, week) distinct + user-keyed min + the
