@@ -42,12 +42,11 @@ object BenchScale {
     // decontamination (bench side fixed, corpus side scales), the
     // first-occurrence novelty score, and the two eval harnesses whose
     // truth legs are |Q|-bounded (brute = |Q|·n, |Q| pinned to the
-    // base copies). Excluded by design: doc_topic_cluster (kmeans
-    // family — the fixed every-67 codebook is the learned-codebook
-    // DEMO, same exclusion as emb_kmeans; production sizes k from the
-    // corpus count) and the ts_* additions (events family, one
-    // grid-agg + window shuffles — linear by construction, the
-    // full-suite sf1 curve covers them).
+    // base copies). Excluded by design: the ts_* additions (events
+    // family, one grid-agg + window shuffles — linear by
+    // construction, the full-suite sf1 curve covers them). The old
+    // doc_topic_cluster/emb_kmeans exclusion is gone — see the sixth
+    // group below.
     // Third group (round 9): emb_bq_search (O(n·|Q|) Hamming scan at
     // 8 bytes/vector, |Q| pinned to base copies), emb_knn_graph (the
     // banded corpus self-join — pair volume rides the auto-sized
@@ -64,6 +63,14 @@ object BenchScale {
     // ivf_pq, plus the broadcast-centroid residual pass) and
     // emb_graph_rank (2 damped rounds over the knn_graph edges —
     // linear in edges, but it pays the graph build).
+    // Sixth group (round 12): the learned-Lloyd family now auto-sizes
+    // its seeding stride (Knn.lloyd via autoCoarseEvery √n — the
+    // old every-67 exclusion no longer applies), so emb_kmeans and
+    // doc_topic_cluster join the measured set; emb_kcenter_sampled is
+    // the pool-greedy production k-center; and the text-dedup family
+    // (minhash banding, df-capped pruned Jaccard, C4-style block
+    // dedup) gets measured exponents to back SURVEY §5's df-cap/
+    // banding claims with the same evidence the ANN family has.
     val registered = Seq("mm_phash", "mm_phash_eval",
       "mm_phash_eval_sampled", "emb_knn_ivf", "emb_ivf_pq",
       "emb_ivf_probe_curve", "emb_pq", "doc_dedup_edit",
@@ -73,7 +80,10 @@ object BenchScale {
       "doc_novelty", "emb_lsh_table_curve",
       "emb_bq_search", "emb_knn_graph", "emb_kcenter",
       "emb_pq_learned", "emb_ivf_pq_rerank",
-      "emb_ivf_pq_residual", "emb_graph_rank")
+      "emb_ivf_pq_residual", "emb_graph_rank",
+      "emb_kmeans", "doc_topic_cluster", "emb_kcenter_sampled",
+      "doc_dedup_minhash", "doc_dedup_ngram_jaccard_pruned",
+      "doc_block_dedup")
     val legs: Seq[(String, () => DataFrame)] =
       registered.map(n => n -> (() => SparkEntry.queries(n)(spark, sfDir)))
 

@@ -408,7 +408,10 @@ object SparkEntry {
     // parity — the deterministic split both engines derive): Welch
     // z-score from per-variant exact integer sums (µ-snapped s1/s2,
     // the DECIMAL(38,0) variance key), one 2-row agg + a 1-row fold;
-    // the decision is |z| > 1.96
+    // the decision is |z| > 1.96. DEGENERATE INPUT CONTRACT: if a
+    // variant has zero purchase rows its n/m/v pick is NULL, so z and
+    // significant surface as NULL — the explicit "no verdict"
+    // read-out (identical on the DuckDB side; EdgeCaseSpec pins it)
     "q_ab_test" -> { (s, dir) =>
       def dec(c: Column) = c.cast("decimal(38,0)")
       val g = events(s, dir)
@@ -422,10 +425,14 @@ object SparkEntry {
         .select(col("variant"), col("n"),
           (col("s1").cast("double") / lit(1e6) / col("n").cast("double"))
             .as("m"),
-          (greatest((dec(col("s2")) * dec(col("n")) * dec(lit(1000000L))
-            - dec(col("s1")) * dec(col("s1"))).cast("double"), lit(0.0))
-            / lit(1e12) / col("n").cast("double")
-            / (col("n") - lit(1)).cast("double")).as("v"))
+          // sample variance is undefined below 2 rows: NULL (-> NULL
+          // z) instead of an ANSI division-by-zero on a 1-purchase
+          // variant; the oracle's CASE mirrors the guard
+          when(col("n") > 1,
+            greatest((dec(col("s2")) * dec(col("n")) * dec(lit(1000000L))
+              - dec(col("s1")) * dec(col("s1"))).cast("double"), lit(0.0))
+              / lit(1e12) / col("n").cast("double")
+              / (col("n") - lit(1)).cast("double")).as("v"))
       def pick(c: String, v: Int) =
         max(when(col("variant") === v, col(c)))
       g.agg(
@@ -3201,9 +3208,10 @@ object SparkEntry {
          |  FROM pe GROUP BY variant),
          |gm AS (SELECT variant, n,
          |    CAST(s1 AS DOUBLE) / 1000000.0 / n AS m,
-         |    greatest(CAST(CAST(s2 AS DECIMAL(38,0)) * n * 1000000
-         |      - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE), 0.0)
-         |      / 1000000000000.0 / n / (n - 1) AS v
+         |    CASE WHEN n > 1 THEN
+         |      greatest(CAST(CAST(s2 AS DECIMAL(38,0)) * n * 1000000
+         |        - CAST(s1 AS DECIMAL(38,0)) * s1 AS DOUBLE), 0.0)
+         |        / 1000000000000.0 / n / (n - 1) END AS v
          |  FROM g),
          |p AS (SELECT
          |    max(CASE WHEN variant = 0 THEN n END) AS n0,
@@ -3358,6 +3366,16 @@ object SparkEntry {
     */
   private val EmbDedupFixedMaxVecs = 10000L
 
+  /** Corpus-size ceiling for doc_dedup_ngram_jaccard's UNCAPPED
+    * posting-list self-join — the one text path whose hottest shingle
+    * is O(df²) pairs with no dial. Beyond it the registration
+    * auto-switches to the df-capped pruned plan (the
+    * mm_phash_eval convention), so no sweep pays an uncapped hot
+    * posting list by accident; the uncapped exact shape stays the
+    * registered behavior at test/oracle scale.
+    */
+  private val NgramJaccardUncappedMaxDocs = 100000L
+
   /** The sampled phash-recall harness (O(n·|P|) truth against planted
     * re-encode probes) — the body of mm_phash_eval_sampled, shared by
     * mm_phash_eval's above-threshold auto-switch.
@@ -3457,8 +3475,16 @@ object SparkEntry {
       Dedup.editVerifiedPairs(tbl(s, dir, "documents"))
     },
 
+    // exact n-gram Jaccard, UNCAPPED posting lists: correct at any
+    // scale but the hottest shingle's posting list self-joins O(df²);
+    // above NgramJaccardUncappedMaxDocs the registration auto-switches
+    // to the df-capped pruned plan (same output columns; losses
+    // concentrate on boilerplate-only pairs — see the pruned entry)
     "doc_dedup_ngram_jaccard" -> { (s, dir) =>
-      Dedup.ngramJaccardPairs(tbl(s, dir, "documents"))
+      val docs = tbl(s, dir, "documents")
+      val cap = if (Knn.corpusCount(docs) > NgramJaccardUncappedMaxDocs)
+        Some(NgramJaccardMaxDf) else None
+      Dedup.ngramJaccardPairs(docs, maxDocFreq = cap)
     },
 
     // THE scale path for exact ngram Jaccard: posting lists capped at
@@ -4137,6 +4163,13 @@ object SparkEntry {
       Knn.kCenterSelect(tbl(s, dir, "embeddings"), EmbDim, 8)
     },
 
+    // production k-center: the same greedy over a √n-strided pool
+    // materialized once — O(k·√n) instead of k full corpus scans; the
+    // exact variant above stays registered as the declared floor
+    "emb_kcenter_sampled" -> { (s, dir) =>
+      Knn.kCenterSampled(tbl(s, dir, "embeddings"), EmbDim, 8)
+    },
+
     "emb_quantize" -> { (s, dir) =>
       Knn.quantizeInt8(tbl(s, dir, "embeddings"))
     },
@@ -4735,9 +4768,9 @@ object SparkEntry {
     * equals the operator's flat max over the selected set because max
     * over doubles is order-free. k-1 unrolled rounds.
     */
-  private def sqlKcenterCtes(k: Int): String = {
+  private def sqlKcenterCtes(k: Int, where: String = ""): String = {
     val b = Seq.newBuilder[String]
-    b += "kc0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings)"
+    b += s"kc0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings$where)"
     b += "kp1 AS (SELECT id, v FROM kc0 ORDER BY id LIMIT 1)"
     b += s"""km1 AS (SELECT e.id AS id, e.v AS v, ${sqlCos("e.v", "p.v")} AS mc
        |  FROM kc0 e, kp1 p)""".stripMargin
@@ -4864,8 +4897,10 @@ object SparkEntry {
     * in `kc1` = the learned codebook after one centroid update —
     * shared VERBATIM by emb_kmeans, emb_knn_ivf_learned and
     * emb_ann_recall's learned leg so the codebook every consumer sees
-    * is identical. Mirrors Knn.lloyd (every-67th seeding, max-cosine
-    * assignment with min-cid tie-break, 6dp-rounded centroid means).
+    * is identical. Mirrors Knn.lloyd (√n-auto-strided seeding — the
+    * same [[sqlCoarseEvery]] formula the IVF/PQ/RQ oracles use —
+    * max-cosine assignment with min-cid tie-break, 6dp-rounded
+    * centroid means).
     */
   private def sqlKmeansAssign(centsCte: String): String =
     s"""SELECT vid, cid, cos FROM (SELECT kv.vid, c.cid,
@@ -4878,7 +4913,7 @@ object SparkEntry {
     s"""kv AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
        |kc0 AS (SELECT vec_id AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-       |  FROM embeddings WHERE vec_id % 67 = 1),
+       |  FROM embeddings WHERE vec_id % $sqlCoarseEvery = 1),
        |ka1 AS (${sqlKmeansAssign("kc0")}),
        |ke1 AS (SELECT ka1.cid, unnest(range(1, ${EmbDim + 1})) AS dim,
        |    unnest(list_transform(kv.v, x -> CAST(x AS DOUBLE))) AS x
@@ -6909,8 +6944,9 @@ object SparkEntry {
 
     // topic clustering: hashed 16-bucket token-count vectors (float-
     // exact integers) through the same two-round Lloyd replay as
-    // emb_kmeans — every-67th seeding, max-cosine min-cid assignment,
-    // 6dp centroid means
+    // emb_kmeans — √n-auto-strided seeding over the NON-EMPTY doc
+    // frame (the corpus Knn.kmeans counts), max-cosine min-cid
+    // assignment, 6dp centroid means
     "doc_topic_cluster" -> {
       def assign(cents: String): String =
         s"""SELECT vid, cid, cos FROM (SELECT kvd.vid, c.cid,
@@ -6927,7 +6963,9 @@ object SparkEntry {
          |  FROM tct WHERE len(tk) > 0),
          |kcd0 AS (SELECT vid AS cid,
          |    list_transform(v, x -> CAST(x AS DOUBLE)) AS cvec
-         |  FROM kvd WHERE vid % 67 = 1),
+         |  FROM kvd WHERE vid % (SELECT greatest(1,
+         |      CAST(ceil(sqrt(count(*))) AS BIGINT),
+         |      CAST(ceil(count(*) / 65536.0) AS BIGINT)) FROM kvd) = 1),
          |kad1 AS (${assign("kcd0")}),
          |ked1 AS (SELECT kad1.cid, unnest(range(1, 17)) AS dim,
          |    unnest(list_transform(kvd.v, x -> CAST(x AS DOUBLE))) AS x
@@ -7285,6 +7323,19 @@ object SparkEntry {
         s"UNION ALL SELECT CAST($i AS INTEGER), id, round(1 - mc, 6) FROM kp$i")
         .mkString("\n")
       s"""WITH ${sqlKcenterCtes(8)}
+         |SELECT CAST(1 AS INTEGER) AS sel_rank, id AS vec_id,
+         |  CAST(NULL AS DOUBLE) AS cov FROM kp1
+         |$rows""".stripMargin
+    },
+
+    // the production k-center: identical greedy replay restricted to
+    // the √n-strided pool (the same auto stride every coarse codebook
+    // derives from count(*)) — mirrors Knn.kCenterSampled
+    "emb_kcenter_sampled" -> {
+      val rows = (2 to 8).map(i =>
+        s"UNION ALL SELECT CAST($i AS INTEGER), id, round(1 - mc, 6) FROM kp$i")
+        .mkString("\n")
+      s"""WITH ${sqlKcenterCtes(8, s" WHERE vec_id % $sqlCoarseEvery = 1")}
          |SELECT CAST(1 AS INTEGER) AS sel_rank, id AS vec_id,
          |  CAST(NULL AS DOUBLE) AS cov FROM kp1
          |$rows""".stripMargin

@@ -678,6 +678,33 @@ object Knn {
         round(lit(1.0) - col("__mc"), 6).as("cov"))
   }
 
+  /** Production-scale greedy k-center: the [[kCenterSelect]] traversal
+    * run over a deterministic √n-strided candidate POOL instead of the
+    * full corpus — the standard coreset-of-a-coreset move (Gonzalez
+    * greedy is a 2-approx on the pool; a √n uniform pool preserves the
+    * spread structure the coverage curve reads). `poolEvery <= 0`
+    * auto-sizes the stride via [[autoCoarseEvery]], so the pool is
+    * ≈√n rows capped at [[MaxCoarseCells]] — the same bound every
+    * coarse codebook in this file broadcasts.
+    *
+    * Scale shape: ONE corpus scan builds the pool (the `id % stride`
+    * filter is scan-side), the pool materializes via the
+    * localCheckpoint inside [[kCenterSelect]], and the k greedy scans
+    * then iterate a ≤65536-row in-memory frame — O(k·√n) total work
+    * with bounded driver state, vs the exact variant's k full corpus
+    * scans. The exact [[kCenterSelect]] stays registered as the
+    * declared floor (the emb_dedup_cosine_fixed convention); cov is
+    * the coverage radius measured over the pool.
+    */
+  def kCenterSampled(corpus: DataFrame, dim: Int, k: Int,
+                     poolEvery: Int = 0, idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     batch: Int = 8): DataFrame = {
+    val every = resolveCoarse(corpus, poolEvery)
+    kCenterSelect(corpus.where(col(idCol) % every === 1), dim, k,
+      idCol, vecCol, batch)
+  }
+
   /** Product quantization: split the vector into `m` contiguous
     * subspaces, code each subvector as its nearest (L2) centroid from a
     * deterministic every-Nth codebook — the memory layout behind
@@ -1337,6 +1364,22 @@ object Knn {
     * Output: (query_id, rank, neighbor_id, adist) — ranked on the raw
     * fold (bit-identical across engines), adist surfaced at 6dp.
     */
+  /** The per-candidate ADC sum over the collected subspace rows, with
+    * a LOUD totality guard: each (query, neighbor) must contribute
+    * exactly `m` subspace rows — the (query_id[, cid], s, pcid) joins
+    * cross the full codebook today, so a shorter list can only mean a
+    * future book-pruning change silently lost subspaces, and an
+    * under-summed adist would corrupt the ranking without failing.
+    * raise_error sits on the never-taken branch, so codegen cost is
+    * one size() compare per candidate.
+    */
+  private def adcSum(ds: Column, m: Int): Column =
+    when(size(ds) === m,
+      aggregate(ds, lit(0.0), (a, x) => a + x.getField("d")))
+      .otherwise(raise_error(concat(
+        lit("ADC fold lost subspaces: saw "), size(ds).cast("string"),
+        lit(s" of $m"))))
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
                 m: Int = 4, coarseEvery: Int = 0, pqEvery: Int = 0,
                 nProbe: Int = 2, idCol: String = "vec_id",
@@ -1370,8 +1413,7 @@ object Knn {
       .groupBy("query_id", "neighbor_id")
       .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("ds"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(col("ds"), lit(0.0), (a, x) => a + x.getField("d"))
-          .as("adist"))
+        adcSum(col("ds"), m).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1422,8 +1464,7 @@ object Knn {
       .groupBy("query_id", "neighbor_id")
       .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("ds"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(col("ds"), lit(0.0), (a, x) => a + x.getField("d"))
-          .as("adist"))
+        adcSum(col("ds"), m).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1539,8 +1580,7 @@ object Knn {
       .groupBy("query_id", "neighbor_id")
       .agg(array_sort(collect_list(struct(col("s"), col("d")))).as("ds"))
       .select(col("query_id"), col("neighbor_id"),
-        aggregate(col("ds"), lit(0.0), (a, x) => a + x.getField("d"))
-          .as("adist"))
+        adcSum(col("ds"), m).as("adist"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -1800,7 +1840,11 @@ object Knn {
 
   /** Deterministic distributed k-means (Lloyd's algorithm, spherical
     * assignment): centroids initialize from every `centroidEvery`-th
-    * vector (same deterministic seeding as the IVF index), then `iters`
+    * vector (same deterministic seeding as the IVF index; `<= 0`
+    * auto-sizes the stride from the corpus count via
+    * [[autoCoarseEvery]]'s √n formula, exactly like the IVF/PQ/RQ
+    * paths, so k ≈ √n and assignment stays O(n·√n) instead of the
+    * fixed stride's O(n²/stride)), then `iters`
     * rounds of [assign each vector to the max-cosine centroid
     * (tie-break min centroid id)] -> [recompute each centroid as the
     * per-dimension mean of its members, rounded to 6dp so both engines
@@ -1814,7 +1858,7 @@ object Knn {
     * size. Rounds are a driver-side loop over lazy plans, the classic
     * Spark iterative-ML shape.
     */
-  def kmeans(emb: DataFrame, dim: Int, iters: Int = 2, centroidEvery: Int = 67,
+  def kmeans(emb: DataFrame, dim: Int, iters: Int = 2, centroidEvery: Int = 0,
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     lloyd(emb, dim, iters, centroidEvery, idCol, vecCol)._1
       .select(col("vid").as(idCol), col("cid").as("cluster_id"),
@@ -1855,17 +1899,18 @@ object Knn {
     * [[ivfTopKLearned]] as the IVF coarse quantizer.
     */
   def kmeansCentroids(emb: DataFrame, dim: Int, iters: Int = 2,
-                      centroidEvery: Int = 67, idCol: String = "vec_id",
+                      centroidEvery: Int = 0, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame =
     lloyd(emb, dim, iters, centroidEvery, idCol, vecCol)._2
 
   /** Shared Lloyd loop: (final assignment, centroids it was run against). */
   private def lloyd(emb: DataFrame, dim: Int, iters: Int, centroidEvery: Int,
                     idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val every = resolveCoarse(emb, centroidEvery)
     val v = emb.select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("v"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("vn"))
-    var cents = emb.where(col(idCol) % centroidEvery === 1)
+    var cents = emb.where(col(idCol) % every === 1)
       .select(col(idCol).as("cid"),
         transform(col(vecCol), x => x.cast("double")).as("cvec"))
     var assigned: DataFrame = null
@@ -1907,7 +1952,7 @@ object Knn {
     * corpus cell, nProbe query cells, search only the probed postings.
     */
   def ivfTopKLearned(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-                     iters: Int = 2, centroidEvery: Int = 67, nProbe: Int = 2,
+                     iters: Int = 2, centroidEvery: Int = 0, nProbe: Int = 2,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val cents = kmeansCentroids(corpus, dim, iters, centroidEvery, idCol, vecCol)
@@ -2023,8 +2068,9 @@ object Knn {
     *
     * Scale shape: this is the safe [[cosineDupPairs]] use its doc
     * comment calls out — the learned cluster id is a fine-grained
-    * block whose population is corpus/k, and k (via `centroidEvery`)
-    * is the dial that keeps blocks bounded as the corpus grows. The
+    * block whose population is corpus/k, and k auto-sizes to ≈√n via
+    * [[autoCoarseEvery]] (override with `centroidEvery > 0`), so
+    * blocks stay ≈√n-bounded as the corpus grows. The
     * kmeans assignment is a broadcast-centroid scan; the pair→drop
     * reduction joins the tiny pair set against the assignment, so the
     * corpus never self-joins outside its cluster. The assignment is
@@ -2034,7 +2080,7 @@ object Knn {
     * the Lloyd subplan, corpus scans and all.
     */
   def semDedup(emb: DataFrame, dim: Int, threshold: Double,
-               iters: Int = 2, centroidEvery: Int = 67,
+               iters: Int = 2, centroidEvery: Int = 0,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val assign = kmeans(emb, dim, iters, centroidEvery, idCol, vecCol)
@@ -2066,12 +2112,12 @@ object Knn {
     *
     * Scale shape: assignment is the broadcast-centroid [[kmeans]]
     * scan; the per-cluster top-m is one window keyed by cluster_id —
-    * k partitions of ~corpus/k rows, no self-join anywhere, and
-    * `centroidEvery` (i.e. k) is the dial that keeps each cluster
-    * partition bounded as the corpus grows.
+    * k partitions of ~corpus/k rows, no self-join anywhere, and the
+    * √n-auto-sized k (see [[autoCoarseEvery]]) keeps each cluster
+    * partition ≈√n-bounded as the corpus grows.
     */
   def clusterSample(emb: DataFrame, dim: Int, perCluster: Int,
-                    iters: Int = 2, centroidEvery: Int = 67,
+                    iters: Int = 2, centroidEvery: Int = 0,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
     val assign = kmeans(emb, dim, iters, centroidEvery, idCol, vecCol)

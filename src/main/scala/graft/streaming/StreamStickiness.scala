@@ -12,7 +12,15 @@ import org.apache.spark.sql.functions._
   *  - the first stateful op is `dropDuplicatesWithinWatermark` on
   *    (user_id, day): state holds one row per ACTIVE (user, day)
   *    inside the watermark horizon and evicts with it — never one row
-  *    per event, never unbounded user history;
+  *    per event, never unbounded user history. EXACT per-day dedup
+  *    needs the watermark to cover a full day plus lateness (the
+  *    "25 hours" default): a (user, day) state row expires at
+  *    first-event-time + delay, and with delay ≥ 24h that expiry is
+  *    always past day end, so every same-day event the watermark gate
+  *    accepts still finds the row and dedups. A SHORTER watermark
+  *    degrades the count to watermark-separated activity sessions
+  *    (an upper bound on DAU: a user active at 00:00 and again past
+  *    the delay the same day counts twice) — spec-pinned;
   *  - the second is a 1-day tumbling-window count over the surviving
   *    rows — emitted in append mode when the watermark closes the
   *    day, so a day's DAU is final the moment it publishes.
@@ -28,9 +36,11 @@ import org.apache.spark.sql.functions._
 object StreamStickiness {
 
   /** `events` carries `user_id` and an epoch-µs `ts`. Emits
-    * (day_begin epoch-µs, dau) per closed day.
+    * (day_begin epoch-µs, dau) per closed day. Keep `watermark` at
+    * ≥ 24h + lateness for exact DAU (see class doc); shorter values
+    * trade exactness for earlier emission.
     */
-  def daily(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def daily(events: DataFrame, watermark: String = "25 hours"): DataFrame =
     events
       .withColumn("__event_time", timestamp_micros(col("ts")))
       .withWatermark("__event_time", watermark)

@@ -14,10 +14,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State per user is ONE (ts, event_id, event_type) triple — the last
   * event seen — so the store is O(|users|), independent of event
   * volume, and nothing ever needs eviction (a user's next event always
-  * replaces, never accumulates). Under ordered replay the emitted edge
-  * multiset equals the batch operator's lead-window pair extraction
-  * exactly (spec-pinned); [[transitionMatrix]] folds edges into
-  * q_transitions' normalized matrix shape for dashboard parity.
+  * replaces, never accumulates — state only ever advances, never
+  * regresses). Under ordered replay the emitted edge multiset equals
+  * the batch operator's lead-window pair extraction exactly
+  * (spec-pinned); [[transitionMatrix]] folds edges into q_transitions'
+  * normalized matrix shape for dashboard parity.
+  *
+  * Cross-batch reordering: within a batch, events sort into (ts,
+  * event_id) order before chaining; an event that arrives in a LATER
+  * batch but is older than the user's stored last event is skipped —
+  * it joins no edge (the alternative, buffering until the watermark
+  * closes, would cost per-event state; this operator's contract is
+  * the O(|users|) store). The edge multiset under cross-batch
+  * reordering is therefore the chain over each user's monotone event
+  * suffix, spec-pinned.
   */
 object StreamTransitions {
 
@@ -39,14 +49,22 @@ object StreamTransitions {
              state: GroupState[Last]): Iterator[Edge] = {
       // within-batch arrival order is not event order: sort by the
       // batch operator's (ts, event_id) key, then chain off the
-      // stored last event
+      // stored last event. An event OLDER than the stored last (a
+      // cross-batch reordering inside the watermark) is SKIPPED —
+      // emitting it would produce a reversed edge, and regressing the
+      // state to it would corrupt every subsequent edge for the user;
+      // the chain advances over the monotone event suffix only
+      // (spec-pinned, documented below).
       val evs = batch.toVector.sortBy(e => (e.ts, e.event_id))
       val out = Vector.newBuilder[Edge]
       var last = state.getOption
       evs.foreach { e =>
-        last.foreach(l =>
-          out += Edge(user, l.event_type, e.event_type, e.ts))
-        last = Some(Last(e.ts, e.event_id, e.event_type))
+        if (last.forall(l =>
+            l.ts < e.ts || (l.ts == e.ts && l.event_id < e.event_id))) {
+          last.foreach(l =>
+            out += Edge(user, l.event_type, e.event_type, e.ts))
+          last = Some(Last(e.ts, e.event_id, e.event_type))
+        }
       }
       last.foreach(state.update)
       out.result().iterator

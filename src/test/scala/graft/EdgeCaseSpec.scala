@@ -204,4 +204,22 @@ class EdgeCaseSpec extends AnyFunSuite {
     val accepted = Ingest.batch(spark, docs, "edge_store", nBuckets = 2)
     assert(accepted.count() <= 1) // gate may drop it; it must not throw
   }
+
+  test("q_ab_test surfaces NULL z/significant when a variant is empty") {
+    // only odd user_ids purchase -> variant 0 has zero rows; the
+    // documented degenerate read-out is NULL z / NULL significant
+    // (no verdict), never a throw or a fabricated zero
+    val dir = java.nio.file.Files.createTempDirectory("abtest_edge")
+      .toString
+    Seq((1L, 1704067200000000L, 1L, "purchase", 10.5, ""),
+        (2L, 1704067201000000L, 3L, "purchase", 12.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = SparkEntry.queries("q_ab_test")(spark, dir).collect()(0)
+    assert(row.isNullAt(row.fieldIndex("n0")))
+    assert(!row.isNullAt(row.fieldIndex("n1")))
+    assert(row.isNullAt(row.fieldIndex("z")))
+    assert(row.isNullAt(row.fieldIndex("significant")))
+  }
 }

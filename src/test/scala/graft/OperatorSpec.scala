@@ -350,6 +350,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(cov3 > 0.89 && cov3 < 0.91) // 1 - cos(e3-tilted, e1) ~ 0.900
   }
 
+  test("kCenterSampled runs the greedy over the strided pool only") {
+    import spark.implicits._
+    // same planted-cluster fixture as the exact spec; poolEvery = 2
+    // keeps ids {1,3,5} — the pool IS the exact answer set, so the
+    // trajectory must match kCenterSelect on the filtered frame and
+    // never touch the even ids
+    val rows = Seq(
+      1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(1f, 0.05f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f, 0f), 4L -> Seq(0.05f, 1f, 0f, 0f),
+      5L -> Seq(0.1f, 0f, 1f, 0f), 6L -> Seq(0.2f, 0f, 1f, 0f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Knn.kCenterSampled(emb, 4, 3, poolEvery = 2).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 3L, 5L))
+    val exact = Knn.kCenterSelect(emb.where($"vec_id" % 2 === 1), 4, 3)
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).toSeq
+    val samp = Knn.kCenterSampled(emb, 4, 3, poolEvery = 2).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(samp == exact)
+  }
+
   test("kCenterSelect batched greedy equals the one-pick-per-scan fold") {
     import spark.implicits._
     // 40 deterministic pseudo-random 4-dim vectors, k=10: enough picks

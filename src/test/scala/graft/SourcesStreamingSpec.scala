@@ -873,7 +873,7 @@ class StreamRollupSpec extends AnyFunSuite {
     val b3 = Seq((98L, base + 6 * D)).toDF("user_id", "ts")
 
     val (out, ps) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3),
-      s => graft.streaming.StreamStickiness.daily(s, watermark = "1 hour"),
+      s => graft.streaming.StreamStickiness.daily(s),
       "append", "sdau_stream")
     assert(StreamHarness.lateDrops(ps) == 0)
     val got = out.collect().map(r => r.getAs[Long]("day_begin") ->
@@ -889,6 +889,42 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(st(base) == ((3L, 1.0)))
     assert(st(base + D) == ((5L, 0.4)))
     assert(st(base + 3 * D) == ((6L, 0.166667)))
+  }
+
+  test("DAU is exact across same-day gaps at the 25h default; a short " +
+    "watermark degrades to activity sessions as documented") {
+    import spark.implicits._
+    val D = 86400000000L
+    val H = 3600000000L
+    val base = 1704067200000000L
+    // u1 active at 00:00, then again at 12:30 the same day but in the
+    // NEXT microbatch, after b1's 13:00 event has advanced a "1 hour"
+    // watermark to 12:00 (the dup sits strictly ABOVE it, so it is
+    // not late-dropped) — past u1's (user, day) state expiry at
+    // 01:00 under the short delay, well inside the 25h default
+    val b1 = Seq((1L, base), (2L, base + H),
+      (3L, base + 13 * H)).toDF("user_id", "ts")
+    val b2 = Seq((1L, base + 12 * H + H / 2)).toDF("user_id", "ts")
+    val b3 = Seq((99L, base + 3 * D)).toDF("user_id", "ts")
+    val b4 = Seq((98L, base + 6 * D)).toDF("user_id", "ts")
+
+    val (exact, ps1) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3, b4),
+      s => graft.streaming.StreamStickiness.daily(s),
+      "append", "sdau_exact")
+    assert(StreamHarness.lateDrops(ps1) == 0)
+    val gotExact = exact.collect().map(r => r.getAs[Long]("day_begin") ->
+      r.getAs[Long]("dau")).toMap
+    assert(gotExact(base) == 3L, // u1 deduped across the 12h gap
+      s"25h-watermark DAU must equal batch distinct: $gotExact")
+
+    // the documented degradation: u1's two activity sessions both count
+    val (loose, _) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3, b4),
+      s => graft.streaming.StreamStickiness.daily(s, watermark = "1 hour"),
+      "append", "sdau_loose")
+    val gotLoose = loose.collect().map(r => r.getAs[Long]("day_begin") ->
+      r.getAs[Long]("dau")).toMap
+    assert(gotLoose(base) == 4L,
+      s"1h-watermark DAU is session counts (upper bound): $gotLoose")
   }
 
   test("streaming transitions chain across batches; matrix equals q_transitions") {
@@ -929,6 +965,82 @@ class StreamRollupSpec extends AnyFunSuite {
     assert(m(("view", "click")) == ((1L, 2L, 0.5)))
     assert(m(("view", "view")) == ((1L, 2L, 0.5)))
     assert(m(("click", "purchase")) == ((1L, 1L, 1.0)))
+  }
+
+  test("streaming A/B windows equal the batch Welch read-out per slice") {
+    import spark.implicits._
+    val D = 86400000000L
+    val base = 1704067200000000L
+    // day 0: both variants present (u1,u3 odd = variant 1; u2,u4 even
+    // = variant 0); day 1: only the odd variant purchases — the
+    // documented NULL degenerate read-out
+    val b1 = Seq(
+      (1L, base + 1000L, "purchase", 10.0),
+      (2L, base + 2000L, "purchase", 12.5),
+      (3L, base + 3000L, "purchase", 11.0),
+      (4L, base + 4000L, "purchase", 13.5),
+      (2L, base + 5000L, "view", 99.0), // non-purchase: filtered
+      (1L, base + D + 1000L, "purchase", 7.25),
+      (3L, base + D + 2000L, "purchase", 8.75))
+      .toDF("user_id", "ts", "event_type", "value")
+    val b2 = Seq((99L, base + 3 * D, "purchase", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val b3 = Seq((98L, base + 6 * D, "purchase", 1.0))
+      .toDF("user_id", "ts", "event_type", "value")
+
+    val (out, ps) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3),
+      s => graft.streaming.StreamAbTest(s), "append", "abtest_stream")
+    assert(StreamHarness.lateDrops(ps) == 0)
+    def key(r: org.apache.spark.sql.Row) = r.getAs[Long]("win_begin")
+    val got = out.collect().map(r => key(r) -> r).toMap
+
+    // batch replay of the same plan (watermark is a no-op on a batch
+    // frame) — the closed windows must match it row-for-row
+    val batchAll = graft.streaming.StreamAbTest(
+      b1.unionByName(b2).unionByName(b3))
+      .collect().map(r => key(r) -> r).toMap
+    for (w <- got.keys) {
+      assert(got(w).toSeq == batchAll(w).toSeq,
+        s"window $w: stream ${got(w)} != batch ${batchAll(w)}")
+    }
+
+    // day 0 hand-check: variant0 = {12.5, 13.5}, variant1 = {10, 11}
+    // -> welch z = (13 - 10.5) / sqrt(0.5/2 + 0.5/2) = 2.5/sqrt(0.5)
+    val d0 = got(base)
+    assert(d0.getAs[Long]("n0") == 2L && d0.getAs[Long]("n1") == 2L)
+    assert(d0.getAs[Double]("mean0") == 13.0)
+    assert(d0.getAs[Double]("mean1") == 10.5)
+    assert(d0.getAs[Double]("z") == 3.5355)
+    assert(d0.getAs[Boolean]("significant"))
+
+    // day 1: variant 0 empty -> NULL z / NULL significant, n0 NULL
+    val d1 = got(base + D)
+    assert(d1.isNullAt(d1.fieldIndex("n0")))
+    assert(d1.getAs[Long]("n1") == 2L)
+    assert(d1.isNullAt(d1.fieldIndex("z")))
+    assert(d1.isNullAt(d1.fieldIndex("significant")))
+  }
+
+  test("transitions skip cross-batch reordered events instead of " +
+    "reversing edges or regressing state") {
+    import spark.implicits._
+    val S = 1000000L
+    // u1's t=2 event arrives a batch AFTER its t=5 event, inside the
+    // 10-minute watermark: it must join NO edge and must NOT regress
+    // the stored last event — the t=8 successor chains off t=5
+    val b1 = Seq((1L, 5 * S, 1L, "a"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val b2 = Seq((1L, 2 * S, 2L, "b"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val b3 = Seq((1L, 8 * S, 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val (out, _) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3),
+      s => graft.streaming.StreamTransitions(spark, s,
+        watermark = "10 minutes").toDF(),
+      "append", "trans_ooo")
+    val got = out.collect().map(r => (r.getAs[String]("from_type"),
+      r.getAs[String]("to_type"), r.getAs[Long]("ts"))).toSet
+    assert(got == Set(("a", "c", 8 * S)), s"got $got")
   }
 
   test("stream-stream interval join matches the batch RangeJoin") {
