@@ -408,12 +408,15 @@ object SparkEntry {
     // parity — the deterministic split both engines derive): Welch
     // z-score from per-variant exact integer sums (µ-snapped s1/s2,
     // the DECIMAL(38,0) variance key), one 2-row agg + a 1-row fold;
-    // the decision is |z| > 1.96. DEGENERATE INPUT CONTRACT: if a
-    // variant has zero purchase rows its n/m/v pick is NULL, so z and
-    // significant surface as NULL — the explicit "no verdict"
-    // read-out (identical on the DuckDB side; EdgeCaseSpec pins it)
+    // the decision is |z| > 1.96. DEGENERATE INPUT CONTRACT: a
+    // variant with zero purchase rows picks NULL n/m/v, a 1-purchase
+    // variant has NULL variance, and two constant-valued variants
+    // have a ZERO pooled standard error — each surfaces NULL z / NULL
+    // significant, the explicit "no verdict" read-out (identical on
+    // the DuckDB side; EdgeCaseSpec pins it). The Welch arithmetic
+    // lives in graft.functions.Welch, SHARED with StreamAbTest so the
+    // spec-pinned stream == batch equality cannot drift.
     "q_ab_test" -> { (s, dir) =>
-      def dec(c: Column) = c.cast("decimal(38,0)")
       val g = events(s, dir)
         .where(col("event_type") === "purchase")
         .select((col("user_id") % 2).as("variant"), col("value"))
@@ -423,31 +426,20 @@ object SparkEntry {
           sum(round(col("value") * col("value") * lit(1e6)).cast("long"))
             .as("s2"))
         .select(col("variant"), col("n"),
-          (col("s1").cast("double") / lit(1e6) / col("n").cast("double"))
-            .as("m"),
-          // sample variance is undefined below 2 rows: NULL (-> NULL
-          // z) instead of an ANSI division-by-zero on a 1-purchase
-          // variant; the oracle's CASE mirrors the guard
-          when(col("n") > 1,
-            greatest((dec(col("s2")) * dec(col("n")) * dec(lit(1000000L))
-              - dec(col("s1")) * dec(col("s1"))).cast("double"), lit(0.0))
-              / lit(1e12) / col("n").cast("double")
-              / (col("n") - lit(1)).cast("double")).as("v"))
+          graft.functions.Welch.mean(col("n"), col("s1")).as("m"),
+          graft.functions.Welch.variance(col("n"), col("s1"), col("s2"))
+            .as("v"))
       def pick(c: String, v: Int) =
         max(when(col("variant") === v, col(c)))
+      val z = graft.functions.Welch.z(col("m0"), col("v0"), col("n0"),
+        col("m1"), col("v1"), col("n1"))
       g.agg(
           pick("n", 0).as("n0"), pick("n", 1).as("n1"),
           pick("m", 0).as("m0"), pick("m", 1).as("m1"),
           pick("v", 0).as("v0"), pick("v", 1).as("v1"))
         .select(col("n0"), col("n1"),
           round(col("m0"), 6).as("mean0"), round(col("m1"), 6).as("mean1"),
-          round((col("m0") - col("m1"))
-            / sqrt(col("v0") / col("n0").cast("double")
-              + col("v1") / col("n1").cast("double")), 4).as("z"),
-          (abs((col("m0") - col("m1"))
-            / sqrt(col("v0") / col("n0").cast("double")
-              + col("v1") / col("n1").cast("double"))) > 1.96)
-            .as("significant"))
+          round(z, 4).as("z"), (abs(z) > 1.96).as("significant"))
     },
 
     // top user-path trigrams — the path-analysis sibling of
@@ -3220,12 +3212,13 @@ object SparkEntry {
          |    max(CASE WHEN variant = 1 THEN m END) AS m1,
          |    max(CASE WHEN variant = 0 THEN v END) AS v0,
          |    max(CASE WHEN variant = 1 THEN v END) AS v1
-         |  FROM gm)
+         |  FROM gm),
+         |pz AS (SELECT *, CASE WHEN sqrt(v0 / n0 + v1 / n1) > 0
+         |    THEN (m0 - m1) / sqrt(v0 / n0 + v1 / n1) END AS zz
+         |  FROM p)
          |SELECT n0, n1, round(m0, 6) AS mean0, round(m1, 6) AS mean1,
-         |  round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 4) AS z,
-         |  abs((m0 - m1) / sqrt(v0 / n0 + v1 / n1)) > 1.96
-         |    AS significant
-         |FROM p""".stripMargin,
+         |  round(zz, 4) AS z, abs(zz) > 1.96 AS significant
+         |FROM pz""".stripMargin,
 
     // path trigrams: two leads over the same (ts, event_id) order,
     // LIMIT ties broken on the path string — deterministic both sides

@@ -701,7 +701,7 @@ object Knn {
                      vecCol: String = "embedding",
                      batch: Int = 8): DataFrame = {
     val every = resolveCoarse(corpus, poolEvery)
-    kCenterSelect(corpus.where(col(idCol) % every === 1), dim, k,
+    kCenterSelect(corpus.where(col(idCol) % every === (1 % every)), dim, k,
       idCol, vecCol, batch)
   }
 
@@ -729,7 +729,7 @@ object Knn {
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val subDim = dim / m
     val every = resolvePq(emb, centroidEvery)
-    val cents = emb.where(col(idCol) % every === 1)
+    val cents = emb.where(col(idCol) % every === (1 % every))
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
     // native subspace distance (graft VecSubL2): one tight loop per
     // (vector, centroid, subspace) instead of a lambda per element;
@@ -798,7 +798,7 @@ object Knn {
     val subDim = dim / m
     val every = resolvePq(emb, centroidEvery)
     val sub = pqSub(emb, dim, m, idCol, vecCol)
-    val c0 = emb.where(col(idCol) % every === 1)
+    val c0 = emb.where(col(idCol) % every === (1 % every))
       .select(col(idCol).as("cid"), col(vecCol).as("__cv"))
       .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
       .select(col("s"), col("cid"),
@@ -969,7 +969,7 @@ object Knn {
     // dispatch fold scaled it at exponent ~0.9 vs the native ~0.6
     // (measured at sf10 before this swap)
     import org.apache.spark.sql.graft.GraftExpressions.{vec_sub_l2, vec_sub_l2_d}
-    val c1 = emb.where(col(idCol) % every === 1)
+    val c1 = emb.where(col(idCol) % every === (1 % every))
       .select(col(idCol).as("cid1"), col(vecCol).as("c1v"))
     val best1 = emb.select(col(idCol), col(vecCol).as("v"))
       .crossJoin(broadcast(c1))
@@ -1166,7 +1166,16 @@ object Knn {
 
   /** `every <= 0` means auto-size from the corpus count (one cheap
     * count job at build/plan time — index-build semantics; cached per
-    * corpus plan, see [[countCache]]). */
+    * corpus plan, see [[countCache]]).
+    *
+    * Seed filters throughout this file select `id % every ==
+    * (1 % every)`: the `1 % every` residue makes stride 1 (a 1-row
+    * corpus, or an explicit every = 1) select EVERY row — the naive
+    * `== 1` residue would select nothing (x % 1 is always 0) and
+    * silently empty the codebook/pool. Strides > 1 are unchanged
+    * (1 % every == 1), which is why the DuckDB oracles keep their
+    * literal `% stride = 1` form at every tested corpus size.
+    */
   private def resolveCoarse(corpus: DataFrame, every: Int): Int =
     if (every > 0) every else autoCoarseEvery(cachedCount(corpus))
 
@@ -1176,7 +1185,7 @@ object Knn {
   /** Deterministic every-Nth coarse centroids with norms. */
   private def coarseCents(corpus: DataFrame, dim: Int, centroidEvery: Int,
                           idCol: String, vecCol: String): DataFrame =
-    corpus.where(col(idCol) % centroidEvery === 1)
+    corpus.where(col(idCol) % centroidEvery === (1 % centroidEvery))
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"),
         sqrt(dot(col(vecCol), col(vecCol), dim)).as("cn"))
 
@@ -1396,7 +1405,7 @@ object Knn {
     val codes = pqAssign(corpus, dim, m, pqEv, idCol, vecCol)
       .select(col(idCol).as("neighbor_id"), col("s"),
         col("best.cid").as("pcid"))
-    val pcents = corpus.where(col(idCol) % pqEv === 1)
+    val pcents = corpus.where(col(idCol) % pqEv === (1 % pqEv))
       .select(col(idCol).as("pcid"), col(vecCol).as("pcvec"))
     val dtab = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
       .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
@@ -1539,7 +1548,7 @@ object Knn {
     val parts = shared.getOrElse(
       ivfCellsInline(corpus, queries, dim, coarseEvery, nProbe, idCol,
         vecCol))
-    val cents = corpus.where(col(idCol) % coarseEv === 1)
+    val cents = corpus.where(col(idCol) % coarseEv === (1 % coarseEv))
       .select(col(idCol).as("cid"),
         transform(col(vecCol), x => x.cast("double")).as("cvd"))
     val cres = parts.cCells.select(col("neighbor_id"), col("nvec"),
@@ -1910,7 +1919,7 @@ object Knn {
     val v = emb.select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("v"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("vn"))
-    var cents = emb.where(col(idCol) % every === 1)
+    var cents = emb.where(col(idCol) % every === (1 % every))
       .select(col(idCol).as("cid"),
         transform(col(vecCol), x => x.cast("double")).as("cvec"))
     var assigned: DataFrame = null

@@ -12,13 +12,14 @@ import org.apache.spark.sql.functions._
   * + significance verdict emit in append mode the moment the
   * watermark closes the window.
   *
-  * The arithmetic is the batch plan's, verbatim: integer micro-unit
-  * sums (round(v·1e6) as long), the DECIMAL(38,0) variance key
-  * s2·n·1e6 − s1², |z| > 1.96 — so a closed window's row equals
-  * q_ab_test run over that window's slice exactly (spec-pinned). A
-  * window with a zero- or one-purchase variant surfaces NULL z /
-  * NULL significant (no verdict without both variances), the batch
-  * operator's documented degenerate read-out.
+  * The arithmetic IS the batch plan's — both consume
+  * [[graft.functions.Welch]]'s column builders (integer micro-unit
+  * sums, the DECIMAL(38,0) variance key, |z| > 1.96), so a closed
+  * window's row equals q_ab_test run over that window's slice by
+  * construction (spec-pinned). A window with a zero- or one-purchase
+  * variant, or two constant-valued variants (zero pooled SE),
+  * surfaces NULL z / NULL significant — the batch operator's
+  * documented degenerate read-out, never an ANSI divide error.
   *
   * Scale shape: state is 6 numbers per open window — O(windows in
   * the watermark horizon), independent of event volume; the partial
@@ -33,21 +34,8 @@ object StreamAbTest {
     */
   def apply(events: DataFrame, windowLen: String = "1 day",
             watermark: String = "1 hour"): DataFrame = {
-    def dec(c: Column) = c.cast("decimal(38,0)")
     def side(v: Int, c: Column) =
       sum(when(col("user_id") % 2 === v, c))
-    def welchLeg(n: Column, s1: Column, s2: Column): (Column, Column) = {
-      val m = s1.cast("double") / lit(1e6) / n.cast("double")
-      // sample variance is undefined below 2 rows: the n > 1 guard
-      // surfaces NULL (-> NULL z, the degenerate read-out) instead of
-      // tripping ANSI division-by-zero on a 1-purchase window
-      val vv = when(n > lit(1),
-        greatest((dec(s2) * dec(n) * dec(lit(1000000L))
-          - dec(s1) * dec(s1)).cast("double"), lit(0.0))
-          .divide(lit(1e12)).divide(n.cast("double"))
-          .divide((n - lit(1)).cast("double")))
-      (m, vv)
-    }
     val agg = events
       .where(col("event_type") === "purchase")
       .withColumn("__event_time", timestamp_micros(col("ts")))
@@ -61,10 +49,12 @@ object StreamAbTest {
           .as("s2_0"),
         side(1, round(col("value") * col("value") * lit(1e6)).cast("long"))
           .as("s2_1"))
-    val (m0, v0) = welchLeg(col("n0"), col("s1_0"), col("s2_0"))
-    val (m1, v1) = welchLeg(col("n1"), col("s1_1"), col("s2_1"))
-    val z = (m0 - m1) / sqrt(v0 / col("n0").cast("double")
-      + v1 / col("n1").cast("double"))
+    import graft.functions.Welch
+    val m0 = Welch.mean(col("n0"), col("s1_0"))
+    val v0 = Welch.variance(col("n0"), col("s1_0"), col("s2_0"))
+    val m1 = Welch.mean(col("n1"), col("s1_1"))
+    val v1 = Welch.variance(col("n1"), col("s1_1"), col("s2_1"))
+    val z = Welch.z(m0, v0, col("n0"), m1, v1, col("n1"))
     agg.select(unix_micros(col("__w.start")).as("win_begin"),
       col("n0"), col("n1"),
       round(m0, 6).as("mean0"), round(m1, 6).as("mean1"),

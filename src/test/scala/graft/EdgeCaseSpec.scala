@@ -205,6 +205,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(accepted.count() <= 1) // gate may drop it; it must not throw
   }
 
+  test("stride-1 seeding keeps every row: 1-row corpus and explicit " +
+    "poolEvery = 1 degenerate correctly instead of emptying") {
+    // auto stride on a 1-row corpus resolves to 1; the 1 % every seed
+    // residue must select the row (x % 1 == 0), so kmeans emits one
+    // self-assigned cluster and the k-center pool is the full corpus
+    val one = Seq((7L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val km = Knn.kmeans(one, 2).collect()
+    assert(km.length == 1 && km(0).getAs[Long]("cluster_id") == 7L)
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val full = Knn.kCenterSampled(emb, 2, 2, poolEvery = 1).collect()
+    assert(full.length == 2, "poolEvery = 1 must mean the full corpus")
+  }
+
   test("q_ab_test surfaces NULL z/significant when a variant is empty") {
     // only odd user_ids purchase -> variant 0 has zero rows; the
     // documented degenerate read-out is NULL z / NULL significant
@@ -219,6 +233,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     val row = SparkEntry.queries("q_ab_test")(spark, dir).collect()(0)
     assert(row.isNullAt(row.fieldIndex("n0")))
     assert(!row.isNullAt(row.fieldIndex("n1")))
+    assert(row.isNullAt(row.fieldIndex("z")))
+    assert(row.isNullAt(row.fieldIndex("significant")))
+  }
+
+  test("q_ab_test surfaces NULL z when both variants are constant " +
+    "(zero pooled standard error)") {
+    // two rows per variant, identical values within each: both sample
+    // variances are exactly 0, so z's denominator is 0 — the guard
+    // must read out NULL, never an ANSI divide error (and DuckDB
+    // would yield inf there, so the guard is also what keeps parity)
+    val dir = java.nio.file.Files.createTempDirectory("abtest_se0")
+      .toString
+    Seq((1L, 1704067200000000L, 1L, "purchase", 10.0, ""),
+        (2L, 1704067201000000L, 3L, "purchase", 10.0, ""),
+        (3L, 1704067202000000L, 2L, "purchase", 12.0, ""),
+        (4L, 1704067203000000L, 4L, "purchase", 12.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val row = SparkEntry.queries("q_ab_test")(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n0") == 2L && row.getAs[Long]("n1") == 2L)
     assert(row.isNullAt(row.fieldIndex("z")))
     assert(row.isNullAt(row.fieldIndex("significant")))
   }

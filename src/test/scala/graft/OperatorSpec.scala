@@ -361,14 +361,12 @@ class OperatorSpec extends AnyFunSuite {
       3L -> Seq(0f, 1f, 0f, 0f), 4L -> Seq(0.05f, 1f, 0f, 0f),
       5L -> Seq(0.1f, 0f, 1f, 0f), 6L -> Seq(0.2f, 0f, 1f, 0f))
     val emb = rows.toDF("vec_id", "embedding")
-    val got = Knn.kCenterSampled(emb, 4, 3, poolEvery = 2).collect()
-      .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
-    assert(got == Seq(1L, 3L, 5L))
-    val exact = Knn.kCenterSelect(emb.where($"vec_id" % 2 === 1), 4, 3)
-      .collect().sortBy(_.getInt(0))
-      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).toSeq
     val samp = Knn.kCenterSampled(emb, 4, 3, poolEvery = 2).collect()
       .sortBy(_.getInt(0))
+      .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).toSeq
+    assert(samp.map(_._2) == Seq(1L, 3L, 5L))
+    val exact = Knn.kCenterSelect(emb.where($"vec_id" % 2 === 1), 4, 3)
+      .collect().sortBy(_.getInt(0))
       .map(r => (r.getInt(0), r.getLong(1), Option(r.get(2)))).toSeq
     assert(samp == exact)
   }
