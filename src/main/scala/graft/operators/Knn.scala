@@ -1191,18 +1191,36 @@ object Knn {
 
   /** Assign each row of `side` to its `n` nearest (max-cosine) cells
     * of the broadcast centroid frame; ties break on min cid.
+    *
+    * n == 1 (the corpus-side assignment — by far the bigger side) is
+    * a PARTIAL-AGGREGABLE argmax instead of a rank window: the window
+    * shape shuffles and sorts all |side|·k scored rows, the
+    * max(struct(cos, −cid)) agg map-side combines to |side| rows
+    * before the exchange. Spark's struct total order replicates
+    * ORDER BY cos DESC, cid ASC exactly (NaN greatest, −0.0 < 0.0,
+    * ties on cos maximize −cid = min cid), so cell assignment — and
+    * the oracles' unchanged row_number replay — is bit-identical.
+    * n > 1 (the |Q|-sized query probing) keeps the window.
     */
   private def nearestCells(cents: DataFrame, dim: Int)(
       side: DataFrame, id: String, vec: String, n: Int,
       norm: String): DataFrame = {
-    val w = Window.partitionBy(col(id))
-      .orderBy(col("__ccos").desc, col("cid"))
-    side.crossJoin(broadcast(cents))
+    val scored = side.crossJoin(broadcast(cents))
       .withColumn("__ccos",
         dot(col(vec), col("cvec"), dim) / (col(norm) * col("cn")))
-      .withColumn("__crk", row_number().over(w))
-      .where(col("__crk") <= n)
-      .drop("cvec", "cn", "__ccos", "__crk")
+    if (n == 1)
+      scored.groupBy(col(id))
+        .agg(max(struct(col("__ccos"), (-col("cid")).as("ncid"))).as("__b"),
+          first(col(vec)).as(vec), first(col(norm)).as(norm))
+        .select(col(id), col(vec), col(norm), (-col("__b.ncid")).as("cid"))
+    else {
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("__ccos").desc, col("cid"))
+      scored
+        .withColumn("__crk", row_number().over(w))
+        .where(col("__crk") <= n)
+        .drop("cvec", "cn", "__ccos", "__crk")
+    }
   }
 
   /** The shared IVF coarse-cell assignment of a multi-leg eval:
@@ -1924,15 +1942,23 @@ object Knn {
         transform(col(vecCol), x => x.cast("double")).as("cvec"))
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("cos").desc, col("cid"))
+      // top-1 as a PARTIAL-AGGREGABLE argmax, not a rank window: the
+      // window shape shuffles and sorts all n·k (vid, cid, cos) rows;
+      // max(struct(cos, −cid)) map-side combines to n rows before the
+      // exchange — the shuffle that dominated the sf10 kmeans legs.
+      // struct ordering replicates ORDER BY cos DESC, cid ASC under
+      // Spark's total order exactly (NaN greatest — a zero-norm
+      // vector's NaN cosine still wins, as it did in the window;
+      // −0.0 < 0.0 on both paths; ties on cos maximize −cid = min
+      // cid), so the assignment — and the DuckDB oracle's unchanged
+      // row_number replay — is bit-identical.
       assigned = v
         .crossJoin(broadcast(
           cents.withColumn("cn", sqrt(dotD(col("cvec"), col("cvec"))))))
         .withColumn("cos", dotD(col("v"), col("cvec")) / (col("vn") * col("cn")))
-        .withColumn("__rk", row_number().over(w))
-        .where(col("__rk") === 1)
-        .select(col("vid"), col("cid"), col("cos"))
+        .groupBy(col("vid"))
+        .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("b"))
+        .select(col("vid"), (-col("b.ncid")).as("cid"), col("b.cos").as("cos"))
       if (i < iters) {
         cents = assigned
           .join(v.select(col("vid"), col("v")), Seq("vid"))
@@ -1972,15 +1998,27 @@ object Knn {
       df.select(col(idCol).as(id),
         transform(col(vecCol), x => x.cast("double")).as(vec),
         sqrt(dot(col(vecCol), col(vecCol), dim)).as(norm))
+    // corpus top-1 as the partial-aggregable argmax (the nearestCells
+    // n == 1 shape — identical total order, map-side combined);
+    // queries keep the |Q|-sized nProbe window
     def cells(s: DataFrame, id: String, vec: String, norm: String,
               n: Int): DataFrame = {
-      val w = Window.partitionBy(col(id))
-        .orderBy(col("__ccos").desc, col("cid"))
-      s.crossJoin(broadcast(cents))
-        .withColumn("__ccos", dotD(col(vec), col("cvec")) / (col(norm) * col("cn")))
-        .withColumn("__crk", row_number().over(w))
-        .where(col("__crk") <= n)
-        .drop("cvec", "cn", "__ccos", "__crk")
+      val scored = s.crossJoin(broadcast(cents))
+        .withColumn("__ccos",
+          dotD(col(vec), col("cvec")) / (col(norm) * col("cn")))
+      if (n == 1)
+        scored.groupBy(col(id))
+          .agg(max(struct(col("__ccos"), (-col("cid")).as("ncid"))).as("__b"),
+            first(col(vec)).as(vec), first(col(norm)).as(norm))
+          .select(col(id), col(vec), col(norm), (-col("__b.ncid")).as("cid"))
+      else {
+        val w = Window.partitionBy(col(id))
+          .orderBy(col("__ccos").desc, col("cid"))
+        scored
+          .withColumn("__crk", row_number().over(w))
+          .where(col("__crk") <= n)
+          .drop("cvec", "cn", "__ccos", "__crk")
+      }
     }
     val cCells = cells(side(corpus, "neighbor_id", "nvec", "nn"),
       "neighbor_id", "nvec", "nn", 1)
