@@ -1197,10 +1197,12 @@ object Knn {
     * shape shuffles and sorts all |side|·k scored rows, the
     * max(struct(cos, −cid)) agg map-side combines to |side| rows
     * before the exchange. Spark's struct total order replicates
-    * ORDER BY cos DESC, cid ASC exactly (NaN greatest, −0.0 < 0.0,
-    * ties on cos maximize −cid = min cid), so cell assignment — and
-    * the oracles' unchanged row_number replay — is bit-identical.
-    * n > 1 (the |Q|-sized query probing) keeps the window.
+    * ORDER BY cos DESC, cid ASC exactly (−0.0 < 0.0, ties on cos
+    * maximize −cid = min cid; a zero-norm vector is a 0.0 divisor
+    * that ANSI rejects before either formulation ranks it), so cell
+    * assignment — and the oracles' unchanged row_number replay — is
+    * bit-identical. n > 1 (the |Q|-sized query probing) keeps the
+    * window.
     */
   private def nearestCells(cents: DataFrame, dim: Int)(
       side: DataFrame, id: String, vec: String, n: Int,
@@ -1947,11 +1949,12 @@ object Knn {
       // max(struct(cos, −cid)) map-side combines to n rows before the
       // exchange — the shuffle that dominated the sf10 kmeans legs.
       // struct ordering replicates ORDER BY cos DESC, cid ASC under
-      // Spark's total order exactly (NaN greatest — a zero-norm
-      // vector's NaN cosine still wins, as it did in the window;
-      // −0.0 < 0.0 on both paths; ties on cos maximize −cid = min
-      // cid), so the assignment — and the DuckDB oracle's unchanged
-      // row_number replay — is bit-identical.
+      // Spark's total order exactly (−0.0 < 0.0 on both paths; ties
+      // on cos maximize −cid = min cid — spec-pinned), so the
+      // assignment — and the DuckDB oracle's unchanged row_number
+      // replay — is bit-identical. (A zero-norm vector is a 0.0
+      // divisor, which ANSI mode rejects before EITHER formulation
+      // ranks it, so NaN ordering never has to match.)
       assigned = v
         .crossJoin(broadcast(
           cents.withColumn("cn", sqrt(dotD(col("cvec"), col("cvec"))))))

@@ -939,6 +939,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 3L, 3L -> 3L))
   }
 
+  test("kmeans argmax assignment keeps the window's tie order") {
+    // the partial-agg max(struct(cos, -cid)) must replicate ORDER BY
+    // cos DESC, cid ASC exactly: a vector equidistant from both
+    // centroids ties to the MIN cid. (Zero-norm vectors need no NaN
+    // clause: the 0.0-divisor cosine errors under ANSI before either
+    // formulation ranks it.)
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 1.0f)), // seeds (every 2nd)
+      (2L, Array(1.0f, 1.0f)))                          // exact tie -> cid 1
+      .toDF("vec_id", "embedding")
+    val out = Knn.kmeans(e, 2, iters = 1, centroidEvery = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(2L)._1 == 1L, s"tie must break to min cid: $out")
+    assert(out(1L) == ((1L, 1.0)) && out(3L) == ((3L, 1.0)))
+  }
+
   test("Knn.labelDrift: identical snapshots cos 1 / shift 0; a rotated one drops") {
     // label 0: both snapshots sit on the x-axis -> cos 1, shift 0.
     // label 1: ref on x, cur on y -> orthogonal centroids, cos 0 and
