@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Precise per-op timer for the pypond-comparable queries.
+  *
+  * graft.Bench's headline numbers carry a practical reporting floor of
+  * ~0.6 s per query at sf0.1: a noop-sink job's fixed local-mode cost
+  * (job scheduling, stage setup, codegen compile cache hits) dominates
+  * anything faster, so every op that beats the reference by a wide
+  * margin reads as "0.6 s" and the baseline comparison becomes
+  * inference ("below the floor") instead of evidence. This main times
+  * ONLY the ops measured by tools/baseline_pypond.py, with more timed
+  * repetitions (min-of-5 after two warmups) so the min is a stable
+  * steady-state reading even in the sub-second regime, and writes the
+  * raw per-op seconds to a JSON file for tools/mk_baseline_vs.py to
+  * join against BASELINE_MEASURED.json.
+  *
+  * Comparison contract (same as BASELINE_MEASURED.json's note): a graft
+  * query time includes the parquet scan + groupBy, so it compares
+  * against pypond's op + ts_construct.
+  */
+object BaselineVs {
+  /** Queries with a measured pypond counterpart of the same name. */
+  val ops: Seq[String] = Seq(
+    "ts_agg_basic", "ts_agg_stats", "ts_rollup_5m", "ts_align_linear",
+    "ts_rate", "ts_fill_linear", "ts_quantile", "ts_percentile_methods",
+    "ts_crop", "ts_merge")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = args.headOption.getOrElse("/tmp/graft_baseline_ops.json")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def runOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = ops.map { n =>
+      (1 to 2).foreach(_ => runOnce(n)) // warm JIT/codegen
+      val best = (1 to 5).map(_ => runOnce(n)).min
+      System.err.println(f"[baseline-vs] $n $best%.3f s")
+      n -> best
+    }
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val json = s"""{"sf":"$sfLabel","runs":"min of 5 after 2 warmups","graft_sec":$qs}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    spark.stop()
+    println(json)
+  }
+}

@@ -92,6 +92,23 @@ object Bench {
       }
     }
     val out = shrink(results, 2)
+    // The self-limiting line above folds slow-tail queries into "_other"
+    // once the registry outgrows the driver's 2000-char stdout window
+    // (r12: 93/237 survived). The FULL per-query map goes to a sidecar
+    // file so per-query history is never lost — driver artifact stays
+    // the line, the detail file rides along in the repo.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "BENCH_DETAIL.json")
+    val detail = {
+      val qs = results.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    }
+    try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // stop BEFORE printing: Spark's shutdown chatter goes to stderr, and
     // emitting the JSON as the very last stdout write (with sbt's
     // [success] summary suppressed in build.sbt) makes it the final line

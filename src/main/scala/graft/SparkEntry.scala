@@ -2157,11 +2157,18 @@ object SparkEntry {
     // over template rows — each iteration folds one DP row left-to-
     // right via list_reduce (seeded by its first element [INF], the
     // j=0 boundary; acc[-1] supplies dp[i][j-1]); out-of-band cells
-    // pin to INF = 1e15; grid means are the exact µ-floor convention
+    // pin to INF = 1e15; grid means are the exact µ-floor convention.
+    // wsc mirrors the span gate: above 366 day-buckets the grid
+    // coarsens by scale = (maxD-minD)//366 + 1 on BOTH engines, so a
+    // multi-year span cannot make the per-key DP quadratic
     "ts_dtw" ->
       s"""WITH RECURSIVE
+         |wsc AS (SELECT (max(dd) - min(dd)) // 366 + 1 AS s FROM
+         |  (SELECT ($EvUs - 1704067200000000) // 86400000000 AS dd
+         |   FROM events)),
          |wg AS (SELECT user_id,
-         |    ($EvUs - 1704067200000000) // 86400000000 AS d,
+         |    ($EvUs - 1704067200000000)
+         |      // (86400000000 * (SELECT s FROM wsc)) AS d,
          |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6, count(*) AS c
          |  FROM events GROUP BY 1, 2),
          |wv AS (SELECT user_id, d,
@@ -2169,7 +2176,8 @@ object SparkEntry {
          |  FROM wg),
          |wk AS (SELECT user_id, list(v ORDER BY d) AS b FROM wv
          |  GROUP BY user_id),
-         |wtg AS (SELECT ($EvUs - 1704067200000000) // 86400000000 AS d,
+         |wtg AS (SELECT ($EvUs - 1704067200000000)
+         |      // (86400000000 * (SELECT s FROM wsc)) AS d,
          |    sum(CAST(floor(value * 1e6) AS BIGINT)) AS s6, count(*) AS c
          |  FROM events GROUP BY 1),
          |wtv AS (SELECT d,
@@ -4762,19 +4770,25 @@ object SparkEntry {
     * over doubles is order-free. k-1 unrolled rounds.
     */
   private def sqlKcenterCtes(k: Int, where: String = ""): String = {
+    // Every chain CTE is AS MATERIALIZED: kc0/km{i} are each referenced
+    // twice (by kp{i+1} and km{i+1}), and DuckDB inlines plain CTEs, so
+    // without materialization the k-step chain expands to ~2^k copies of
+    // the base scan — the r12 driver-gate timeout traced to exactly this
+    // (emb_kcenter's oracle: 115 s inlined vs 0.7 s materialized at
+    // sf0.01, identical rows).
     val b = Seq.newBuilder[String]
-    b += s"kc0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings$where)"
-    b += "kp1 AS (SELECT id, v FROM kc0 ORDER BY id LIMIT 1)"
-    b += s"""km1 AS (SELECT e.id AS id, e.v AS v, ${sqlCos("e.v", "p.v")} AS mc
+    b += s"kc0 AS MATERIALIZED (SELECT vec_id AS id, embedding AS v FROM embeddings$where)"
+    b += "kp1 AS MATERIALIZED (SELECT id, v FROM kc0 ORDER BY id LIMIT 1)"
+    b += s"""km1 AS MATERIALIZED (SELECT e.id AS id, e.v AS v, ${sqlCos("e.v", "p.v")} AS mc
        |  FROM kc0 e, kp1 p)""".stripMargin
     for (i <- 2 to k) {
       val prevSel = (1 until i).map(j => s"SELECT id FROM kp$j")
         .mkString(" UNION ALL ")
-      b += s"""kp$i AS (SELECT m.id AS id, m.v AS v, m.mc AS mc FROM km${i - 1} m
+      b += s"""kp$i AS MATERIALIZED (SELECT m.id AS id, m.v AS v, m.mc AS mc FROM km${i - 1} m
          |  WHERE m.id NOT IN ($prevSel)
          |  ORDER BY m.mc ASC, m.id ASC LIMIT 1)""".stripMargin
       if (i < k)
-        b += s"""km$i AS (SELECT m.id AS id, m.v AS v,
+        b += s"""km$i AS MATERIALIZED (SELECT m.id AS id, m.v AS v,
            |    greatest(m.mc, ${sqlCos("m.v", "p.v")}) AS mc
            |  FROM km${i - 1} m, kp$i p)""".stripMargin
     }
@@ -4906,7 +4920,7 @@ object SparkEntry {
     s"""kv AS (SELECT vec_id AS vid, embedding AS v FROM embeddings),
        |kc0 AS (SELECT vec_id AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-       |  FROM embeddings WHERE vec_id % $sqlCoarseEvery = 1),
+       |  FROM embeddings WHERE vec_id % $sqlCoarseEvery = (1 % $sqlCoarseEvery)),
        |ka1 AS (${sqlKmeansAssign("kc0")}),
        |ke1 AS (SELECT ka1.cid, unnest(range(1, ${EmbDim + 1})) AS dim,
        |    unnest(list_transform(kv.v, x -> CAST(x AS DOUBLE))) AS x
@@ -4957,7 +4971,7 @@ object SparkEntry {
     */
   private def sqlIvfPqAdcCtes: String =
     s"""pc AS (SELECT vec_id AS pcid, embedding AS pcvec
-       |  FROM embeddings WHERE vec_id % $sqlPqEvery = 1),
+       |  FROM embeddings WHERE vec_id % $sqlPqEvery = (1 % $sqlPqEvery)),
        |sub AS (SELECT unnest(range(4)) AS s),
        |codes0 AS (SELECT e.vec_id AS neighbor_id, sub.s, pc.pcid,
        |    ${sqlSubL2("e.embedding", "pc.pcvec", "sub.s")} AS dist
@@ -5075,7 +5089,7 @@ object SparkEntry {
     */
   private def sqlPqStoreSql: String =
     s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cvec
-       |    FROM embeddings WHERE vec_id % $sqlPqEvery = 1),
+       |    FROM embeddings WHERE vec_id % $sqlPqEvery = (1 % $sqlPqEvery)),
        |p AS (SELECT e.vec_id, s.s, c.cid,
        |    ${sqlSubL2("e.embedding", "c.cvec", "s.s")} AS dist
        |  FROM embeddings e, cents c,
@@ -5127,7 +5141,7 @@ object SparkEntry {
        |      AS pv
        |  FROM embeddings, parr),
        |cents AS (SELECT vec_id AS cid, pv AS cvec FROM pemb
-       |  WHERE vec_id % $sqlPqEvery = 1),
+       |  WHERE vec_id % $sqlPqEvery = (1 % $sqlPqEvery)),
        |p AS (SELECT e.vec_id, s.s, c.cid,
        |    ${sqlSubL2("e.pv", "c.cvec", "s.s")} AS dist
        |  FROM pemb e, cents c,
@@ -5142,7 +5156,7 @@ object SparkEntry {
 
   private def sqlPqLearnedCtes: String =
     s"""lpseed AS (SELECT vec_id AS cid, embedding AS cvec
-       |  FROM embeddings WHERE vec_id % $sqlPqEvery = 1),
+       |  FROM embeddings WHERE vec_id % $sqlPqEvery = (1 % $sqlPqEvery)),
        |lpsub AS (SELECT unnest(range(4)) AS s),
        |lpa0 AS (SELECT e.vec_id, s.s, c.cid,
        |    ${sqlSubL2("e.embedding", "c.cvec", "s.s")} AS dist
@@ -5323,7 +5337,7 @@ object SparkEntry {
     */
   private def sqlRqCtes: String =
     s"""rc1 AS (SELECT vec_id AS cid1, embedding AS c1v
-       |    FROM embeddings WHERE vec_id % $sqlCoarseEvery = 1),
+       |    FROM embeddings WHERE vec_id % $sqlCoarseEvery = (1 % $sqlCoarseEvery)),
        |ra1 AS (SELECT e.vec_id, c.cid1,
        |    ${sqlFullL2("e.embedding", "c.c1v")} AS d
        |  FROM embeddings e, rc1 c),
@@ -5337,7 +5351,7 @@ object SparkEntry {
        |    JOIN rc1 c ON c.cid1 = b.cid1
        |  WHERE b.rn = 1),
        |rc2 AS (SELECT vec_id AS cid2, r AS c2v FROM rr
-       |  WHERE vec_id % $sqlCoarseEvery = 2
+       |  WHERE vec_id % $sqlCoarseEvery = (2 % $sqlCoarseEvery)
        |  UNION ALL SELECT CAST(-1 AS BIGINT),
        |    list_transform(range(1, ${EmbDim + 1}), i -> 0.0)),
        |ra2 AS (SELECT a.vec_id, a.cid1, a.err1, c.cid2,
@@ -5355,7 +5369,7 @@ object SparkEntry {
   private def sqlIvfCtes: String =
     s"""cents AS (SELECT vec_id AS cid, embedding AS cvec,
        |    sqrt(${sqlDot("embedding", "embedding")}) AS cn
-       |  FROM embeddings WHERE vec_id % $sqlCoarseEvery = 1),
+       |  FROM embeddings WHERE vec_id % $sqlCoarseEvery = (1 % $sqlCoarseEvery)),
        |c0 AS (SELECT vec_id AS neighbor_id, embedding AS nv,
        |    sqrt(${sqlDot("embedding", "embedding")}) AS nn FROM embeddings),
        |ca AS (SELECT neighbor_id, nv, nn, cid,
@@ -6958,7 +6972,10 @@ object SparkEntry {
          |    list_transform(v, x -> CAST(x AS DOUBLE)) AS cvec
          |  FROM kvd WHERE vid % (SELECT greatest(1,
          |      CAST(ceil(sqrt(count(*))) AS BIGINT),
-         |      CAST(ceil(count(*) / 65536.0) AS BIGINT)) FROM kvd) = 1),
+         |      CAST(ceil(count(*) / 65536.0) AS BIGINT)) FROM kvd)
+         |    = (1 % (SELECT greatest(1,
+         |      CAST(ceil(sqrt(count(*))) AS BIGINT),
+         |      CAST(ceil(count(*) / 65536.0) AS BIGINT)) FROM kvd))),
          |kad1 AS (${assign("kcd0")}),
          |ked1 AS (SELECT kad1.cid, unnest(range(1, 17)) AS dim,
          |    unnest(list_transform(kvd.v, x -> CAST(x AS DOUBLE))) AS x
@@ -7328,7 +7345,7 @@ object SparkEntry {
       val rows = (2 to 8).map(i =>
         s"UNION ALL SELECT CAST($i AS INTEGER), id, round(1 - mc, 6) FROM kp$i")
         .mkString("\n")
-      s"""WITH ${sqlKcenterCtes(8, s" WHERE vec_id % $sqlCoarseEvery = 1")}
+      s"""WITH ${sqlKcenterCtes(8, s" WHERE vec_id % $sqlCoarseEvery = (1 % $sqlCoarseEvery)")}
          |SELECT CAST(1 AS INTEGER) AS sel_rank, id AS vec_id,
          |  CAST(NULL AS DOUBLE) AS cov FROM kp1
          |$rows""".stripMargin

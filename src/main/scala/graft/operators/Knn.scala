@@ -984,7 +984,14 @@ object Knn {
         x.cast("double") - y.cast("double")))
       .select(col(idCol), col("cid1"), col("err1"), col("r"))
       .localCheckpoint(false)
-    val c2 = resid.where(col(idCol) % every === 2)
+    // level-2 seed residue (2 % every): at stride >= 3 this is the
+    // plain residue-2 row set, disjoint from level-1's residue 1; at
+    // stride 2 it selects the even ids (the literal residue 2 would be
+    // unsatisfiable and silently empty the level-2 codebook down to
+    // the zero codeword); at stride 1 it coincides with level-1's
+    // all-rows seed, which is the right degenerate (every residual is
+    // its own codeword). The oracles mirror (2 % stride) verbatim.
+    val c2 = resid.where(col(idCol) % every === (2 % every))
       .select(col(idCol).as("cid2"), col("r").as("c2v"))
       .unionByName(resid.sparkSession.range(1)
         .select(lit(-1L).as("cid2"),
@@ -1169,12 +1176,15 @@ object Knn {
     * corpus plan, see [[countCache]]).
     *
     * Seed filters throughout this file select `id % every ==
-    * (1 % every)`: the `1 % every` residue makes stride 1 (a 1-row
-    * corpus, or an explicit every = 1) select EVERY row — the naive
-    * `== 1` residue would select nothing (x % 1 is always 0) and
-    * silently empty the codebook/pool. Strides > 1 are unchanged
-    * (1 % every == 1), which is why the DuckDB oracles keep their
-    * literal `% stride = 1` form at every tested corpus size.
+    * (k % every)` for a fixed residue k (level-1/pool seeds use k = 1,
+    * rqModel's level-2 uses k = 2, the residual PQ book uses k = 0):
+    * taking k mod the stride keeps every seed satisfiable at ANY
+    * stride — a literal `== 1` would select nothing at stride 1
+    * (x % 1 is always 0) and a literal `== 2` nothing at stride <= 2,
+    * silently emptying the codebook/pool. Strides above k are
+    * unchanged (k % every == k). The DuckDB oracles mirror the same
+    * `(k % stride)` residue via their stride scalar subquery, so
+    * engine parity holds at every corpus size including 1-row.
     */
   private def resolveCoarse(corpus: DataFrame, every: Int): Int =
     if (every > 0) every else autoCoarseEvery(cachedCount(corpus))
@@ -1210,11 +1220,21 @@ object Knn {
     val scored = side.crossJoin(broadcast(cents))
       .withColumn("__ccos",
         dot(col(vec), col("cvec"), dim) / (col(norm) * col("cn")))
-    if (n == 1)
+    // CONTRACT (n == 1 branch): `side` must be exactly (id, vec, norm)
+    // — the argmax rebuilds the frame as those three columns plus cid,
+    // so any extra side column would be silently dropped (the n > 1
+    // window branch preserves all columns). first(vec)/first(norm) are
+    // deterministic only because the crossJoin replicates one side row
+    // per centroid: vec/norm are constant within each id group.
+    if (n == 1) {
+      require(side.columns.toSeq == Seq(id, vec, norm),
+        s"nearestCells n=1 expects side columns ($id, $vec, $norm), " +
+          s"got ${side.columns.mkString(", ")}")
       scored.groupBy(col(id))
         .agg(max(struct(col("__ccos"), (-col("cid")).as("ncid"))).as("__b"),
           first(col(vec)).as(vec), first(col(norm)).as(norm))
         .select(col(id), col(vec), col(norm), (-col("__b.ncid")).as("cid"))
+    }
     else {
       val w = Window.partitionBy(col(id))
         .orderBy(col("__ccos").desc, col("cid"))

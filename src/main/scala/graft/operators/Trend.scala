@@ -1240,14 +1240,39 @@ object Trend {
     * the theilSen posture. Events pay ONE (key, bucket) partial-agg'd
     * shuffle + the key re-key (clustering-satisfied by hash(key));
     * the template is a #buckets-row broadcast.
+    *
+    * Span gate (`spanCapBuckets`): the DP cost per key is
+    * O(n·max(band,|n−m|)) — for a sparse key against a dense template
+    * that degenerates to O(span²) in the calendar span, so a
+    * multi-year feed would blow up quadratically. When the observed
+    * span exceeds the cap, the grid coarsens by the smallest integer
+    * factor that brings it back under: scale = floor((maxD−minD)/cap)
+    * + 1, bucket = bucketUs·scale. That bounds every DP at O(cap²)
+    * regardless of span (the mm_phash_eval count-gate convention: the
+    * gate is derived from the DATA on both engines, so the DuckDB
+    * oracle replays the identical decision at any input size; at or
+    * under the cap the output is bit-identical to the ungated op).
+    * The span probe is one extra min/max partial-agg scan — no
+    * shuffle, 1-row broadcast.
     */
   def dtwToTemplate(df: DataFrame, tsCol: String, valCol: String,
                     keyCols: Seq[String], bucketUs: Long, originUs: Long,
-                    band: Int = 7): DataFrame = {
+                    band: Int = 7, spanCapBuckets: Int = 366): DataFrame = {
     import org.apache.spark.sql.graft.Bridge.fldiv
     val inf = lit(1000000000000000L)
-    def d = fldiv(col(tsCol) - lit(originUs), bucketUs).as("__d")
-    val grid = df
+    val dRaw = fldiv(col(tsCol) - lit(originUs), bucketUs)
+    // greatest(1, …): max/min of an empty frame are NULL; Spark's
+    // greatest skips NULLs, so the degenerate scale is 1, not NULL.
+    // Lazily checkpointed: the 1-row probe feeds BOTH the grid and the
+    // template branch — without materialization each branch would
+    // re-plan (and re-scan) the min/max agg
+    val span = df.agg(greatest(lit(1L),
+      fldiv(max(dRaw) - min(dRaw), spanCapBuckets.toLong) + lit(1L))
+      .as("__scale")).localCheckpoint(false)
+    val dfS = df.crossJoin(broadcast(span))
+    def d = fldivC(col(tsCol) - lit(originUs),
+      lit(bucketUs) * col("__scale")).as("__d")
+    val grid = dfS
       .groupBy(keyCols.map(col) :+ d: _*)
       .agg(sum(floor(col(valCol) * lit(1e6)).cast("long")).as("__s6"),
         count(lit(1)).as("__c"))
@@ -1255,7 +1280,7 @@ object Trend {
     val karr = grid.groupBy(keyCols.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("__d"), col("__v")))),
         s => s.getField("__v")).as("b"))
-    val tmpl = df
+    val tmpl = dfS
       .groupBy(d)
       .agg(sum(floor(col(valCol) * lit(1e6)).cast("long")).as("__s6"),
         count(lit(1)).as("__c"))

@@ -39,6 +39,17 @@ object StreamStickiness {
     * (day_begin epoch-µs, dau) per closed day. Keep `watermark` at
     * ≥ 24h + lateness for exact DAU (see class doc); shorter values
     * trade exactness for earlier emission.
+    *
+    * EMISSION-LATENCY COST of the 25 h default (changed from "1 hour"
+    * in r12): append-mode windows publish only when the watermark
+    * passes day end + 25 h of EVENT TIME, so a day's DAU row lands
+    * roughly a day later than under the old default. Consumers that
+    * relied on the next-hour publish cadence must either pass the old
+    * short watermark explicitly (accepting the documented
+    * session-count upper bound) or read the pre-close running count
+    * from update mode; with the default, outputs will appear to
+    * "stall" until enough later event time arrives. Exactness gain
+    * and this latency cost are the two sides of the same dial.
     */
   def daily(events: DataFrame, watermark: String = "25 hours"): DataFrame =
     events

@@ -28,6 +28,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the O(|users|) store). The edge multiset under cross-batch
   * reordering is therefore the chain over each user's monotone event
   * suffix, spec-pinned.
+  *
+  * The skips are OBSERVABLE: pass a `LongAccumulator` (or read the
+  * one [[apply]] registers by default, named
+  * `graft.transitions.skipped`) — every discarded event adds 1, so an
+  * operator watching transitionMatrix totals under sustained
+  * reordering can see exactly how many events the monotone-suffix
+  * contract dropped instead of inferring it from count drift.
   */
 object StreamTransitions {
 
@@ -40,10 +47,19 @@ object StreamTransitions {
 
   /** `events` carries `user_id`, epoch-µs `ts`, `event_id`, and
     * `event_type`; edges append as successors arrive.
+    *
+    * `skipped` counts the events discarded by the monotone-suffix
+    * contract (cross-batch reordered arrivals); defaults to a fresh
+    * accumulator registered as `graft.transitions.skipped`, readable
+    * from the driver while the query runs.
     */
   def apply(spark: SparkSession, events: DataFrame,
-            watermark: String = "10 minutes"): Dataset[Edge] = {
+            watermark: String = "10 minutes",
+            skipped: Option[org.apache.spark.util.LongAccumulator] = None)
+      : Dataset[Edge] = {
     import spark.implicits._
+    val skipAcc = skipped.getOrElse(
+      spark.sparkContext.longAccumulator("graft.transitions.skipped"))
 
     def step(user: Long, batch: Iterator[Ev],
              state: GroupState[Last]): Iterator[Edge] = {
@@ -64,7 +80,7 @@ object StreamTransitions {
           last.foreach(l =>
             out += Edge(user, l.event_type, e.event_type, e.ts))
           last = Some(Last(e.ts, e.event_id, e.event_type))
-        }
+        } else skipAcc.add(1)
       }
       last.foreach(state.update)
       out.result().iterator

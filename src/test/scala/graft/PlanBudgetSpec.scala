@@ -300,8 +300,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_blocklist" -> 0,
     // dtw: (key, day) grid agg + key re-key + the template's day agg,
     // 1-row collect and broadcast — the O(n·m) DP itself is a
-    // scan-side fold over calendar-bounded arrays
-    "ts_dtw" -> 5,
+    // scan-side fold over calendar-bounded arrays. r13: +2 for the
+    // span-gate probe (a min/max partial agg to one row + its
+    // broadcast), which bounds the DP at O(cap²) for multi-year spans
+    "ts_dtw" -> 7,
     // k-center: the visible plan is the k-row literal result frame —
     // the greedy rounds run at construction as k TakeOrdered(1) scans
     // over the checkpointed corpus, none of which shuffles

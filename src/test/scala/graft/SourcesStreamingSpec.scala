@@ -1034,13 +1034,16 @@ class StreamRollupSpec extends AnyFunSuite {
       .toDF("user_id", "ts", "event_id", "event_type")
     val b3 = Seq((1L, 8 * S, 3L, "c"))
       .toDF("user_id", "ts", "event_id", "event_type")
+    val skipped = spark.sparkContext.longAccumulator("trans_ooo_skipped")
     val (out, _) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3),
       s => graft.streaming.StreamTransitions(spark, s,
-        watermark = "10 minutes").toDF(),
+        watermark = "10 minutes", skipped = Some(skipped)).toDF(),
       "append", "trans_ooo")
     val got = out.collect().map(r => (r.getAs[String]("from_type"),
       r.getAs[String]("to_type"), r.getAs[Long]("ts"))).toSet
     assert(got == Set(("a", "c", 8 * S)), s"got $got")
+    // the discard is observable, not silent: exactly the t=2 arrival
+    assert(skipped.value == 1L, s"skipped=${skipped.value}")
   }
 
   test("stream-stream interval join matches the batch RangeJoin") {

@@ -553,6 +553,29 @@ class TrendSpec extends AnyFunSuite {
       assert(d6 == dtw(tmpl, byUser(u), 3), s"user $u")
     }
   }
+
+  test("dtwToTemplate span gate coarsens a multi-year span to the capped grid") {
+    import spark.implicits._
+    val day = 86400000000L
+    val rng = new scala.util.Random(7)
+    // 700-day span with cap 366: scale = (699-0)//366 + 1 = 2, so the
+    // gated run must equal the UNGATED op on a 2-day grid (cap high
+    // enough that its own scale stays 1: 350 2-day buckets < 366)
+    val rows = for (u <- 1L to 3L; d <- 0 until 700 if rng.nextInt(3) == 0)
+      yield (u, d * day + rng.nextInt(24) * 3600000000L,
+        rng.nextInt(50).toDouble)
+    val df = rows.toDF("user_id", "ts", "value")
+    val gated = Trend.dtwToTemplate(df, "ts", "value", Seq("user_id"),
+      day, 0L, band = 3, spanCapBuckets = 366)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    val coarse = Trend.dtwToTemplate(df, "ts", "value", Seq("user_id"),
+      2 * day, 0L, band = 3, spanCapBuckets = Int.MaxValue)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(gated == coarse)
+    assert(gated.values.forall(_._1 <= 366), "template stays under the cap")
+  }
 }
 
 class StreamFillSpec extends AnyFunSuite {
