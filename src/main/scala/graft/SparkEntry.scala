@@ -3776,6 +3776,54 @@ object SparkEntry {
       TextOps.classifyWithWeights(docs, w1)
     },
 
+    // ACTUAL training, end to end: 3 logistic epochs on the hash-split
+    // train slice (the later epochs exercise the snapped sigmoid, not
+    // just step 1's transcendental-free arithmetic), then a held-out
+    // eval on the test slice — confusion counts + accuracy vs the
+    // is-English label, with the majority-class base rate alongside so
+    // "did it learn" is a read-out, not an inference. One metrics row.
+    // Honest read-out on the driver testdata: the synthetic corpus
+    // draws every language's text from ONE shared vocabulary, so the
+    // label is statistically independent of the features and the
+    // base rate IS the Bayes ceiling — the trained model correctly
+    // converges to the majority-class prior (accuracy == base_rate,
+    // all-drop). Learning on separable data is pinned by
+    // OperatorSpec's "train learns the language labels" descent test
+    "doc_classify_train_eval" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("__is_en", when(col("lang") === "en", 1).otherwise(0))
+      val split = Sampling.hashSplit(docs, col("doc_id"))
+      val train = split.where(col("split") === "train")
+      val test = split.where(col("split") === "test")
+      val w = TextOps.train(train, "__is_en", iters = 3)
+      val scored = TextOps.classifyWithWeights(test, w)
+        .join(test.select(col("doc_id"), col("__is_en")), Seq("doc_id"))
+      scored
+        .agg(
+          count(lit(1)).as("n_test"),
+          coalesce(sum(when(col("n_feats") > 0, 1L).otherwise(0L)), lit(0L))
+            .as("n_scored"),
+          coalesce(sum(when(col("label") === "keep" && col("__is_en") === 1,
+            1L).otherwise(0L)), lit(0L)).as("tp"),
+          coalesce(sum(when(col("label") === "keep" && col("__is_en") === 0,
+            1L).otherwise(0L)), lit(0L)).as("fp"),
+          coalesce(sum(when(col("label") === "drop" && col("__is_en") === 0,
+            1L).otherwise(0L)), lit(0L)).as("tn"),
+          coalesce(sum(when(col("label") === "drop" && col("__is_en") === 1,
+            1L).otherwise(0L)), lit(0L)).as("fn"),
+          coalesce(sum(when(col("n_feats") > 0, col("__is_en").cast("long"))
+            .otherwise(0L)), lit(0L)).as("__n_en"))
+        .select(col("n_test"), col("n_scored"), col("tp"), col("fp"),
+          col("tn"), col("fn"),
+          when(col("n_scored") > 0,
+            round((col("tp") + col("tn")).cast("double") / col("n_scored"), 6)
+              + lit(0.0)).as("accuracy"),
+          when(col("n_scored") > 0,
+            round(greatest(col("__n_en"), col("n_scored") - col("__n_en"))
+              .cast("double") / col("n_scored"), 6) + lit(0.0))
+            .as("base_rate"))
+    },
+
     "doc_ccnet_bucket" -> { (s, dir) =>
       TextOps.ccnetBucket(tbl(s, dir, "documents"))
     },
@@ -4606,6 +4654,35 @@ object SparkEntry {
        |      list_transform(range(1, greatest(len(tk)-1, 0) + 1),
        |        i -> array_to_string(list_slice(tk, i, i+1), ' ')),
        |      s -> ${sqlPoly("s")} % 65536))""".stripMargin
+
+  /** One snapped-sigmoid logistic epoch as oracle CTEs: given the
+    * sparse weight table `wPrev`(bucket, w) produce m{k}/e{k}/g{k} and
+    * the updated `w{k}` — mirrors TextOps.trainStep exactly (6dp
+    * margin snap before the sigmoid, µ-int errU, per-feature
+    * round(errU/n), w − round(lr·gU/ndocs) with lr = 0.5). Assumes
+    * tr(doc_id, y, n) / tx(doc_id, bucket) / nd(ndocs) in scope.
+    * Sparse-table equivalence to Spark's dense 65536-row model:
+    * buckets outside tx never leave 0 on either engine, and every
+    * read goes through coalesce(w, 0). w{k} is MATERIALIZED — it is
+    * read by the next epoch's margin AND update (the kcenter CTE
+    * inlining lesson).
+    */
+  private def sqlTrainEpoch(k: Int, wPrev: String): String =
+    s"""m$k AS (SELECT tx.doc_id, sum(coalesce(p.w, 0)) AS su
+       |  FROM tx LEFT JOIN $wPrev p USING (bucket) GROUP BY tx.doc_id),
+       |e$k AS (SELECT tr.doc_id, tr.n,
+       |    CAST(round((1.0 / (1.0 + exp(-round(
+       |      CAST(m$k.su AS DOUBLE) / 1000000.0 / tr.n, 6))) - tr.y)
+       |      * 1000000) AS BIGINT) AS errU
+       |  FROM tr JOIN m$k USING (doc_id)),
+       |g$k AS (SELECT bucket,
+       |    sum(CAST(round(CAST(e$k.errU AS DOUBLE) / e$k.n) AS BIGINT))
+       |      AS gU
+       |  FROM tx JOIN e$k USING (doc_id) GROUP BY bucket),
+       |w$k AS MATERIALIZED (SELECT g$k.bucket,
+       |    coalesce(p.w, 0) - CAST(round(0.5 * g$k.gU / ndocs) AS BIGINT)
+       |      AS w
+       |  FROM g$k LEFT JOIN $wPrev p USING (bucket) CROSS JOIN nd)""".stripMargin
 
   private def sqlShingles(t: String): String =
     s"list_transform(range(1, greatest(len($t)-2, 0) + 1), " +
@@ -6326,6 +6403,61 @@ object SparkEntry {
          |  CASE WHEN coalesce(ss.nf, 0) = 0 THEN NULL
          |    WHEN ss.su > 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM documents d LEFT JOIN ss ON ss.doc_id = d.doc_id""".stripMargin,
+
+    // multi-epoch training + held-out eval: three sqlTrainEpoch
+    // replays of TextOps.trainStep on the hash-split train slice
+    // (epoch 1's sigmoid input is exactly 0 so it stays
+    // transcendental-free; epochs 2-3 evaluate exp on the 6dp-snapped
+    // margin — declared float posture), then w3 scores the test slice
+    // and one row of confusion counts + accuracy/base_rate reads out
+    "doc_classify_train_eval" ->
+      s"""WITH ct AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    ${sqlPoly("CAST(doc_id AS VARCHAR)")} % 100 AS bkt,
+         |    $sqlToks AS tk FROM documents),
+         |cf AS MATERIALIZED (SELECT doc_id, y, bkt,
+         |    $sqlFeatureBuckets AS fb FROM ct),
+         |tr AS MATERIALIZED (SELECT doc_id, y, fb, len(fb) AS n FROM cf
+         |  WHERE bkt < 80 AND len(fb) > 0),
+         |tx AS MATERIALIZED (SELECT doc_id, unnest(fb) AS bucket FROM tr),
+         |nd AS (SELECT count(*) AS ndocs FROM tr),
+         |w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket,
+         |    CAST(NULL AS BIGINT) AS w WHERE false),
+         |${sqlTrainEpoch(1, "w0")},
+         |${sqlTrainEpoch(2, "w1")},
+         |${sqlTrainEpoch(3, "w2")},
+         |te AS (SELECT doc_id, y, fb, len(fb) AS nf FROM cf
+         |  WHERE bkt >= 90),
+         |sx AS (SELECT doc_id, unnest(fb) AS bucket FROM te),
+         |ss AS (SELECT sx.doc_id, sum(coalesce(w3.w, 0)) AS su
+         |  FROM sx LEFT JOIN w3 USING (bucket) GROUP BY sx.doc_id),
+         |sc AS (SELECT te.doc_id, te.y, te.nf,
+         |    CASE WHEN te.nf = 0 THEN NULL
+         |         WHEN ss.su > 0 THEN 'keep' ELSE 'drop' END AS label
+         |  FROM te LEFT JOIN ss USING (doc_id)),
+         |ag AS (SELECT count(*) AS n_test,
+         |    CAST(coalesce(sum(CASE WHEN nf > 0 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_scored,
+         |    CAST(coalesce(sum(CASE WHEN label = 'keep' AND y = 1.0
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS tp,
+         |    CAST(coalesce(sum(CASE WHEN label = 'keep' AND y = 0.0
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS fp,
+         |    CAST(coalesce(sum(CASE WHEN label = 'drop' AND y = 0.0
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS tn,
+         |    CAST(coalesce(sum(CASE WHEN label = 'drop' AND y = 1.0
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS fn,
+         |    CAST(coalesce(sum(CASE WHEN nf > 0 AND y = 1.0
+         |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_en
+         |  FROM sc)
+         |SELECT n_test, n_scored, tp, fp, tn, fn,
+         |  CASE WHEN n_scored > 0
+         |    THEN round(CAST(tp + tn AS DOUBLE) / n_scored, 6) + 0.0
+         |  END AS accuracy,
+         |  CASE WHEN n_scored > 0
+         |    THEN round(CAST(greatest(n_en, n_scored - n_en) AS DOUBLE)
+         |      / n_scored, 6) + 0.0
+         |  END AS base_rate
+         |FROM ag""".stripMargin,
 
     // DSIR: per-bucket micro-nat-snapped log terms, exact integer
     // per-doc accumulation su − n·cu, one rounded division — the

@@ -678,15 +678,19 @@ object TextOps {
     * shuffles over the training docs, never a driver-side loop over
     * rows). `docs` needs `text` and a 0/1 `labelCol`.
     *
-    * Exact-arithmetic parity convention: the per-doc error snaps to
-    * integer micro-units (errU = round((sigmoid(margin) − y)·1e6)),
-    * each feature occurrence contributes round(errU / n_feats), and
-    * the bucket update is w − round(lr · gradSum / nDocs) — so a step
-    * is reproducible bit-for-bit by any 64-bit SQL engine. From the
-    * [[zeroWeights]] init the first step needs no transcendentals at
-    * all (sigmoid(0) = 1/2 exactly), which is what the oracle-verified
-    * one-step query exploits; later steps go through the snapped
-    * sigmoid.
+    * Exact-arithmetic parity convention: the margin snaps to 6dp
+    * BEFORE the sigmoid (so the transcendental is evaluated on an
+    * identical quantized double on every engine), the per-doc error
+    * snaps to integer micro-units (errU = round((sigmoid(margin6) −
+    * y)·1e6)), each feature occurrence contributes round(errU /
+    * n_feats), and the bucket update is w − round(lr · gradSum /
+    * nDocs) — so a step is reproducible bit-for-bit by any 64-bit SQL
+    * engine up to the sigmoid itself, whose residual cross-libm risk
+    * is one ulp landing within 1e-10 of a .5 µ-rounding boundary
+    * (declared float posture; the oracle replays the same chain).
+    * From the [[zeroWeights]] init the first step needs no
+    * transcendentals at all (sigmoid(0) = 1/2 exactly), which is what
+    * the oracle-verified one-step query exploits.
     *
     * Scale shape: features are re-hashed from the text each step (scan
     * arithmetic — cheaper at 100 TB than materializing a feature
@@ -707,7 +711,7 @@ object TextOps {
       .join(fb.select(col(idCol), col("__y")), Seq(idCol))
       .select(col(idCol), col("__n"),
         round((lit(1.0) / (lit(1.0) +
-          exp(-(col("__su").cast("double") / lit(1e6) / col("__n"))))
+          exp(-round(col("__su").cast("double") / lit(1e6) / col("__n"), 6)))
           - col("__y")) * lit(1e6)).cast("long").as("__errU"))
     val grads = ex.join(perDoc, Seq(idCol))
       .select(col("bucket"),
@@ -718,9 +722,12 @@ object TextOps {
     weights.join(grads, Seq("bucket"), "left")
       .crossJoin(broadcast(nd))
       .select(col("bucket"),
-        (col("w_micro") - round(lit(lr)
+        // __nd > 0 guard: an empty training frame would make the
+        // update 0/0, which ANSI mode rejects even for doubles — the
+        // degenerate step is a no-op on the weights instead
+        (col("w_micro") - when(col("__nd") > 0, round(lit(lr)
           * coalesce(col("__gU"), lit(0L)).cast("double") / col("__nd"))
-          .cast("long")).as("w_micro"))
+          .cast("long")).otherwise(lit(0L))).as("w_micro"))
   }
 
   /** `iters` gradient steps from the zero init; the returned table

@@ -461,6 +461,11 @@ class PlanBudgetSpec extends AnyFunSuite {
     // trained classifier: the label-prior/token-likelihood training
     // aggs + their broadcasts into the scoring scan
     "doc_classify_trained" -> 10,
+    // 3-epoch train + held-out eval: each epoch is a doc-keyed margin
+    // agg + bucket-keyed grad agg + model broadcast (the weight table
+    // is checkpointed between epochs so rounds don't re-derive), then
+    // the test-slice scoring chain and a 1-row metrics agg
+    "doc_classify_train_eval" -> 24,
     // declared two-chain restatement eval (VERDICT r9/r10): both dedup
     // chains rebuilt side by side
     "doc_dedup_eval" -> 11,
