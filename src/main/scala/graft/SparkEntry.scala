@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Aggs, TimeIndex}
 import graft.operators._
+import graft.sources.Lake
 import graft.ts.{TimeRange, TimeSeries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -50,6 +51,39 @@ object SparkEntry {
       val path = java.nio.file.Files
         .createTempDirectory("graft_ivf_idx").toString
       Knn.writeIvfIndex(emb, EmbDim, path)
+      path
+    })
+
+  /** Per-dataset z-ordered lake layout (events clustered on
+    * (user_id, value) + its file manifest), built once per process —
+    * the ivfIndexFor convention: the warmup pass pays the write, timed
+    * passes measure the manifest-pruned read.
+    */
+  private val lakeZDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lakeZFor(s: SparkSession, dir: String): String =
+    lakeZDirs.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lake_z").toString
+      Lake.writeZOrdered(
+        events(s, dir).select("event_id", "user_id", "event_type", "value"),
+        Seq("user_id", "value"), path, nFiles = 8)
+      path
+    })
+
+  /** Per-dataset snapshot table (documents committed as two versions:
+    * even doc_ids, then odd), built once per process. Versions are
+    * immutable, so reads at v=1/v=2 are bit-stable across passes.
+    */
+  private val lakeSnapDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lakeSnapFor(s: SparkSession, dir: String): String =
+    lakeSnapDirs.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lake_snap").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      Lake.snapshotAppend(docs.where(col("doc_id") % 2 === 0), path)
+      Lake.snapshotAppend(docs.where(col("doc_id") % 2 === 1), path)
       path
     })
 
@@ -3988,6 +4022,33 @@ object SparkEntry {
         EmbDim, 3)
     },
 
+    // the LAKE layer under the driver gate (not just ScalaTest): write
+    // the events table z-ordered on (user_id, value) with its file
+    // manifest, then a manifest-PRUNED key-range read — the oracle is
+    // the same predicate over the raw table, so the round trip
+    // (clustered rewrite -> stats manifest -> file skipping -> pushed
+    // row predicate) must lose or duplicate nothing
+    "lake_zorder_read" -> { (s, dir) =>
+      Lake.readManifestPruned(s, lakeZFor(s, dir), "user_id", 3L, 12L)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+    },
+
+    // snapshot time travel under the driver gate: two immutable
+    // commits (even doc_ids, then odd), read back at v=1 and v=2 —
+    // the oracle recomputes each version's membership from the raw
+    // table, so commit isolation and bit-stability are value-checked
+    "lake_snapshot_read" -> { (s, dir) =>
+      val path = lakeSnapFor(s, dir)
+      Seq(1, 2).map { v =>
+        Lake.readSnapshot(s, path, v)
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(length(col("text")).cast("long")), lit(0L))
+              .as("sum_chars"))
+          .select(lit(v).as("version"), col("n_docs"), col("sum_chars"))
+      }.reduce(_ unionByName _)
+    },
+
     // IVF over the LEARNED k-means codebook (one Lloyd update) rather
     // than the every-Nth sample — recall of both centroid sources is
     // measured side by side in emb_ann_recall
@@ -6715,6 +6776,25 @@ object SparkEntry {
          |    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank FROM j)
          |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
          |FROM r WHERE rank <= 3""".stripMargin,
+
+    // lake round trip: the z-ordered rewrite + manifest-pruned read
+    // must equal the raw-table predicate scan — any file the manifest
+    // wrongly skips (or double-reads) changes the row multiset
+    "lake_zorder_read" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE user_id >= 3 AND user_id <= 12""".stripMargin,
+
+    // snapshot membership recomputed from the raw table: v1 = the even
+    // half, v2 = both commits = the whole table
+    "lake_snapshot_read" ->
+      """SELECT CAST(1 AS INTEGER) AS version,
+        |  count(*) AS n_docs,
+        |  CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL SELECT CAST(2 AS INTEGER),
+        |  count(*),
+        |  CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+        |FROM documents""".stripMargin,
 
     // persisted-index search is definitionally the same computation as
     // emb_knn_ivf (the index just materializes ccell) — same oracle

@@ -466,6 +466,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // is checkpointed between epochs so rounds don't re-derive), then
     // the test-slice scoring chain and a 1-row metrics agg
     "doc_classify_train_eval" -> 24,
+    // lake reads: the pruned scan is scan+filter (manifest collect is
+    // planning-time metadata); the snapshot read is two 1-row aggs +
+    // their single-partition exchanges, unioned
+    "lake_zorder_read" -> 0, "lake_snapshot_read" -> 4,
     // declared two-chain restatement eval (VERDICT r9/r10): both dedup
     // chains rebuilt side by side
     "doc_dedup_eval" -> 11,
