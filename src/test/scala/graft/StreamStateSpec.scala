@@ -49,6 +49,59 @@ object StreamHarness {
     } finally q.stop()
   }
 
+  /** Replay `batches` with a KILL-AND-RESUME in the middle: run the
+    * query over the first `killAfter` batches, stop it, land the
+    * remaining batches while it is DOWN, then restart from the SAME
+    * checkpoint into the SAME parquet sink and drain. The file sink's
+    * commit log (`_spark_metadata`) makes output exactly-once across
+    * the restart — a batch replayed after an interrupted epoch
+    * overwrites, never appends twice — so the returned frame is the
+    * run's full emitted row multiset: compare it against an
+    * uninterrupted run to pin no-loss/no-duplication recovery.
+    */
+  def feedBatchesWithRestart(spark: SparkSession, batches: Seq[DataFrame],
+                             build: DataFrame => DataFrame, killAfter: Int,
+                             name: String): DataFrame = {
+    require(batches.nonEmpty && killAfter > 0 && killAfter < batches.size)
+    val dir = Files.createTempDirectory(s"graft_rs_$name").toString
+    val schema = batches.head.schema
+    def start() = build(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Int.MaxValue)
+        .parquet(s"$dir/src/*"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    batches.head.write.mode("overwrite").parquet(s"$dir/src/b0")
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      batches.zipWithIndex.slice(1, killAfter).foreach { case (b, i) =>
+        b.write.mode("overwrite").parquet(s"$dir/src/b$i")
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    batches.zipWithIndex.drop(killAfter).foreach { case (b, i) =>
+      b.write.mode("overwrite").parquet(s"$dir/src/b$i")
+    }
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    spark.read.parquet(s"$dir/out")
+  }
+
+  /** Multiset equality via two-way exceptAll — catches BOTH loss and
+    * duplication, which a set compare or a count compare alone
+    * wouldn't. */
+  def assertSameMultiset(got: DataFrame, want: DataFrame,
+                         label: String): Unit = {
+    val missing = want.exceptAll(got).count()
+    val extra = got.exceptAll(want).count()
+    assert(missing == 0 && extra == 0,
+      s"$label: $missing rows lost, $extra rows duplicated " +
+        s"(got ${got.count()} vs want ${want.count()})")
+  }
+
   /** numRowsTotal of the (single) stateful operator in each progress. */
   def stateRows(ps: Seq[StreamingQueryProgress]): Seq[Long] =
     ps.filter(_.stateOperators.nonEmpty)
@@ -517,6 +570,68 @@ class StreamStateSpec extends AnyFunSuite {
     // every batch's bands forever (state ≈ rows.head × nBatches).
     assert(rows.max <= 2 * rows.head + 8,
       s"banded state grew across batches: $rows")
+  }
+
+  // --- checkpoint recovery: kill mid-stream, resume, prove ----------
+  // no loss and no duplication against an uninterrupted run. These
+  // target the flatMapGroupsWithState FLUSH paths (timeout-emitted
+  // rows), where a recovery bug would double-emit or drop a window
+  // whose flush straddles the restart.
+
+  test("StreamTopK survives a mid-stream kill+resume without loss or " +
+    "duplication") {
+    val batches = advancingBatches(nKeys = 4, perKey = 30)
+    val (want, _) = StreamHarness.feedBatches(spark, batches,
+      s => graft.streaming.StreamTopK(spark, s, winUs = 10 * M, k = 3,
+        watermark = "1 hour").toDF(),
+      "append", "topk_norestart")
+    val got = StreamHarness.feedBatchesWithRestart(spark, batches,
+      s => graft.streaming.StreamTopK(spark, s, winUs = 10 * M, k = 3,
+        watermark = "1 hour").toDF(),
+      killAfter = 2, "topk_restart")
+    assert(want.count() > 0, "baseline must flush at least one window")
+    StreamHarness.assertSameMultiset(got, want, "topk recovery")
+  }
+
+  test("StreamChurn verdicts survive a mid-stream kill+resume") {
+    import spark.implicits._
+    val W = 10000000L
+    val b1 = Seq((1L, 1000000L), (1L, 12000000L), (1L, 22000000L),
+      (2L, 2000000L), (2L, 32000000L), (3L, 15000000L))
+      .toDF("user_id", "ts")
+    val b2 = Seq((99L, 200000000L)).toDF("user_id", "ts")
+    val b3 = Seq((98L, 300000000L)).toDF("user_id", "ts")
+    def build(s: DataFrame) = graft.streaming.StreamChurn(spark, s,
+      epochUs = 0L, weekUs = W, watermark = "1 second").toDF()
+    val (want, _) = StreamHarness.feedBatches(spark, Seq(b1, b2, b3),
+      build, "append", "churn_norestart")
+    // kill between the sentinel batches: u1/u2's silence verdicts are
+    // pending in state when the query dies
+    val got = StreamHarness.feedBatchesWithRestart(spark,
+      Seq(b1, b2, b3), build, killAfter = 2, "churn_restart")
+    assert(want.count() > 0)
+    StreamHarness.assertSameMultiset(got, want, "churn recovery")
+  }
+
+  test("StreamFreq CMS grid survives a mid-stream kill+resume") {
+    import spark.implicits._
+    val words = "alpha beta gamma delta epsilon zeta eta theta".split(' ')
+    val batches = (0 until 4).map { b =>
+      val base = b.toLong * 24 * H
+      (0 until 12).map { i =>
+        val body = (0 until 20)
+          .map(j => words((i + j) % words.length) + s"x$b").mkString(" ")
+        (base + i * M, body)
+      }.toDF("ts", "text")
+    }
+    def build(s: DataFrame) = graft.streaming.StreamFreq.cmsGrid(
+      s, "ts", "text", "1h", watermark = "1 hour")
+    val (want, _) = StreamHarness.feedBatches(spark, batches, build,
+      "append", "cms_norestart")
+    val got = StreamHarness.feedBatchesWithRestart(spark, batches, build,
+      killAfter = 2, "cms_restart")
+    assert(want.count() > 0)
+    StreamHarness.assertSameMultiset(got, want, "cms recovery")
   }
 }
 
