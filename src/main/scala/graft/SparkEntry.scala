@@ -5567,14 +5567,23 @@ object SparkEntry {
        |    WHEN i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
        |    ELSE CAST(1 AS BIGINT) << i END) AS BIGINT) AS phash
        |  FROM px JOIN pt ON px.doc_id = pt.doc_id GROUP BY px.doc_id),
-       |bd AS (SELECT doc_id, phash, b.band,
+       |bd0 AS (SELECT doc_id, phash, b.band,
        |    (phash >> (b.band * $bandBits)) % ${1L << bandBits} AS bk
        |  FROM ph, (SELECT unnest(range(${n / bandBits}))
        |    AS band) b),
-       |pp AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
-       |    bit_count(xor(a.phash, b2.phash)) AS hamming
+       |bdh AS (SELECT band, bk FROM bd0 GROUP BY band, bk
+       |  HAVING count(DISTINCT phash) <= 1024),
+       |bd AS (SELECT bd0.doc_id, bd0.phash, bd0.band, bd0.bk
+       |  FROM bd0 JOIN bdh USING (band, bk)),
+       |pp AS (
+       |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b, 0 AS hamming
+       |  FROM ph a JOIN ph b2
+       |    ON a.phash = b2.phash AND a.doc_id < b2.doc_id
+       |  UNION ALL
+       |  SELECT DISTINCT a.doc_id, b2.doc_id,
+       |    bit_count(xor(a.phash, b2.phash))
        |  FROM bd a JOIN bd b2 ON a.band = b2.band AND a.bk = b2.bk
-       |    AND a.doc_id < b2.doc_id)""".stripMargin
+       |    AND a.doc_id < b2.doc_id AND a.phash <> b2.phash)""".stripMargin
 
   /** Augmented-LSH MIPS chain ending in `mr` = (query_id, neighbor_id,
     * ip, rank) — shared by emb_mips_lsh and emb_mips_recall so the

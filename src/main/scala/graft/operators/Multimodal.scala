@@ -244,33 +244,90 @@ object Multimodal {
     * (pigeonhole: full recall up to bands-1 flipped bits; the same
     * recall/cost dial as SimHash text dedup).
     *
-    * Scale shape: hashes come out of the batched decode pass (scan
-    * stage), the shuffle carries (band, byte, id, hash) — 2 rows of a
-    * few longs per media item, never payloads; the self-join is
-    * bucket-granular.
+    * Scale shape (r13): EXACT-HASH CLUSTERS collapse first — a
+    * duplicate-heavy corpus (the norm for media dedup: re-posts,
+    * mirrored uploads) puts many docs on ONE phash, and banding at
+    * doc grain made every shared band a c²-candidate cell (measured
+    * at 100x: 500k docs -> 133k distinct hashes, 444M doc-grain
+    * candidates, 84M survivors into a 13 s distinct). Banding the
+    * DISTINCT hashes instead drops candidates to rep-pair grain
+    * (~0.5M at the same scale); member ids ride each hash as a
+    * collected array and the final (id_a, id_b) pairs expand
+    * SCAN-SIDE — within-cluster pairs at hamming 0 plus rep-pair
+    * cross products — so the only remaining quadratic term is the
+    * OUTPUT itself, which is the operator's contract ("emit all
+    * near-dup pairs": 35M pairs at 100x IS the answer, not overhead).
+    * The rep-pair dedup that replaced the doc-grain distinct handles
+    * a few thousand rows, not 84M.
+    *
+    * Hot-bucket cap (`maxBucket`, the doc_dedup_ngram_jaccard_pruned
+    * df-cap convention): a (band, bucket) cell of c DISTINCT hashes
+    * generates c²/2 rep candidates, so a skewed band byte can still
+    * dominate; cells above the cap are skipped as candidate SOURCES
+    * via an anti-join against the (normally EMPTY) hot-cell list.
+    * The cap counts distinct HASHES, not docs — a million exact
+    * copies are one codeword, not a hot cell. Recall caveat, stated
+    * honestly: a true near-dup pair is lost only if EVERY band the
+    * two hashes agree on is hot — pigeonhole still gives each
+    * hamming<=bands-1 pair `bands - hamming` chances. At the default
+    * 1024 the uniform-hash expectation stays orders of magnitude
+    * below the cap at any tested scale, so the cap is pure skew
+    * insurance there; the oracle mirrors it unconditionally.
     */
   def phashPairs(spark: SparkSession, docs: DataFrame,
                  maxHamming: Int = 3, bandBits: Int = PhashBandBits,
-                 nPixels: Int = PhashPixels): DataFrame = {
+                 nPixels: Int = PhashPixels,
+                 maxBucket: Int = 1024): DataFrame = {
     val bands = nPixels / bandBits
     val ph = phashAll(spark, docs, nPixels).toDF()
+    // one row per DISTINCT phash with its member ids; checkpointed —
+    // it feeds the within-cluster expansion, the hot-cell agg, and
+    // both band-join sides
+    val clusters = ph.groupBy(col("phash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .localCheckpoint(false)
+    // within-cluster pairs: identical phash, hamming 0 — content-
+    // address dedup, emitted UNCONDITIONALLY (the band cap governs
+    // only the near search; the oracle mirrors this with a dedicated
+    // equal-phash arm)
+    val within = clusters.where(size(col("ms")) >= 2)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(
+          slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        lit(0).as("hamming"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("phash"), b * bandBits) % (1L << bandBits)).as("bk"))
     }
-    val banded = ph
-      .select(col("doc_id"), col("phash"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("phash"), col("bb.band").as("band"),
+    val banded0 = clusters
+      .select(col("phash"), col("ms"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("phash"), col("ms"), col("bb.band").as("band"),
         col("bb.bk").as("bk"))
-    val a = banded.select(col("doc_id").as("id_a"), col("phash").as("ph_a"),
+    val hot = banded0.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxBucket)
+      .select("band", "bk")
+    val banded = banded0.join(broadcast(hot), Seq("band", "bk"), "left_anti")
+    val a = banded.select(col("phash").as("ph_a"), col("ms").as("ms_a"),
       col("band"), col("bk"))
-    val b = banded.select(col("doc_id").as("id_b"), col("phash").as("ph_b"),
+    val b = banded.select(col("phash").as("ph_b"), col("ms").as("ms_b"),
       col("band"), col("bk"))
-    a.join(b, Seq("band", "bk")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))).as("hamming"))
+    // rep-level candidates: tiny after the hamming verify, so the
+    // multi-band dedup is a dropDuplicates over thousands of rows
+    val repPairs = a.join(b, Seq("band", "bk"))
+      .where(col("ph_a") < col("ph_b"))
+      .withColumn("hamming",
+        bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
       .where(col("hamming") <= maxHamming)
-      .distinct()
+      .dropDuplicates("ph_a", "ph_b")
+    val cross = repPairs
+      .select(col("hamming"), explode(col("ms_a")).as("da"), col("ms_b"))
+      .select(col("hamming"), col("da"), explode(col("ms_b")).as("db"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("hamming"))
+    within.unionByName(cross)
   }
 
   /** Frame-signature video near-dup: two videos are candidate

@@ -1060,6 +1060,33 @@ class OperatorSpec extends AnyFunSuite {
       .map(p => p.doc_id -> p.phash).toMap == ph)
   }
 
+  test("Multimodal.phashPairs hot-bucket cap skips oversize cells and " +
+    "is inert below it") {
+    val docs = (1L to 30L).map(i => (i, s"doc body number ${i % 5}"))
+      .toDF("doc_id", "text")
+    val default = Multimodal.phashPairs(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(default.nonEmpty)
+    // a cap far above any cell is a no-op
+    val loose = Multimodal.phashPairs(spark, docs, maxBucket = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == default)
+    // cap 1: a cross-cluster candidate needs >= 2 DISTINCT hashes in
+    // one cell, which makes that cell's df >= 2 > 1 — so the near
+    // search goes quiet and EXACTLY the unconditional hamming-0
+    // (equal-phash) pairs remain
+    val ph = Multimodal.phashAll(spark, docs).collect()
+      .map(p => p.doc_id -> p.phash).toMap
+    val withinOnly = (for {
+      a <- ph.keys; b <- ph.keys
+      if a < b && ph(a) == ph(b)
+    } yield (a, b)).toSet
+    assert(withinOnly.nonEmpty)
+    val capped = Multimodal.phashPairs(spark, docs, maxBucket = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == withinOnly)
+  }
+
   test("Multimodal.dedupExact groups byte-identical payloads, keeps min id") {
     val docs = Seq((10L, "same text"), (3L, "same text"), (7L, "other"))
       .toDF("doc_id", "text")

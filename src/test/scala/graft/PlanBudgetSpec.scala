@@ -64,9 +64,9 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_holt_winters" -> 2,
     // zero fill with key_count limit: ONE series-key window
     "ts_fill_zero_limit" -> 1,
-    // production phash geometry: banded self-join over planted-copy
-    // corpus — hash/band shuffles + the pair-distinct agg
-    "mm_phash_wide" -> 4,
+    // production phash geometry: the cluster-collapsed banded chain
+    // (see mm_phash) over the planted-copy corpus
+    "mm_phash_wide" -> 6,
     // gaps-and-islands: ONE series-key window shuffle; the island
     // aggregation's (key, island) grouping is clustering-satisfied by
     // the window's hash(key) partitioning — no second exchange
@@ -161,16 +161,22 @@ class PlanBudgetSpec extends AnyFunSuite {
     "ts_seasonal_outliers" -> 1,
     // digest-keyed keep window — one uniformly-distributed shuffle
     "mm_dedup" -> 1,
-    // phash banding: hashes from the scan-stage decode pass, (band,
-    // byte) self-join + the pair-distinct agg
-    "mm_phash" -> 3,
+    // phash banding (r13 cluster-collapsed shape): the exact-hash
+    // cluster agg, the hot-cell agg + its broadcast, the rep-grain
+    // band join's two sides, and the rep-pair dropDuplicates — every
+    // exchange carries distinct-hash-grain rows, never the doc-grain
+    // pair stream (the 100x measurement that motivated the shape:
+    // 444M doc-grain candidates vs ~0.5M rep-grain)
+    "mm_phash" -> 6,
     // eval: broadcast ground-truth self-join over (id, long) hashes +
-    // the banded chain + two 1-row aggs
-    "mm_phash_eval" -> 6,
+    // the banded chain + two 1-row aggs (+2 r13: the capped chain's
+    // window exchanges, see mm_phash)
+    "mm_phash_eval" -> 10,
     // fixed-probe eval: probe broadcast + truth distinct + the banded
     // chain + the truth-candidate join and 1-row agg — same budget
     // as the exhaustive eval, but the truth side is O(n·|P|)
-    "mm_phash_eval_sampled" -> 6,
+    // (+2 r13: the capped chain's window exchanges, see mm_phash)
+    "mm_phash_eval_sampled" -> 10,
     // audio constellation dedup: the fingerprint frame (decode pass +
     // doc-keyed lead window) and both doc-count-sized derived frames
     // are checkpointed; visible plan = their broadcasts/semi-join +
@@ -457,7 +463,7 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_dedup_exact" -> 1, "doc_dedup_keep_best" -> 4,
     "doc_dedup_simhash" -> 2, "doc_dup_ngram_frac" -> 4,
     "doc_length_quantiles" -> 1, "doc_minhash_est" -> 4,
-    "doc_pipeline" -> 2, "mm_audio" -> 0, "mm_phash_narrow" -> 2,
+    "doc_pipeline" -> 2, "mm_audio" -> 0, "mm_phash_narrow" -> 6,
     // trained classifier: the label-prior/token-likelihood training
     // aggs + their broadcasts into the scoring scan
     "doc_classify_trained" -> 10,
