@@ -80,6 +80,10 @@ object BenchScale {
       "doc_novelty", "emb_lsh_table_curve",
       "emb_bq_search", "emb_knn_graph", "emb_kcenter",
       "emb_pq_learned", "emb_ivf_pq_rerank",
+      // r13: the span-gated DTW — the r12 verdict's softest sf1 spot;
+      // at 100x KEYS the per-key calendar-bounded DP must scale
+      // linearly in keys and the gate (spec-pinned) bounds span blowup
+      "ts_dtw",
       "emb_ivf_pq_residual", "emb_graph_rank",
       "emb_kmeans", "doc_topic_cluster", "emb_kcenter_sampled",
       "doc_dedup_minhash", "doc_dedup_ngram_jaccard_pruned",

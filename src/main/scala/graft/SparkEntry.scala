@@ -4466,6 +4466,22 @@ object SparkEntry {
       Multimodal.phashPairs(s, tbl(s, dir, "documents"))
     },
 
+    // near-dup CLUSTER assignment for media — the production answer to
+    // pair explosion (mm_phash's only remaining quadratic term is its
+    // pair OUTPUT; the cluster view is linear in docs): connected
+    // components over the hamming<=3 pairs, cluster id = component min,
+    // the doc_dedup_cluster labeling over phash edges
+    "mm_phash_cluster" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+      val comp = Dedup.components(Multimodal.phashPairs(s, docs))
+      docs.select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+          (col("doc_id") === coalesce(col("cluster_id"), col("doc_id")))
+            .as("is_canonical"))
+    },
+
     // the narrow TEST geometry (16-bit hash, 8-bit bands): dense
     // buckets guarantee the hamming-verify stage sees real collision
     // traffic even on a few hundred docs; its n²·2/2^8 candidate
@@ -4625,6 +4641,9 @@ object SparkEntry {
     "q_hybrid_rrf" -> { (s, dir) =>
       val lex = TextOps.bm25(tbl(s, dir, "documents"),
           Seq("spark", "query", "join"), topK = 10)
+        // unpartitioned window = single partition, but over bm25's
+        // topK=10 output frame — the "No Partition Defined" warning
+        // here is 10 rows, not a scale hazard (audited r12)
         .withColumn("lex_rank", row_number().over(
           Window.orderBy(col("bm25").desc, col("doc_id"))))
         .select(col("doc_id"), col("lex_rank"))
@@ -7692,6 +7711,23 @@ object SparkEntry {
     "mm_phash" ->
       s"""WITH $sqlPhashCtes
          |SELECT id_a, id_b, hamming FROM pp WHERE hamming <= 3""".stripMargin,
+
+    // connected components over the hamming<=3 pairs — the
+    // doc_dedup_cluster walk (UNION-deduped reachability, label = min
+    // reachable id) over the phash edge list
+    "mm_phash_cluster" ->
+      s"""WITH RECURSIVE $sqlPhashCtes,
+         |mpairs AS (SELECT id_a, id_b FROM pp WHERE hamming <= 3),
+         |medges AS (SELECT id_a AS u, id_b AS v FROM mpairs
+         |  UNION SELECT id_b, id_a FROM mpairs),
+         |mwalk AS (SELECT u, v AS lbl FROM medges
+         |  UNION
+         |  SELECT e.u, w.lbl FROM medges e JOIN mwalk w ON w.u = e.v),
+         |mcomp AS (SELECT u, min(lbl) AS cluster_id FROM mwalk GROUP BY u)
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN mcomp c ON c.u = d.doc_id""".stripMargin,
 
     // the narrow 16-bit/8-bit-band test geometry, same chain
     "mm_phash_narrow" ->

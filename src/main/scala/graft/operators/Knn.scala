@@ -914,6 +914,10 @@ object Knn {
       .select(col("p"),
         (dec(col("s2")) * dec(col("n")) * dec(lit(1000000L)) -
           dec(col("s1")) * dec(col("s1"))).as("vkey"))
+    // unpartitioned window = single partition, but the frame is the
+    // dim-sized stats table (one row per vector position, e.g. 64) —
+    // the "No Partition Defined" warning here is constant-size, not a
+    // scale hazard (audited r12)
     val w = Window.orderBy(col("vkey").desc, col("p"))
     stats.withColumn("r", row_number().over(w))
       .select(

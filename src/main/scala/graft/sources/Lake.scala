@@ -371,6 +371,62 @@ object Lake {
     v
   }
 
+  /** Copy-on-write UPSERT (the Iceberg/Delta `MERGE INTO … WHEN
+    * MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` shape)
+    * committed as a new snapshot version: rows of `updates` whose
+    * `keyCol` exists in the current snapshot REPLACE the stored rows,
+    * brand-new keys INSERT, and — like [[snapshotDeleteWhere]] — only
+    * data files that actually CONTAIN a matched key are rewritten
+    * (per-file probe via a broadcast semi-join on the update keys);
+    * untouched files carry into the new manifest BY REFERENCE and
+    * every prior version stays readable. Commit cost is O(matching
+    * files + |updates|), never a table rewrite — the CDC-apply /
+    * dimension-refresh shape at 100 TB.
+    *
+    * `updates` must carry the full row schema including `keyCol`,
+    * with at most one row per key (standard MERGE cardinality — two
+    * updates for one key would be order-nondeterministic). Returns
+    * the new version.
+    */
+  def snapshotMergeInto(spark: SparkSession, path: String,
+                        updates: DataFrame, keyCol: String): Int = {
+    import spark.implicits._
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"no snapshots at $path")
+    val v = vs.last + 1
+    val files = spark.read.parquet(s"$path/_graft_snapshots/v=${vs.last}")
+      .select("file_path").as[String].collect().toSeq
+    val cur = spark.read.parquet(files: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+    val keys = updates.select(col(keyCol)).distinct().localCheckpoint(false)
+    val hit = cur.join(broadcast(keys), Seq(keyCol), "left_semi")
+      .select("__file").distinct().as[String].collect().toSet
+    val kept = files.filterNot(hit)
+    // new data region = hit-file rows whose key was NOT updated, plus
+    // every update row (matched rows replace, new keys insert)
+    val hitRows =
+      if (hit.isEmpty) cur.where(lit(false))
+      else cur.where(col("__file").isin(hit.toSeq: _*))
+    val newData = hitRows
+      .join(broadcast(keys), Seq(keyCol), "left_anti")
+      .drop("__file")
+      .unionByName(updates.select(hitRows.drop("__file").columns
+        .map(col): _*))
+    val rewritten: Seq[String] =
+      if (newData.isEmpty) Nil
+      else {
+        val dataDir = s"$path/data/s${"%05d".format(v)}"
+        newData.write.mode("error").parquet(dataDir)
+        spark.read.parquet(dataDir)
+          .select(col("_metadata.file_path")).distinct()
+          .as[String].collect().toSeq
+      }
+    (kept ++ rewritten).toDF("file_path")
+      .coalesce(1).write.mode("error")
+      .parquet(s"$path/_graft_snapshots/v=$v")
+    v
+  }
+
   /** Snapshot RETENTION: drop all but the newest `keepLast` versions,
     * deleting their manifests and every data file no SURVIVING
     * version references. The time-travel window shrinks; current

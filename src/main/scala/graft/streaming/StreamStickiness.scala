@@ -68,6 +68,10 @@ object StreamStickiness {
     */
   def stickiness(daily: DataFrame): DataFrame = {
     val UsDay = 86400000000L
+    // unpartitioned window = single partition, but the input is the
+    // closed-day DAU frame — calendar-sized (one row per day), so the
+    // "No Partition Defined" warning is not a scale hazard (audited
+    // r12)
     val w = Window.orderBy(col("day_begin"))
       .rangeBetween(-6L * UsDay, 0L)
     daily

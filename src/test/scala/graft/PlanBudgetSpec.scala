@@ -460,6 +460,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // once per chain stage; bpe_train's freq agg is checkpointed
     "doc_bpe_apply" -> 2, "doc_bpe_train" -> 0,
     "doc_contamination" -> 4, "doc_dedup_cluster" -> 2,
+    // media cluster view: the visible plan is the corpus left-join to
+    // the checkpointed component labels (the iteration ran at build,
+    // the doc_dedup_cluster convention)
+    "mm_phash_cluster" -> 2,
     "doc_dedup_exact" -> 1, "doc_dedup_keep_best" -> 4,
     "doc_dedup_simhash" -> 2, "doc_dup_ngram_frac" -> 4,
     "doc_length_quantiles" -> 1, "doc_minhash_est" -> 4,

@@ -225,6 +225,40 @@ class LakeSpec extends AnyFunSuite {
     assert(graft.sources.Lake.expireSnapshots(spark, dir, keepLast = 1) == 0)
   }
 
+  test("snapshotMergeInto upserts copy-on-write: matched rows replace, " +
+    "new keys insert, untouched files carry by reference") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b = Seq((3L, "c"), (4L, "d")).toDF("id", "s")
+    assert(graft.sources.Lake.snapshotAppend(a.repartition(1), dir) == 1)
+    assert(graft.sources.Lake.snapshotAppend(b.repartition(1), dir) == 2)
+    def man(v: Int) = spark.read.parquet(s"$dir/_graft_snapshots/v=$v")
+      .select("file_path").as[String].collect().toSet
+    def rows(v: Int) = graft.sources.Lake.readSnapshot(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+    // upsert: id=3 updates (only commit 2's file contains it), id=9
+    // inserts
+    val up = Seq((3L, "C2"), (9L, "new")).toDF("id", "s")
+    assert(graft.sources.Lake.snapshotMergeInto(spark, dir, up, "id") == 3)
+    assert(rows(3) == Set((1L, "a"), (2L, "b"), (3L, "C2"),
+      (4L, "d"), (9L, "new")))
+    // prior versions still show pre-merge rows (time travel intact)
+    assert(rows(2) == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // commit 1's file carried BY REFERENCE; commit 2's hit file left
+    assert(man(1).subsetOf(man(3)))
+    assert((man(2) -- man(3)).size == 1)
+    // insert-only merge (no matched key) rewrites NOTHING existing
+    val ins = Seq((10L, "x")).toDF("id", "s")
+    assert(graft.sources.Lake.snapshotMergeInto(spark, dir, ins, "id") == 4)
+    assert(man(3).subsetOf(man(4)))
+    assert(rows(4) == rows(3) + ((10L, "x")))
+    // empty merge commits a pure-reference version
+    val none = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(graft.sources.Lake.snapshotMergeInto(spark, dir, none, "id") == 5)
+    assert(man(5) == man(4) && rows(5) == rows(4))
+  }
+
   test("z-ordered layout skips files on BOTH clustering columns") {
     val ev = graft.functions.TimeIndex.normalizeUs(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
