@@ -427,6 +427,41 @@ object Lake {
     v
   }
 
+  /** Streaming CDC apply: each micro-batch upserts into the snapshot
+    * table via [[snapshotMergeInto]] from a foreachBatch sink. Within
+    * a batch, `seqCol` (a change-sequence / event-time column) picks
+    * the LATEST row per key deterministically — a CDC feed routinely
+    * carries several changes for one key per trigger. The table is
+    * bootstrapped by the first non-empty batch.
+    *
+    * Replay safety: an upsert re-applied replaces rows with
+    * themselves, so a retried micro-batch (foreachBatch is
+    * at-least-once) leaves the table CONTENT identical — it can only
+    * add a redundant version, which [[expireSnapshots]] retires.
+    * Cross-batch ordering rides the source's order; a key whose later
+    * change arrived in an earlier TRIGGER is the usual CDC upstream
+    * contract, not something the sink can repair.
+    */
+  def streamMergeInto(updates: DataFrame, path: String, keyCol: String,
+                      seqCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (mb: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+        val latest = mb
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1).drop("__rn", seqCol)
+        if (!latest.isEmpty) {
+          if (snapshotVersions(mb.sparkSession, path).isEmpty)
+            snapshotAppend(latest, path)
+          else snapshotMergeInto(mb.sparkSession, path, latest, keyCol)
+        }
+        ()
+      }
+      .start()
+
   /** Snapshot RETENTION: drop all but the newest `keepLast` versions,
     * deleting their manifests and every data file no SURVIVING
     * version references. The time-travel window shrinks; current

@@ -259,6 +259,35 @@ class LakeSpec extends AnyFunSuite {
     assert(man(5) == man(4) && rows(5) == rows(4))
   }
 
+  test("streamMergeInto applies CDC micro-batches: latest change per " +
+    "key wins, earlier versions stay readable") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val src = s"$base/src"; val tbl = s"$base/tbl"; val ck = s"$base/ck"
+    val b0 = Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "s", "seq")
+    // batch 2 carries TWO changes for id=2 — seq picks the later one
+    val b1 = Seq((2L, "B", 2L), (2L, "B2", 3L), (9L, "x", 1L))
+      .toDF("id", "s", "seq")
+    // one file per batch: a multi-part write can be LISTED mid-write,
+    // splitting a CDC batch across triggers and reordering a key's
+    // changes (the documented cross-trigger caveat) — flaky here
+    b0.coalesce(1).write.parquet(s"$src/b0")
+    val stream = spark.readStream.schema(b0.schema).parquet(s"$src/*")
+    val q = graft.sources.Lake.streamMergeInto(stream, tbl, "id", "seq", ck)
+    try {
+      q.processAllAvailable()
+      b1.coalesce(1).write.parquet(s"$src/b1")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(v: Int) = graft.sources.Lake.readSnapshot(spark, tbl, v)
+      .as[(Long, String)].collect().toSet
+    val vs = graft.sources.Lake.snapshotVersions(spark, tbl)
+    assert(vs == Seq(1, 2), s"versions $vs")
+    assert(rows(2) == Set((1L, "a"), (2L, "B2"), (9L, "x")))
+    // the bootstrap commit is still readable pre-merge
+    assert(rows(1) == Set((1L, "a"), (2L, "b")))
+  }
+
   test("z-ordered layout skips files on BOTH clustering columns") {
     val ev = graft.functions.TimeIndex.normalizeUs(
       spark.read.parquet("/root/testdata/sf0.001/events.parquet"), "ts")
