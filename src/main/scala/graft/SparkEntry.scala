@@ -87,6 +87,28 @@ object SparkEntry {
       path
     })
 
+  /** Per-dataset MERGE-INTO table: even doc_ids committed, then one
+    * upsert whose update rows rewrite the %10==2 keys and whose
+    * %10==1 keys are inserts — both value sets derived from the raw
+    * table so the oracle can recompute the expected post-merge
+    * content exactly.
+    */
+  private val lakeMergeDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def lakeMergeFor(s: SparkSession, dir: String): String =
+    lakeMergeDirs.computeIfAbsent(dir, { _ =>
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_lake_merge").toString
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      Lake.snapshotAppend(docs.where(col("doc_id") % 2 === 0), path)
+      val updates = docs
+        .where(col("doc_id") % 10 === 2 || col("doc_id") % 10 === 1)
+        .select(col("doc_id"),
+          concat(lit("U:"), substring(col("text"), 1, 20)).as("text"))
+      Lake.snapshotMergeInto(s, path, updates, "doc_id")
+      path
+    })
+
   // time constants (epoch µs)
   private val UsMin = 60L * 1000000L
   private val UsHour = 60L * UsMin
@@ -4034,6 +4056,16 @@ object SparkEntry {
           col("value"))
     },
 
+    // MERGE INTO under the driver gate: commit the even half, upsert
+    // (update %10==2 keys, insert %10==1 keys), read the result — the
+    // oracle recomputes the expected post-merge content row for row
+    // from the raw table, so replace/insert/carry semantics are
+    // value-checked, not just spec-asserted
+    "lake_merge_read" -> { (s, dir) =>
+      Lake.readSnapshot(s, lakeMergeFor(s, dir))
+        .select(col("doc_id"), col("text"))
+    },
+
     // snapshot time travel under the driver gate: two immutable
     // commits (even doc_ids, then odd), read back at v=1 and v=2 —
     // the oracle recomputes each version's membership from the raw
@@ -6811,6 +6843,18 @@ object SparkEntry {
     "lake_zorder_read" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE user_id >= 3 AND user_id <= 12""".stripMargin,
+
+    // post-merge content recomputed from the raw table: matched keys
+    // (%10==2) carry the transformed text, other evens the original,
+    // %10==1 keys are the inserts
+    "lake_merge_read" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 2 THEN 'U:' || substr(text, 1, 20)
+        |       ELSE text END AS text
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, 'U:' || substr(text, 1, 20)
+        |FROM documents WHERE doc_id % 10 = 1""".stripMargin,
 
     // snapshot membership recomputed from the raw table: v1 = the even
     // half, v2 = both commits = the whole table
