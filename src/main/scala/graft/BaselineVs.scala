@@ -48,14 +48,18 @@ object BaselineVs {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Locale.ROOT: a comma-decimal default locale would make f"%.3f"
+    // emit 0,123 and break the JSON (the Bench.scala convention)
+    def fmt(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val results = ops.map { n =>
       (1 to 2).foreach(_ => runOnce(n)) // warm JIT/codegen
       val best = (1 to 5).map(_ => runOnce(n)).min
-      System.err.println(f"[baseline-vs] $n $best%.3f s")
+      System.err.println(s"[baseline-vs] $n ${fmt(best)} s")
       n -> best
     }
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val json = s"""{"sf":"$sfLabel","runs":"min of 5 after 2 warmups","graft_sec":$qs}"""

@@ -6553,7 +6553,7 @@ object SparkEntry {
          |ss AS (SELECT sx.doc_id, sum(coalesce(w3.w, 0)) AS su
          |  FROM sx LEFT JOIN w3 USING (bucket) GROUP BY sx.doc_id),
          |sc AS (SELECT te.doc_id, te.y, te.nf,
-         |    CASE WHEN te.nf = 0 THEN NULL
+         |    CASE WHEN coalesce(te.nf, 0) = 0 THEN NULL
          |         WHEN ss.su > 0 THEN 'keep' ELSE 'drop' END AS label
          |  FROM te LEFT JOIN ss USING (doc_id)),
          |ag AS (SELECT count(*) AS n_test,

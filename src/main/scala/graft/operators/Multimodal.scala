@@ -290,13 +290,17 @@ object Multimodal {
     // address dedup, emitted UNCONDITIONALLY (the band cap governs
     // only the near search; the oracle mirrors this with a dedicated
     // equal-phash arm)
+    // two-level explode so no single row ever materializes the c²/2
+    // pair array (a 1e6-member exact-dup cluster would overflow the
+    // 2^31 array-element limit): the outer posexplode yields one row
+    // per member, the inner explode expands only that member's O(c)
+    // successor slice. ms is ascending (sort_array), so id_a < id_b
+    // holds by construction.
     val within = clusters.where(size(col("ms")) >= 2)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(
-          slice(col("ms"), i + lit(2), greatest(size(col("ms")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        lit(0).as("hamming"))
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "id_a")))
+      .select(col("id_a"), explode(slice(col("ms"), col("i") + lit(2),
+        greatest(size(col("ms")) - col("i") - 1, lit(0)))).as("id_b"))
+      .select(col("id_a"), col("id_b"), lit(0).as("hamming"))
     val bandStructs = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         (shiftright(col("phash"), b * bandBits) % (1L << bandBits)).as("bk"))

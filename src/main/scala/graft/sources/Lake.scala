@@ -296,10 +296,26 @@ object Lake {
     * history. Single-writer semantics (no commit-conflict protocol) —
     * the coordination layer a real catalog adds is out of scope.
     */
+  /** Reclaim an orphaned data dir from a commit that died between the
+    * data write and the manifest write. Version v's dir can only be
+    * referenced once manifest v exists — and v is always computed as
+    * last committed + 1 — so a pre-existing `data/sNNNNN` for v is BY
+    * CONSTRUCTION uncommitted garbage from a failed attempt: deleting
+    * it makes the retry (e.g. a replayed foreachBatch epoch) succeed
+    * instead of wedging forever on write.mode("error").
+    */
+  private def reclaimOrphan(spark: SparkSession, dataDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dataDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   def snapshotAppend(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
     val v = snapshotVersions(spark, path).lastOption.getOrElse(0) + 1
     val dataDir = s"$path/data/s${"%05d".format(v)}"
+    reclaimOrphan(spark, dataDir)
     df.write.mode("error").parquet(dataDir)
     val newFiles = spark.read.parquet(dataDir)
       .select(col("_metadata.file_path").as("file_path")).distinct()
@@ -312,13 +328,21 @@ object Lake {
     v
   }
 
-  /** The committed snapshot versions at `path`, ascending. */
+  /** The committed snapshot versions at `path`, ascending. A version
+    * counts only once its manifest write FINISHED (`_SUCCESS` marker):
+    * a manifest dir left by a crash mid-write must stay invisible, so
+    * the retry recomputes the same version number and
+    * [[reclaimOrphan]] clears the partial dir instead of the table
+    * advancing past a corrupt manifest.
+    */
   def snapshotVersions(spark: SparkSession, path: String): Seq[Int] = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(path, "_graft_snapshots")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    else fs.listStatus(dir).toSeq
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName)
       .filter(_.startsWith("v=")).map(_.drop(2).toInt).sorted
   }
 
@@ -357,6 +381,7 @@ object Lake {
       if (hit.isEmpty) Nil
       else {
         val dataDir = s"$path/data/s${"%05d".format(v)}"
+        reclaimOrphan(spark, dataDir)
         cur.where(col("__file").isin(hit.toSeq: _*))
           .where(!(predicate <=> lit(true)))
           .drop("__file")
@@ -365,6 +390,7 @@ object Lake {
           .select(col("_metadata.file_path")).distinct()
           .as[String].collect().toSeq
       }
+    reclaimOrphan(spark, s"$path/_graft_snapshots/v=$v")
     (kept ++ rewritten).toDF("file_path")
       .coalesce(1).write.mode("error")
       .parquet(s"$path/_graft_snapshots/v=$v")
@@ -416,11 +442,13 @@ object Lake {
       if (newData.isEmpty) Nil
       else {
         val dataDir = s"$path/data/s${"%05d".format(v)}"
+        reclaimOrphan(spark, dataDir)
         newData.write.mode("error").parquet(dataDir)
         spark.read.parquet(dataDir)
           .select(col("_metadata.file_path")).distinct()
           .as[String].collect().toSeq
       }
+    reclaimOrphan(spark, s"$path/_graft_snapshots/v=$v")
     (kept ++ rewritten).toDF("file_path")
       .coalesce(1).write.mode("error")
       .parquet(s"$path/_graft_snapshots/v=$v")
@@ -448,8 +476,17 @@ object Lake {
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (mb: DataFrame, _: Long) =>
+        // tiebreak on every remaining column: two changes for one key
+        // with EQUAL seq (same txn LSN is routine in CDC feeds) must
+        // pick a winner that is a pure function of the row VALUES —
+        // a bare seq sort is partition-order-dependent, so a replayed
+        // batch could commit a different row and break the
+        // content-idempotence contract below
+        val tiebreak = mb.columns.filter(c => c != seqCol && c != keyCol)
+          .sorted.map(c => col(c).asc)
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol)).orderBy(col(seqCol).desc)
+          .partitionBy(col(keyCol))
+          .orderBy(col(seqCol).desc +: tiebreak: _*)
         val latest = mb
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn", seqCol)

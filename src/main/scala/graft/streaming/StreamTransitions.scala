@@ -33,8 +33,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * one [[apply]] registers by default, named
   * `graft.transitions.skipped`) — every discarded event adds 1, so an
   * operator watching transitionMatrix totals under sustained
-  * reordering can see exactly how many events the monotone-suffix
-  * contract dropped instead of inferring it from count drift.
+  * reordering can see that the monotone-suffix contract is dropping
+  * data instead of inferring it from count drift. AT-LEAST-ONCE: like
+  * any transformation-side accumulator, task retries and replayed
+  * micro-batches re-add their skips, so treat the value as an alert
+  * signal / upper bound, not an exact ledger.
   */
 object StreamTransitions {
 
