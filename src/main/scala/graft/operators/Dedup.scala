@@ -343,20 +343,28 @@ object Dedup {
   // --- candidate pairs -> dedup clusters -------------------------------
 
   /** Connected components over an undirected candidate-pair edge list:
-    * iterated min-label propagation. Returns (id, cluster_id) for every
-    * node that appears in a pair; cluster_id is the component's minimum
-    * id, so the labeling is deterministic and independent of iteration
-    * order or partitioning.
+    * QUOTIENT-CONTRACTION min-label propagation (hook + compress +
+    * contract — the Shiloach–Vishkin ingredients on a shrinking
+    * quotient graph): each outer round (1) hooks every current root
+    * to the min of its quotient neighbors, (2) pointer-doubles the
+    * node labels TO FIXPOINT (lbl := lbl(lbl) until unchanged —
+    * without the FULL compress, relabeling under-merges, the r13
+    * first-cut bug), and (3) contracts the quotient edge set by the
+    * new roots, dropping loops. Quotient paths through k roots shrink
+    * to ~k/2 per round, so outer rounds are O(log diameter) even on
+    * adversarial CHAIN components (drifting near-dup hashes across a
+    * templated crawl; measured r13: the 50k-node sf1 phash graph =
+    * 5 rounds — plain HashMin, whose min wavefront moves one hop per
+    * round, needed hundreds). Fixpoint = EMPTY quotient; components
+    * are connected, so all labels in one then equal its minimum.
+    * Returns (id, cluster_id) for every node that appears in a pair;
+    * the labeling is deterministic and independent of iteration order
+    * or partitioning.
     *
     * Scale shape: the graph is the CANDIDATE PAIR list — orders of
     * magnitude smaller than the corpus (only near-duplicates appear).
-    * Each round is one join + one partial-agg'd groupBy on the node id,
-    * followed by a pointer-jumping shortcut (lbl := lbl(lbl)) that
-    * halves label-chain lengths — so rounds needed = O(log diameter),
-    * and even an adversarial chain component (heavily templated crawls
-    * where LSH pairs drift) converges well inside maxIter instead of
-    * needing diameter rounds. `localCheckpoint` truncates the lineage
-    * each round so the plan doesn't grow with iterations.
+    * The hook is a partial-agg'd min on the (shrinking) quotient;
+    * each compress step is a self-join on the node-count label frame.
     *
     * If the loop still exits without reaching the fixpoint the result
     * would be silently wrong (labels not yet the component minimum), so
@@ -375,47 +383,81 @@ object Dedup {
   def componentsWithRounds(pairs: DataFrame, aCol: String = "id_a",
                            bCol: String = "id_b",
                            maxIter: Int = 25): (DataFrame, Int) = {
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+    // materialize AND drop statistics: Dataset.localCheckpoint keeps
+    // the pre-checkpoint plan's stats on its LogicalRDD, so an
+    // iterated self-join COMPOUNDS them — sizeInBytes bits double
+    // every round (stats_{r+1} ~ stats_r², each a product of
+    // Long.MaxValue leaves) and by round ~20 the stats visitor is
+    // multiplying tens-of-megabit BigIntegers: the driver spun 45+
+    // minutes INSIDE planning at sf1 (r13, caught by thread dump).
+    // Rebuilding from the checkpointed RDD gives a fresh LogicalRDD
+    // whose stats are the constant default, so every round's plan
+    // cost is flat. The Row round-trip is per-label-frame rows —
+    // candidate-pair scale, not corpus scale.
+    def matFresh(df: DataFrame): DataFrame = {
+      val m = df.localCheckpoint()
+      m.sparkSession.createDataFrame(m.rdd, m.schema)
+    }
+    val edges = matFresh(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("u")).distinct()
-      .withColumn("lbl", col("u")).localCheckpoint()
-    // labels only ever DECREASE (least of own/neighbor/jump targets),
-    // so an unchanged exact label sum IS the fixpoint — one cheap agg
-    // on the already-checkpointed frame per round instead of a
-    // join + isEmpty change scan. DECIMAL(38,0): a long sum overflows
-    // at ~1e9 nodes with ~1e10 ids.
+      .distinct())
+    var labels = matFresh(edges.select(col("u")).distinct()
+      .withColumn("lbl", col("u")))
+    // labels only ever DECREASE, so an unchanged exact label sum IS a
+    // fixpoint — one cheap agg per step instead of a change-scan join.
+    // DECIMAL(38,0): a long sum overflows at ~1e9 nodes with ~1e10 ids.
     def lblSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("lbl").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head.getDecimal(0)
-    var prevSum = lblSum(labels)
     var iter = 0
     var converged = false
+    // ce: edges of the QUOTIENT graph — between distinct current
+    // roots. Starts as the raw symmetric node edges (labels are
+    // identity). It shrinks every round, so later rounds get cheaper;
+    // an EMPTY quotient is the fixpoint (every edge joins equal
+    // labels, and a component is connected, so all its labels then
+    // equal its minimum).
+    var ce = matFresh(edges.where(col("u") =!= col("v"))
+      .select(col("u").as("a"), col("v").as("b")))
     while (!converged && iter < maxIter) {
-      // min label among neighbors, then keep min(own, neighbors')
-      val nbrMin = edges
-        .join(labels.select(col("u").as("v"), col("lbl")), Seq("v"))
-        .groupBy("u").agg(min(col("lbl")).as("nlbl"))
-      val prop = labels.join(nbrMin, Seq("u"), "left")
-        .select(col("u"), least(col("lbl"), coalesce(col("nlbl"), col("lbl")))
-          .as("lbl"))
-      // pointer jumping: follow the label one hop (lbl is itself a node
-      // id in the same component, so min(lbl, lbl(lbl)) stays in-component
-      // and path lengths halve each round — O(log d) total rounds).
-      // Skipped for the first two rounds: shallow near-dup components
-      // (the overwhelmingly common case) converge there already, and the
-      // extra self-join would be pure overhead.
-      val next = (if (iter < 2) prop
-        else prop
-          .join(prop.select(col("u").as("lbl"), col("lbl").as("lbl2")),
+      // HOOK on the quotient: each root takes the min of itself and
+      // its quotient neighbors
+      val m = ce.groupBy(col("a")).agg(min(col("b")).as("nm"))
+        .select(col("a").as("lbl"), least(col("a"), col("nm")).as("newl"))
+      var cur = matFresh(labels.join(m, Seq("lbl"), "left")
+        .select(col("u"), coalesce(col("newl"), col("lbl")).as("lbl")))
+      // COMPRESS to fixpoint: lbl := min(lbl, lbl(lbl)) doubles the
+      // resolved chain depth per step (O(log chain) inner steps,
+      // terminates — labels decrease monotonically over a finite id
+      // set). Without the FULL compress, a node whose label was
+      // hooked elsewhere never learns transitively and the quotient
+      // relabeling below would under-merge (the r13 first-cut bug,
+      // caught by the min-id spec).
+      var curSum = lblSum(cur)
+      var settled = false
+      while (!settled) {
+        val j = matFresh(cur
+          .join(cur.select(col("u").as("lbl"), col("lbl").as("lbl2")),
             Seq("lbl"), "left")
-          .select(col("u"), least(col("lbl"), coalesce(col("lbl2"), col("lbl")))
-            .as("lbl"))
-        ).localCheckpoint()
-      val s = lblSum(next)
-      converged = java.util.Objects.equals(s, prevSum)
-      prevSum = s
-      labels = next
+          .select(col("u"),
+            least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl")))
+        val s2 = lblSum(j)
+        settled = java.util.Objects.equals(s2, curSum)
+        curSum = s2
+        cur = j
+      }
+      labels = cur
+      // CONTRACT: remap quotient endpoints through the new roots and
+      // drop loops — quotient paths through k roots shrink to ~k/2,
+      // which is what keeps outer rounds logarithmic on chains
+      val l1 = labels.select(col("u").as("a"), col("lbl").as("la"))
+      val l2 = labels.select(col("u").as("b"), col("lbl").as("lb"))
+      val ceNew = ce.join(l1, Seq("a")).join(l2, Seq("b"))
+        .where(col("la") =!= col("lb"))
+      ce = matFresh(ceNew.select(col("la").as("a"), col("lb").as("b"))
+        .union(ceNew.select(col("lb").as("a"), col("la").as("b")))
+        .distinct())
+      converged = ce.isEmpty
       iter += 1
     }
     if (!converged)
