@@ -2,6 +2,33 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** Fixed calibration leg shared by [[Bench]] and [[BenchScale]]:
+  * 200M-row hash-agg over `spark.range` — zero I/O, pinned 32-way
+  * parallelism, IDENTICAL work at every scale factor and in every
+  * round. Cross-round bench absolutes drift with box state (r12→r13
+  * moved a uniform 1.125x; a standalone re-measure of one r12 leg
+  * moved 3x), so round-over-round totals are only comparable after
+  * normalizing by this number: emitted as `canary_sec` in every
+  * bench JSON, timed FIRST (after its own warmup) so later queries'
+  * cache/GC state can't leak into it.
+  */
+object BenchCanary {
+  def measure(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      // pmod bounds each term to [0, 1e6) so the 200M-row sum stays
+      // ~2e14 — a raw xxhash64 sum overflows long under ANSI mode
+      spark.range(0L, 200000000L, 1L, 32)
+        .agg(sum(pmod(xxhash64(col("id")), lit(1000000L))).as("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup (JIT + codegen)
+    math.min(once(), once())
+  }
+}
+
 /** Benchmark main: one JSON line with per-query seconds.
   *
   * Queries are forced through the `noop` sink (full computation of
@@ -24,6 +51,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val canary = BenchCanary.measure(spark)
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -76,7 +105,8 @@ object Bench {
     def line(rs: Seq[(String, Double)], dp: Int): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+        s""""canary_sec":${fmt(canary, 3)},"queries":$qs,"sf":"$sfLabel"}"""
     }
     def shrink(rs: Seq[(String, Double)], dp: Int): String = {
       val l = line(rs, dp)
@@ -103,7 +133,8 @@ object Bench {
       val qs = results.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
+        s""""canary_sec":${fmt(canary, 3)},"queries":$qs,"sf":"$sfLabel"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))

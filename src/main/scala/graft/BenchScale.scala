@@ -32,6 +32,19 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val canary = BenchCanary.measure(spark)
+
+    // run mm_phash_eval's registration at the SAMPLED probe harness at
+    // EVERY BenchScale sf (gate pinned below any corpus, r13 verdict
+    // #4): the exhaustive O(n²) truth is a declared eval whose cost is
+    // its definition — at the r13 sf10 harness it was 65.9 s / exp
+    // 0.96 = 19% of the subset wall while saying nothing about
+    // production scaling. Pinning the gate here makes BOTH ends of the
+    // exponent pair run the O(n·|P|) auto-switch shape production
+    // would run; correctness runs (graft.Verify, default gate 1M)
+    // still take the exhaustive branch at oracle scale.
+    System.setProperty("graft.phashEvalMaxDocs", "1000")
+
     def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val nEmb = emb.count()
     val planes = graft.operators.Knn.autoPlanes(nEmb)
@@ -114,6 +127,7 @@ object BenchScale {
       .mkString("{", ",", "}")
     val sfLabel = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     println(s"""{"metric":"scale_subset","value":${f(total)},"unit":"sec",""" +
+      s""""canary_sec":${"%.3f".formatLocal(java.util.Locale.ROOT, canary)},""" +
       s""""queries":$qs,"sf":"$sfLabel","n_emb":$nEmb,"lsh_planes":$planes}""")
     spark.stop()
     sys.exit(0)

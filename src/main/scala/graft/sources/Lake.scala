@@ -323,6 +323,12 @@ object Lake {
       if (v == 1) newFiles
       else spark.read.parquet(s"$path/_graft_snapshots/v=${v - 1}")
         .unionByName(newFiles)
+    // a crash between manifest-dir creation and _SUCCESS leaves a
+    // partial v=N dir that snapshotVersions (rightly) ignores — the
+    // retry recomputes the same v, so the orphan must be reclaimed or
+    // every retried append (incl. streamMergeInto's bootstrap replay)
+    // wedges forever on the mode("error") write
+    reclaimOrphan(spark, s"$path/_graft_snapshots/v=$v")
     manifest.coalesce(1).write.mode("error")
       .parquet(s"$path/_graft_snapshots/v=$v")
     v
@@ -374,6 +380,13 @@ object Lake {
       .select("file_path").as[String].collect().toSeq
     val cur = spark.read.parquet(files: _*)
       .withColumn("__file", col("_metadata.file_path"))
+    // the hit-file list is metadata-scale (one entry per matched FILE,
+    // the planning cost every table format pays) — collected once,
+    // used twice: set arithmetic for the carried manifest entries, and
+    // the SCAN PATH LIST for the rewrite. Re-reading exactly the hit
+    // files keeps the rewrite O(matching files) without an `isin`
+    // literal over 10^5 paths (a 10^5-term In the planner would have
+    // to carry through every rule pass)
     val hit = cur.where(predicate).select("__file").distinct()
       .as[String].collect().toSet
     val kept = files.filterNot(hit)
@@ -382,9 +395,8 @@ object Lake {
       else {
         val dataDir = s"$path/data/s${"%05d".format(v)}"
         reclaimOrphan(spark, dataDir)
-        cur.where(col("__file").isin(hit.toSeq: _*))
+        spark.read.parquet(hit.toSeq: _*)
           .where(!(predicate <=> lit(true)))
-          .drop("__file")
           .write.mode("error").parquet(dataDir)
         spark.read.parquet(dataDir)
           .select(col("_metadata.file_path")).distinct()
@@ -403,7 +415,11 @@ object Lake {
     * `keyCol` exists in the current snapshot REPLACE the stored rows,
     * brand-new keys INSERT, and — like [[snapshotDeleteWhere]] — only
     * data files that actually CONTAIN a matched key are rewritten
-    * (per-file probe via a broadcast semi-join on the update keys);
+    * (per-file probe via a semi-join on the update keys; the join
+    * strategy is left to AQE, because this is also the batch MERGE
+    * API: a CDC micro-batch's key set broadcasts at runtime, while a
+    * dimension-refresh backfill with 10^7+ keys would OOM a pinned
+    * broadcast — the minhashClusters treatment);
     * untouched files carry into the new manifest BY REFERENCE and
     * every prior version stays readable. Commit cost is O(matching
     * files + |updates|), never a table rewrite — the CDC-apply /
@@ -425,19 +441,20 @@ object Lake {
     val cur = spark.read.parquet(files: _*)
       .withColumn("__file", col("_metadata.file_path"))
     val keys = updates.select(col(keyCol)).distinct().localCheckpoint(false)
-    val hit = cur.join(broadcast(keys), Seq(keyCol), "left_semi")
+    val hit = cur.join(keys, Seq(keyCol), "left_semi")
       .select("__file").distinct().as[String].collect().toSet
     val kept = files.filterNot(hit)
     // new data region = hit-file rows whose key was NOT updated, plus
-    // every update row (matched rows replace, new keys insert)
+    // every update row (matched rows replace, new keys insert). The
+    // hit-file rows come from a re-read of EXACTLY the matched files —
+    // O(matching files) I/O with no `isin` literal over file paths
+    // (see the snapshotDeleteWhere note)
     val hitRows =
-      if (hit.isEmpty) cur.where(lit(false))
-      else cur.where(col("__file").isin(hit.toSeq: _*))
+      if (hit.isEmpty) cur.drop("__file").where(lit(false))
+      else spark.read.parquet(hit.toSeq: _*)
     val newData = hitRows
-      .join(broadcast(keys), Seq(keyCol), "left_anti")
-      .drop("__file")
-      .unionByName(updates.select(hitRows.drop("__file").columns
-        .map(col): _*))
+      .join(keys, Seq(keyCol), "left_anti")
+      .unionByName(updates.select(hitRows.columns.map(col): _*))
     val rewritten: Seq[String] =
       if (newData.isEmpty) Nil
       else {
@@ -450,6 +467,40 @@ object Lake {
       }
     reclaimOrphan(spark, s"$path/_graft_snapshots/v=$v")
     (kept ++ rewritten).toDF("file_path")
+      .coalesce(1).write.mode("error")
+      .parquet(s"$path/_graft_snapshots/v=$v")
+    v
+  }
+
+  /** OPTIMIZE-style snapshot compaction: rewrite the CURRENT live file
+    * set into `nFiles` size-targeted files, committed as a new
+    * snapshot version with UNTOUCHED content — the coalesce is a
+    * shuffle-free file merge, and because the rewrite lands in a fresh
+    * immutable `data/sNNNNN/` dir, every prior version (including the
+    * one just compacted) stays readable until [[expireSnapshots]]
+    * retires it. This is the small-file repair a [[streamMergeInto]]
+    * cadence needs: each micro-batch commit adds a tiny data dir, and
+    * at 100 TB a scan's task-per-file overhead dominates I/O long
+    * before the bytes do. Returns the new version.
+    */
+  def compactSnapshot(spark: SparkSession, path: String,
+                      nFiles: Int = 1): Int = {
+    import spark.implicits._
+    val vs = snapshotVersions(spark, path)
+    require(vs.nonEmpty, s"no snapshots at $path")
+    val v = vs.last + 1
+    val files = spark.read.parquet(s"$path/_graft_snapshots/v=${vs.last}")
+      .select("file_path").as[String].collect().toSeq
+    val dataDir = s"$path/data/s${"%05d".format(v)}"
+    reclaimOrphan(spark, dataDir)
+    spark.read.parquet(files: _*)
+      .coalesce(nFiles)
+      .write.mode("error").parquet(dataDir)
+    val newFiles = spark.read.parquet(dataDir)
+      .select(col("_metadata.file_path")).distinct()
+      .as[String].collect().toSeq
+    reclaimOrphan(spark, s"$path/_graft_snapshots/v=$v")
+    newFiles.toDF("file_path")
       .coalesce(1).write.mode("error")
       .parquet(s"$path/_graft_snapshots/v=$v")
     v
@@ -469,24 +520,47 @@ object Lake {
     * Cross-batch ordering rides the source's order; a key whose later
     * change arrived in an earlier TRIGGER is the usual CDC upstream
     * contract, not something the sink can repair.
+    *
+    * Tiebreak contract: with the default `tiebreakCols = Nil` every
+    * non-key/non-seq column participates in the equal-seq tiebreak
+    * sort, which requires every payload column to be ORDERABLE — a
+    * batch carrying a MapType (or a nested struct containing one)
+    * fails at analysis time inside foreachBatch. Such feeds pass an
+    * explicit `tiebreakCols` list: orderable columns that uniquely
+    * order equal-seq changes per key (an ambiguous explicit list
+    * reintroduces the partition-order dependence the default exists
+    * to prevent).
+    *
+    * Maintenance: `compactEvery > 0` runs [[compactSnapshot]] (into
+    * `compactNFiles` files) + [[expireSnapshots]] (keeping `keepLast`
+    * versions) after every `compactEvery`-th micro-batch — without
+    * it a long-running stream accumulates one manifest and one
+    * small-file data dir PER TRIGGER, unboundedly. Both maintenance
+    * ops commit content-identical state, so a replayed maintenance
+    * batch stays content-idempotent like the merge itself.
     */
   def streamMergeInto(updates: DataFrame, path: String, keyCol: String,
-                      seqCol: String, checkpointDir: String)
+                      seqCol: String, checkpointDir: String,
+                      tiebreakCols: Seq[String] = Nil,
+                      compactEvery: Int = 0, keepLast: Int = 2,
+                      compactNFiles: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (mb: DataFrame, _: Long) =>
+      .foreachBatch { (mb: DataFrame, batchId: Long) =>
         // tiebreak on every remaining column: two changes for one key
         // with EQUAL seq (same txn LSN is routine in CDC feeds) must
         // pick a winner that is a pure function of the row VALUES —
         // a bare seq sort is partition-order-dependent, so a replayed
         // batch could commit a different row and break the
-        // content-idempotence contract below
-        val tiebreak = mb.columns.filter(c => c != seqCol && c != keyCol)
-          .sorted.map(c => col(c).asc)
+        // content-idempotence contract above
+        val tbCols =
+          if (tiebreakCols.nonEmpty) tiebreakCols
+          else mb.columns.filter(c => c != seqCol && c != keyCol)
+            .sorted.toSeq
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col(keyCol))
-          .orderBy(col(seqCol).desc +: tiebreak: _*)
+          .orderBy(col(seqCol).desc +: tbCols.map(c => col(c).asc): _*)
         val latest = mb
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1).drop("__rn", seqCol)
@@ -494,6 +568,11 @@ object Lake {
           if (snapshotVersions(mb.sparkSession, path).isEmpty)
             snapshotAppend(latest, path)
           else snapshotMergeInto(mb.sparkSession, path, latest, keyCol)
+        }
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
+            snapshotVersions(mb.sparkSession, path).nonEmpty) {
+          compactSnapshot(mb.sparkSession, path, compactNFiles)
+          expireSnapshots(mb.sparkSession, path, keepLast)
         }
         ()
       }

@@ -480,6 +480,8 @@ class PlanBudgetSpec extends AnyFunSuite {
     // planning-time metadata); the snapshot read is two 1-row aggs +
     // their single-partition exchanges, unioned
     "lake_zorder_read" -> 0, "lake_snapshot_read" -> 4,
+    // plain frozen-file-list scan (the CDC feed ran at build time)
+    "lake_stream_merge_read" -> 0,
     // merge read: plain scan of the post-merge snapshot file list
     "lake_merge_read" -> 0,
     // declared two-chain restatement eval (VERDICT r9/r10): both dedup

@@ -259,6 +259,152 @@ class LakeSpec extends AnyFunSuite {
     assert(man(5) == man(4) && rows(5) == rows(4))
   }
 
+  test("snapshotMergeInto scale posture: a 5000-key merge over a " +
+    "150-file table runs no pinned broadcast and no literal In over " +
+    "file paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{In, InSet}
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    val dir = Files.createTempDirectory("graft_merge_big").toString
+    val base = spark.range(0L, 20000L)
+      .select(col("id"), concat(lit("v"), col("id")).as("s"))
+    // 150 files: the old isin-literal formulation would put ~150 path
+    // literals into one In; the old broadcast(keys) pin would leave a
+    // ResolvedHint — both must be absent from every analyzed plan the
+    // merge executes
+    assert(graft.sources.Lake.snapshotAppend(base.repartition(150), dir) == 1)
+    val plans = new scala.collection.mutable.ArrayBuffer[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.analyzed }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val ups = spark.range(0L, 10000L, 2L)
+      .select(col("id"), lit("U").as("s"))
+    try {
+      assert(graft.sources.Lake.snapshotMergeInto(spark, dir, ups, "id") == 2)
+      // QueryExecutionListener delivery is async (the listener bus is
+      // private[spark]); wait until the captured plan count stabilizes
+      var last = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        val n = plans.synchronized(plans.size)
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.listenerManager.unregister(listener)
+    // content: 5000 updated keys, 15000 carried rows
+    val got = graft.sources.Lake.readSnapshot(spark, dir)
+      .as[(Long, String)].collect().toSet
+    val want = (0L until 20000L).map(i =>
+      if (i < 10000L && i % 2 == 0) (i, "U") else (i, s"v$i")).toSet
+    assert(got == want)
+    val offenders = plans.synchronized {
+      plans.flatMap { p =>
+        val hints = p.collect { case h: ResolvedHint => s"hint ${h.hints}" }
+        val ins = p.flatMap(_.expressions).flatMap(_.collect {
+          case i: In if i.list.size > 100 =>
+            s"In over ${i.list.size} literals"
+          case i: InSet if i.hset.size > 100 =>
+            s"InSet over ${i.hset.size} literals"
+        })
+        hints ++ ins
+      }
+    }
+    assert(offenders.isEmpty, offenders.distinct.mkString("; "))
+  }
+
+  test("compactSnapshot: fewer files, identical content, time travel " +
+    "across the compact, retention reclaims the fragments") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString
+    // a fragmented table: 3 commits x 8 files
+    for (i <- 0 until 3)
+      assert(graft.sources.Lake.snapshotAppend(
+        spark.range(i * 100L, i * 100L + 100L)
+          .select(col("id"), concat(lit("r"), col("id")).as("s"))
+          .repartition(8), dir) == i + 1)
+    def man(v: Int) = spark.read.parquet(s"$dir/_graft_snapshots/v=$v")
+      .select("file_path").as[String].collect().toSet
+    def rows(v: Int) = graft.sources.Lake.readSnapshot(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+    val before = rows(3)
+    assert(man(3).size == 24 && before.size == 300)
+    assert(graft.sources.Lake.compactSnapshot(spark, dir, nFiles = 2) == 4)
+    // content byte-identical, file count shrunk to the target
+    assert(rows(4) == before)
+    assert(man(4).size == 2)
+    // time travel: the pre-compact versions still read their frozen
+    // lists (the compact wrote a FRESH data dir, nothing rewritten)
+    assert(rows(3) == before && rows(1).size == 100)
+    // retention after compact: the 24 fragments are unreferenced by
+    // the surviving version and get physically reclaimed
+    assert(graft.sources.Lake.expireSnapshots(spark, dir, keepLast = 1) == 24)
+    assert(graft.sources.Lake.snapshotVersions(spark, dir) == Seq(4))
+    assert(graft.sources.Lake.readSnapshot(spark, dir)
+      .as[(Long, String)].collect().toSet == before)
+  }
+
+  test("streamMergeInto compactEvery hook: versions stay bounded, " +
+    "content equals the un-maintained stream") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cdc_m").toString
+    val src = s"$base/src"; val tbl = s"$base/tbl"; val ck = s"$base/ck"
+    val batches = Seq(
+      Seq((1L, "a", 1L), (2L, "b", 1L)),
+      Seq((2L, "B", 2L), (3L, "c", 1L)),
+      Seq((4L, "d", 1L), (1L, "A", 2L)),
+      Seq((5L, "e", 1L), (3L, "C", 2L)))
+    batches.head.toDF("id", "s", "seq").coalesce(1).write.parquet(s"$src/b0")
+    val stream = spark.readStream.schema(
+      batches.head.toDF("id", "s", "seq").schema).parquet(s"$src/*")
+    val q = graft.sources.Lake.streamMergeInto(stream, tbl, "id", "seq", ck,
+      compactEvery = 2, keepLast = 1, compactNFiles = 1)
+    try {
+      q.processAllAvailable()
+      batches.zipWithIndex.drop(1).foreach { case (b, i) =>
+        b.toDF("id", "s", "seq").coalesce(1).write.parquet(s"$src/b$i")
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 4 merge commits + 2 compacts would be 6 versions unmaintained;
+    // the hook expired down to keepLast after each compact
+    val vs = graft.sources.Lake.snapshotVersions(spark, tbl)
+    assert(vs.size <= 2, s"versions not bounded: $vs")
+    // live manifest is the compacted single file... plus at most the
+    // post-compact merge commit's additions
+    assert(graft.sources.Lake.readSnapshot(spark, tbl)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "A"), (2L, "B"), (3L, "C"), (4L, "d"), (5L, "e")))
+  }
+
+  test("streamMergeInto explicit tiebreakCols: non-orderable payload " +
+    "columns ride along when the tiebreak list is orderable") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cdc_t").toString
+    val src = s"$base/src"; val tbl = s"$base/tbl"; val ck = s"$base/ck"
+    // payload carries a MapType column — the default all-column
+    // tiebreak would fail at analysis (maps are not orderable); the
+    // explicit orderable tiebreak list makes the feed legal. Two
+    // EQUAL-seq changes for id=1: the ascending 's' sort picks "x1"
+    // deterministically.
+    val b0 = Seq((1L, "x2", Map("k" -> 2L), 1L), (1L, "x1", Map("k" -> 1L), 1L),
+      (2L, "y", Map("k" -> 9L), 1L)).toDF("id", "s", "m", "seq")
+    b0.coalesce(1).write.parquet(s"$src/b0")
+    val q = graft.sources.Lake.streamMergeInto(
+      spark.readStream.schema(b0.schema).parquet(s"$src/*"),
+      tbl, "id", "seq", ck, tiebreakCols = Seq("s"))
+    try q.processAllAvailable() finally q.stop()
+    val got = graft.sources.Lake.readSnapshot(spark, tbl)
+      .select("id", "s").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "x1"), (2L, "y")))
+  }
+
   test("streamMergeInto applies CDC micro-batches: latest change per " +
     "key wins, earlier versions stay readable") {
     import spark.implicits._

@@ -21,16 +21,29 @@ def main():
     py = base['python_sec']
     construct = py['ts_construct']
     ops = {}
+    skipped = []
     for name, gsec in sorted(graft['graft_sec'].items()):
         if name not in py:
             continue
         psec = py[name] + construct
+        if psec <= 0:
+            # a zero/negative pypond time is a measurement error, not a
+            # ratio — flag it instead of dividing by it
+            skipped.append(name)
+            continue
         ops[name] = {
             'graft_sec': round(gsec, 3),
             'pypond_sec': round(psec, 3),
             'pypond_op_sec': py[name],
             'ratio': round(gsec / psec, 3),
         }
+    if not ops:
+        sys.exit('mk_baseline_vs: no graft op names overlap '
+                 f'{sys.argv[2]} python_sec keys — was an op renamed? '
+                 f'graft keys: {sorted(graft["graft_sec"])[:10]}...')
+    if skipped:
+        print(f'mk_baseline_vs: skipped {skipped} (pypond_sec <= 0)',
+              file=sys.stderr)
     worst = max(ops.values(), key=lambda o: o['ratio'])['ratio']
     artifact = {
         'note': ('per-op graft/pypond wall ratio at the same sf on the '
