@@ -1292,23 +1292,49 @@ object Trend {
       .withColumn("n", size(col("a")))
       .withColumn("m", size(col("b")))
       .withColumn("w", greatest(lit(band), abs(col("n") - col("m"))))
-    // dp row i (length m+1, 1-indexed as a Spark array): row[j+1] =
-    // dp[i][j]; init row = [0, INF...]; each row folds left-to-right
-    // with the growing row itself supplying dp[i][j-1] (element_at -1)
+    // BANDED dp storage (r14): row i keeps only its in-band cells
+    // j ∈ [lo(i), hi(i)] = [max(0,i−w), min(m,i+w)], stored 1-indexed
+    // as r[t] = dp[i][lo(i)+t−1]. The full-width formulation paid
+    // O(m) per cell just to CARRY the row (concat copies the growing
+    // array) plus O(n·m) cells of which all but O(n·w) were INF — at
+    // the 366-bucket span cap that is ~134k cells/key vs ~5.5k here,
+    // and per-cell concat cost drops from O(m) to O(w). Values are
+    // bit-identical (out-of-band reads resolve to INF exactly as the
+    // stored INF cells did), so the DuckDB oracle's full-grid
+    // recursive-CTE replay is unchanged.
+    val w = col("w")
+    // row 0: dp[0][0] = 0, dp[0][1..min(m,w)] = INF
     val initRow = concat(array(lit(0L)),
-      transform(sequence(lit(1), col("m")), _ => inf))
+      transform(sequence(lit(1), least(col("m"), w), lit(1)), _ => inf))
     val dp = aggregate(
       sequence(lit(1), col("n")), initRow,
-      (row, i) => aggregate(
-        sequence(lit(1), col("m")), array(inf),
-        (acc, j) => concat(acc, array(
-          when(abs(i - j) > col("w"), inf)
-            .otherwise(
-              least(element_at(row, j + 1), element_at(row, j),
-                element_at(acc, -1))
-                + abs(element_at(col("a"), i) - element_at(col("b"), j)))))))
+      (row, i) => {
+        val loP = greatest(lit(0), i - lit(1) - w) // prev row's lo
+        val hiP = least(col("m"), i - lit(1) + w)  // prev row's hi
+        val lo = greatest(lit(0), i - w)
+        // j = 0 is only in-band while i <= w and is always INF (i >= 1
+        // can't align before the first template element) — seed the
+        // fold with it so the left-neighbor lookup stays uniform
+        val seed = when(lo === 0, array(inf))
+          .otherwise(array().cast("array<bigint>"))
+        aggregate(
+          sequence(greatest(lit(1), lo), least(col("m"), i + w), lit(1)),
+          seed,
+          (acc, j) => {
+            val up = when(j < loP || j > hiP, inf)
+              .otherwise(element_at(row, j - loP + 1))
+            val diag = when(j - 1 < loP || j - 1 > hiP, inf)
+              .otherwise(element_at(row, j - loP))
+            val left = when(size(acc) === 0, inf)
+              .otherwise(element_at(acc, -1))
+            concat(acc, array(least(up, diag, left)
+              + abs(element_at(col("a"), i) - element_at(col("b"), j))))
+          })
+      })
     joined
-      .withColumn("__dtw6", element_at(dp, col("m") + 1))
+      // dp[n][m] sits at index m − lo(n) + 1 of the banded final row
+      .withColumn("__dtw6",
+        element_at(dp, col("m") - greatest(lit(0), col("n") - w) + 1))
       .select(keyCols.map(col) ++ Seq(
         col("n").as("n_template"), col("m").as("n_series"),
         col("__dtw6").as("dtw6"),
