@@ -692,29 +692,60 @@ object TextOps {
     * transcendentals at all (sigmoid(0) = 1/2 exactly), which is what
     * the oracle-verified one-step query exploits.
     *
-    * Scale shape: features are re-hashed from the text each step (scan
-    * arithmetic — cheaper at 100 TB than materializing a feature
-    * matrix); the shuffles carry (id, long) pairs; the model rides a
-    * broadcast. nDocs is a lazy 1-row aggregate inside the plan.
+    * Scale shape (r14): the 65536-long weight table broadcasts as ONE
+    * array, the per-doc margin/error is a scan-side fold over the
+    * feature array, and the only shuffle per step is the map-side-
+    * combined groupBy(bucket) of the gradient (≤65536 reduce rows) —
+    * no per-feature groupBy(id) exchange, no error join-back.
+    * [[train]] materializes the tokenized feature frame once and
+    * shares it across epochs; a standalone trainStep re-hashes from
+    * text (scan arithmetic). nDocs is a lazy 1-row aggregate.
     */
   def trainStep(docs: DataFrame, labelCol: String, weights: DataFrame,
-                lr: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
-    val fb = docs.select(col(idCol), col(labelCol).cast("double").as("__y"),
+                lr: Double = 0.5, idCol: String = "doc_id"): DataFrame =
+    stepOnFeatures(trainFeatures(docs, labelCol, idCol)
+      .localCheckpoint(false), weights, lr, idCol)
+
+  /** The per-doc hashed feature frame one gradient step consumes:
+    * (idCol, __y, __fb) for docs with ≥1 feature. Split out so
+    * [[train]] can materialize it ONCE and share it across epochs —
+    * tokenization + feature hashing is the dominant linear term, and
+    * re-deriving it per step tripled the corpus scans of a 3-epoch
+    * run (r14; values unchanged, the frame is deterministic).
+    */
+  private def trainFeatures(docs: DataFrame, labelCol: String,
+                            idCol: String): DataFrame =
+    docs.select(col(idCol), col(labelCol).cast("double").as("__y"),
         featureBuckets(tokens(col("text"))).as("__fb"))
       .where(size(col("__fb")) > 0)
-      .localCheckpoint(false) // read by the doc agg AND the grad join
-    val ex = fb.select(col(idCol), explode(col("__fb")).as("bucket"))
-    val perDoc = ex.join(broadcast(weights), Seq("bucket"), "left")
-      .groupBy(idCol)
-      .agg(sum(coalesce(col("w_micro"), lit(0L))).as("__su"),
-        count(lit(1)).as("__n"))
-      .join(fb.select(col(idCol), col("__y")), Seq(idCol))
-      .select(col(idCol), col("__n"),
+
+  private def stepOnFeatures(fb: DataFrame, weights: DataFrame,
+                             lr: Double, idCol: String): DataFrame = {
+    // the weight table rides as ONE broadcast array (index = bucket+1
+    // — zeroWeights/updates always cover the full bucket range), so
+    // the per-doc margin is a scan-side fold and the per-doc error is
+    // computed where the features already sit. The old shape exploded
+    // features against a broadcast weight JOIN, paid a groupBy(id)
+    // shuffle carrying every feature occurrence, and joined the error
+    // BACK onto the exploded frame — three data-volume moves per
+    // epoch; now the only shuffle is the map-side-combined
+    // groupBy(bucket) of the gradient itself (≤65536 reduce rows).
+    // Values unchanged: long sums are order-independent.
+    val warr = weights.groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("bucket"), col("w_micro")))),
+        s => s.getField("w_micro")).as("__w"))
+    val perDoc = fb.crossJoin(broadcast(warr))
+      .select(col(idCol), col("__fb"), col("__y"),
+        size(col("__fb")).as("__n"),
+        aggregate(col("__fb"), lit(0L), (acc, b) =>
+          acc + element_at(col("__w"), b.cast("int") + 1)).as("__su"))
+      .select(col(idCol), col("__fb"), col("__n"),
         round((lit(1.0) / (lit(1.0) +
           exp(-round(col("__su").cast("double") / lit(1e6) / col("__n"), 6)))
           - col("__y")) * lit(1e6)).cast("long").as("__errU"))
-    val grads = ex.join(perDoc, Seq(idCol))
-      .select(col("bucket"),
+    val grads = perDoc
+      .select(explode(col("__fb")).as("bucket"),
         round(col("__errU").cast("double") / col("__n")).cast("long")
           .as("__tU"))
       .groupBy("bucket").agg(sum(col("__tU")).as("__gU"))
@@ -737,9 +768,12 @@ object TextOps {
     */
   def train(docs: DataFrame, labelCol: String, iters: Int = 3,
             lr: Double = 0.5, idCol: String = "doc_id"): DataFrame = {
+    // ONE feature materialization shared by every epoch (each step
+    // still reads it twice: doc agg + grad join)
+    val fb = trainFeatures(docs, labelCol, idCol).localCheckpoint(false)
     var w = zeroWeights(docs.sparkSession)
     for (_ <- 0 until iters)
-      w = trainStep(docs, labelCol, w, lr, idCol).localCheckpoint(false)
+      w = stepOnFeatures(fb, w, lr, idCol).localCheckpoint(false)
     w
   }
 

@@ -552,6 +552,31 @@ class TrendSpec extends AnyFunSuite {
       assert(nT == nDays && nS == nDays)
       assert(d6 == dtw(tmpl, byUser(u), 3), s"user $u")
     }
+
+    // extreme banded-storage shapes (r14): series with 1, 2 and 9 of
+    // the 20 template buckets, where w = |n−m| dominates the band and
+    // the banded rows clamp at both array ends — plus a dense user so
+    // the template is unchanged
+    val sparse = Seq[(Long, Seq[Int])](
+      (11L, Seq(0)), (12L, Seq(5, 19)), (13L, 2 until 20 by 2))
+    val rows2 = rows.map { case (u, ts, v) => (u + 100L, ts, v) } ++
+      sparse.flatMap { case (u, ds) =>
+        ds.map(d => (u, d * day, rng.nextInt(50).toDouble)) }
+    val got2 = Trend.dtwToTemplate(rows2.toDF("user_id", "ts", "value"),
+      "ts", "value", Seq("user_id"), day, 0L, band = 3).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toMap
+    val byUser2 = rows2.groupBy(_._1).view.mapValues(
+      _.sortBy(_._2).map(r => (r._3 * 1e6).toLong).toArray).toMap
+    val tmpl2 = (0 until nDays).map { d =>
+      val vs = rows2.filter(_._2 == d * day).map(r => (r._3 * 1e6).toLong)
+      fldiv(vs.sum, vs.size)
+    }.toArray
+    byUser2.keys.foreach { u =>
+      val (nT, nS, d6) = got2(u)
+      assert(nT == nDays && nS == byUser2(u).length, s"user $u sizes")
+      assert(d6 == dtw(tmpl2, byUser2(u), 3), s"user $u")
+    }
   }
 
   test("dtwToTemplate span gate coarsens a multi-year span to the capped grid") {

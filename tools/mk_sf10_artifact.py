@@ -26,6 +26,11 @@ def main():
         'note': sys.argv[4],
         'sf0.1_total_sec': s01['value'],
         'sf10_total_sec': s10['value'],
+        # fixed synthetic calibration leg (r14): identical work in every
+        # run — divergent canaries mean the absolute totals are not
+        # box-comparable and only the per-leg exponents should be read
+        'canary_sec_sf0.1': s01.get('canary_sec'),
+        'canary_sec_sf10': s10.get('canary_sec'),
         'n_emb_sf10': s10.get('n_emb'),
         'lsh_planes_sf10': s10.get('lsh_planes'),
         'legs': dict(sorted(legs.items(),

@@ -23,6 +23,11 @@ def main():
         'note': sys.argv[4],
         'sf0.1_total_sec': s01['value'],
         'sf1_total_sec': s1['value'],
+        # fixed synthetic calibration leg (r14): identical work in every
+        # run — divergent canaries mean the absolute totals are not
+        # box-comparable and only the ratios should be read
+        'canary_sec_sf0.1': s01.get('canary_sec'),
+        'canary_sec_sf1': s1.get('canary_sec'),
         'wall_ratio_at_10x_rows': round(s1['value'] / s01['value'], 2),
         'per_query_ratio': ratios,
         'sf1_queries': dict(sorted(q1.items(), key=lambda x: x[1])),
