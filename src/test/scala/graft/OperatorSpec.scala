@@ -910,6 +910,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(a3 >= a1 - 0.02, s"more steps must not regress: $a1 -> $a3")
   }
 
+  test("TextOps.train (shared feature frame) equals iterated trainStep " +
+    "weight-for-weight") {
+    // the r14 one-materialization epoch loop must be arithmetic-
+    // identical to stepping the public trainStep by hand — pins the
+    // shared-frame refactor AND the broadcast-array margin fold
+    // against the original exploded-join formulation's values
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("y", when(col("lang") === "en", 1).otherwise(0))
+    val fast = TextOps.train(docs, "y", iters = 3)
+    var slow = TextOps.zeroWeights(spark)
+    for (_ <- 0 until 3) slow = TextOps.trainStep(docs, "y", slow)
+    assert(fast.exceptAll(slow).isEmpty && slow.exceptAll(fast).isEmpty)
+    // and the learned table is not the zero init
+    assert(fast.where(col("w_micro") =!= 0L).count() > 0)
+  }
+
   test("TextOps.ccnetBucket tertiles order head <= middle <= tail") {
     val docs = (1 to 9).map { i =>
       // increasing novelty: doc i repeats one bigram 10-i times then
