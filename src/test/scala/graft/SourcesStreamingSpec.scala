@@ -383,6 +383,56 @@ class LakeSpec extends AnyFunSuite {
       Set((1L, "A"), (2L, "B"), (3L, "C"), (4L, "d"), (5L, "e")))
   }
 
+  test("streamMergeInto survives kill-and-restart mid-stream, with " +
+    "the maintenance hook on: content equals the uninterrupted run") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_cdc_r").toString
+    val batches = Seq(
+      Seq((1L, "a", 1L), (2L, "b", 1L)),
+      Seq((2L, "B", 2L), (3L, "c", 1L)),   // lands while the query is DOWN
+      Seq((1L, "A", 2L), (4L, "d", 1L)))
+    def run(tag: String, restartAfterFirst: Boolean): Set[(Long, String)] = {
+      val src = s"$base/$tag/src"; val tbl = s"$base/$tag/tbl"
+      val ck = s"$base/$tag/ck"
+      val schema = batches.head.toDF("id", "s", "seq").schema
+      def start() = graft.sources.Lake.streamMergeInto(
+        spark.readStream.schema(schema).parquet(s"$src/*"),
+        tbl, "id", "seq", ck, compactEvery = 2, keepLast = 1)
+      batches.head.toDF("id", "s", "seq").coalesce(1)
+        .write.parquet(s"$src/b0")
+      var q = start()
+      try {
+        q.processAllAvailable()
+        if (restartAfterFirst) {
+          // kill, land a batch while down, restart from the SAME
+          // checkpoint — foreachBatch is at-least-once, so the restart
+          // may REPLAY the last batch into the snapshot table; the
+          // content-idempotence contract (an upsert re-applied replaces
+          // rows with themselves) is exactly what this pins
+          q.stop()
+          batches(1).toDF("id", "s", "seq").coalesce(1)
+            .write.parquet(s"$src/b1")
+          q = start()
+          q.processAllAvailable()
+        } else {
+          batches(1).toDF("id", "s", "seq").coalesce(1)
+            .write.parquet(s"$src/b1")
+          q.processAllAvailable()
+        }
+        batches(2).toDF("id", "s", "seq").coalesce(1)
+          .write.parquet(s"$src/b2")
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.sources.Lake.readSnapshot(spark, tbl)
+        .as[(Long, String)].collect().toSet
+    }
+    val uninterrupted = run("plain", restartAfterFirst = false)
+    val restarted = run("restart", restartAfterFirst = true)
+    val want = Set((1L, "A"), (2L, "B"), (3L, "c"), (4L, "d"))
+    assert(uninterrupted == want, s"uninterrupted: $uninterrupted")
+    assert(restarted == want, s"restarted: $restarted")
+  }
+
   test("streamMergeInto explicit tiebreakCols: non-orderable payload " +
     "columns ride along when the tiebreak list is orderable") {
     import spark.implicits._
