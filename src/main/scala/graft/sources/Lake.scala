@@ -425,14 +425,21 @@ object Lake {
     * files + |updates|), never a table rewrite — the CDC-apply /
     * dimension-refresh shape at 100 TB.
     *
-    * `updates` must carry the full row schema including `keyCol`,
-    * with at most one row per key (standard MERGE cardinality — two
-    * updates for one key would be order-nondeterministic). Returns
-    * the new version.
+    * `updates` must carry the full row schema including the key
+    * column(s), with at most one row per key (standard MERGE
+    * cardinality — two updates for one key would be
+    * order-nondeterministic). The `Seq[String]` overload matches on a
+    * COMPOSITE key (e.g. (tenant_id, entity_id) — the usual
+    * multi-tenant CDC shape). Returns the new version.
     */
   def snapshotMergeInto(spark: SparkSession, path: String,
-                        updates: DataFrame, keyCol: String): Int = {
+                        updates: DataFrame, keyCol: String): Int =
+    snapshotMergeInto(spark, path, updates, Seq(keyCol))
+
+  def snapshotMergeInto(spark: SparkSession, path: String,
+                        updates: DataFrame, keyCols: Seq[String]): Int = {
     import spark.implicits._
+    require(keyCols.nonEmpty, "snapshotMergeInto needs >= 1 key column")
     val vs = snapshotVersions(spark, path)
     require(vs.nonEmpty, s"no snapshots at $path")
     val v = vs.last + 1
@@ -440,8 +447,9 @@ object Lake {
       .select("file_path").as[String].collect().toSeq
     val cur = spark.read.parquet(files: _*)
       .withColumn("__file", col("_metadata.file_path"))
-    val keys = updates.select(col(keyCol)).distinct().localCheckpoint(false)
-    val hit = cur.join(keys, Seq(keyCol), "left_semi")
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(false)
+    val hit = cur.join(keys, keyCols, "left_semi")
       .select("__file").distinct().as[String].collect().toSet
     val kept = files.filterNot(hit)
     // new data region = hit-file rows whose key was NOT updated, plus
@@ -453,7 +461,7 @@ object Lake {
       if (hit.isEmpty) cur.drop("__file").where(lit(false))
       else spark.read.parquet(hit.toSeq: _*)
     val newData = hitRows
-      .join(keys, Seq(keyCol), "left_anti")
+      .join(keys, keyCols, "left_anti")
       .unionByName(updates.select(hitRows.columns.map(col): _*))
     val rewritten: Seq[String] =
       if (newData.isEmpty) Nil
@@ -545,6 +553,18 @@ object Lake {
                       compactEvery: Int = 0, keepLast: Int = 2,
                       compactNFiles: Int = 1)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    streamMergeInto(updates, path, Seq(keyCol), seqCol, checkpointDir,
+      tiebreakCols, compactEvery, keepLast, compactNFiles)
+
+  /** Composite-key variant (e.g. (tenant_id, entity_id) — the usual
+    * multi-tenant CDC shape); all parameters explicit.
+    */
+  def streamMergeInto(updates: DataFrame, path: String,
+                      keyCols: Seq[String], seqCol: String,
+                      checkpointDir: String, tiebreakCols: Seq[String],
+                      compactEvery: Int, keepLast: Int,
+                      compactNFiles: Int)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     updates.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (mb: DataFrame, batchId: Long) =>
@@ -556,10 +576,10 @@ object Lake {
         // content-idempotence contract above
         val tbCols =
           if (tiebreakCols.nonEmpty) tiebreakCols
-          else mb.columns.filter(c => c != seqCol && c != keyCol)
+          else mb.columns.filter(c => c != seqCol && !keyCols.contains(c))
             .sorted.toSeq
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col(keyCol))
+          .partitionBy(keyCols.map(col): _*)
           .orderBy(col(seqCol).desc +: tbCols.map(c => col(c).asc): _*)
         val latest = mb
           .withColumn("__rn", row_number().over(w))
@@ -567,7 +587,7 @@ object Lake {
         if (!latest.isEmpty) {
           if (snapshotVersions(mb.sparkSession, path).isEmpty)
             snapshotAppend(latest, path)
-          else snapshotMergeInto(mb.sparkSession, path, latest, keyCol)
+          else snapshotMergeInto(mb.sparkSession, path, latest, keyCols)
         }
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0 &&
             snapshotVersions(mb.sparkSession, path).nonEmpty) {

@@ -468,14 +468,18 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_dedup_simhash" -> 2, "doc_dup_ngram_frac" -> 4,
     "doc_length_quantiles" -> 1, "doc_minhash_est" -> 4,
     "doc_pipeline" -> 2, "mm_audio" -> 0, "mm_phash_narrow" -> 6,
-    // trained classifier: the label-prior/token-likelihood training
-    // aggs + their broadcasts into the scoring scan
-    "doc_classify_trained" -> 10,
-    // 3-epoch train + held-out eval: each epoch is a doc-keyed margin
-    // agg + bucket-keyed grad agg + model broadcast (the weight table
-    // is checkpointed between epochs so rounds don't re-derive), then
-    // the test-slice scoring chain and a 1-row metrics agg
-    "doc_classify_train_eval" -> 24,
+    // trained classifier: one r14 gradient step (weight-array agg +
+    // broadcast, bucket-keyed grad agg, model update join) + the
+    // scoring scan's weight broadcast (was 10 with the exploded-join
+    // per-doc margin)
+    "doc_classify_trained" -> 8,
+    // 3-epoch train + held-out eval, r14 shape: per epoch the ONLY
+    // data-volume exchange is the map-side-combined bucket-keyed grad
+    // agg (margins are a scan-side fold over the broadcast weight
+    // array; the feature frame is checkpointed once and shared), plus
+    // the scoring chain + 1-row metrics agg — 4 total, down from the
+    // exploded-join formulation's 24
+    "doc_classify_train_eval" -> 4,
     // lake reads: the pruned scan is scan+filter (manifest collect is
     // planning-time metadata); the snapshot read is two 1-row aggs +
     // their single-partition exchanges, unioned

@@ -319,6 +319,40 @@ class LakeSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.distinct.mkString("; "))
   }
 
+  test("snapshotMergeInto on a COMPOSITE key: (tenant, entity) rows " +
+    "replace/insert independently per tenant") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_merge_ck").toString
+    val base = Seq(("t1", 1L, "a"), ("t1", 2L, "b"), ("t2", 1L, "x"))
+      .toDF("tenant", "id", "s")
+    assert(graft.sources.Lake.snapshotAppend(base.repartition(1), dir) == 1)
+    // same id=1 under two tenants: only t1's row must be replaced;
+    // (t2, 2) is a brand-new composite key even though id=2 exists
+    // under t1
+    val up = Seq(("t1", 1L, "A"), ("t2", 2L, "y")).toDF("tenant", "id", "s")
+    assert(graft.sources.Lake.snapshotMergeInto(spark, dir, up,
+      Seq("tenant", "id")) == 2)
+    val got = graft.sources.Lake.readSnapshot(spark, dir)
+      .as[(String, Long, String)].collect().toSet
+    assert(got == Set(("t1", 1L, "A"), ("t1", 2L, "b"),
+      ("t2", 1L, "x"), ("t2", 2L, "y")))
+    // and the streaming twin groups its latest-per-key window by the
+    // composite key: one batch with equal-seq changes under BOTH
+    // tenants for id=1
+    val sBase = Files.createTempDirectory("graft_cdc_ck").toString
+    val b0 = Seq(("t1", 1L, "m", 1L), ("t1", 1L, "n", 2L),
+      ("t2", 1L, "p", 1L)).toDF("tenant", "id", "s", "seq")
+    b0.coalesce(1).write.parquet(s"$sBase/src/b0")
+    val q = graft.sources.Lake.streamMergeInto(
+      spark.readStream.schema(b0.schema).parquet(s"$sBase/src/*"),
+      s"$sBase/tbl", Seq("tenant", "id"), "seq", s"$sBase/ck",
+      Nil, 0, 2, 1)
+    try q.processAllAvailable() finally q.stop()
+    assert(graft.sources.Lake.readSnapshot(spark, s"$sBase/tbl")
+      .as[(String, Long, String)].collect().toSet ==
+      Set(("t1", 1L, "n"), ("t2", 1L, "p")))
+  }
+
   test("compactSnapshot: fewer files, identical content, time travel " +
     "across the compact, retention reclaims the fragments") {
     import spark.implicits._
