@@ -3931,6 +3931,58 @@ object SparkEntry {
             .as("base_rate"))
     },
 
+    // classifier CALIBRATION sweep — the read-out that picks a quality
+    // filter's operating point: score the corpus with the one-step
+    // weights, then for each keep-fraction f take the exact
+    // (1−f)-quantile of the margin distribution as the threshold
+    // (percentileLin6 ↔ quantile_cont, the doc_quality_filter parity
+    // convention; margins are 6dp doubles already proven engine-equal
+    // by doc_classify_trained) and read precision/recall of
+    // "keep margin ≥ t" against the is-English label. Two-pass shape:
+    // one tiny global quantile agg broadcast back over the scored
+    // scan (the ts_mad pattern; at 100 TB swap percentileApprox in) —
+    // no global rank window anywhere. Recall's denominator is the
+    // positives among SCORED docs (n_feats > 0).
+    "doc_classify_calibration" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents")
+        .withColumn("__is_en", when(col("lang") === "en", 1).otherwise(0))
+      val w1 = TextOps.trainStep(docs, "__is_en", TextOps.zeroWeights(s))
+      // lazily checkpointed: feeds the quantile agg AND the sweep scan
+      val scored = TextOps.classifyWithWeights(docs, w1)
+        .where(col("n_feats") > 0)
+        .join(docs.select(col("doc_id"), col("__is_en")), Seq("doc_id"))
+        .select(col("doc_id"), col("margin"), col("__is_en"))
+        .localCheckpoint(false)
+      // (keep fraction, quantile) as EXACT paired literals on both
+      // engines — deriving p = 1−f at runtime would interpolate
+      // 0.09999999999999998 into one side only
+      val fracs = Seq(0.1 -> 0.9, 0.25 -> 0.75, 0.5 -> 0.5,
+        0.75 -> 0.25, 0.9 -> 0.1)
+      val thrAggs = fracs.zipWithIndex.map { case ((_, p), i) =>
+        Aggs.percentileLin6(col("margin"), p).as(s"__t$i") }
+      val cuts = scored.agg(thrAggs.head, thrAggs.tail: _*)
+        .select(explode(array(fracs.zipWithIndex.map { case ((f, _), i) =>
+          struct(lit(f).as("keep_frac"), col(s"__t$i").as("threshold"))
+        }: _*)).as("c"))
+        .select(col("c.keep_frac"), col("c.threshold"))
+      val kept = col("margin") >= col("threshold")
+      scored.crossJoin(broadcast(cuts))
+        .groupBy(col("keep_frac"), col("threshold"))
+        .agg(count(lit(1)).as("n_scored"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_keep"),
+          sum(when(kept && col("__is_en") === 1, 1L).otherwise(0L)).as("tp"),
+          sum(when(kept && col("__is_en") === 0, 1L).otherwise(0L)).as("fp"),
+          sum(col("__is_en").cast("long")).as("__pos"))
+        .select(col("keep_frac"), col("threshold"), col("n_scored"),
+          col("n_keep"), col("tp"), col("fp"),
+          when(col("n_keep") > 0,
+            round(col("tp").cast("double") / col("n_keep"), 6) + lit(0.0))
+            .as("precision"),
+          when(col("__pos") > 0,
+            round(col("tp").cast("double") / col("__pos"), 6) + lit(0.0))
+            .as("recall"))
+    },
+
     "doc_ccnet_bucket" -> { (s, dir) =>
       TextOps.ccnetBucket(tbl(s, dir, "documents"))
     },
@@ -6595,6 +6647,65 @@ object SparkEntry {
          |  CASE WHEN coalesce(ss.nf, 0) = 0 THEN NULL
          |    WHEN ss.su > 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM documents d LEFT JOIN ss ON ss.doc_id = d.doc_id""".stripMargin,
+
+    // calibration sweep: the one-step weight chain (doc_classify_
+    // trained's CTEs, scored-docs-only), exact quantile thresholds
+    // per keep fraction (quantile_cont over the 6dp margins — the
+    // doc_quality_filter parity convention), then conditional counts
+    // per (frac, threshold) over the scored set
+    "doc_classify_calibration" ->
+      s"""WITH ct AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |    $sqlToks AS tk FROM documents),
+         |cf AS (SELECT doc_id, y, $sqlFeatureBuckets AS fb FROM ct),
+         |ce AS MATERIALIZED (SELECT doc_id, y, fb, len(fb) AS n,
+         |    CAST(round((0.5 - y) * 1000000) AS BIGINT) AS errU
+         |  FROM cf WHERE len(fb) > 0),
+         |cx AS (SELECT unnest(fb) AS bucket,
+         |    CAST(round(CAST(errU AS DOUBLE) / n) AS BIGINT) AS tU
+         |  FROM ce),
+         |g AS (SELECT bucket, sum(tU) AS gU FROM cx GROUP BY bucket),
+         |nd AS (SELECT count(*) AS ndocs FROM ce),
+         |w1 AS (SELECT bucket,
+         |    CAST(0 - round(0.5 * gU / ndocs) AS BIGINT) AS w
+         |  FROM g, nd),
+         |sx AS (SELECT doc_id, unnest(fb) AS bucket FROM ce),
+         |ss AS (SELECT sx.doc_id, count(*) AS nf,
+         |    sum(coalesce(w1.w, 0)) AS su
+         |  FROM sx LEFT JOIN w1 USING (bucket) GROUP BY sx.doc_id),
+         |sm AS MATERIALIZED (SELECT ce.doc_id, ce.y,
+         |    round(CAST(ss.su AS DOUBLE) / 1000000.0 / ss.nf, 6) + 0.0
+         |      AS margin
+         |  FROM ce JOIN ss USING (doc_id)),
+         |thr AS (SELECT round(quantile_cont(margin, 0.9), 6) AS t0,
+         |    round(quantile_cont(margin, 0.75), 6) AS t1,
+         |    round(quantile_cont(margin, 0.5), 6) AS t2,
+         |    round(quantile_cont(margin, 0.25), 6) AS t3,
+         |    round(quantile_cont(margin, 0.1), 6) AS t4 FROM sm),
+         |cuts AS (SELECT CAST(0.1 AS DOUBLE) AS keep_frac, t0 AS threshold FROM thr
+         |  UNION ALL SELECT CAST(0.25 AS DOUBLE), t1 FROM thr
+         |  UNION ALL SELECT CAST(0.5 AS DOUBLE), t2 FROM thr
+         |  UNION ALL SELECT CAST(0.75 AS DOUBLE), t3 FROM thr
+         |  UNION ALL SELECT CAST(0.9 AS DOUBLE), t4 FROM thr)
+         |SELECT keep_frac, threshold,
+         |  CAST(count(*) AS BIGINT) AS n_scored,
+         |  CAST(sum(CASE WHEN margin >= threshold THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_keep,
+         |  CAST(sum(CASE WHEN margin >= threshold AND y = 1.0 THEN 1
+         |    ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN margin >= threshold AND y = 0.0 THEN 1
+         |    ELSE 0 END) AS BIGINT) AS fp,
+         |  CASE WHEN sum(CASE WHEN margin >= threshold THEN 1 ELSE 0 END) > 0
+         |    THEN round(CAST(sum(CASE WHEN margin >= threshold AND y = 1.0
+         |        THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / sum(CASE WHEN margin >= threshold THEN 1 ELSE 0 END), 6)
+         |      + 0.0 END AS precision,
+         |  CASE WHEN sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) > 0
+         |    THEN round(CAST(sum(CASE WHEN margin >= threshold AND y = 1.0
+         |        THEN 1 ELSE 0 END) AS DOUBLE)
+         |      / sum(CASE WHEN y = 1.0 THEN 1 ELSE 0 END), 6) + 0.0
+         |  END AS recall
+         |FROM sm, cuts GROUP BY 1, 2""".stripMargin,
 
     // multi-epoch training + held-out eval: three sqlTrainEpoch
     // replays of TextOps.trainStep on the hash-split train slice

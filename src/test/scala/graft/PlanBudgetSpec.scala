@@ -473,6 +473,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // scoring scan's weight broadcast (was 10 with the exploded-join
     // per-doc margin)
     "doc_classify_trained" -> 8,
+    // calibration sweep: the scored frame is checkpointed (the
+    // training chain's exchanges are paid behind it), leaving the
+    // 5-quantile global agg + the final partial agg + one broadcast
+    "doc_classify_calibration" -> 3,
     // 3-epoch train + held-out eval, r14 shape: per epoch the ONLY
     // data-volume exchange is the map-side-combined bucket-keyed grad
     // agg (margins are a scan-side fold over the broadcast weight
