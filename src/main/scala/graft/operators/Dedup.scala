@@ -866,8 +866,15 @@ object Dedup {
                         idCol: String = "doc_id",
                         maxDocFreq: Option[Int] = None): DataFrame = {
     val withSh = docs.select(col(idCol), shingleIds(col("text"), shingleN).as("sids"))
-    val sizes = withSh.select(col(idCol), size(col("sids")).as("n_sh"))
-    val invAll = withSh.select(col(idCol), explode(col("sids")).as("sid"))
+    // each posting row carries its doc's shingle count: +1 int on the
+    // sid shuffle buys the union sizes AT the pair join, so no
+    // doc-size lookup join exists at all (r14 — the size frame is one
+    // row per DOCUMENT, so the old pinned broadcast was a 10^9-doc
+    // OOM and the AQE alternative shuffles the much larger pair frame
+    // twice; measured same-protocol at the sf10 harness: 44.1 s
+    // pinned-broadcast / 66.8 s AQE-unpinned / 12.7 s this shape)
+    val invAll = withSh.select(col(idCol), size(col("sids")).as("n_sh"),
+      explode(col("sids")).as("sid"))
     // Scale path: a shingle occurring in >maxDocFreq docs generates
     // O(df^2) candidate pairs but carries ~no Jaccard signal; dropping
     // it bounds the hottest key (classic posting-list pruning). The
@@ -886,18 +893,18 @@ object Dedup {
     }
     // shuffle-hash pinned: the posting list is uniformly keyed (df is
     // bounded), so hash join on sid beats both sort-merge (no order to
-    // exploit) and a broadcast AQE might flip-flop to; doc-size lookups
-    // are tiny per-doc rows -> broadcast
-    val a = inv.select(col(idCol).as("id_a"), col("sid"))
-    val b = inv.select(col(idCol).as("id_b"), col("sid"))
-    val shared = a.hint("shuffle_hash").join(b, Seq("sid"))
+    // exploit) and a broadcast AQE might flip-flop to. n_a/n_b ride
+    // the posting rows (see invAll above), so the pair agg's grouping
+    // key carries them for free — id_a/id_b functionally determine
+    // them, the group count is unchanged
+    val a = inv.select(col(idCol).as("id_a"), col("n_sh").as("n_a"),
+      col("sid"))
+    val b = inv.select(col(idCol).as("id_b"), col("n_sh").as("n_b"),
+      col("sid"))
+    a.hint("shuffle_hash").join(b, Seq("sid"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
-    shared
-      .join(broadcast(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a"))),
-        Seq("id_a"))
-      .join(broadcast(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b"))),
-        Seq("id_b"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("n_shared"))
       .select(col("id_a"), col("id_b"),
         round(col("n_shared").cast("double")
           / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))

@@ -339,10 +339,10 @@ class PlanBudgetSpec extends AnyFunSuite {
     // TakeOrderedAndProject (per-partition heaps, no global sort)
     "doc_bpe_step" -> 2,
     "q3_join" -> 5, "q5_multijoin" -> 6,
-    "doc_dedup_ngram_jaccard" -> 5, "doc_tfidf" -> 7,
+    "doc_dedup_ngram_jaccard" -> 3, "doc_tfidf" -> 7,
     // pruned scale path: the df-cap window rides the self-join's own
     // sid shuffle — same budget as the unpruned chain
-    "doc_dedup_ngram_jaccard_pruned" -> 5,
+    "doc_dedup_ngram_jaccard_pruned" -> 3,
     // LSH-cell blocked dedup: ReuseExchange shares the banded side
     // between the self-join's two inputs + pair-dedup agg (the
     // auto-plane count is structural — resolved before planning from
