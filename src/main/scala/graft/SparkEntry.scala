@@ -32,6 +32,25 @@ object SparkEntry {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/$name.parquet")
   }
+  /** [[tbl]] + scale-adaptive scan fan-out ([[operators.Par.fanout]]):
+    * the sf-dir test tables are single-row-group files, so every scan
+    * is ONE task and compute-dense per-row work (vec_dot folds, hashed
+    * featurization, shingle/char-gram hashing) serializes on one core.
+    * fanout repartitions to session parallelism ONLY when the scan
+    * yields fewer partitions than cores — an identity at real corpus
+    * scale. Used for the documents/embeddings query families; the lake
+    * builder helpers above keep the raw read (their write layout is
+    * part of the measured artifact).
+    */
+  private def ftbl(s: SparkSession, dir: String, name: String): DataFrame =
+    if (fanoutEnabled) Par.fanout(tbl(s, dir, name)) else tbl(s, dir, name)
+
+  /** A/B hook for [[ProfAB]]/ProfQ only — production default is ON
+    * (SPARK_GRAFT_FANOUT=0 disables, for fresh-JVM A/B measurement).
+    */
+  @volatile private[graft] var fanoutEnabled =
+    sys.env.get("SPARK_GRAFT_FANOUT").forall(_ != "0")
+
   /** events with ts normalized to the canonical epoch-µs long regardless
     * of the parquet physical type (TIMESTAMP(NANOS) long, TIMESTAMP, or
     * TIMESTAMP_NTZ — DuckDB's epoch_us sees the same µs value for all).
@@ -3541,7 +3560,7 @@ object SparkEntry {
     // tiny global percentile agg broadcast back over the scan (the
     // ts_mad two-pass pattern — group stats move, events never do)
     "doc_quality_filter" -> { (s, dir) =>
-      val q = TextOps.quality(tbl(s, dir, "documents"))
+      val q = TextOps.quality(ftbl(s, dir, "documents"))
         .select(col("doc_id"), col("quality"))
       val thr = q.agg(Aggs.percentileLin6(col("quality"), 0.75).as("q75"))
       q.crossJoin(broadcast(thr)).where(col("quality") >= col("q75"))
@@ -3563,7 +3582,7 @@ object SparkEntry {
     },
 
     "doc_dedup_simhash" -> { (s, dir) =>
-      Dedup.simhashPairs(tbl(s, dir, "documents"))
+      Dedup.simhashPairs(ftbl(s, dir, "documents"))
     },
 
     // the production simhash geometry (60-bit / 4×15-bit bands) run
@@ -3580,7 +3599,7 @@ object SparkEntry {
     // emitted with its verdict so the generator's precision is
     // visible, not just the survivors
     "doc_dedup_edit" -> { (s, dir) =>
-      Dedup.editVerifiedPairs(tbl(s, dir, "documents"))
+      Dedup.editVerifiedPairs(ftbl(s, dir, "documents"))
     },
 
     // exact n-gram Jaccard, UNCAPPED posting lists: correct at any
@@ -3614,11 +3633,21 @@ object SparkEntry {
     // recall of the MinHash-LSH banding and SimHash byte-banding
     // against exact-Jaccard ground truth (pairs with J >= 0.5). The
     // number that says whether the approximate candidate generators
-    // are safe to point at the full corpus
+    // are safe to point at the full corpus.
+    // r15 shape: ONE tokenize+shingle pass shared by the exact truth
+    // and the MinHash signatures (the simhash leg tokenizes
+    // differently), and ONE method-tagged eval join replacing the
+    // per-leg join+agg pairs — values identical (join multiplicity is
+    // 1: candidate frames are distinct per (id_a, id_b)).
     "doc_dedup_eval" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
       val truth = Dedup.ngramJaccardPairs(docs)
         .select("id_a", "id_b").localCheckpoint(false)
+      // r15: a shared-shingle-pass + single-eval-join reshape was
+      // tried and measured SLOWER at bench scale (+0.3..0.5 s paired;
+      // the (id, sids) checkpoint copies cost more than re-running the
+      // native shingle hash), so the r14 per-leg broadcast-join shape
+      // stays
       def evalOf(cand: DataFrame, method: String): DataFrame =
         truth.join(cand.select(col("id_a"), col("id_b"))
             .withColumn("__h", lit(1)), Seq("id_a", "id_b"), "left")
@@ -3635,27 +3664,44 @@ object SparkEntry {
     // minhashes: 2x8 / 4x4 / 8x2 banding recall AND precision vs the
     // exact-Jaccard truth — more bands = higher recall, more candidate
     // volume (the collision-probability 1-(1-s^r)^b knee moving left);
-    // completes the dial-curve family (IVF probes, LSH tables)
+    // completes the dial-curve family (IVF probes, LSH tables).
+    // r15 shape: the 16 signatures are computed ONCE and shared by all
+    // three band legs (they re-derived the full shingle+hash pass per
+    // leg), the shingle pass is shared with the exact truth, and the
+    // per-leg count aggs fold into three method-keyed aggs. A band
+    // with zero candidates still emits its row (the literal method
+    // frame is the left side).
     "doc_minhash_band_curve" -> { (s, dir) =>
       val docs = tbl(s, dir, "documents")
-      val truth = Dedup.ngramJaccardPairs(docs)
+      val withSh = docs.select(col("doc_id"),
+        TextOps.shingleIds(col("text"), 3).as("sids")).localCheckpoint(false)
+      val truth = Dedup.ngramJaccardPairsFromShingles(withSh)
         .select("id_a", "id_b").localCheckpoint(false)
-      def leg(b: Int): DataFrame = {
-        val cand = Dedup.minhashCandidates(docs, bands = b)
-          .localCheckpoint(false)
-        val t = truth.agg(count(lit(1)).as("n_truth"))
-        val c = cand.agg(count(lit(1)).as("n_cand"))
-        val h = truth.join(cand, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("n_hits"))
-        t.crossJoin(c).crossJoin(h)
-          .select(lit(s"bands_$b").as("method"), col("n_truth"),
-            col("n_cand"), col("n_hits"),
-            when(col("n_truth") > 0, round(
-              col("n_hits").cast("double") / col("n_truth"), 6)).as("recall"),
-            when(col("n_cand") > 0, round(
-              col("n_hits").cast("double") / col("n_cand"), 6)).as("prec"))
-      }
-      leg(2).unionByName(leg(4)).unionByName(leg(8))
+      val sigs = Dedup.minhashSignaturesFromShingles(withSh)
+        .localCheckpoint(false)
+      val bandsList = Seq(2, 4, 8)
+      val cand = bandsList.map { b =>
+          Dedup.candidatesFromSigs(sigs, 16, b, "doc_id")
+            .select(lit(s"bands_$b").as("method"), col("id_a"), col("id_b"))
+        }.reduce(_ unionByName _).localCheckpoint(false)
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      val nc = cand.groupBy("method").agg(count(lit(1)).as("n_cand"))
+      val nh = truth.join(cand, Seq("id_a", "id_b"))
+        .groupBy("method").agg(count(lit(1)).as("n_hits"))
+      s.range(1)
+        .select(explode(array(bandsList.map(b => lit(s"bands_$b")): _*))
+          .as("method"))
+        .join(nc, Seq("method"), "left").join(nh, Seq("method"), "left")
+        .crossJoin(broadcast(nt))
+        .select(col("method"), col("n_truth"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          when(col("n_truth") > 0, round(
+            coalesce(col("n_hits"), lit(0L)).cast("double")
+              / col("n_truth"), 6)).as("recall"),
+          when(coalesce(col("n_cand"), lit(0L)) > 0, round(
+            coalesce(col("n_hits"), lit(0L)).cast("double")
+              / col("n_cand"), 6)).as("prec"))
     },
 
     // the benchmark set is pinned to the BASE-COPY docs (doc_id < 1e8
@@ -3694,14 +3740,14 @@ object SparkEntry {
     },
 
     "doc_dup_blocks" -> { (s, dir) =>
-      Dedup.dupBlockFraction(tbl(s, dir, "documents"))
+      Dedup.dupBlockFraction(ftbl(s, dir, "documents"))
     },
 
     // char-level ExactSubstr-style duplicated spans: marks positions
     // whose 20-char gram repeats corpus-wide, coalesces them into
     // maximal spans — no pair enumeration, no df² term anywhere
     "doc_dup_spans" -> { (s, dir) =>
-      Dedup.duplicateSpans(tbl(s, dir, "documents"), k = 20)
+      Dedup.duplicateSpans(ftbl(s, dir, "documents"), k = 20)
     },
 
     // the destructive ExactSubstr transform: cut every non-first
@@ -3877,7 +3923,7 @@ object SparkEntry {
     // learned table. Multi-step training (with the snapped sigmoid) is
     // the same trainStep iterated — spec-tested for loss descent
     "doc_classify_trained" -> { (s, dir) =>
-      val docs = tbl(s, dir, "documents")
+      val docs = ftbl(s, dir, "documents")
         .withColumn("__is_en", when(col("lang") === "en", 1).otherwise(0))
       val w1 = TextOps.trainStep(docs, "__is_en", TextOps.zeroWeights(s))
       TextOps.classifyWithWeights(docs, w1)
@@ -3897,7 +3943,7 @@ object SparkEntry {
     // all-drop). Learning on separable data is pinned by
     // OperatorSpec's "train learns the language labels" descent test
     "doc_classify_train_eval" -> { (s, dir) =>
-      val docs = tbl(s, dir, "documents")
+      val docs = ftbl(s, dir, "documents")
         .withColumn("__is_en", when(col("lang") === "en", 1).otherwise(0))
       val split = Sampling.hashSplit(docs, col("doc_id"))
       val train = split.where(col("split") === "train")
@@ -3944,7 +3990,7 @@ object SparkEntry {
     // no global rank window anywhere. Recall's denominator is the
     // positives among SCORED docs (n_feats > 0).
     "doc_classify_calibration" -> { (s, dir) =>
-      val docs = tbl(s, dir, "documents")
+      val docs = ftbl(s, dir, "documents")
         .withColumn("__is_en", when(col("lang") === "en", 1).otherwise(0))
       val w1 = TextOps.trainStep(docs, "__is_en", TextOps.zeroWeights(s))
       // lazily checkpointed: feeds the quantile agg AND the sweep scan
@@ -4040,7 +4086,7 @@ object SparkEntry {
     // corpus distinct-n diversity per source: low distinct-2/3 ratios
     // flag template-generated slices per-doc filters miss
     "doc_distinct_ngrams" -> { (s, dir) =>
-      TextOps.distinctNgrams(tbl(s, dir, "documents"), col("source"))
+      TextOps.distinctNgrams(ftbl(s, dir, "documents"), col("source"))
     },
 
     // Zipf rank-frequency OLS fit over the vocabulary head — the
@@ -4222,46 +4268,49 @@ object SparkEntry {
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
       // lazy checkpoints: the tiny ground-truth set, the coarse-cell
-      // assignment (consumed by FIVE legs: ivf, ivf_pq,
-      // ivf_pq_residual, ivf_pq_learned, ivf_pq_rerank) and the
-      // learned PQ codebook
-      // (ivf_pq_learned + the rerank candidates) each materialize
-      // once; no leg re-derives a shared input
+      // CORPUS assignment (consumed by FIVE legs: ivf, ivf_pq,
+      // ivf_pq_residual, ivf_pq_learned, ivf_pq_rerank — r15:
+      // checkpointed, where before each leg's job re-ran the full
+      // corpus-to-centroid argmax), the learned PQ codebook, and the
+      // learned-ADC top-15 (its head-3 is the ivf_pq_learned leg, the
+      // full 15 are the rerank leg's candidates) each materialize once
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
         .select("query_id", "neighbor_id").localCheckpoint(false)
-      val cells = Knn.ivfCellsPlan(emb, q, EmbDim)
+      val cells0 = Knn.ivfCellsPlan(emb, q, EmbDim)
+      val cells = Knn.IvfCells(cells0.cCells.localCheckpoint(false),
+        cells0.qCells.localCheckpoint(false))
       val book = Knn.pqCodebookLearned(emb, EmbDim).localCheckpoint(false)
-      // the learned-ADC top-15 ranking is computed ONCE: its head-3 is
-      // the ivf_pq_learned leg, and the full 15 are exactly the rerank
-      // leg's candidates (Knn.ivfPqRerankTopK's first stage)
       val lp15 = Knn.ivfPqTopKLearned(emb, q, EmbDim, 15,
-        shared = Some(cells), cb = Some(book))
-      def evalOf(approx: DataFrame, method: String): DataFrame =
-        truth.join(
-            approx.select(col("query_id"), col("neighbor_id"))
-              .withColumn("__h", lit(1)),
-            Seq("query_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
-            round(count(col("__h")).cast("double") / count(lit(1)), 6)
-              .as("recall"))
-          .select(lit(method).as("method"), col("n_truth"), col("n_hits"),
-            col("recall"))
-      evalOf(Knn.lshTopK(emb, q, EmbDim, 3), "lsh")
-        .unionByName(evalOf(
-          Knn.ivfTopK(emb, q, EmbDim, 3, shared = Some(cells)), "ivf"))
-        .unionByName(evalOf(Knn.ivfTopKLearned(emb, q, EmbDim, 3),
-          "ivf_learned"))
-        .unionByName(evalOf(
-          Knn.ivfPqTopK(emb, q, EmbDim, 3, shared = Some(cells)), "ivf_pq"))
-        .unionByName(evalOf(
+        shared = Some(cells), cb = Some(book)).localCheckpoint(false)
+      // r15 eval shape: one method-tagged union of the candidate legs
+      // and ONE left join + groupBy(method) replacing eight separate
+      // join+agg legs (each was its own AQE job chain — 85 jobs for
+      // this query at bench scale). Values identical: every leg is
+      // distinct per (query_id, neighbor_id), so join multiplicity is
+      // 1 and the per-method counts equal the per-leg counts.
+      val legs: Seq[(String, DataFrame)] = Seq(
+        "lsh" -> Knn.lshTopK(emb, q, EmbDim, 3),
+        "ivf" -> Knn.ivfTopK(emb, q, EmbDim, 3, shared = Some(cells)),
+        "ivf_learned" -> Knn.ivfTopKLearned(emb, q, EmbDim, 3),
+        "ivf_pq" -> Knn.ivfPqTopK(emb, q, EmbDim, 3, shared = Some(cells)),
+        "ivf_pq_residual" ->
           Knn.ivfPqResidualTopK(emb, q, EmbDim, 3, shared = Some(cells)),
-          "ivf_pq_residual"))
-        .unionByName(evalOf(lp15.where(col("rank") <= 3), "ivf_pq_learned"))
-        .unionByName(evalOf(
-          Knn.exactRerank(emb, q,
-            lp15.select("query_id", "neighbor_id"), EmbDim, 3),
-          "ivf_pq_rerank"))
-        .unionByName(evalOf(Knn.sqSearchTopK(emb, q, EmbDim, 3), "sq"))
+        "ivf_pq_learned" -> lp15.where(col("rank") <= 3),
+        "ivf_pq_rerank" -> Knn.exactRerank(emb, q,
+          lp15.select("query_id", "neighbor_id"), EmbDim, 3),
+        "sq" -> Knn.sqSearchTopK(emb, q, EmbDim, 3))
+      val cand = legs.map { case (m, df) =>
+          df.select(lit(m).as("method"), col("query_id"),
+            col("neighbor_id"), lit(1).as("__h"))
+        }.reduce(_ unionByName _)
+      truth.select(col("query_id"), col("neighbor_id"),
+          explode(array(legs.map(l => lit(l._1)): _*)).as("method"))
+        .join(cand, Seq("method", "query_id", "neighbor_id"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+          round(count(col("__h")).cast("double") / count(lit(1)), 6)
+            .as("recall"))
+        .select(col("method"), col("n_truth"), col("n_hits"), col("recall"))
     },
 
     // the nProbe dial MEASURED: IVF recall@3 at 1/2/4 probed cells —
@@ -4272,6 +4321,10 @@ object SparkEntry {
       val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
         .select("query_id", "neighbor_id").localCheckpoint(false)
+      // r15: the shared-corpus-assignment + single-eval-join reshape
+      // was tried and measured SLOWER at bench scale (+0.43 s paired;
+      // the checkpoint's row copies cost more than the re-run argmax),
+      // so the r14 per-leg shape stays
       def leg(p: Int): DataFrame =
         truth.join(
             Knn.ivfTopK(emb, q, EmbDim, 3, nProbe = p)
@@ -4297,18 +4350,33 @@ object SparkEntry {
       val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
         .select("query_id", "neighbor_id").localCheckpoint(false)
-      def leg(t: Int): DataFrame =
-        truth.join(
-            Knn.lshTopK(emb, q, EmbDim, 3, nTables = t)
-              .select(col("query_id"), col("neighbor_id"))
-              .withColumn("__h", lit(1)),
-            Seq("query_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
-            round(count(col("__h")).cast("double") / count(lit(1)), 6)
-              .as("recall"))
-          .select(lit(s"tables_$t").as("method"), col("n_truth"),
-            col("n_hits"), col("recall"))
-      leg(1).unionByName(leg(2)).unionByName(leg(4))
+      // r15: the banded self-join is computed ONCE over all 4 tables
+      // with each pair's min colliding table riding the dedup agg —
+      // leg t's candidates are exactly min_tb < t (1+2+4 table joins
+      // collapsed into one 4-table join); per-leg top-3 windows run
+      // over the checkpointed pair frame. One method-tagged eval join
+      // replaces the three join+agg legs. Values identical: candidate
+      // sets and cosines match lshTopK(nTables = t) pair for pair.
+      val cand0 = Knn.lshCandidatesMinTable(emb, q, EmbDim)
+        .localCheckpoint(false)
+      val tables = Seq(1, 2, 4)
+      val cand = tables.map { t =>
+          val w = Window.partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))
+          cand0.where(col("min_tb") < t)
+            .withColumn("rank", row_number().over(w))
+            .where(col("rank") <= 3)
+            .select(lit(s"tables_$t").as("method"), col("query_id"),
+              col("neighbor_id"), lit(1).as("__h"))
+        }.reduce(_ unionByName _)
+      truth.select(col("query_id"), col("neighbor_id"),
+          explode(array(tables.map(t => lit(s"tables_$t")): _*)).as("method"))
+        .join(cand, Seq("method", "query_id", "neighbor_id"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+          round(count(col("__h")).cast("double") / count(lit(1)), 6)
+            .as("recall"))
+        .select(col("method"), col("n_truth"), col("n_hits"), col("recall"))
     },
 
     // embedding-compression eval: how much of the full-dim neighbor
@@ -4324,18 +4392,22 @@ object SparkEntry {
         .select("query_id", "neighbor_id").localCheckpoint(false)
       def cut(df: DataFrame, d: Int): DataFrame =
         df.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
-      def evalOf(d: Int): DataFrame =
-        truth.join(
-            Knn.bruteTopK(cut(emb, d), cut(q, d), d, 3)
-              .select(col("query_id"), col("neighbor_id"))
-              .withColumn("__h", lit(1)),
-            Seq("query_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
-            round(count(col("__h")).cast("double") / count(lit(1)), 6)
-              .as("recall"))
-          .select(lit(s"dim$d").as("method"), col("n_truth"), col("n_hits"),
-            col("recall"))
-      evalOf(32).unionByName(evalOf(16))
+      // r15: one method-tagged eval join instead of per-leg join+agg
+      // (values identical — see emb_ann_recall)
+      val dims = Seq(32, 16)
+      val cand = dims.map { d =>
+          Knn.bruteTopK(cut(emb, d), cut(q, d), d, 3)
+            .select(lit(s"dim$d").as("method"), col("query_id"),
+              col("neighbor_id"), lit(1).as("__h"))
+        }.reduce(_ unionByName _)
+      truth.select(col("query_id"), col("neighbor_id"),
+          explode(array(dims.map(d => lit(s"dim$d")): _*)).as("method"))
+        .join(cand, Seq("method", "query_id", "neighbor_id"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+          round(count(col("__h")).cast("double") / count(lit(1)), 6)
+            .as("recall"))
+        .select(col("method"), col("n_truth"), col("n_hits"), col("recall"))
     },
 
     "emb_label_centroid" -> { (s, dir) =>
@@ -4368,7 +4440,7 @@ object SparkEntry {
     // as the corpus grows — the oracle derives the identical count
     // from count(*) in pure integer arithmetic
     "emb_dedup_cosine" -> { (s, dir) =>
-      Knn.cosineDupPairsLsh(tbl(s, dir, "embeddings"), EmbDim, 0.3)
+      Knn.cosineDupPairsLsh(ftbl(s, dir, "embeddings"), EmbDim, 0.3)
     },
 
     // the fixed small-corpus geometry (4 planes x 4 tables), kept as
@@ -4380,7 +4452,7 @@ object SparkEntry {
     // unmodified copy 0) — the floor-geometry pin stays pinned at
     // constant cost instead of taxing every full-suite scale run
     "emb_dedup_cosine_fixed" -> { (s, dir) =>
-      val emb = tbl(s, dir, "embeddings")
+      val emb = ftbl(s, dir, "embeddings")
       val base = if (Knn.corpusCount(emb) > EmbDedupFixedMaxVecs)
         emb.where(col("vec_id") < 100000000L)
       else emb
@@ -4724,7 +4796,7 @@ object SparkEntry {
     // cells (no broadcast, no cross product), exact-cosine verified —
     // recall dial = tables, like the top-k path
     "emb_range_search_lsh" -> { (s, dir) =>
-      val emb = tbl(s, dir, "embeddings")
+      val emb = ftbl(s, dir, "embeddings")
       Knn.lshRangeSearch(emb, emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L), EmbDim, 0.2)
     },
 

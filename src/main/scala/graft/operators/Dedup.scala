@@ -44,9 +44,20 @@ object Dedup {
     * doc_id, h0..h{k-1}.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3,
-                        idCol: String = "doc_id"): DataFrame = {
-    val sh = docs
-      .select(col(idCol), explode(shingleIds(col("text"), shingleN)).as("sid"))
+                        idCol: String = "doc_id"): DataFrame =
+    minhashSignaturesFromShingles(
+      docs.select(col(idCol), shingleIds(col("text"), shingleN).as("sids")),
+      k, idCol)
+
+  /** [[minhashSignatures]] over a prebuilt (idCol, sids: array<long>)
+    * frame — lets the multi-leg evals share ONE tokenize+shingle-hash
+    * pass between the exact-Jaccard truth and the MinHash index
+    * (r15: the signature pass re-scanned and re-hashed the corpus per
+    * consumer; values are unchanged, the shingle ids are identical).
+    */
+  def minhashSignaturesFromShingles(withSh: DataFrame, k: Int = 16,
+                                    idCol: String = "doc_id"): DataFrame = {
+    val sh = withSh.select(col(idCol), explode(col("sids")).as("sid"))
     val mins = minhashParams(k).zipWithIndex.map { case ((a, b), j) =>
       min((lit(a) * col("sid") + lit(b)) % lit(MinhashP)).as(s"h$j")
     }
@@ -394,8 +405,17 @@ object Dedup {
     // whose stats are the constant default, so every round's plan
     // cost is flat. The Row round-trip is per-label-frame rows —
     // candidate-pair scale, not corpus scale.
+    //
+    // The checkpoint is LAZY (r15): each loop step's frame then
+    // materializes inside its first consumer's job — the fixpoint-sum
+    // agg or the isEmpty probe — so a step costs ONE Spark job instead
+    // of two (eager checkpoint + agg). At bench scale the loop was
+    // ~90% scheduler latency (mm_phash_cluster: 89 jobs for 1.2 s of
+    // task time), and at cluster scale fewer jobs = fewer scheduling
+    // round-trips for identical data movement: the per-partition cache
+    // semantics of localCheckpoint are unchanged.
     def matFresh(df: DataFrame): DataFrame = {
-      val m = df.localCheckpoint()
+      val m = df.localCheckpoint(false)
       m.sparkSession.createDataFrame(m.rdd, m.schema)
     }
     val edges = matFresh(pairs.select(col(aCol).as("u"), col(bCol).as("v"))
@@ -864,8 +884,19 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
                         threshold: Double = 0.5,
                         idCol: String = "doc_id",
-                        maxDocFreq: Option[Int] = None): DataFrame = {
-    val withSh = docs.select(col(idCol), shingleIds(col("text"), shingleN).as("sids"))
+                        maxDocFreq: Option[Int] = None): DataFrame =
+    ngramJaccardPairsFromShingles(
+      docs.select(col(idCol), shingleIds(col("text"), shingleN).as("sids")),
+      threshold, idCol, maxDocFreq)
+
+  /** [[ngramJaccardPairs]] over a prebuilt (idCol, sids) frame — the
+    * [[minhashSignaturesFromShingles]] sharing hook for evals that
+    * compute the exact truth AND an index over the same shingles.
+    */
+  def ngramJaccardPairsFromShingles(withSh: DataFrame,
+                                    threshold: Double = 0.5,
+                                    idCol: String = "doc_id",
+                                    maxDocFreq: Option[Int] = None): DataFrame = {
     // each posting row carries its doc's shingle count: +1 int on the
     // sid shuffle buys the union sizes AT the pair join, so no
     // doc-size lookup join exists at all (r14 — the size frame is one

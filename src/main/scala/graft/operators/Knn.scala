@@ -113,6 +113,36 @@ object Knn {
         round(col("cos"), 6).as("cos"))
   }
 
+  /** [[lshTopK]]'s candidate frame with each pair's MINIMUM colliding
+    * table index (r15) — lets the table-count dial compute the banded
+    * self-join ONCE: a pair is a t-table candidate iff it collides in
+    * SOME table with index < t, so leg t's candidate set is exactly
+    * `min_tb < t`, with the identical exact cosine (cos is the same on
+    * every table's copy of a pair, so the max-dedup value is
+    * unchanged). Output: (query_id, neighbor_id, cos, min_tb).
+    */
+  def lshCandidatesMinTable(corpus: DataFrame, queries: DataFrame, dim: Int,
+                            nPlanes: Int = 4, nTables: Int = 4,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    def buckets(v: Column): Column = array((0 until nTables).map { t =>
+      struct(lit(t).as("tb"), bucketCode(v, dim, nPlanes, t * nPlanes).as("bk"))
+    }: _*)
+    def side(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          sqrt(dot(col(vecCol), col(vecCol), dim)).as(norm),
+          explode(buckets(col(vecCol))).as("tbk"))
+        .select(col(id), col(vec), col(norm),
+          col("tbk.tb").as("tb"), col("tbk.bk").as("bk"))
+    side(corpus, "neighbor_id", "nvec", "nn")
+      .join(side(queries, "query_id", "qvec", "qn"), Seq("tb", "bk"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("qvec"), col("nvec"), dim) / (col("qn") * col("nn")))
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(col("cos")).as("cos"), min(col("tb")).as("min_tb"))
+  }
+
   /** LSH-bucketed cosine RANGE search — the scale path of
     * [[rangeSearch]] for query sets too large to broadcast: candidates
     * are rows sharing a (table, bucket) cell with the query in at

@@ -735,6 +735,16 @@ object TextOps {
       .agg(transform(
         array_sort(collect_list(struct(col("bucket"), col("w_micro")))),
         s => s.getField("w_micro")).as("__w"))
+      // positional indexing below (element_at(__w, bucket+1)) assumes a
+      // DENSE 0..ClassifyBuckets-1 weight table (zeroWeights/step
+      // outputs always are). A caller-supplied sparse or
+      // non-contiguous table would silently misalign every weight —
+      // fail loudly instead (ADVICE r14). One size() compare per
+      // broadcast build; the raise_error branch never executes in-repo.
+      .select(when(size(col("__w")) === lit(ClassifyBuckets.toInt),
+        col("__w")).otherwise(raise_error(concat(
+          lit(s"trainStep: weight table must cover buckets 0..${ClassifyBuckets - 1} densely, got "),
+          size(col("__w")).cast("string"), lit(" rows")))).as("__w"))
     val perDoc = fb.crossJoin(broadcast(warr))
       .select(col(idCol), col("__fb"), col("__y"),
         size(col("__fb")).as("__n"),
@@ -892,7 +902,7 @@ object TextOps {
     var syms = df.select(explode(tokens(col("text"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wn"))
       .select(col("w"), col("wn"), array_join(chars, " ").as("seq"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: materializes inside step 1's argmax collect
     val learned = scala.collection.mutable.Buffer[(Int, String, String, Long)]()
     for (step <- 1 to steps) {
       val sy = split(col("seq"), " ")
@@ -918,7 +928,7 @@ object TextOps {
               length(acc) - lit(aCp + 1)), lit(a + b + " ")))
             .otherwise(concat(acc, x, lit(" "))))
         syms = syms.select(col("w"), col("wn"), trim(merged).as("seq"))
-          .localCheckpoint()
+          .localCheckpoint(false) // lazy: next argmax / the caller materializes
       }
     }
     (learned.toSeq, syms)

@@ -1303,9 +1303,15 @@ object Trend {
     // stored INF cells did), so the DuckDB oracle's full-grid
     // recursive-CTE replay is unchanged.
     val w = col("w")
-    // row 0: dp[0][0] = 0, dp[0][1..min(m,w)] = INF
+    // row 0: dp[0][0] = 0, dp[0][1..min(m,w)] = INF. The guard keeps
+    // band = 0 with n == m legal (ADVICE r14): sequence(1, 0, 1) throws
+    // 'Illegal sequence boundaries', and the diagonal-only DP's first
+    // row is just [0] — semantics identical to the full-grid
+    // formulation, which handled band = 0 correctly.
     val initRow = concat(array(lit(0L)),
-      transform(sequence(lit(1), least(col("m"), w), lit(1)), _ => inf))
+      when(least(col("m"), w) >= 1,
+        transform(sequence(lit(1), least(col("m"), w), lit(1)), _ => inf))
+        .otherwise(array().cast("array<bigint>")))
     val dp = aggregate(
       sequence(lit(1), col("n")), initRow,
       (row, i) => {

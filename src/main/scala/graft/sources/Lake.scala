@@ -457,12 +457,21 @@ object Lake {
     // hit-file rows come from a re-read of EXACTLY the matched files —
     // O(matching files) I/O with no `isin` literal over file paths
     // (see the snapshotDeleteWhere note)
+    // the rewrite schema is the TABLE schema carried on `cur` (footer
+    // union over ALL current files), selected explicitly — inferring it
+    // from only the matched files tied the rewrite to whichever files
+    // happened to match, and a hit-file re-read missing a column the
+    // table has would silently drop it from the rewritten region
+    // (ADVICE r14). The snapshot layer does not support add-column
+    // evolution (unionByName throws on a widened batch by contract),
+    // so selecting the carried schema is total on every current file.
+    val tableCols = cur.drop("__file").columns.toSeq
     val hitRows =
       if (hit.isEmpty) cur.drop("__file").where(lit(false))
-      else spark.read.parquet(hit.toSeq: _*)
+      else spark.read.parquet(hit.toSeq: _*).select(tableCols.map(col): _*)
     val newData = hitRows
       .join(keys, keyCols, "left_anti")
-      .unionByName(updates.select(hitRows.columns.map(col): _*))
+      .unionByName(updates.select(tableCols.map(col): _*))
     val rewritten: Seq[String] =
       if (newData.isEmpty) Nil
       else {

@@ -927,6 +927,23 @@ class OperatorSpec extends AnyFunSuite {
     assert(fast.where(col("w_micro") =!= 0L).count() > 0)
   }
 
+  test("TextOps.trainStep rejects a sparse/non-dense weight table loudly") {
+    // ADVICE r14: the broadcast weight array indexes positionally
+    // (element_at(__w, bucket+1)) and assumes dense 0..N-1 coverage; a
+    // caller-supplied partial table used to silently misalign weights
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("y", when(col("lang") === "en", 1).otherwise(0))
+    val sparseW = TextOps.zeroWeights(spark).where(col("bucket") < 100L)
+    val e = intercept[Exception] {
+      TextOps.trainStep(docs, "y", sparseW).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("densely")),
+      s"expected the dense-table guard, got: ${e.getMessage}")
+  }
+
   test("TextOps.ccnetBucket tertiles order head <= middle <= tail") {
     val docs = (1 to 9).map { i =>
       // increasing novelty: doc i repeats one bigram 10-i times then

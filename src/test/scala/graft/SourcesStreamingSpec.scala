@@ -290,9 +290,14 @@ class LakeSpec extends AnyFunSuite {
     try {
       assert(graft.sources.Lake.snapshotMergeInto(spark, dir, ups, "id") == 2)
       // QueryExecutionListener delivery is async (the listener bus is
-      // private[spark]); wait until the captured plan count stabilizes
+      // private[spark]); wait until the captured plan count stabilizes.
+      // Deadline-bounded (ADVICE r14): a stalled listener bus should
+      // fail the test, not hang the suite forever.
       var last = -1; var stable = 0
+      val deadline = System.nanoTime() + 30L * 1000000000L
       while (stable < 3) {
+        assert(System.nanoTime() < deadline,
+          s"listener delivery did not stabilize within 30s (saw $last plans)")
         Thread.sleep(200)
         val n = plans.synchronized(plans.size)
         if (n == last) stable += 1 else { stable = 0; last = n }

@@ -579,6 +579,32 @@ class TrendSpec extends AnyFunSuite {
     }
   }
 
+  test("dtwToTemplate band = 0 (diagonal-only, n == m) is legal and exact") {
+    // ADVICE r14: the banded init row built sequence(1, least(m, w), 1),
+    // which threw 'Illegal sequence boundaries' at w = 0 — the old
+    // full-grid formulation handled band = 0 (diagonal-only) correctly
+    import spark.implicits._
+    val day = 86400000000L
+    val rng = new scala.util.Random(11)
+    val nDays = 12
+    val rows = for (u <- 1L to 3L; d <- 0 until nDays)
+      yield (u, d * day, rng.nextInt(50).toDouble)
+    val got = Trend.dtwToTemplate(rows.toDF("user_id", "ts", "value"),
+      "ts", "value", Seq("user_id"), day, 0L, band = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    def fldiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+    val tmpl = (0 until nDays).map { d =>
+      val vs = rows.filter(_._2 == d * day).map(r => (r._3 * 1e6).toLong)
+      fldiv(vs.sum, vs.size)
+    }.toArray
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val a = rs.sortBy(_._2).map(r => (r._3 * 1e6).toLong)
+      // band 0 with n == m: the diagonal sum of |a_i - tmpl_i|
+      val want = a.zip(tmpl).map { case (x, t) => math.abs(x - t) }.sum
+      assert(got(u) == want, s"user $u")
+    }
+  }
+
   test("dtwToTemplate span gate coarsens a multi-year span to the capped grid") {
     import spark.implicits._
     val day = 86400000000L
