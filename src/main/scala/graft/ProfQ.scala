@@ -33,11 +33,18 @@ object ProfQ {
     val taskTimeMs = new AtomicLong(0L)
     val gcTimeMs = new AtomicLong(0L)
     val shufWrite = new AtomicLong(0L)
+    // per-stage attribution: (first callsite line, n_tasks, run ms)
+    val stageInfoMap = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val stageTimeMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         jobs.incrementAndGet()
-      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
+        stageInfoMap.put(s.stageInfo.stageId,
+          s.stageInfo.name.take(110))
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         val m = t.taskMetrics
@@ -45,9 +52,14 @@ object ProfQ {
           taskTimeMs.addAndGet(m.executorRunTime)
           gcTimeMs.addAndGet(m.jvmGCTime)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          stageTimeMs.computeIfAbsent(t.stageId, _ => new AtomicLong(0))
+            .addAndGet(m.executorRunTime)
+          stageTasks.computeIfAbsent(t.stageId, _ => new AtomicInteger(0))
+            .incrementAndGet()
         }
       }
     })
+    val verbose = sys.env.get("PROFQ_STAGES").contains("1")
 
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
@@ -66,12 +78,22 @@ object ProfQ {
         val w1 = runOnce(n)
         jobs.set(0); stages.set(0); tasks.set(0)
         taskTimeMs.set(0); gcTimeMs.set(0); shufWrite.set(0)
+        stageInfoMap.clear(); stageTimeMs.clear(); stageTasks.clear()
         val w2 = runOnce(n)
         // listener is async; let the queue drain
         Thread.sleep(300)
         println(f"$n%-32s ${math.min(w1, w2)}%8.3f ${jobs.get}%5d " +
           f"${stages.get}%6d ${tasks.get}%6d ${taskTimeMs.get / 1e3}%8.2f " +
           f"${gcTimeMs.get / 1e3}%6.2f ${shufWrite.get / 1e6}%8.1f")
+        if (verbose) {
+          import scala.jdk.CollectionConverters._
+          stageTimeMs.asScala.toSeq.sortBy(-_._2.get).take(6).foreach {
+            case (sid, ms) =>
+              println(f"    stage $sid%4d ${ms.get / 1e3}%8.2f s " +
+                f"${stageTasks.get(sid).get}%4d tasks  " +
+                stageInfoMap.getOrDefault(sid, "?"))
+          }
+        }
       } catch { case e: Throwable =>
         println(s"$n FAILED: ${e.getMessage}")
       }

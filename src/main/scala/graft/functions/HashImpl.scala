@@ -316,4 +316,26 @@ object HashImpl {
     }
     if (p(n) <= k) p(n) else -1
   }
+
+  /** Σ weights[indices(i)] over a long-index array into a long-weight
+    * array — the hashed-classifier margin fold (sum of per-bucket
+    * µ-unit weights over a doc's feature buckets). Exact 64-bit adds in
+    * array order: bit-identical to the HOF
+    * aggregate(fb, 0L, (acc, b) => acc + element_at(w, b+1)) it
+    * replaces, which evaluated an interpreted lambda per feature
+    * (measured 54 task-seconds on the 3-epoch training query; this
+    * loop is codegen-callable and allocation-free). Indices are
+    * 0-based and MUST be in [0, weights.length) — callers bucket with
+    * pmod(·, |weights|), and the trainStep guard pins table density.
+    */
+  def indexSumLong(indices: ArrayData, weights: ArrayData): Long = {
+    val n = indices.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += weights.getLong(indices.getLong(i).toInt)
+      i += 1
+    }
+    acc
+  }
 }

@@ -647,13 +647,34 @@ object TextOps {
     */
   def classifyWithWeights(df: DataFrame, weights: DataFrame,
                           idCol: String = "doc_id"): DataFrame = {
-    val fb = df
-      .select(col(idCol), featureBuckets(tokens(col("text"))).as("__fb"))
-      .select(col(idCol), explode_outer(col("__fb")).as("__b"))
-    fb.join(broadcast(weights), fb("__b") === weights("bucket"), "left")
-      .groupBy(idCol)
-      .agg(count(col("__b")).as("n_feats"),
-        sum(coalesce(col("w_micro"), lit(0L))).as("__su"))
+    // r15 shape: the (possibly sparse) weight table scatters into ONE
+    // dense broadcast array (missing buckets weigh 0 — the old join
+    // semantics, preserved by the map lookup + coalesce), and the
+    // per-doc margin is a codegen'd scan-side index-sum fold. The old
+    // shape exploded every feature occurrence against a broadcast
+    // join and paid a doc-keyed groupBy shuffle carrying them all;
+    // this one has ZERO corpus-side exchange — scoring fuses into the
+    // scan stage like [[classify]]. Values bit-identical: exact long
+    // adds, same rounding chain. (One row per input row — idCol is
+    // unique in every caller, as the old groupBy shape assumed too.)
+    // densify via a range left-join (NOT a map_from_entries + indexed
+    // transform: CollapseProject inlines the map build into the
+    // transform lambda and rebuilds the 65536-entry map PER ELEMENT —
+    // observed as a 65536² hang), then the proven sort-collect array
+    // build from stepOnFeatures
+    val dense = df.sparkSession.range(ClassifyBuckets)
+      .select(col("id").as("bucket"))
+      .join(weights, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("w_micro"), lit(0L)).as("w_micro"))
+    val warr = dense.groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("bucket"), col("w_micro")))),
+        s => s.getField("w_micro")).as("__w"))
+    df.select(col(idCol), featureBuckets(tokens(col("text"))).as("__fb"))
+      .crossJoin(broadcast(warr))
+      .select(col(idCol), size(col("__fb")).cast("long").as("n_feats"),
+        org.apache.spark.sql.graft.GraftExpressions
+          .index_sum_long(col("__fb"), col("__w")).as("__su"))
       .select(col(idCol), col("n_feats"),
         when(col("n_feats") > 0,
           round(col("__su").cast("double") / lit(1e6) / col("n_feats"), 6)
@@ -748,8 +769,12 @@ object TextOps {
     val perDoc = fb.crossJoin(broadcast(warr))
       .select(col(idCol), col("__fb"), col("__y"),
         size(col("__fb")).as("__n"),
-        aggregate(col("__fb"), lit(0L), (acc, b) =>
-          acc + element_at(col("__w"), b.cast("int") + 1)).as("__su"))
+        // native codegen'd index-sum (r15): the HOF fold evaluated an
+        // interpreted lambda per feature — 54 task-seconds on the
+        // 3-epoch training query; values bit-identical (exact long
+        // adds in the same array order)
+        org.apache.spark.sql.graft.GraftExpressions
+          .index_sum_long(col("__fb"), col("__w")).as("__su"))
       .select(col(idCol), col("__fb"), col("__n"),
         round((lit(1.0) / (lit(1.0) +
           exp(-round(col("__su").cast("double") / lit(1e6) / col("__n"), 6)))

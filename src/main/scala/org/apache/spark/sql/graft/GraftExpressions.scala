@@ -133,6 +133,25 @@ case class VecDotD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Σ weights[indices(i)] — the hashed-classifier margin fold over a
+  * doc's feature-bucket array against the broadcast dense weight
+  * array. Exact long adds in array order (bit-identical to the
+  * interpreted HOF fold it replaces); indices 0-based, caller-bounded.
+  */
+case class IndexSumLong(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.HashImpl.indexSumLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.indexSumLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IndexSumLong =
+    copy(left = l, right = r)
+}
+
 /** Squared L2 over subspace `s` (third child) of two float vectors:
   * elements [s*len, (s+1)*len), each widened to double — the product
   * quantization distance, one tight loop per (vector, centroid, s).
@@ -488,6 +507,8 @@ object GraftExpressions {
     Bridge.toCol(ShingleHashes(Bridge.toExpr(tokens), n))
   def char_gram_hashes(text: Column, k: Int): Column =
     Bridge.toCol(CharGramHashes(Bridge.toExpr(text), k))
+  def index_sum_long(indices: Column, weights: Column): Column =
+    Bridge.toCol(IndexSumLong(Bridge.toExpr(indices), Bridge.toExpr(weights)))
   def vec_dot(a: Column, b: Column): Column =
     Bridge.toCol(VecDot(Bridge.toExpr(a), Bridge.toExpr(b)))
   def vec_dot_d(a: Column, b: Column): Column =

@@ -193,6 +193,26 @@ class OperatorSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("Dedup.components small-graph fast path equals the distributed loop") {
+    // r15: below CcLocalMaxEdges, components() labels on the driver
+    // (union-find); the labels must be IDENTICAL to the quotient-loop
+    // engine on a random multi-component graph incl. chains and dups
+    val rng = new scala.util.Random(7)
+    val pairs = ((0 until 400).map { _ =>
+      (rng.nextInt(120).toLong + 1, rng.nextInt(120).toLong + 1)
+    }.filter { case (a, b) => a != b } ++
+      // an 80-node chain with ids far from the random block
+      (0 until 79).map(i => (1000L + i, 1001L + i)))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.componentsWithRounds(pairs)._1.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
+    // chain labels all resolve to the chain minimum
+    assert((1000L to 1079L).forall(fast(_) == 1000L))
+  }
+
   test("Dedup.contaminationBloom contains the exact result (no false negatives)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -468,22 +468,28 @@ class PlanBudgetSpec extends AnyFunSuite {
     "doc_dedup_simhash" -> 2, "doc_dup_ngram_frac" -> 4,
     "doc_length_quantiles" -> 1, "doc_minhash_est" -> 4,
     "doc_pipeline" -> 2, "mm_audio" -> 0, "mm_phash_narrow" -> 6,
-    // trained classifier: one r14 gradient step (weight-array agg +
-    // broadcast, bucket-keyed grad agg, model update join) + the
-    // scoring scan's weight broadcast (was 10 with the exploded-join
-    // per-doc margin)
-    "doc_classify_trained" -> 8,
+    // trained classifier: one gradient step (weight-array agg +
+    // broadcast, bucket-keyed grad agg, model update join) + the r15
+    // scoring shape's dense weight scatter (range left-join + one-row
+    // array agg — fixed 65536-row exchanges, never corpus rows): the
+    // corpus-side explode + doc-keyed groupBy exchange is GONE, so the
+    // only shuffles left are model-sized (was 10 with the
+    // exploded-join per-doc margin, 8 in r14)
+    "doc_classify_trained" -> 9,
     // calibration sweep: the scored frame is checkpointed (the
     // training chain's exchanges are paid behind it), leaving the
     // 5-quantile global agg + the final partial agg + one broadcast
     "doc_classify_calibration" -> 3,
-    // 3-epoch train + held-out eval, r14 shape: per epoch the ONLY
-    // data-volume exchange is the map-side-combined bucket-keyed grad
-    // agg (margins are a scan-side fold over the broadcast weight
-    // array; the feature frame is checkpointed once and shared), plus
-    // the scoring chain + 1-row metrics agg — 4 total, down from the
-    // exploded-join formulation's 24
-    "doc_classify_train_eval" -> 4,
+    // 3-epoch train + held-out eval: per epoch the ONLY data-volume
+    // exchange is the map-side-combined bucket-keyed grad agg (margins
+    // are a scan-side fold over the broadcast weight array; the
+    // feature frame is checkpointed once and shared), plus the r15
+    // scoring shape's dense weight scatter (model-sized range
+    // left-join + array agg, replacing the corpus-row explode +
+    // doc-keyed groupBy) + 1-row metrics agg — 6 total, down from the
+    // exploded-join formulation's 24; every added exchange carries
+    // <= 65536 rows no matter the corpus size
+    "doc_classify_train_eval" -> 6,
     // lake reads: the pruned scan is scan+filter (manifest collect is
     // planning-time metadata); the snapshot read is two 1-row aggs +
     // their single-partition exchanges, unioned
