@@ -89,6 +89,15 @@ object Bench {
       val (a, b) = (r1(n), r2(n))
       n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
     }
+    // Closing canary: the opening one is timed FIRST, so box slowdown
+    // that develops DURING the run (observed: a 32-core r15 run whose
+    // mid-alphabet queries ran 3-5x slow while the canary looked fine)
+    // is invisible to it. Re-measuring the identical fixed leg after
+    // the timed passes bounds intra-run drift: canary_end_sec >>
+    // canary_sec marks the run's absolutes as untrustworthy. Additive
+    // key only — the driver contract (metric/value/unit/queries/sf) is
+    // unchanged.
+    val canaryEnd = BenchCanary.measure(spark)
 
     // The harness parses only the LAST ~2000 chars of stdout, so the JSON
     // line must fit entirely inside that window. Degrade gracefully as
@@ -106,7 +115,9 @@ object Bench {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""canary_sec":${fmt(canary, 3)},"queries":$qs,"sf":"$sfLabel"}"""
+        s""""canary_sec":${fmt(canary, 3)},""" +
+        s""""canary_end_sec":${fmt(canaryEnd, 3)},""" +
+        s""""queries":$qs,"sf":"$sfLabel"}"""
     }
     def shrink(rs: Seq[(String, Double)], dp: Int): String = {
       val l = line(rs, dp)
@@ -134,7 +145,9 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec",""" +
-        s""""canary_sec":${fmt(canary, 3)},"queries":$qs,"sf":"$sfLabel"}"""
+        s""""canary_sec":${fmt(canary, 3)},""" +
+        s""""canary_end_sec":${fmt(canaryEnd, 3)},""" +
+        s""""queries":$qs,"sf":"$sfLabel"}"""
     }
     try java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))

@@ -42,7 +42,9 @@ object ProfAB {
         println(f"$n%-32s $a%8.3f $b%8.3f ${a - b}%+8.3f")
       } catch { case e: Throwable => println(s"$n FAILED: ${e.getMessage}") }
     }
-    SparkEntry.fanoutEnabled = true
+    // restore the env-derived default, not literal true (ADVICE r15):
+    // a profiler run with SPARK_GRAFT_FANOUT=0 must leave the toggle off
+    SparkEntry.fanoutEnabled = sys.env.get("SPARK_GRAFT_FANOUT").forall(_ != "0")
     spark.stop()
   }
 }

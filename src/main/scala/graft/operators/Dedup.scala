@@ -397,7 +397,7 @@ object Dedup {
 
   def components(pairs: DataFrame, aCol: String = "id_a",
                  bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.LongType
     val e0 = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
     if (e0.schema.fields.exists(_.dataType != LongType))
       return componentsWithRounds(pairs, aCol, bCol, maxIter)._1
@@ -406,36 +406,88 @@ object Dedup {
     val e = e0.localCheckpoint(false)
     if (e.count() > CcLocalMaxEdges)
       return componentsWithRounds(e, "u", "v", maxIter)._1
-    // driver union-find with path compression, then per-root minimum —
-    // the final (id -> component min) map is independent of edge order
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.get(r) != r) r = parent.get(r)
-      var c = x
-      while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
-      r
+    // Collect the edge list PACKED into primitive long arrays on the
+    // executors (one job): at the 4M-edge gate this is ~64 MB of longs
+    // on the driver, vs several hundred MB when each edge was a boxed
+    // Row and each node two boxed HashMap entries (r15 ADVICE heap
+    // note). A null endpoint would previously have been coerced to 0L
+    // by getLong — inventing node 0 and merging components through it
+    // — so null-bearing frames route to the distributed loop, which
+    // defines the semantics for them.
+    val packed = e.rdd.mapPartitions { it =>
+      val b = new scala.collection.mutable.ArrayBuilder.ofLong
+      var sawNull = false
+      it.foreach { r =>
+        if (r.isNullAt(0) || r.isNullAt(1)) sawNull = true
+        else { b += r.getLong(0); b += r.getLong(1) }
+      }
+      Iterator((b.result(), sawNull))
+    }.collect()
+    if (packed.exists(_._2))
+      return componentsWithRounds(e, "u", "v", maxIter)._1
+    // driver union-find (path halving) over an open-addressed id->index
+    // table, then per-root minimum — the final (id -> component min)
+    // map is independent of edge order. All-primitive arrays: bounded,
+    // predictable heap at the gate (§5: the driver does no data work
+    // above it; the distributed loop is the scale path).
+    val nEdges = packed.iterator.map(_._1.length / 2).sum
+    val capNodes = math.max(16, 2 * nEdges)
+    var tabSize = 32
+    while (tabSize < capNodes * 2) tabSize <<= 1
+    val mask = tabSize - 1
+    val slotKey = new Array[Long](tabSize)
+    val slotUsed = new Array[Boolean](tabSize)
+    val slotIdx = new Array[Int](tabSize)
+    val ids = new Array[Long](capNodes)
+    val parent = new Array[Int](capNodes)
+    var nNodes = 0
+    def idxOf(id: Long): Int = {
+      var h = java.lang.Long.hashCode(id * -0x61c8864680b583ebL) & mask
+      while (slotUsed(h) && slotKey(h) != id) h = (h + 1) & mask
+      if (!slotUsed(h)) {
+        slotUsed(h) = true; slotKey(h) = id; slotIdx(h) = nNodes
+        ids(nNodes) = id; parent(nNodes) = nNodes; nNodes += 1
+      }
+      slotIdx(h)
     }
-    e.collect().foreach { row =>
-      val (u, v) = (row.getLong(0), row.getLong(1))
-      if (!parent.containsKey(u)) parent.put(u, u)
-      if (!parent.containsKey(v)) parent.put(v, v)
-      val (ru, rv) = (find(u), find(v))
-      if (ru != rv) parent.put(math.max(ru, rv), math.min(ru, rv))
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
     }
-    val minOf = new java.util.HashMap[Long, Long]()
-    parent.keySet().forEach { id =>
-      val r = find(id)
-      val m = minOf.getOrDefault(r, Long.MaxValue)
-      if (id < m) minOf.put(r, id)
+    packed.foreach { case (arr, _) =>
+      var i = 0
+      while (i < arr.length) {
+        val ra = find(idxOf(arr(i)))
+        val rb = find(idxOf(arr(i + 1)))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        i += 2
+      }
     }
-    val out = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    parent.keySet().forEach { id =>
-      out.add(org.apache.spark.sql.Row(id, minOf.get(find(id))))
+    val minOf = new Array[Long](nNodes)
+    java.util.Arrays.fill(minOf, 0, nNodes, Long.MaxValue)
+    var i = 0
+    while (i < nNodes) {
+      val r = find(i)
+      if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      i += 1
     }
-    pairs.sparkSession.createDataFrame(out,
-      StructType(Seq(StructField("id", LongType, nullable = false),
-        StructField("cluster_id", LongType, nullable = false))))
+    val lbl = new Array[Long](nNodes)
+    i = 0
+    while (i < nNodes) { lbl(i) = minOf(find(i)); i += 1 }
+    // emit through a primitive-long tuple encoder: the LocalRelation
+    // holds one compact UnsafeRow per node instead of a boxed Row
+    val nOut = nNodes
+    val idsF = ids
+    val outSeq: IndexedSeq[(Long, Long)] = new IndexedSeq[(Long, Long)] {
+      def length: Int = nOut
+      def apply(k: Int): (Long, Long) = (idsF(k), lbl(k))
+    }
+    pairs.sparkSession.createDataset(outSeq)(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+      .toDF("id", "cluster_id")
   }
 
   /** [[components]] plus the number of propagation rounds it took to

@@ -670,9 +670,22 @@ object TextOps {
       .agg(transform(
         array_sort(collect_list(struct(col("bucket"), col("w_micro")))),
         s => s.getField("w_micro")).as("__w"))
+      // same dense-coverage guard as stepOnFeatures (ADVICE r15): a
+      // weight table with DUPLICATE bucket rows would survive the
+      // range left-join with >ClassifyBuckets entries and silently
+      // misalign every weight after the duplicate — fail loudly
+      .select(when(size(col("__w")) === lit(ClassifyBuckets.toInt),
+        col("__w")).otherwise(raise_error(concat(
+          lit(s"classifyWithWeights: weight table must have at most one row per bucket 0..${ClassifyBuckets - 1}, densified to "),
+          size(col("__w")).cast("string"), lit(" rows")))).as("__w"))
     df.select(col(idCol), featureBuckets(tokens(col("text"))).as("__fb"))
       .crossJoin(broadcast(warr))
-      .select(col(idCol), size(col("__fb")).cast("long").as("n_feats"),
+      // null text => null feature array => size() would yield -1
+      // (legacy sizeOfNull), not the 0 the old count(explode_outer)
+      // shape returned (ADVICE r15) — pin the 0 semantics
+      .select(col(idCol),
+        when(col("__fb").isNull, lit(0L))
+          .otherwise(size(col("__fb")).cast("long")).as("n_feats"),
         org.apache.spark.sql.graft.GraftExpressions
           .index_sum_long(col("__fb"), col("__w")).as("__su"))
       .select(col(idCol), col("n_feats"),
