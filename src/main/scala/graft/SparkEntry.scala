@@ -810,7 +810,16 @@ object SparkEntry {
     // partial-agg'd (key, window) shuffle like every fixed rollup
     // (the sketch path for 100 TB groups is ts_agg_approx's GK leg)
     "ts_rollup_p95" -> { (s, dir) =>
-      TimeSeries(events(s, dir), "ts", Seq("user_id"))
+      // r16 (guide §2): exact percentiles buffer every value, so the
+      // partial agg reduces nothing and AQE byte-coalesces the (key,
+      // idx) exchange to 1–2 partitions where the per-group sort +
+      // interpolation runs. The explicit spread on the SAME clustering
+      // expression replaces that exchange 1:1 (identical bytes — the
+      // partial buffers carried every value anyway), pinned at session
+      // parallelism.
+      val sp = Par.spread(events(s, dir), col("user_id"),
+        TimeIndex.indexOf(col("ts"), "1h"))
+      TimeSeries(sp, "ts", Seq("user_id"))
         .fixedWindowRollup("1h", Seq(
           round(percentile(col("value"), lit(0.5)), 6).as("p50"),
           round(percentile(col("value"), lit(0.95)), 6).as("p95"),
@@ -3640,6 +3649,10 @@ object SparkEntry {
     // per-leg join+agg pairs — values identical (join multiplicity is
     // 1: candidate frames are distinct per (id_a, id_b)).
     "doc_dedup_eval" -> { (s, dir) =>
+      // r16: fanout tried (the signature passes profile as single-task
+      // stages) and measured SLOWER paired (+0.19/+0.21 s, two pairs in
+      // one JVM) — the candidates' band self-joins dominate, not the
+      // scan; raw read stays
       val docs = tbl(s, dir, "documents")
       val truth = Dedup.ngramJaccardPairs(docs)
         .select("id_a", "id_b").localCheckpoint(false)
@@ -3973,7 +3986,14 @@ object SparkEntry {
     // all-drop). Learning on separable data is pinned by
     // OperatorSpec's "train learns the language labels" descent test
     "doc_classify_train_eval" -> { (s, dir) =>
-      val docs = ftbl(s, dir, "documents")
+      // r16: DROPPED from the fanout whitelist — paired same-JVM A/B
+      // (ProfAB, two JVMs) measures the raw single-task scan 0.24–0.66 s
+      // FASTER here: the 3-epoch loop re-reads the fanned checkpoint ~8
+      // times and the 32-way stages' per-task overhead outweighs the
+      // tiny per-partition compute (2.5k train docs). The r15 whitelist
+      // win did not reproduce; trained/calibration keep theirs (re-paired
+      // this round: −0.08 / −0.02 s).
+      val docs = tbl(s, dir, "documents")
         .withColumn("__is_en", when(col("lang") === "en", 1).otherwise(0))
       val split = Sampling.hashSplit(docs, col("doc_id"))
       val train = split.where(col("split") === "train")
@@ -4088,7 +4108,7 @@ object SparkEntry {
       // whole query at sf10 (r13 verdict #5). Materializing the
       // 16-float vectors once is values-identical and turns the loop
       // into what it is for emb_kmeans: scans over stored vectors.
-      val vecs = tbl(s, dir, "documents")
+      val vecs = ftbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
         .where(size(col("__tk")) > 0)
         .select(col("doc_id"),

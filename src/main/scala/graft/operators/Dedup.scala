@@ -1032,10 +1032,16 @@ object Dedup {
     // exploit) and a broadcast AQE might flip-flop to. n_a/n_b ride
     // the posting rows (see invAll above), so the pair agg's grouping
     // key carries them for free — id_a/id_b functionally determine
-    // them, the group count is unchanged
-    val a = inv.select(col(idCol).as("id_a"), col("n_sh").as("n_a"),
+    // them, the group count is unchanged.
+    // r16 (guide §2): the sid exchange is byte-light but the work AFTER
+    // the shuffle read — per-cell pair explosion + the partial pair agg
+    // — is the query's dominant compute, and AQE byte-coalescing parks
+    // it on a few partitions. Pin the exchange's width; both join sides
+    // read the SAME spread frame, so ReuseExchange still dedups it.
+    val invW = Par.spread(inv, col("sid"))
+    val a = invW.select(col(idCol).as("id_a"), col("n_sh").as("n_a"),
       col("sid"))
-    val b = inv.select(col(idCol).as("id_b"), col("n_sh").as("n_b"),
+    val b = invW.select(col(idCol).as("id_b"), col("n_sh").as("n_b"),
       col("sid"))
     a.hint("shuffle_hash").join(b, Seq("sid"))
       .where(col("id_a") < col("id_b"))

@@ -567,7 +567,14 @@ object Knn {
       .select(col("id"), col("v"), col("n"),
         col("tbk.tb").as("tb"), col("tbk.bk").as("bk"))
     val wPop = Window.partitionBy(col("tb"), col("bk"))
-    val banded = banded0
+    // r16 (guide §2): pin the (tb, bk) exchange's width — the cell
+    // population window, the salted self-join (keys ⊇ (tb, bk), both
+    // sides the same exchange via ReuseExchange) and the per-cell
+    // top-k window all cluster by (a superset of) (tb, bk), so this
+    // ONE explicit exchange replaces the implicit window exchange at
+    // identical bytes; AQE byte-coalescing otherwise parks the whole
+    // per-cell pair scoring (a 64-dim dot per pair) on 1–2 partitions.
+    val banded = Par.spread(banded0, col("tb"), col("bk"))
       .withColumn("__nsub", ldiv(
         count(lit(1)).over(wPop) + lit(cellCap.toLong - 1), lit(cellCap.toLong)))
       .withColumn("__salt",
@@ -836,6 +843,12 @@ object Knn {
           x => x.cast("double")).as("cs"))
     val d0 = org.apache.spark.sql.graft.GraftExpressions
       .vec_sub_l2_d(col("sv"), col("cs"), lit(0), subDim)
+    // r16: riding `sv` through this argmin agg with first() (to drop
+    // the join-back onto `sub`) was tried and measured SLOWER paired
+    // (+0.39 emb_pq_learned, +0.75 emb_ivf_pq_rerank, +0.10
+    // emb_pq_err_curve): the join-back plans near-free at these sizes
+    // while the carried subvector fattens the agg exchanges — the r15
+    // shape stays.
     val a1 = sub.join(broadcast(c0), Seq("s"))
       .withColumn("d", d0)
       .groupBy(col(idCol), col("s"))
@@ -2009,6 +2022,12 @@ object Knn {
       // replay — is bit-identical. (A zero-norm vector is a 0.0
       // divisor, which ANSI mode rejects before EITHER formulation
       // ranks it, so NaN ordering never has to match.)
+      // r16: riding `v` through this argmax agg with first() (to drop
+      // the update's join-back onto `v`) was tried and measured SLOWER
+      // paired (+0.06 emb_kmeans, +0.31 emb_knn_ivf_learned, +0.12
+      // doc_topic_cluster): at these assignment sizes the join-back
+      // plans as a near-free broadcast join while the carried vector
+      // fattens the agg's partial/final exchange — the r14 shape stays.
       assigned = v
         .crossJoin(broadcast(
           cents.withColumn("cn", sqrt(dotD(col("cvec"), col("cvec"))))))

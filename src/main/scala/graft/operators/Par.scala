@@ -37,4 +37,39 @@ object Par {
     if (df.rdd.getNumPartitions < p) df.repartition(p).localCheckpoint(false)
     else df
   }
+
+  /** A/B hook for the r16 spread sites (graft.ProfSpread) — production
+    * default is ON (SPARK_GRAFT_SPREAD=0 disables, for same-JVM paired
+    * measurement of exactly these sites).
+    */
+  @volatile private[graft] var spreadEnabled =
+    sys.env.get("SPARK_GRAFT_SPREAD").forall(_ != "0")
+
+  /** Explicit compute-density repartition of a POST-SHUFFLE frame
+    * (optimization guide §2: "parallelism lost where compute/byte is
+    * maximal"). AQE's partition coalescing sizes post-shuffle
+    * partitions by BYTES, so a keyed frame whose per-row work is huge
+    * relative to its bytes (banded DTW DP over calendar arrays,
+    * per-key pair fan-outs, exact percentile buffers) collapses onto
+    * 1–2 cores while the rest idle. These frames are ~KB/row against
+    * 10⁴+ ops/row, so an exchange pinned at the session's default
+    * parallelism is justified at ANY scale — the exchange moves
+    * metadata-sized rows once, the compute then runs cluster-wide.
+    * [[Par.fanout]]'s partition-count guard cannot see AQE coalescing
+    * (the pre-AQE count is always spark.sql.shuffle.partitions), so
+    * this is unconditional by design.
+    *
+    * `cols` empty = round-robin (row-independent projections);
+    * non-empty = hash on `cols`, for frames whose downstream windows /
+    * joins / aggs require clustering by (a superset of) `cols` — the
+    * explicit exchange then REPLACES the implicit one (subset
+    * satisfaction), pinning its width instead of adding a shuffle.
+    */
+  def spread(df: DataFrame, cols: org.apache.spark.sql.Column*): DataFrame = {
+    if (!spreadEnabled) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (cols.isEmpty) df.repartition(p) else df.repartition(p, cols: _*)
+    }
+  }
 }

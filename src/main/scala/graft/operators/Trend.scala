@@ -274,8 +274,15 @@ object Trend {
           keyCols: Seq[String], maxLag: Int = 7): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol), col(valCol))
+    // r16 (guide §2): pin the key exchange's width — the lag windows,
+    // the maxLag-way explode, the degeneracy windows and the corr agg
+    // all cluster by (a superset of) the key, so this ONE explicit
+    // exchange replaces the implicit window exchange (same bytes, same
+    // key) instead of adding a shuffle; AQE byte-coalescing otherwise
+    // parks the whole per-key pipeline on 1–2 partitions.
     val lagged = (1 to maxLag).foldLeft(
-      df.select((keyCols :+ tsCol :+ valCol).map(col): _*)) {
+      Par.spread(df.select((keyCols :+ tsCol :+ valCol).map(col): _*),
+        keyCols.map(col): _*)) {
       (d, l) => d.withColumn(s"__p$l", lag(col(valCol), l).over(w))
     }
     val stacked = lagged.select(keyCols.map(col) :+ col(valCol).as("__v") :+
@@ -730,12 +737,19 @@ object Trend {
                keyCols: Seq[String], bucketUs: Long,
                originUs: Long): DataFrame = {
     import org.apache.spark.sql.graft.Bridge.fldiv
-    val grid = df
+    val grid0 = df
       .select((keyCols :+ tsCol :+ valCol).map(col): _*)
       .groupBy(keyCols.map(col) :+
         fldiv(col(tsCol) - lit(originUs), bucketUs).as("__d"): _*)
       .agg((sum(col(valCol).cast("decimal(38,6)")).cast("double") /
         count(lit(1))).as("__v"))
+    // r16 (guide §2): pin the key exchange's width — the pairwise
+    // slope fan-out (O(days²) per key) and both percentile aggs
+    // cluster by the key, so this explicit exchange replaces the
+    // self-join's implicit one (ReuseExchange dedups the two sides);
+    // AQE byte-coalescing otherwise runs the whole per-key pair
+    // explosion on 1–2 partitions.
+    val grid = Par.spread(grid0, keyCols.map(col): _*)
     val a = grid.as("a")
     val b = grid.as("b")
     val pairCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k"))
@@ -1288,7 +1302,13 @@ object Trend {
       .groupBy()
       .agg(transform(array_sort(collect_list(struct(col("__d"), col("__v")))),
         s => s.getField("__v")).as("a"))
-    val joined = karr.crossJoin(broadcast(tmpl))
+    // r16 (guide §2): the per-key array frame leaves its groupBy on
+    // 1–2 AQE byte-coalesced partitions, so the banded DP below —
+    // ~5.5k interpreted cells PER KEY — ran near-serial. Round-robin
+    // spread before the row-independent DP projection: the exchange
+    // carries one calendar-bounded array per key (~KB) against 10⁴+
+    // ops of downstream compute per row, justified at any scale.
+    val joined = Par.spread(karr.crossJoin(broadcast(tmpl)))
       .withColumn("n", size(col("a")))
       .withColumn("m", size(col("b")))
       .withColumn("w", greatest(lit(band), abs(col("n") - col("m"))))

@@ -74,7 +74,13 @@ class PlanBudgetSpec extends AnyFunSuite {
     // theil-sen: the (key, day) grid pre-agg is the only stage touching
     // corpus rows; the 5 downstream exchanges (pair self-join re-keys +
     // slope join-back) all move the calendar-bounded grid, not events
-    "ts_theil_sen" -> 6,
+    // r16: 6 -> 8 — the explicit Par.spread width pin on the bucketed
+    // grid (guide §2: the per-key pair explosion + percentiles ran on
+    // 1-2 AQE byte-coalesced partitions; paired A/B -0.64 s). The
+    // repartition shows once per self-join side in the INITIAL plan but
+    // the two subtrees are identical, so ReuseExchange dedups at
+    // runtime; rows carried are one per (key, day) bucket at any scale.
+    "ts_theil_sen" -> 8,
     // changepoint: the (key, day) grid pre-agg + ONE key-hash re-key
     // shared by the prefix-sum, total, and argmax windows (hash(key)
     // satisfies every partition spec; the picks differ only in sort)
@@ -309,7 +315,12 @@ class PlanBudgetSpec extends AnyFunSuite {
     // scan-side fold over calendar-bounded arrays. r13: +2 for the
     // span-gate probe (a min/max partial agg to one row + its
     // broadcast), which bounds the DP at O(cap²) for multi-year spans
-    "ts_dtw" -> 7,
+    // r16: 7 -> 8 — the explicit round-robin Par.spread before the
+    // banded DP projection (guide §2: ~5.5k interpreted DP cells per
+    // key ran on 1-2 AQE byte-coalesced partitions; paired A/B
+    // -1.18 s). The added exchange carries one calendar-bounded array
+    // per key at any scale.
+    "ts_dtw" -> 8,
     // k-center: the visible plan is the k-row literal result frame —
     // the greedy rounds run at construction as k TakeOrdered(1) scans
     // over the checkpointed corpus, none of which shuffles
