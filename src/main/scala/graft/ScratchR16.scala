@@ -141,12 +141,156 @@ object ScratchR16 {
       .select("id_a", "id_b")
   }
 
+  // ---- emb_ann_recall variants ----------------------------------------
+
+  /** The registered r15 eval with the lp15/book/cells checkpoints
+    * REMOVED (pure plan sharing — AQE ReuseExchange dedups identical
+    * subtrees at runtime): is the materialization barrier of four
+    * sequential lazy checkpoints costing more than the re-derivation
+    * it saves?
+    */
+  private def arNoCkpt(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Knn
+    import org.apache.spark.sql.expressions.Window
+    val EmbDim = 64
+    val emb = tbl(s, dir, "embeddings")
+    val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
+    val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
+      .select("query_id", "neighbor_id").localCheckpoint(false)
+    val cells = Knn.ivfCellsPlan(emb, q, EmbDim)
+    val book = Knn.pqCodebookLearned(emb, EmbDim)
+    val lp15 = Knn.ivfPqTopKLearned(emb, q, EmbDim, 15,
+      shared = Some(cells), cb = Some(book))
+    val legs: Seq[(String, DataFrame)] = Seq(
+      "lsh" -> Knn.lshTopK(emb, q, EmbDim, 3),
+      "ivf" -> Knn.ivfTopK(emb, q, EmbDim, 3, shared = Some(cells)),
+      "ivf_learned" -> Knn.ivfTopKLearned(emb, q, EmbDim, 3),
+      "ivf_pq" -> Knn.ivfPqTopK(emb, q, EmbDim, 3, shared = Some(cells)),
+      "ivf_pq_residual" ->
+        Knn.ivfPqResidualTopK(emb, q, EmbDim, 3, shared = Some(cells)),
+      "ivf_pq_learned" -> lp15.where(col("rank") <= 3),
+      "ivf_pq_rerank" -> Knn.exactRerank(emb, q,
+        lp15.select("query_id", "neighbor_id"), EmbDim, 3),
+      "sq" -> Knn.sqSearchTopK(emb, q, EmbDim, 3))
+    val cand = legs.map { case (m, df) =>
+        df.select(lit(m).as("method"), col("query_id"),
+          col("neighbor_id"), lit(1).as("__h"))
+      }.reduce(_ unionByName _)
+    truth.select(col("query_id"), col("neighbor_id"),
+        explode(array(legs.map(l => lit(l._1)): _*)).as("method"))
+      .join(cand, Seq("method", "query_id", "neighbor_id"), "left")
+      .groupBy(col("method"))
+      .agg(count(lit(1)).as("n_truth"), count(col("__h")).as("n_hits"),
+        round(count(col("__h")).cast("double") / count(lit(1)), 6)
+          .as("recall"))
+      .select(col("method"), col("n_truth"), col("n_hits"), col("recall"))
+  }
+
+  // ---- doc_lm_score variants ------------------------------------------
+
+  /** TextOps.lmScore with the bigram stream lazily checkpointed: the
+    * registered shape re-derives bg (tokenize + zip_with + explode)
+    * for c2, c1 AND the scoring join — three corpus scans.
+    */
+  private def lmCkpt(s: SparkSession, dir: String): DataFrame = {
+    val k = 0.5
+    val idCol = "doc_id"
+    val df = tbl(s, dir, "documents")
+    val toks = df.select(col(idCol), TextOps.tokens(col("text")).as("__tk"))
+    val bg = toks.where(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .localCheckpoint(false)
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    val v = toks.select(explode(col("__tk")).as("__t"))
+      .agg(countDistinct(col("__t")).as("__V"))
+    val term = bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col(idCol),
+        round(log((col("__c2") + lit(k)) / (col("__c1") + lit(k) * col("__V")))
+          * lit(1e6)).cast("long").as("__tu"))
+    val sAgg = term.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__tu")).as("__su"))
+    df.select(col(idCol)).join(sAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-(col("__su").cast("double")) / lit(1e6) / col("n_bigrams"), 6)
+          .as("lm_nll"))
+  }
+
+  /** lmScoreKN's r15 shape (bg NOT checkpointed — re-derived by the
+    * scoring join) for pairing against the registered r16 shape.
+    */
+  private def knOld(s: SparkSession, dir: String): DataFrame = {
+    val discount = 0.75
+    val idCol = "doc_id"
+    val df = tbl(s, dir, "documents")
+    val toks = df.select(col(idCol), TextOps.tokens(col("text")).as("__tk"))
+    val bg = toks.where(size(col("__tk")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__tk"), lit(1), size(col("__tk")) - 1),
+        slice(col("__tk"), lit(2), size(col("__tk")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+      .localCheckpoint(false)
+    val left = c2.groupBy("w1")
+      .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__t1"))
+    val cont = c2.groupBy("w2").agg(count(lit(1)).as("__cont"))
+    val btot = c2.agg(count(lit(1)).as("__B"))
+    val p = greatest(col("__c2").cast("double") - lit(discount), lit(0.0)) /
+      col("__c1").cast("double") +
+      lit(discount) * col("__t1").cast("double") / col("__c1").cast("double") *
+        col("__cont").cast("double") / col("__B").cast("double")
+    val term = bg.join(c2, Seq("w1", "w2")).join(left, Seq("w1"))
+      .join(cont, Seq("w2")).crossJoin(broadcast(btot))
+      .select(col(idCol), round(log(p) * lit(1e6)).cast("long").as("__tu"))
+    val sAgg = term.groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__tu")).as("__su"))
+    df.select(col(idCol)).join(sAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(-(col("__su").cast("double")) / lit(1e6) / col("n_bigrams"), 6)
+          .as("kn_nll"))
+  }
+
+  /** doc_topic_cluster's r15 featurization (16 interpreted filter
+    * folds, one per bucket) for pairing against the registered
+    * TokenCountVec shape.
+    */
+  private def tcOld(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Knn, Par}
+    val dim = 16
+    val vecs = Par.fanout(tbl(s, dir, "documents"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
+      .where(size(col("__tk")) > 0)
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          size(filter(col("__tk"), t =>
+            pmod(TextOps.polyHash(t), lit(dim.toLong)) === j.cast("long")))
+            .cast("float")).as("tvec"))
+      .localCheckpoint(false)
+    Knn.kmeans(vecs, dim, idCol = "doc_id", vecCol = "tvec")
+  }
+
   val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tc_old" -> (tcOld _),
+    "tc_cur" -> ((s, dir) => SparkEntry.queries("doc_topic_cluster")(s, dir)),
+    "kn_old" -> (knOld _),
+    "kn_cur" -> ((s, dir) => SparkEntry.queries("doc_lm_kn")(s, dir)),
     "bc_truth_rep" -> (bcTruthRep _),
     "bc_r15" -> ((s, dir) => SparkEntry.queries("doc_minhash_band_curve")(s, dir)),
     "bc_r14" -> (bcR14 _),
     "bc_new" -> (bcNew _),
-    "bc_truth" -> (bcTruth _)
+    "bc_truth" -> (bcTruth _),
+    "ar_cur" -> ((s, dir) => SparkEntry.queries("emb_ann_recall")(s, dir)),
+    "ar_nockpt" -> (arNoCkpt _),
+    "lm_cur" -> ((s, dir) => SparkEntry.queries("doc_lm_score")(s, dir)),
+    "lm_ckpt" -> (lmCkpt _)
   )
 
   def main(args: Array[String]): Unit = {

@@ -4108,14 +4108,16 @@ object SparkEntry {
       // whole query at sf10 (r13 verdict #5). Materializing the
       // 16-float vectors once is values-identical and turns the loop
       // into what it is for emb_kmeans: scans over stored vectors.
+      // r16 (guide §4): native single-pass featurization — the
+      // transform/filter fold hashed every token once PER BUCKET (16x
+      // the hash work) through interpreted lambdas; TokenCountVec is
+      // one codegen'd pass, parity-spec-pinned bit-identical
       val vecs = ftbl(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("__tk"))
         .where(size(col("__tk")) > 0)
         .select(col("doc_id"),
-          transform(sequence(lit(0), lit(dim - 1)), j =>
-            size(filter(col("__tk"), t =>
-              pmod(TextOps.polyHash(t), lit(dim.toLong)) === j.cast("long")))
-              .cast("float")).as("tvec"))
+          org.apache.spark.sql.graft.GraftExpressions
+            .token_count_vec(col("__tk"), dim).as("tvec"))
         .localCheckpoint(false)
       Knn.kmeans(vecs, dim, idCol = "doc_id", vecCol = "tvec")
     },
@@ -4317,21 +4319,22 @@ object SparkEntry {
     "emb_ann_recall" -> { (s, dir) =>
       val emb = tbl(s, dir, "embeddings")
       val q = emb.where(col("vec_id") % 100 === 0 && col("vec_id") < 100000000L)
-      // lazy checkpoints: the tiny ground-truth set, the coarse-cell
-      // CORPUS assignment (consumed by FIVE legs: ivf, ivf_pq,
-      // ivf_pq_residual, ivf_pq_learned, ivf_pq_rerank — r15:
-      // checkpointed, where before each leg's job re-ran the full
-      // corpus-to-centroid argmax), the learned PQ codebook, and the
-      // learned-ADC top-15 (its head-3 is the ivf_pq_learned leg, the
-      // full 15 are the rerank leg's candidates) each materialize once
+      // r16: the r15 cells/book/lp15 lazy checkpoints are GONE — the
+      // legs share the PLAN objects and AQE's ReuseExchange dedups the
+      // identical subtrees at runtime (ivfCellsPlan's documented
+      // mechanism), where the four sequential checkpoint
+      // materialization barriers serialized the whole eval. Paired A/B
+      // (fresh JVMs, both orders): 6.61 vs 7.31 and 6.75 vs 11.21 s;
+      // rows eq-checked identical at sf0.01 and oracle-verified. Only
+      // the ground truth keeps its checkpoint (it is the left side of
+      // the single eval join, consumed once per method tag — cheap and
+      // load-bearing for the 8-way explode).
       val truth = Knn.bruteTopK(emb, q, EmbDim, 3)
         .select("query_id", "neighbor_id").localCheckpoint(false)
-      val cells0 = Knn.ivfCellsPlan(emb, q, EmbDim)
-      val cells = Knn.IvfCells(cells0.cCells.localCheckpoint(false),
-        cells0.qCells.localCheckpoint(false))
-      val book = Knn.pqCodebookLearned(emb, EmbDim).localCheckpoint(false)
+      val cells = Knn.ivfCellsPlan(emb, q, EmbDim)
+      val book = Knn.pqCodebookLearned(emb, EmbDim)
       val lp15 = Knn.ivfPqTopKLearned(emb, q, EmbDim, 15,
-        shared = Some(cells), cb = Some(book)).localCheckpoint(false)
+        shared = Some(cells), cb = Some(book))
       // r15 eval shape: one method-tagged union of the candidate legs
       // and ONE left join + groupBy(method) replacing eight separate
       // join+agg legs (each was its own AQE job chain — 85 jobs for

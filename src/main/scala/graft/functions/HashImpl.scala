@@ -338,4 +338,69 @@ object HashImpl {
     }
     acc
   }
+
+  /** Float array widened to double — bit-identical to the interpreted
+    * `transform(v, x => x.cast("double"))` (float→double is exact),
+    * one tight loop per ROW instead of a lambda dispatch per element.
+    */
+  def vecCastD(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getFloat(i).toDouble; i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Elementwise a(i) − b(i) over two double arrays — bit-identical to
+    * `zip_with(a, b, (x, y) => x - y)` (same IEEE op, index order).
+    * Caller guarantees equal lengths (vector/centroid pairs).
+    */
+  def vecSubDD(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Elementwise a(i) + b(i), float + double (a widened first) — the
+    * RQ reconstruction c1 + c2; bit-identical to
+    * `zip_with(a, b, (x, y) => x.cast("double") + y)`.
+    */
+  def vecAddFD(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getFloat(i).toDouble + b.getDouble(i); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Hashed token-count vector: out(j) = |{t : polyHash(t) mod dim = j}|
+    * as floats — ONE polyHash per token, bit-identical to the 16-fold
+    * `transform(sequence(0, dim-1), j => size(filter(toks, t =>
+    * pmod(polyHash(t), dim) === j)).cast("float"))` formulation that
+    * re-hashed every token once PER BUCKET. Null tokens are skipped
+    * (the filter predicate is null for them, so they never counted).
+    * Counts are small integers, so the int→float cast is exact.
+    */
+  def tokenCountVec(toks: ArrayData, dim: Int): ArrayData = {
+    val counts = new Array[Int](dim)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val h = polyHash(toks.getUTF8String(i))
+        counts((((h % dim) + dim) % dim).toInt) += 1
+      }
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) { out(j) = counts(j).toFloat; j += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
 }

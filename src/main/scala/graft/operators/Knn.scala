@@ -412,7 +412,7 @@ object Knn {
           mn + code.cast("double") / lit(255.0) * (mx - mn)
         }).as("dv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      transform(col(vecCol), x => x.cast("double")).as("qd"),
+      castD(col(vecCol)).as("qd"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
     val scored = deq.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -806,8 +806,8 @@ object Knn {
     emb.select(col(idCol), col(vecCol).as("__v"))
       .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
       .select(col(idCol), col("s"),
-        transform(slice(col("__v"), col("s") * subDim + 1, lit(subDim)),
-          x => x.cast("double")).as("sv"))
+        castD(slice(col("__v"), col("s") * subDim + 1, lit(subDim)))
+          .as("sv"))
   }
 
   /** Per-subspace LEARNED PQ codebook — the codebook-training upgrade
@@ -839,8 +839,8 @@ object Knn {
       .select(col(idCol).as("cid"), col(vecCol).as("__cv"))
       .withColumn("s", explode(sequence(lit(0), lit(m - 1))))
       .select(col("s"), col("cid"),
-        transform(slice(col("__cv"), col("s") * subDim + 1, lit(subDim)),
-          x => x.cast("double")).as("cs"))
+        castD(slice(col("__cv"), col("s") * subDim + 1, lit(subDim)))
+          .as("cs"))
     val d0 = org.apache.spark.sql.graft.GraftExpressions
       .vec_sub_l2_d(col("sv"), col("cs"), lit(0), subDim)
     // r16: riding `sv` through this argmin agg with first() (to drop
@@ -1027,8 +1027,8 @@ object Knn {
     val resid = best1
       .join(emb.select(col(idCol), col(vecCol).as("v")), Seq(idCol))
       .join(broadcast(c1), Seq("cid1"))
-      .withColumn("r", zip_with(col("v"), col("c1v"), (x, y) =>
-        x.cast("double") - y.cast("double")))
+      .withColumn("r", org.apache.spark.sql.graft.GraftExpressions
+        .vec_sub_dd(castD(col("v")), castD(col("c1v"))))
       .select(col(idCol), col("cid1"), col("err1"), col("r"))
       .localCheckpoint(false)
     // level-2 seed residue (2 % every): at stride >= 3 this is the
@@ -1085,10 +1085,10 @@ object Knn {
         col("cid1"), col("cid2"))
       .join(broadcast(c1), Seq("cid1"))
       .join(broadcast(c2), Seq("cid2"))
-      .select(col("neighbor_id"), zip_with(col("c1v"), col("c2v"),
-        (x, y) => x.cast("double") + y).as("rv"))
+      .select(col("neighbor_id"), org.apache.spark.sql.graft
+        .GraftExpressions.vec_add_fd(col("c1v"), col("c2v")).as("rv"))
     val q = queries.select(col(idCol).as("query_id"),
-      transform(col(vecCol), x => x.cast("double")).as("qd"),
+      castD(col(vecCol)).as("qd"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("qn"))
     val scored = rec.crossJoin(broadcast(q))
       .where(col("neighbor_id") =!= col("query_id"))
@@ -1636,14 +1636,13 @@ object Knn {
       ivfCellsInline(corpus, queries, dim, coarseEvery, nProbe, idCol,
         vecCol))
     val cents = corpus.where(col(idCol) % coarseEv === (1 % coarseEv))
-      .select(col(idCol).as("cid"),
-        transform(col(vecCol), x => x.cast("double")).as("cvd"))
+      .select(col(idCol).as("cid"), castD(col(vecCol)).as("cvd"))
     val cres = parts.cCells.select(col("neighbor_id"), col("nvec"),
         col("cid"))
       .join(broadcast(cents), Seq("cid"))
       .select(col("neighbor_id"), col("cid"),
-        zip_with(transform(col("nvec"), x => x.cast("double")), col("cvd"),
-          (x, c) => x - c).as("rv"))
+        org.apache.spark.sql.graft.GraftExpressions
+          .vec_sub_dd(castD(col("nvec")), col("cvd")).as("rv"))
     val book = cres.where(col("neighbor_id") % pqEv === 0)
       .select(col("neighbor_id").as("pcid"), col("rv").as("pcv"))
     val d = org.apache.spark.sql.graft.GraftExpressions
@@ -1658,8 +1657,8 @@ object Knn {
     val qres = parts.qCells.select(col("query_id"), col("qvec"), col("cid"))
       .join(broadcast(cents), Seq("cid"))
       .select(col("query_id"), col("cid"),
-        zip_with(transform(col("qvec"), x => x.cast("double")), col("cvd"),
-          (x, c) => x - c).as("qrv"))
+        org.apache.spark.sql.graft.GraftExpressions
+          .vec_sub_dd(castD(col("qvec")), col("cvd")).as("qrv"))
     val dq = org.apache.spark.sql.graft.GraftExpressions
       .vec_sub_l2_d(col("qrv"), col("pcv"), col("s"), subDim)
     val dtab = qres
@@ -1752,7 +1751,7 @@ object Knn {
   def pcaTopVec(emb: DataFrame, dim: Int, iters: Int = 2,
                 vecCol: String = "embedding",
                 muPre: Option[DataFrame] = None): DataFrame = {
-    val xD = transform(col(vecCol), x => x.cast("double"))
+    val xD = castD(col(vecCol))
     // callers that already hold the mean frame pass it in, so the
     // posexplode+groupBy mean pass over the corpus runs exactly once;
     // the lazy checkpoint stops each power-iteration round (each a
@@ -1802,14 +1801,15 @@ object Knn {
     */
   def abtt(emb: DataFrame, dim: Int, idCol: String = "vec_id",
            vecCol: String = "embedding"): DataFrame = {
-    val xD = transform(col(vecCol), x => x.cast("double"))
+    val xD = castD(col(vecCol))
     // one mean pass shared by the centering below and every
     // power-iteration round (lazy checkpoint: computed on first use)
     val mu = pcaMu(emb, vecCol).localCheckpoint(false)
     val v = pcaTopVec(emb, dim, vecCol = vecCol, muPre = Some(mu))
     emb.crossJoin(broadcast(mu)).crossJoin(broadcast(v))
       .select(col(idCol),
-        zip_with(xD, col("mu"), (x, m) => x - m).as("xc"), col("v"))
+        org.apache.spark.sql.graft.GraftExpressions
+          .vec_sub_dd(xD, col("mu")).as("xc"), col("v"))
       .withColumn("s", dotD(col("xc"), col("v")))
       .withColumn("xr",
         zip_with(col("xc"), col("v"), (x, vv) => x - col("s") * vv))
@@ -1934,6 +1934,14 @@ object Knn {
   private def dotD(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.GraftExpressions.vec_dot_d(a, b)
 
+  /** Native float->double widening (graft.functions.VecCastD): one
+    * codegen'd tight loop per row instead of an interpreted lambda per
+    * element; float->double is exact, so values are bit-identical to
+    * the `transform(v, _.cast("double"))` formulation (r16, guide §4).
+    */
+  private def castD(a: Column): Column =
+    org.apache.spark.sql.graft.GraftExpressions.vec_cast_d(a)
+
   /** Deterministic distributed k-means (Lloyd's algorithm, spherical
     * assignment): centroids initialize from every `centroidEvery`-th
     * vector (same deterministic seeding as the IVF index; `<= 0`
@@ -2004,11 +2012,10 @@ object Knn {
                     idCol: String, vecCol: String): (DataFrame, DataFrame) = {
     val every = resolveCoarse(emb, centroidEvery)
     val v = emb.select(col(idCol).as("vid"),
-      transform(col(vecCol), x => x.cast("double")).as("v"),
+      castD(col(vecCol)).as("v"),
       sqrt(dot(col(vecCol), col(vecCol), dim)).as("vn"))
     var cents = emb.where(col(idCol) % every === (1 % every))
-      .select(col(idCol).as("cid"),
-        transform(col(vecCol), x => x.cast("double")).as("cvec"))
+      .select(col(idCol).as("cid"), castD(col(vecCol)).as("cvec"))
     var assigned: DataFrame = null
     for (i <- 1 to iters) {
       // top-1 as a PARTIAL-AGGREGABLE argmax, not a rank window: the
@@ -2072,7 +2079,7 @@ object Knn {
     // bit-identical to the float-array path / the oracle's CAST fold
     def side(df: DataFrame, id: String, vec: String, norm: String): DataFrame =
       df.select(col(idCol).as(id),
-        transform(col(vecCol), x => x.cast("double")).as(vec),
+        castD(col(vecCol)).as(vec),
         sqrt(dot(col(vecCol), col(vecCol), dim)).as(norm))
     // corpus top-1 as the partial-aggregable argmax (the nearestCells
     // n == 1 shape — identical total order, map-side combined);
@@ -2143,6 +2150,12 @@ object Knn {
     def cells(v: Column): Column = array((0 until nTables).map { t =>
       struct(lit(t).as("tb"), bucketCode(v, dim, np, t * np).as("bk"))
     }: _*)
+    // r16: the knnGraph-style (tb, bk) width pin was tried here and
+    // measured SLOWER paired (+0.46 emb_dedup_cosine, +0.24 _fixed,
+    // +0.14 emb_semdedup): these callers' inputs are already fanned
+    // out (Par.fanout whitelist), so the pin only added an exchange —
+    // unlike knnGraph, whose cell-population window forces the (tb,
+    // bk) exchange regardless. The r15 shape stays.
     val banded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         sqrt(dot(col(vecCol), col(vecCol), dim)).as("n"),
         explode(cells(col(vecCol))).as("tbk"))
@@ -2169,6 +2182,8 @@ object Knn {
   def cosineDupPairs(emb: DataFrame, dim: Int, threshold: Double,
                      blockCol: String, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    // r16: the width pin was tried here too and measured slower paired
+    // (see cosineDupPairsLsh) — the r14 shape stays
     val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
       col(vecCol).as("va"), sqrt(dot(col(vecCol), col(vecCol), dim)).as("na"))
     val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"),

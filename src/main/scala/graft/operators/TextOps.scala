@@ -399,12 +399,19 @@ object TextOps {
   def lmScore(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val k = 0.5
     val toks = df.select(col(idCol), tokens(col("text")).as("__tk"))
+    // r16: the bigram stream is lazily checkpointed — its three
+    // consumers (c2, c1, the scoring join) shuffle on DIFFERENT keys,
+    // so ReuseExchange cannot share the subplan and each re-ran
+    // tokenize + zip_with + explode over the corpus (the
+    // minhashEstimates rationale). Paired A/B: 1.61 vs 1.98 and 1.22
+    // vs 1.82 s; rows eq-checked identical at sf0.01.
     val bg = toks.where(size(col("__tk")) >= 2)
       .select(col(idCol), explode(zip_with(
         slice(col("__tk"), lit(1), size(col("__tk")) - 1),
         slice(col("__tk"), lit(2), size(col("__tk")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .localCheckpoint(false)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("__c1"))
     val v = toks.select(explode(col("__tk")).as("__t"))
@@ -460,7 +467,11 @@ object TextOps {
         slice(col("__tk"), lit(2), size(col("__tk")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("__b"))
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
+    // r16: bg checkpointed like lmScore's — consumed by the c2 build
+    // AND the scoring join, which otherwise re-runs tokenize +
+    // zip_with + explode (paired A/B under doc_lm_kn below)
+    val bgM = bg.localCheckpoint(false)
+    val c2 = bgM.groupBy("w1", "w2").agg(count(lit(1)).as("__c2"))
       .localCheckpoint(false)
     val left = c2.groupBy("w1")
       .agg(sum(col("__c2")).as("__c1"), count(lit(1)).as("__t1"))
@@ -470,7 +481,7 @@ object TextOps {
       col("__c1").cast("double") +
       lit(discount) * col("__t1").cast("double") / col("__c1").cast("double") *
         col("__cont").cast("double") / col("__B").cast("double")
-    val term = bg.join(c2, Seq("w1", "w2")).join(left, Seq("w1"))
+    val term = bgM.join(c2, Seq("w1", "w2")).join(left, Seq("w1"))
       .join(cont, Seq("w2")).crossJoin(broadcast(btot))
       .select(col(idCol), round(log(p) * lit(1e6)).cast("long").as("__tu"))
     val s = term.groupBy(idCol)

@@ -876,13 +876,19 @@ object Trend {
     require(period % 2 == 1, s"period must be odd for a centered MA: $period")
     import org.apache.spark.sql.graft.Bridge.fldiv
     val half = period / 2
-    val grid = df
+    // r16 (guide §2): every window below clusters by (a superset of)
+    // the key, so the whole decomposition chain runs off ONE key
+    // exchange — which AQE byte-coalesces to 1–2 partitions. The
+    // explicit spread replaces that exchange 1:1 at pinned width
+    // (rows = one per (key, day) bucket at any scale).
+    val grid = Par.spread(df
       .select((keyCols :+ tsCol :+ valCol).map(col): _*)
       .groupBy(keyCols.map(col) :+
         fldiv(col(tsCol) - lit(originUs), bucketUs).as("__d"): _*)
       .agg(sum(floor(col(valCol) * lit(1e6)).cast("long")).as("__s6"),
         count(lit(1)).as("__c"))
-      .withColumn("__v", fldivC(col("__s6"), col("__c")))
+      .withColumn("__v", fldivC(col("__s6"), col("__c"))),
+      keyCols.map(col): _*)
     val wMa = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__d"))
       .rowsBetween(-half, half)
     val wDow = Window.partitionBy(

@@ -152,6 +152,73 @@ case class IndexSumLong(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Float array widened to double (exact), one tight loop per row —
+  * replaces the interpreted `transform(v, _.cast("double"))` lambda
+  * the kmeans/RQ/PQ chains ran per corpus element.
+  */
+case class VecCastD(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.HashImpl.vecCastD(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.vecCastD($c)")
+  override protected def withNewChildInternal(c: Expression): VecCastD = copy(c)
+}
+
+/** Elementwise difference of two double arrays — the residual
+  * construction (`zip_with(a, b, (x, y) => x - y)`), codegen'd.
+  */
+case class VecSubDD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.HashImpl.vecSubDD(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.vecSubDD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecSubDD =
+    copy(left = l, right = r)
+}
+
+/** Elementwise float + double (left widened first) — the RQ additive
+  * reconstruction c1 + c2, codegen'd.
+  */
+case class VecAddFD(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(DoubleType))
+  override def nullSafeEval(a: Any, b: Any): Any =
+    graft.functions.HashImpl.vecAddFD(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashImpl.vecAddFD($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecAddFD =
+    copy(left = l, right = r)
+}
+
+/** Hashed token-count featurization (array<string> → array<float> of
+  * per-bucket counts): ONE polyHash per token instead of the dim-fold
+  * `transform(sequence(0, dim-1), j => size(filter(...)))` that
+  * re-hashed every token once per bucket. Counts are exact small ints.
+  */
+case class TokenCountVec(child: Expression, dim: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(dim >= 1, "dim must be >= 1")
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullSafeEval(v: Any): Any =
+    graft.functions.HashImpl.tokenCountVec(v.asInstanceOf[ArrayData], dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashImpl.tokenCountVec($c, $dim)")
+  override protected def withNewChildInternal(c: Expression): TokenCountVec =
+    copy(child = c)
+}
+
 /** Squared L2 over subspace `s` (third child) of two float vectors:
   * elements [s*len, (s+1)*len), each widened to double — the product
   * quantization distance, one tight loop per (vector, centroid, s).
@@ -513,6 +580,14 @@ object GraftExpressions {
     Bridge.toCol(VecDot(Bridge.toExpr(a), Bridge.toExpr(b)))
   def vec_dot_d(a: Column, b: Column): Column =
     Bridge.toCol(VecDotD(Bridge.toExpr(a), Bridge.toExpr(b)))
+  def vec_cast_d(a: Column): Column =
+    Bridge.toCol(VecCastD(Bridge.toExpr(a)))
+  def vec_sub_dd(a: Column, b: Column): Column =
+    Bridge.toCol(VecSubDD(Bridge.toExpr(a), Bridge.toExpr(b)))
+  def vec_add_fd(a: Column, b: Column): Column =
+    Bridge.toCol(VecAddFD(Bridge.toExpr(a), Bridge.toExpr(b)))
+  def token_count_vec(toks: Column, dim: Int): Column =
+    Bridge.toCol(TokenCountVec(Bridge.toExpr(toks), dim))
   def vec_sub_l2(a: Column, b: Column, s: Column, len: Int): Column =
     Bridge.toCol(VecSubL2(Bridge.toExpr(a), Bridge.toExpr(b),
       Bridge.toExpr(s), len))

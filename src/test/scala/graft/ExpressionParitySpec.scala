@@ -114,6 +114,41 @@ class ExpressionParitySpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("VecCastD / VecSubDD / VecAddFD == their HOF twins on real embeddings") {
+    val G = org.apache.spark.sql.graft.GraftExpressions
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = emb.select($"embedding".as("a"))
+      .crossJoin(emb.limit(3).select($"embedding".as("b")))
+      .select($"a", $"b", transform($"b", x => x.cast("double")).as("bd"))
+    val bad = pairs.select(
+        G.vec_cast_d($"a").as("c"),
+        transform($"a", x => x.cast("double")).as("ch"),
+        G.vec_sub_dd(G.vec_cast_d($"a"), $"bd").as("s"),
+        zip_with($"a", $"b", (x, y) =>
+          x.cast("double") - y.cast("double")).as("sh"),
+        G.vec_add_fd($"a", $"bd").as("p"),
+        zip_with($"a", $"bd", (x, y) => x.cast("double") + y).as("ph"))
+      .where($"c" =!= $"ch" || $"s" =!= $"sh" || $"p" =!= $"ph")
+    assert(bad.isEmpty)
+  }
+
+  test("TokenCountVec == the per-bucket filter-fold on real documents") {
+    val G = org.apache.spark.sql.graft.GraftExpressions
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dim = 16
+    val toks = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextOps.tokens($"text").as("tk"))
+      .union(Seq(Seq.empty[String], Seq("a"), Seq("汉字", "a", "汉字"))
+        .toDF("tk"))
+    val hof = transform(sequence(lit(0), lit(dim - 1)), j =>
+      size(filter($"tk", t =>
+        pmod(TextOps.polyHash(t), lit(dim.toLong)) === j.cast("long")))
+        .cast("float"))
+    val bad = toks.select(G.token_count_vec($"tk", dim).as("n"), hof.as("h"))
+      .where($"n" =!= $"h")
+    assert(bad.isEmpty)
+  }
+
   test("micros() == exact decimal micro-count across the guard boundary") {
     // the r5-advice counterexamples (6dp-exact values in [4.5e9, 8e9)
     // whose double*1e6 product rounds off-by-one) must now take the
